@@ -1,0 +1,61 @@
+"""SparkSession factory with the engine's scale-posture defaults.
+
+The reference engine's only tunables were ``nReduce`` (shuffle width,
+mr/master.go:305-345) and a 10 s straggler timeout (mr/master.go:240).
+Spark subsumes both: shuffle width is ``spark.sql.shuffle.partitions``
+(+ AQE coalescing at runtime), and straggler recovery is speculation /
+task retry config. Everything here is config, not code — per SURVEY §4
+no custom scheduler is needed.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "minimapreduce_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    Local mode is the test harness; on a real cluster the same configs
+    hold except ``master`` and memory sizing come from the submitter.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(int(cpus), 4)
+        except ValueError:
+            shuffle_partitions = 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Shuffle width ~ cores locally; AQE coalesces small partitions and
+        # splits skewed ones at runtime, so this is a ceiling not a law.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for every pandas_udf / toPandas boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Oracle comparison (DuckDB) is UTC-naive; pin the session TZ.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Straggler / failure posture ~= the reference's 10 s reschedule +
+        # zombie eviction (mr/master.go:220-279), expressed as config.
+        .config("spark.speculation", "true")
+        .config("spark.task.maxFailures", "4")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
