@@ -10,10 +10,17 @@ import importlib
 
 _OPERATOR_MODULES = [
     "minimapreduce_spark.operators.text",
+    "minimapreduce_spark.operators.mr_compat",
 ]
 
 for _m in _OPERATOR_MODULES:
     importlib.import_module(_m)
+
+# Worker-side closures (RDD compat layer, pandas UDFs) must not require
+# executors to import this package — see _pickle.py.
+from minimapreduce_spark._pickle import register_self_by_value as _rsbv  # noqa: E402
+
+_rsbv()
 
 from minimapreduce_spark.registry import (  # noqa: E402,F401
     REGISTRY,

@@ -1,0 +1,101 @@
+"""Compat-layer tests, mirroring main/test-mr.sh's protocol:
+distributed output must equal the sequential oracle, order-insensitively;
+plus parallelism and sink-layout checks."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from minimapreduce_spark import mrapps
+from minimapreduce_spark.catalog import load_table
+from minimapreduce_spark.mapreduce import run_job, run_job_sequential, write_text_output
+
+from tests.conftest import SF_DIR
+
+SMALL_CORPUS = [
+    ("doc-a", "the quick brown fox"),
+    ("doc-b", "the lazy dog and the fox"),
+    ("doc-c", "Dog dog DOG; 42 foxes!"),
+]
+
+
+def _distributed(spark, app_map, app_reduce, n_reduce=5):
+    df = run_job(spark, SMALL_CORPUS, app_map, app_reduce, n_reduce=n_reduce)
+    return sorted(map(tuple, df.collect()))
+
+
+def test_wc_matches_sequential_oracle(spark):
+    got = _distributed(spark, mrapps.wc_map, mrapps.wc_reduce)
+    want = sorted(run_job_sequential(SMALL_CORPUS, mrapps.wc_map, mrapps.wc_reduce))
+    assert got == want
+    assert ("the", "3") in got and ("dog", "2") in got  # case-sensitive: Dog != dog != DOG
+
+
+def test_indexer_matches_sequential_oracle(spark):
+    got = _distributed(spark, mrapps.indexer_map, mrapps.indexer_reduce)
+    want = sorted(run_job_sequential(SMALL_CORPUS, mrapps.indexer_map, mrapps.indexer_reduce))
+    assert got == want
+    assert ("fox", "2 doc-a,doc-b") in got
+
+
+def test_crash_agg_matches_sequential_oracle(spark):
+    got = _distributed(spark, mrapps.crash_map, mrapps.crash_reduce)
+    want = sorted(run_job_sequential(SMALL_CORPUS, mrapps.crash_map, mrapps.crash_reduce))
+    assert got == want
+    assert ("d", "xyzzy xyzzy xyzzy") in got
+
+
+def test_n_reduce_invariance(spark):
+    """Same (key, value) set for any shuffle width — the reference's
+    nReduce-invariance (output compared as sorted concatenation)."""
+    results = {
+        n: _distributed(spark, mrapps.wc_map, mrapps.wc_reduce, n_reduce=n) for n in (1, 3, 7)
+    }
+    assert results[1] == results[3] == results[7]
+
+
+def test_reduce_parallelism(spark):
+    """rtiming analog: reduce work is spread over >=2 partitions."""
+    df = run_job(spark, SMALL_CORPUS, mrapps.wc_map, mrapps.wc_reduce, n_reduce=4)
+    nonempty = (
+        df.rdd.mapPartitionsWithIndex(lambda i, it: [(i, sum(1 for _ in it))])
+        .filter(lambda x: x[1] > 0)
+        .count()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    assert nonempty >= 2
+
+
+def test_text_sink_layout(spark, tmp_path):
+    """Sink writes 'key value' lines, one file set per partition
+    (mr-out-<i> analog); sorted concatenation equals the oracle."""
+    df = run_job(spark, SMALL_CORPUS, mrapps.wc_map, mrapps.wc_reduce, n_reduce=3)
+    out = str(tmp_path / "mr-out")
+    write_text_output(df, out)
+    lines = []
+    for f in glob.glob(os.path.join(out, "part-*")):
+        with open(f) as fh:
+            lines.extend(line.rstrip("\n") for line in fh if line.strip())
+    want = sorted(f"{k} {v}" for k, v in run_job_sequential(SMALL_CORPUS, mrapps.wc_map, mrapps.wc_reduce))
+    assert sorted(lines) == want
+
+
+def test_whole_files_source(spark, tmp_path):
+    """Path/glob source: one whole text file per record, the reference's
+    exact input model (mr/master.go:327-338)."""
+    for name, contents in SMALL_CORPUS:
+        (tmp_path / f"{name}.txt").write_text(contents)
+    df = run_job(spark, str(tmp_path / "*.txt"), mrapps.wc_map, mrapps.wc_reduce, n_reduce=3)
+    got = sorted((k, v) for k, v in map(tuple, df.collect()))
+    want = sorted(run_job_sequential(SMALL_CORPUS, mrapps.wc_map, mrapps.wc_reduce))
+    assert got == want
+
+
+def test_mr_path_equals_dataframe_path(spark, duck):
+    """The compat engine and the DataFrame-native engine agree on the
+    documents table (distributed-vs-oracle diff at test scale)."""
+    from tests.conftest import run_and_compare
+
+    run_and_compare(spark, duck, "mr_wordcount")
+    run_and_compare(spark, duck, "mr_inverted_index")
