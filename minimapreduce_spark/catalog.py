@@ -43,7 +43,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     partition layout) in one place."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+    rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via
+    the legacy flag and convert ns → µs ourselves (integer DIV — a
+    double division would lose precision above 2^53 ns), landing on
+    TIMESTAMP_NTZ to match the other tables and the DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, "events"))
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+    )
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:

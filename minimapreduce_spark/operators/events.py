@@ -1,0 +1,284 @@
+"""Time-series operators over the ``events`` table (SURVEY §2c, §7.5).
+
+Batch expressions of the streaming-shaped operators: tumbling/sliding
+windows, gap-based sessionization, as-of join, and a bounded range join.
+The Structured Streaming forms live in minimapreduce_spark/streaming/;
+these batch forms carry the DuckDB oracles (the oracle protocol is
+batch-only) and share the same semantics.
+
+Scale posture: every operator shuffles once on its natural key
+(window bucket / user_id), and the range join uses bucketized
+candidate generation (bounded fan-out of 2 buckets per probe row)
+instead of an unbounded inequality join — the difference between an
+O(n·k) plan and an O(n²) one at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from minimapreduce_spark.catalog import load_table
+from minimapreduce_spark.registry import register
+
+SESSION_GAP_SECONDS = 1800  # 30 min
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions over the props column (JVM-side
+    get_json_object — no Python in the loop)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg(F.get_json_object("props", "$.k").cast("bigint")), 4).alias("avg_k"),
+    )
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type,
+           count(*)               AS n_events,
+           round(sum(value), 2)   AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    bench=True,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows — the batch twin of the streaming
+    ``window(ts, '1 hour')`` aggregation."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+
+
+@register(
+    "events_sliding_1h_30m",
+    oracle="""
+    WITH wins AS (
+      SELECT event_type, value,
+             unnest(ARRAY[
+               time_bucket(INTERVAL '30 minutes', ts),
+               time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+             ]) AS win_start
+      FROM events
+    )
+    SELECT win_start, event_type,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM wins
+    GROUP BY win_start, event_type
+    """,
+)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): each event lands in
+    exactly 2 windows. Spark's ``window()`` generates the assignment;
+    the oracle enumerates the two window starts explicitly."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("win.start").alias("win_start"), "event_type", "n_events", "total_value"
+        )
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts, value,
+             epoch(ts) - lag(epoch(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS gap
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             CAST(sum(CASE WHEN gap IS NULL OR gap > {SESSION_GAP_SECONDS} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id,
+           min(ts)              AS session_start,
+           max(ts)              AS session_end,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    bench=True,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min): lag → new-session flag →
+    running sum as session id → per-session rollup. One shuffle on
+    user_id serves both windows and the final agg. Streaming twin:
+    ``session_window`` in streaming/windows.py."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    # NTZ → LTZ → double epoch-seconds; with the UTC session this equals
+    # DuckDB's epoch(ts) (fractional µs included).
+    ts_sec = F.col("ts").cast("timestamp").cast("double")
+    with_gap = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        (ts_sec - F.lag(ts_sec).over(w)).alias("gap"),
+    )
+    with_session = with_gap.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum(
+            F.when(F.col("gap").isNull() | (F.col("gap") > SESSION_GAP_SECONDS), 1).otherwise(0)
+        )
+        .over(wrun)
+        .cast("bigint")
+        .alias("session_id"),
+    )
+    return with_session.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "events_asof_join",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           p.ts       AS purchase_ts,
+           c.ts       AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one — SURVEY §2c): for each
+    purchase, the most recent click by the same user at-or-before it.
+
+    Implemented as union + last(ignorenulls) over a single user_id
+    shuffle — O(n log n) per partition and no pairwise blow-up, unlike a
+    naive inequality join. Clicks sort before purchases at equal ts so
+    "at-or-before" includes ties (matching the oracle's ``>=``)."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("is_purchase"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("is_purchase"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tagged = clicks.unionByName(purchases).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "is_purchase",
+        F.last("click_ts", ignorenulls=True).over(w).alias("last_click_ts"),
+    )
+    return tagged.where(F.col("is_purchase") == 1).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "last_click_ts",
+    )
+
+
+@register(
+    "events_range_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           count(c.event_id) AS n_recent_clicks
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks per user within the hour before each purchase.
+
+    Bucketized: probe rows explode to their 2 candidate hour-buckets and
+    equi-join on (user_id, bucket) before the range filter — bounded
+    fan-out instead of the oracle's unbounded inequality join, which
+    would be a per-user cross product at scale."""
+    ev = _events(spark, sf_dir)
+    # Self-join: rename the click side's key so the equi-join condition
+    # can't resolve ambiguously against the shared scan lineage.
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("click_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+        F.date_trunc("hour", "ts").alias("click_bucket"),
+    )
+    one_hour = F.expr("INTERVAL 1 HOUR")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.date_trunc("hour", "purchase_ts"),
+                    F.date_trunc("hour", "purchase_ts") - one_hour,
+                )
+            ),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        on=(
+            (F.col("user_id") == F.col("click_user_id"))
+            & (F.col("bucket") == F.col("click_bucket"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - one_hour)
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+        ),
+        how="left",
+    )
+    return joined.groupBy("purchase_id", "user_id").agg(
+        F.count("click_id").alias("n_recent_clicks")
+    )

@@ -1,0 +1,628 @@
+"""Relational operator suite over the star schema (SURVEY §2c).
+
+The reference has none of these as named operators — its Map/Reduce UDF
+surface subsumes them by construction (SURVEY §2 intro). Here each
+category is a first-class declarative plan; Catalyst supplies pushdown,
+pruning, join selection, partial aggregation, and AQE supplies runtime
+coalescing + skew handling (SURVEY §4: zero custom rules needed).
+
+Scale posture:
+- Fact-to-fact joins (lineitem ⋈ orders) shuffle on the join key only;
+  dimension joins broadcast (`F.broadcast`) so the 100 TB fact side
+  never shuffles for them.
+- Aggregates are expressed so Spark plans partial (map-side) + final
+  hash aggregation — the combiner the reference lacks.
+- Top-k is per-group window + filter or global orderBy+limit (Spark
+  plans TakeOrderedAndProject — no global sort materialization).
+- Float aggregates are rounded in BOTH engines to absorb
+  summation-order nondeterminism; every computed column is aliased
+  identically in the plan and the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from minimapreduce_spark.catalog import load_table
+from minimapreduce_spark.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Headline multi-operator queries (TPC-H-shaped)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → pushed filter → 2-key groupBy with 8 aggs.
+    Catalyst plans partial+final hash agg; only 6 groups survive the map
+    side, so shuffle traffic is O(partitions), not O(rows)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders    ON c_custkey = o_custkey
+    JOIN lineitem  ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    bench=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter broadcast into a fact join,
+    then agg + top-10. The customer side is filtered FIRST so the
+    broadcast is the small filtered set; lineitem never shuffles for the
+    dim join. Tie-break on l_orderkey makes the limit deterministic."""
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey   = o_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    JOIN supplier ON l_suppkey   = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+      AND c_nationkey = s_nationkey
+    GROUP BY n_name
+    """,
+    bench=True,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join. All four dimension sides
+    (customer, supplier, nation, region) broadcast; the only shuffle is
+    lineitem ⋈ orders on orderkey + the final 1-key agg."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Filters / projections
+# --------------------------------------------------------------------------
+
+
+@register(
+    "filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 2) AS net_price,
+           l_returnflag
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+      AND l_quantity > 45
+      AND l_returnflag <> 'A'
+    """,
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection pushdown: the parquet scan must read only 7
+    of 11 columns and push the shipdate/quantity/returnflag filters
+    (verified in tests via the explain output)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("l_quantity") > 45)
+        & (F.col("l_returnflag") != "A")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("net_price"),
+        "l_returnflag",
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r_name, n_name,
+           count(*)                    AS n_customers,
+           round(sum(c_acctbal), 2)    AS total_acctbal,
+           round(avg(c_acctbal), 4)    AS avg_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-dim rollup: nation and region broadcast — zero shuffle on the
+    customer side until the final small agg."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = F.broadcast(_t(spark, sf_dir, "nation"))
+    reg = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_left_order_counts",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           count(o_orderkey)                          AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2)   AS total_spend
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving zero-order customers (every customer
+    has orders in this data, so the join is restricted to URGENT ones to
+    make the null path real)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "join_semi_big_spenders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_totalprice > 450000
+    )
+    """,
+)
+def join_semi_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): returns each qualifying customer once —
+    no duplication, no columns from the right side shuffled."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_anti_no_urgent",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def join_anti_no_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no URGENT order."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation variants
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_distinct_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey)       AS n_customers,
+           count(*)                        AS n_orders,
+           round(sum(o_totalprice), 2)     AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_distinct_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT) beside plain aggs — Spark expands to a two-phase
+    plan; stays fully distributed."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "agg_rollup_lineitem",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*)                     AS n_items,
+           round(sum(l_quantity), 2)    AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals incl. grand total (null-filled
+    grouping columns match the oracle's)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_items"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@register(
+    "agg_cube_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*)                       AS n_orders,
+           round(avg(o_totalprice), 4)    AS avg_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+    )
+
+
+@register(
+    "agg_conditional_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS qty_open,
+           round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS qty_filled,
+           count(*) FILTER (WHERE l_discount > 0.05)                   AS n_discounted
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual pivot via conditional aggregation — the portable (and
+    shuffle-free-beyond-the-agg) form of groupBy().pivot()."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity"))), 2).alias("qty_open"),
+        F.round(F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))), 2).alias("qty_filled"),
+        F.count(F.when(F.col("l_discount") > 0.05, True)).alias("n_discounted"),
+    )
+
+
+@register(
+    "stats_summary",
+    oracle="""
+    SELECT o_orderstatus,
+           round(stddev_samp(o_totalprice), 4)          AS sd_price,
+           round(quantile_cont(o_totalprice, 0.5), 4)   AS median_price,
+           round(min(o_totalprice), 2)                  AS min_price,
+           round(max(o_totalprice), 2)                  AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution stats: sample stddev + exact interpolated median
+    (Spark `percentile` ≡ DuckDB `quantile_cont`)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_running_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer — one shuffle on the partition key,
+    then an in-partition sort (orderkey tie-break keeps it exact)."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "window_topk_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+    bench=True,
+)
+def window_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: row_number window + filter — the scalable top-k
+    (no global sort; AQE coalesces the post-shuffle partitions)."""
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           date_diff('day',
+                     CAST(lag(o_orderdate) OVER w AS DATE),
+                     CAST(o_orderdate AS DATE))       AS days_since_prev,
+           lead(o_orderpriority) OVER w               AS next_priority
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead: inter-order gap in days and the next order's priority."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lag(F.col("o_orderdate").cast("date")).over(w)
+        )
+        .cast("bigint")
+        .alias("days_since_prev"),
+        F.lead("o_orderpriority").over(w).alias("next_priority"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits / set ops
+# --------------------------------------------------------------------------
+
+
+@register(
+    "topk_global_lineitems",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 20
+    """,
+)
+def topk_global_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    heaps + driver merge of k rows, never a full sort. Unique
+    (orderkey, linenumber) tie-break keeps the cut deterministic."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )
+
+
+@register(
+    "set_ops_customers",
+    oracle="""
+    WITH building AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    rich AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    )
+    SELECT 'intersect' AS op, c_custkey FROM (SELECT * FROM building INTERSECT SELECT * FROM rich)
+    UNION ALL
+    SELECT 'except' AS op, c_custkey FROM (SELECT * FROM building EXCEPT SELECT * FROM rich)
+    UNION ALL
+    SELECT 'union' AS op, c_custkey FROM (SELECT * FROM building UNION SELECT * FROM rich)
+    """,
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect / except / union (distinct) in one tagged result."""
+    cust = _t(spark, sf_dir, "customer")
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = cust.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    return (
+        building.intersect(rich).select(F.lit("intersect").alias("op"), "c_custkey")
+        .unionAll(building.exceptAll(rich).distinct().select(F.lit("except").alias("op"), "c_custkey"))
+        .unionAll(building.union(rich).distinct().select(F.lit("union").alias("op"), "c_custkey"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar function library
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_functions_showcase",
+    oracle="""
+    SELECT o_orderkey,
+           upper(o_orderpriority)                                   AS pri_upper,
+           substr(o_orderpriority, 1, 1)                            AS pri_code,
+           length(o_orderpriority)                                  AS pri_len,
+           concat_ws('#', o_orderstatus, o_orderpriority)           AS status_tag,
+           CAST(year(o_orderdate) AS BIGINT)                        AS order_year,
+           CAST(month(o_orderdate) AS BIGINT)                       AS order_month,
+           CAST(day(o_orderdate) AS BIGINT)                         AS order_day,
+           round(abs(o_totalprice - 250000.0), 2)                   AS price_dev,
+           round(sqrt(o_totalprice), 4)                             AS price_sqrt,
+           round(ln(o_totalprice + 1), 6)                           AS price_ln,
+           CAST(floor(o_totalprice) AS BIGINT) % 97                 AS price_mod
+    FROM orders
+    """,
+)
+def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar functions — all JVM-side, whole-stage
+    codegen'd (the reference could only do this inside Go UDFs)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("pri_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("pri_code"),
+        F.length("o_orderpriority").cast("bigint").alias("pri_len"),
+        F.concat_ws("#", "o_orderstatus", "o_orderpriority").alias("status_tag"),
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("order_day"),
+        F.round(F.abs(F.col("o_totalprice") - 250000.0), 2).alias("price_dev"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("o_totalprice") + 1), 6).alias("price_ln"),
+        # NB: double→bigint CAST truncates in Spark but rounds in DuckDB;
+        # floor() first makes both engines agree.
+        (F.floor("o_totalprice").cast("bigint") % 97).alias("price_mod"),
+    )
+
+
+@register(
+    "correlated_above_avg_spend",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, sum(o_totalprice) AS total FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey AS custkey, round(total, 2) AS total_spend
+    FROM spend
+    WHERE total > 2 * (SELECT avg(total) FROM spend)
+    """,
+)
+def correlated_above_avg_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery pattern: customers spending > 2× the mean total.
+    The scalar aggregate broadcasts; no driver-side collect."""
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("total"))
+    )
+    threshold = spend.agg((F.avg("total") * 2).alias("thr"))
+    return (
+        spend.join(F.broadcast(threshold))
+        .where(F.col("total") > F.col("thr"))
+        .select(F.col("o_custkey").alias("custkey"), F.round("total", 2).alias("total_spend"))
+    )

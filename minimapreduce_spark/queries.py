@@ -11,6 +11,8 @@ import importlib
 _OPERATOR_MODULES = [
     "minimapreduce_spark.operators.text",
     "minimapreduce_spark.operators.mr_compat",
+    "minimapreduce_spark.operators.relational",
+    "minimapreduce_spark.operators.events",
 ]
 
 for _m in _OPERATOR_MODULES:

@@ -69,7 +69,8 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
             ok = both_nan | np.isclose(af, bf, rtol=1e-9, atol=1e-9)
             assert ok.all(), f"{name}: col {c} max abs diff {np.nanmax(np.abs(af - bf))}"
         else:
-            mism = av != bv
+            both_na = pd.isna(a[c]).to_numpy() & pd.isna(b[c]).to_numpy()
+            mism = (av != bv) & ~both_na
             if mism.any():
                 i = int(np.argmax(mism))
                 raise AssertionError(f"{name}: col {c} first mismatch row {i}: {av[i]!r} != {bv[i]!r}")
