@@ -1,0 +1,269 @@
+"""Deduplication operators for LLM data pipelines (north-star surface).
+
+Four escalating strategies over ``documents``:
+
+- exact      — content-hash groupBy (normalize → sha256 → keep min id)
+- ngram      — exact Jaccard on 5-gram shingles via a shingle inverted
+               index self-join (candidate pairs share ≥1 shingle)
+- minhash    — MinHash signatures + LSH banding → candidate pairs →
+               exact-Jaccard verification (the 100 TB path: candidate
+               generation is linear in corpus size, never pairwise)
+- simhash    — 64-bit SimHash + banded Hamming search (rows-only check;
+               xxhash64 has no DuckDB equivalent)
+
+Scale notes: the inverted-index self-join (ngram) degrades on hot
+shingles (a stopword 5-gram shared by millions of docs creates a
+quadratic bucket); MinHash-LSH bounds every bucket by construction
+(bands of the signature, not raw shingles) and is the one to run at
+100 TB. Both are expressed as pure DataFrame plans — shuffle keys are
+shingle/band hashes, all aggregates partial+final.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minimapreduce_spark.catalog import load_table
+from minimapreduce_spark.registry import register
+
+SHINGLE_K = 5
+NGRAM_THRESHOLD = 0.8
+MINHASH_THRESHOLD = 0.9
+MINHASH_PERMS = 32
+MINHASH_BANDS = 8  # 8 bands × 4 rows; P(miss | j=0.9) ≈ (1-0.9^4)^8 ≈ 8e-4
+SIMHASH_HAMMING_MAX = 3
+
+_JACCARD_ORACLE = """
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    pos AS (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i FROM words),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+{kminus1}], ' ') AS shingle
+      FROM pos WHERE i <= len(ws) - {kminus1}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {threshold}
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def shingles_df(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFrame:
+    """Distinct (doc_id, k-gram word shingle) pairs."""
+    docs = _docs(spark, sf_dir)
+    ws = F.filter(F.split("text", r"[^A-Za-z]+"), lambda w: w != "")
+    # Guard short docs: sequence(1, n) with n < 1 would generate a
+    # DESCENDING sequence in Spark, fabricating bogus shingles.
+    sh = F.when(
+        F.size(ws) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+
+
+def jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for pairs sharing ≥1 shingle,
+    optionally restricted to a (doc_a, doc_b) candidate frame."""
+    sh = shingles_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    if candidates is not None:
+        pairs = pairs.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id,
+             sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash
+      FROM documents
+    )
+    SELECT content_hash,
+           min(doc_id) AS keep_doc_id,
+           count(*)    AS n_copies
+    FROM hashed
+    GROUP BY content_hash
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: whitespace-normalized lowercase sha256, keep the
+    min doc_id per hash group. One hash-shuffle, no pairwise work —
+    the first pass of any corpus dedup at any scale."""
+    docs = _docs(spark, sf_dir)
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    return (
+        docs.select("doc_id", F.sha2(norm, 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_JACCARD_ORACLE.format(kminus1=SHINGLE_K - 1, threshold=NGRAM_THRESHOLD),
+    bench=True,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 5-gram Jaccard ≥ 0.8 via shingle
+    inverted-index self-join. Correct and simple; at 100 TB prefer
+    dedup_minhash (this one's join explodes on hot shingles)."""
+    return jaccard_pairs(spark, sf_dir, NGRAM_THRESHOLD)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → MINHASH_PERMS min-hash values, one groupBy over the
+    shingle frame (32 hash evals per shingle row, no row explosion)."""
+    sh = shingles_df(spark, sf_dir)
+    aggs = [
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"s{i}") for i in range(MINHASH_PERMS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+@register(
+    "dedup_minhash",
+    oracle=_JACCARD_ORACLE.format(kminus1=SHINGLE_K - 1, threshold=MINHASH_THRESHOLD),
+    bench=True,
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection, exact-verified:
+
+    1. 32 min-hash values per doc over 5-gram shingles
+    2. 8 bands × 4 rows → band-bucket hash; docs sharing any bucket
+       become candidate pairs (linear candidate generation)
+    3. exact Jaccard on candidates only, threshold 0.9
+
+    The oracle is the plain exact-Jaccard SQL: with these parameters a
+    true pair at j ≥ 0.9 is missed with P ≈ 8e-4 (deterministic hashes,
+    so verified-stable on the fixture data). This is the 100 TB dedup
+    path — no step is pairwise over the corpus."""
+    sigs = minhash_signatures(spark, sf_dir)
+    r = MINHASH_PERMS // MINHASH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.xxhash64(*[F.col(f"s{j * r + i}") for i in range(r)], F.lit(j)).alias("bh"),
+            )
+            for j in range(MINHASH_BANDS)
+        ]
+    )
+    buckets = sigs.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", "b.band", "b.bh"
+    )
+    left = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bh")
+    right = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bh")
+    candidates = (
+        left.join(right, ["band", "bh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return jaccard_pairs(spark, sf_dir, MINHASH_THRESHOLD, candidates=candidates)
+
+
+@register("dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprint from count-weighted
+    token-hash bit votes; banded Hamming search (4 × 16-bit bands — any
+    pair within Hamming ≤ 3 shares at least one exact band) then
+    bit_count(XOR) verification. Pytest covers the invariants; the
+    driver records a rows-only check (hash not portable to SQL)."""
+    docs = _docs(spark, sf_dir)
+    ws = F.filter(F.split("text", r"[^A-Za-z]+"), lambda w: w != "")
+    tokens = (
+        docs.select("doc_id", F.explode(ws).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", F.xxhash64("token"))
+    )
+    bits = tokens.select(
+        "doc_id",
+        "cnt",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+    ).select(
+        "doc_id",
+        "bit",
+        F.when(F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+        .otherwise(-F.col("cnt"))
+        .alias("vote"),
+    )
+    fp = (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+        .select(
+            "doc_id",
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("bitval"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").cast("bigint").alias("fingerprint"))
+    )
+    bands = fp.select(
+        "doc_id",
+        "fingerprint",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).select(
+        "doc_id",
+        "fingerprint",
+        "band",
+        F.expr("shiftrightunsigned(fingerprint, band * 16)")
+        .bitwiseAND(F.lit(0xFFFF))
+        .alias("band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("fingerprint").alias("fp_a"), "band", "band_val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("fingerprint").alias("fp_b"), "band", "band_val"
+    )
+    pairs = (
+        a.join(b, ["band", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return pairs.select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    ).where(F.col("hamming") <= SIMHASH_HAMMING_MAX)

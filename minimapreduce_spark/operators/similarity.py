@@ -1,0 +1,200 @@
+"""Similarity search over the ``embeddings`` table (north-star surface).
+
+Two paths:
+- ``ann_cosine_topk``  — brute-force cosine top-k (the correctness
+  baseline: every query scores every vector)
+- ``ann_ivf_topk``     — IVF-style partition-pruned search: coarse
+  centroids (here: per-``label`` means), route each query to its
+  nearest centroid, scan only that partition — the 100 TB shape, where
+  the scan cost drops by the number of partitions.
+
+All vector math is built-in expression trees (``zip_with`` +
+``aggregate``) on ``array<double>`` — JVM-side, codegen'd, no Python.
+Similarities are rounded to 6 dp before ranking in BOTH engines so FP
+summation-order noise can't flip a rank; ties break on vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from minimapreduce_spark.catalog import load_table
+from minimapreduce_spark.registry import register
+
+N_QUERIES = 20  # vec_id < 20 are the query vectors
+TOP_K = 10
+IVF_TOP_K = 5
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a codegen'd fold — no UDF."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings with the float32 vector widened to array<double> —
+    exact widening, matching the oracle's ::DOUBLE[] cast."""
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+    sims AS (
+      SELECT q_vec_id, vec_id,
+             round(list_cosine_similarity(qe, ce), 6) AS cosine_sim
+      FROM q, c
+      WHERE vec_id <> q_vec_id
+    ),
+    ranked AS (
+      SELECT q_vec_id, vec_id, cosine_sim,
+             row_number() OVER (
+               PARTITION BY q_vec_id ORDER BY cosine_sim DESC, vec_id
+             ) AS rn
+      FROM sims
+    )
+    SELECT q_vec_id, vec_id AS neighbor_id, cosine_sim, rn
+    FROM ranked WHERE rn <= {TOP_K}
+    """,
+    bench=True,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the first 20 query vectors: the
+    small query side broadcasts, every corpus partition scores its own
+    vectors, and the per-query window takes the top-k — so the corpus
+    never shuffles, only (n_queries × k) result rows do."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("emb").alias("q_emb")
+    )
+    sims = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_vec_id"))
+        .select(
+            "q_vec_id",
+            "vec_id",
+            F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("q_vec_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        sims.select("q_vec_id", F.col("vec_id").alias("neighbor_id"), "cosine_sim",
+                    F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= TOP_K)
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+    dims AS (
+      SELECT label, generate_subscripts(emb, 1) AS dim, unnest(emb) AS v FROM e
+    ),
+    cent AS (
+      SELECT label, list(av ORDER BY dim) AS centroid
+      FROM (SELECT label, dim, avg(v) AS av FROM dims GROUP BY label, dim)
+      GROUP BY label
+    ),
+    q AS (SELECT vec_id AS q_vec_id, emb AS qe FROM e WHERE vec_id < {N_QUERIES}),
+    assign AS (
+      SELECT q_vec_id, qe, label,
+             row_number() OVER (
+               PARTITION BY q_vec_id
+               ORDER BY round(list_cosine_similarity(qe, centroid), 6) DESC, label
+             ) AS crn
+      FROM q, cent
+    ),
+    routed AS (SELECT q_vec_id, qe, label FROM assign WHERE crn = 1),
+    sims AS (
+      SELECT r.q_vec_id, e.vec_id,
+             round(list_cosine_similarity(r.qe, e.emb), 6) AS cosine_sim
+      FROM routed r JOIN e ON e.label = r.label AND e.vec_id <> r.q_vec_id
+    ),
+    ranked AS (
+      SELECT q_vec_id, vec_id, cosine_sim,
+             row_number() OVER (
+               PARTITION BY q_vec_id ORDER BY cosine_sim DESC, vec_id
+             ) AS rn
+      FROM sims
+    )
+    SELECT q_vec_id, vec_id AS neighbor_id, cosine_sim, rn
+    FROM ranked WHERE rn <= {IVF_TOP_K}
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: per-label mean centroids, route each
+    query to its single nearest centroid, exact top-5 within that
+    partition only. At scale the corpus is bucketed (or bucketBy-
+    written) on the partition id, so a query touches 1/n_partitions of
+    the data; recall vs brute force is checked in pytest."""
+    emb = _emb(spark, sf_dir)
+    # centroids: posexplode → per-(label, dim) mean → rebuild ordered array
+    cent = (
+        emb.select("label", F.posexplode("emb").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg("v").alias("av"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "av"))), lambda s: s["av"]
+            ).alias("centroid")
+        )
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("emb").alias("q_emb")
+    )
+    assign_w = W.partitionBy("q_vec_id").orderBy(F.desc("c_sim"), F.asc("label"))
+    routed = (
+        q.join(F.broadcast(cent))
+        .select(
+            "q_vec_id",
+            "q_emb",
+            "label",
+            F.round(cosine(F.col("q_emb"), F.col("centroid")), 6).alias("c_sim"),
+        )
+        .select(
+            "q_vec_id",
+            "q_emb",
+            # rename: routed's label shares lineage with emb's → qualify
+            F.col("label").alias("q_label"),
+            F.row_number().over(assign_w).alias("crn"),
+        )
+        .where(F.col("crn") == 1)
+        .drop("crn")
+    )
+    sims = (
+        emb.join(
+            F.broadcast(routed),
+            (F.col("label") == F.col("q_label")) & (F.col("vec_id") != F.col("q_vec_id")),
+        )
+        .select(
+            "q_vec_id",
+            "vec_id",
+            F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("q_vec_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        sims.select("q_vec_id", F.col("vec_id").alias("neighbor_id"), "cosine_sim",
+                    F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= IVF_TOP_K)
+    )

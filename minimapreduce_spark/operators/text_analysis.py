@@ -1,0 +1,217 @@
+"""Text-analysis operators for LLM data pipelines (north-star surface).
+
+Absent from the reference (SURVEY §2c) but required by the project's
+north star: language ID, quality scoring, token counting, and document
+fingerprinting over the ``documents`` table. All pure built-in-function
+plans — zero Python in the data path, fully codegen'd, and partitionable
+by doc (embarrassingly parallel at 100 TB: no shuffle except the final
+rollups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minimapreduce_spark.catalog import load_table
+from minimapreduce_spark.registry import register
+
+# BPE-ish tokenizer: letter runs | single digits | single punctuation.
+BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+EN_STOP = ("the", "a", "and", "of", "to", "in")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _tokens(col):
+    return F.filter(F.split(col, r"[^A-Za-z]+"), lambda w: w != "")
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, source,
+             list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), w -> w <> '') AS ws,
+             length(text) AS n_chars_txt,
+             length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_clean
+      FROM documents
+    )
+    SELECT doc_id, lang, source,
+           len(ws)                                                   AS n_tokens,
+           len(list_distinct(ws))                                    AS n_distinct,
+           round(len(list_filter(ws, w -> w IN {EN_STOP!r}))
+                 * 1.0 / len(ws), 6)                                 AS stop_ratio,
+           round((n_chars_txt - n_clean) * 1.0 / n_chars_txt, 6)     AS punct_ratio,
+           round(0.5 * least(len(ws) / 100.0, 1.0)
+                 + 0.3 * (1.0 - len(list_filter(ws, w -> w IN {EN_STOP!r})) * 1.0 / len(ws))
+                 + 0.2 * (len(list_distinct(ws)) * 1.0 / len(ws)), 6) AS quality
+    FROM toks
+    WHERE len(ws) > 0
+    """,
+    bench=True,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token counts, distinct ratio,
+    stopword ratio, punctuation ratio, and a blended [0,1] quality score
+    (the length/stopword/diversity heuristic used to filter pretraining
+    corpora)."""
+    docs = _docs(spark, sf_dir)
+    ws = _tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOP])
+    n_tokens = F.size(ws)
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w)))
+    n_distinct = F.size(F.array_distinct(ws))
+    n_chars_txt = F.length("text")
+    n_clean = F.length(F.regexp_replace("text", r"[^A-Za-z0-9 ]", ""))
+    stop_ratio = n_stop * F.lit(1.0) / n_tokens
+    quality = (
+        0.5 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (1.0 - stop_ratio)
+        + 0.2 * (n_distinct * F.lit(1.0) / n_tokens)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            n_tokens.cast("bigint").alias("n_tokens"),
+            n_distinct.cast("bigint").alias("n_distinct"),
+            F.round(stop_ratio, 6).alias("stop_ratio"),
+            F.round((n_chars_txt - n_clean) * F.lit(1.0) / n_chars_txt, 6).alias("punct_ratio"),
+            F.round(quality, 6).alias("quality"),
+        )
+        .where(F.col("n_tokens") > 0)
+    )
+
+
+@register(
+    "text_langid",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, len(ws) AS n_tokens,
+        len(list_filter(ws, w -> w IN ('the','a','and','of')))  * 1.0 / len(ws) AS r_en,
+        len(list_filter(ws, w -> w IN ('der','die','das','und'))) * 1.0 / len(ws) AS r_de,
+        len(list_filter(ws, w -> w IN ('le','la','les','et')))  * 1.0 / len(ws) AS r_fr,
+        len(list_filter(ws, w -> w IN ('el','los','las','y')))  * 1.0 / len(ws) AS r_es
+      FROM toks WHERE len(ws) > 0
+    )
+    SELECT doc_id, lang AS actual_lang, n_tokens,
+           round(r_en, 6) AS r_en,
+           CASE WHEN r_en >= greatest(r_de, r_fr, r_es) AND r_en > 0 THEN 'en'
+                WHEN r_de >= greatest(r_fr, r_es) AND r_de > 0 THEN 'de'
+                WHEN r_fr >= r_es AND r_fr > 0 THEN 'fr'
+                WHEN r_es > 0 THEN 'es'
+                ELSE 'und' END AS predicted_lang
+    FROM scored
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-free language ID heuristic: stopword-hit ratio per
+    candidate language, argmax with a fixed tie-break order (en > de >
+    fr > es > und). On this synthetic corpus (shared English-ish vocab
+    for every ``lang`` label) the predictions skew 'en'/'und' — the
+    operator demonstrates the shape, not corpus realism."""
+    docs = _docs(spark, sf_dir)
+    ws = _tokens(F.col("text"))
+    stop = {
+        "en": ("the", "a", "and", "of"),
+        "de": ("der", "die", "das", "und"),
+        "fr": ("le", "la", "les", "et"),
+        "es": ("el", "los", "las", "y"),
+    }
+
+    def ratio(words):
+        arr = F.array(*[F.lit(s) for s in words])
+        return F.size(F.filter(ws, lambda w: F.array_contains(arr, w))) * F.lit(1.0) / F.size(ws)
+
+    r_en, r_de, r_fr, r_es = (ratio(stop[k]) for k in ("en", "de", "fr", "es"))
+    predicted = (
+        F.when((r_en >= F.greatest(r_de, r_fr, r_es)) & (r_en > 0), "en")
+        .when((r_de >= F.greatest(r_fr, r_es)) & (r_de > 0), "de")
+        .when((r_fr >= r_es) & (r_fr > 0), "fr")
+        .when(r_es > 0, "es")
+        .otherwise("und")
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        F.size(ws).cast("bigint").alias("n_tokens"),
+        F.round(r_en, 6).alias("r_en"),
+        predicted.alias("predicted_lang"),
+    ).where(F.col("n_tokens") > 0)
+
+
+@register(
+    "token_count_stats",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(len(list_filter(regexp_split_to_array(text, ' '), w -> w <> ''))) AS BIGINT)
+             AS total_ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '{BPE_RE}'))) AS BIGINT) AS total_bpe_tokens,
+           CAST(sum(length(text)) AS BIGINT)                              AS total_chars,
+           round(avg(len(regexp_extract_all(text, '{BPE_RE}'))), 4)       AS avg_bpe_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source: whitespace tokens, BPE-ish
+    regex tokens (letter runs / digits / punctuation), chars. The
+    pretraining "how many tokens do we have" query."""
+    docs = _docs(spark, sf_dir)
+    ws_tokens = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    bpe_tokens = F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0))
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ws_tokens).cast("bigint").alias("total_ws_tokens"),
+        F.sum(bpe_tokens).cast("bigint").alias("total_bpe_tokens"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.round(F.avg(bpe_tokens), 4).alias("avg_bpe_tokens"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS word FROM toks
+    )
+    SELECT doc_id,
+           CAST(sum(pos * (ascii(substr(word, 1, 1)) * 131 + length(word)))
+                % 1000000007 AS BIGINT) AS fingerprint
+    FROM pos
+    GROUP BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: position-weighted rolling
+    word hash mod 1e9+7. Same token sequence → same fingerprint;
+    reordering or editing tokens changes it (unlike a bag-of-words
+    hash). Products stay < 2^31 so the bigint sum never overflows."""
+    docs = _docs(spark, sf_dir)
+    ws = _tokens(F.col("text"))
+    exploded = docs.select("doc_id", F.posexplode(ws).alias("pos0", "word"))
+    wval = F.ascii(F.substring("word", 1, 1)) * 131 + F.length("word")
+    return (
+        exploded.groupBy("doc_id")
+        .agg(
+            (F.sum((F.col("pos0") + 1) * wval) % F.lit(1000000007))
+            .cast("bigint")
+            .alias("fingerprint")
+        )
+    )

@@ -13,6 +13,10 @@ _OPERATOR_MODULES = [
     "minimapreduce_spark.operators.mr_compat",
     "minimapreduce_spark.operators.relational",
     "minimapreduce_spark.operators.events",
+    "minimapreduce_spark.operators.text_analysis",
+    "minimapreduce_spark.operators.dedup",
+    "minimapreduce_spark.operators.similarity",
+    "minimapreduce_spark.operators.multimodal",
 ]
 
 for _m in _OPERATOR_MODULES:

@@ -1,0 +1,85 @@
+"""LLM-pipeline operators: oracle matches + algorithmic invariants."""
+
+import pytest
+
+from tests.conftest import SF_DIR, run_and_compare
+
+ORACLED = [
+    "text_quality_score",
+    "text_langid",
+    "token_count_stats",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "multimodal_features",
+]
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_matches_oracle(spark, duck, name):
+    run_and_compare(spark, duck, name)
+
+
+def test_ngram_finds_planted_near_dups(spark):
+    """The fixture corpus plants near-duplicate docs (jaccard ≈ 0.99);
+    the exact-jaccard pass must surface them."""
+    from minimapreduce_spark import queries as q
+
+    rows = q.queries()["dedup_ngram_jaccard"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    assert all(r.jaccard >= 0.8 for r in rows)
+
+
+def test_minhash_candidates_superset_of_high_jaccard(spark):
+    """LSH banding must recover every planted pair at j≥0.9 (miss
+    probability ~8e-4 per pair; deterministic hashes → stable here)."""
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.operators.dedup import jaccard_pairs
+
+    got = {(r.doc_a, r.doc_b) for r in q.queries()["dedup_minhash"](spark, SF_DIR).collect()}
+    want = {(r.doc_a, r.doc_b) for r in jaccard_pairs(spark, SF_DIR, 0.9).collect()}
+    assert got == want
+
+
+def test_simhash_near_dups_overlap_jaccard_pairs(spark):
+    """SimHash (hamming ≤ 3) should rediscover the planted near-dups
+    and assign identical fingerprints only to near-identical docs."""
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.operators.dedup import jaccard_pairs
+
+    sim = {(r.doc_a, r.doc_b) for r in q.queries()["dedup_simhash"](spark, SF_DIR).collect()}
+    jac = {(r.doc_a, r.doc_b) for r in jaccard_pairs(spark, SF_DIR, 0.9).collect()}
+    assert jac & sim, "simhash found none of the planted near-dup pairs"
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF top-5 must overlap the brute-force top-10 meaningfully
+    (partition pruning trades recall for a 1/n_partitions scan)."""
+    from minimapreduce_spark import queries as q
+
+    brute = q.queries()["ann_cosine_topk"](spark, SF_DIR)
+    ivf = q.queries()["ann_ivf_topk"](spark, SF_DIR)
+    b = {(r.q_vec_id, r.neighbor_id) for r in brute.collect()}
+    i = {(r.q_vec_id, r.neighbor_id) for r in ivf.collect()}
+    assert len(i & b) / len(i) > 0.2, "IVF recall collapsed — routing is broken"
+
+
+def test_multimodal_decode_stub_raises():
+    from minimapreduce_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff")
+
+
+def test_multimodal_binary_schema(spark):
+    from minimapreduce_spark.operators.multimodal import binary_table
+
+    bt = binary_table(spark, SF_DIR)
+    assert dict((f.name, f.dataType.simpleString()) for f in bt.schema.fields) == {
+        "doc_id": "bigint",
+        "payload": "binary",
+        "meta": "struct<mime:string,n_chars:bigint,origin:string>",
+    }
