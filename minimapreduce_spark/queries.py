@@ -17,6 +17,8 @@ _OPERATOR_MODULES = [
     "minimapreduce_spark.operators.dedup",
     "minimapreduce_spark.operators.similarity",
     "minimapreduce_spark.operators.multimodal",
+    "minimapreduce_spark.streaming.windows",
+    "minimapreduce_spark.streaming.stateful",
 ]
 
 for _m in _OPERATOR_MODULES:

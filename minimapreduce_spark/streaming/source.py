@@ -1,0 +1,78 @@
+"""Streaming source + sink plumbing.
+
+``events_stream`` turns the static events parquet into a bona-fide
+streaming DataFrame (file-stream source). ``run_to_memory`` drains a
+streaming plan with an ``availableNow`` trigger into a memory sink and
+hands back the materialized result — the bridge that lets streaming
+queries participate in the batch oracle protocol.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minimapreduce_spark.catalog import table_path
+
+_SINK_IDS = itertools.count()
+
+
+def _stage_dir(parquet_file: str) -> str:
+    """Spark's file-stream source monitors a DIRECTORY; the test tables
+    are bare parquet files. Stage a stable per-source directory under
+    the system tmpdir containing a link to the file (copy if the
+    filesystem refuses links). Production streams read real directories
+    (or Kafka) and skip this entirely."""
+    key = os.path.abspath(parquet_file).strip(os.sep).replace(os.sep, "_")
+    d = os.path.join(tempfile.gettempdir(), "minimapreduce_stream", key)
+    target = os.path.join(d, os.path.basename(parquet_file))
+    if not os.path.exists(target):
+        os.makedirs(d, exist_ok=True)
+        try:
+            os.symlink(parquet_file, target)
+        except OSError:
+            shutil.copy2(parquet_file, target)
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``spark.readStream`` over the events parquet.
+
+    The file carries TIMESTAMP(NANOS), which Spark's parquet reader only
+    accepts as raw int64 (legacy nanosAsLong flag — same handling as the
+    batch path in catalog._load_events); ns → µs uses integer DIV to
+    keep full precision. ``ts`` lands as TIMESTAMP (UTC session) because
+    watermarks operate on event-time timestamps.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema  # one footer read; stream needs explicit schema
+    sdf = spark.readStream.schema(schema).parquet(_stage_dir(path))
+    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def run_to_memory(sdf: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Drain a streaming DataFrame into a memory sink and return it.
+
+    ``availableNow`` processes everything currently in the source then
+    stops — deterministic, so the result is comparable to a batch oracle.
+    The sink name is uniquified per call; the memory sink is a test/
+    bridge device only (production sinks: kafka/parquet/delta via
+    ``writeStream`` on the same plan).
+    """
+    spark = sdf.sparkSession
+    sink = f"{name}_{next(_SINK_IDS)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

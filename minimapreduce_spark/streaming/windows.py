@@ -1,0 +1,100 @@
+"""Event-time windowed aggregations on the events stream.
+
+Streaming twins of operators/events.py's batch windows. Both carry
+full DuckDB oracles: over a finite replay the streaming answer must
+equal the batch answer (append-mode caveats sidestepped by complete/
+update output — over a drained stream these contain the final state).
+
+Scale posture: state is hash-partitioned by (window, key) across the
+cluster; the watermark bounds how long a window's state lives, so state
+size is O(active windows × keys), not O(stream length).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minimapreduce_spark.registry import register
+from minimapreduce_spark.streaming.source import events_stream, run_to_memory
+
+SESSION_GAP = "30 minutes"
+SESSION_GAP_SECONDS = 1800
+
+
+@register(
+    "stream_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type,
+           count(*)               AS n_events,
+           round(sum(value), 2)   AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows with a 1-hour watermark,
+    drained with availableNow — must equal the batch twin
+    (events_tumbling_hourly) exactly."""
+    sdf = events_stream(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    out = run_to_memory(agg, "stream_tumbling_hourly", "complete")
+    return out.select(
+        F.col("win.start").cast("timestamp_ntz").alias("hour_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts, value,
+             epoch(ts) - lag(epoch(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS gap
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             CAST(sum(CASE WHEN gap IS NULL OR gap >= {SESSION_GAP_SECONDS} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      FROM gaps
+    )
+    SELECT user_id,
+           min(ts)                                     AS session_start,
+           max(ts) + INTERVAL {SESSION_GAP_SECONDS} SECOND AS session_end,
+           count(*)                                    AS n_events,
+           round(sum(value), 2)                        AS total_value
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` (30 min gap) per user — Spark merges
+    events whose [ts, ts+gap) intervals overlap; a gap of exactly the
+    duration starts a NEW session (half-open interval), which the
+    oracle mirrors with ``gap >= 1800``. session_end is last_ts + gap,
+    per session_window's contract."""
+    sdf = events_stream(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    out = run_to_memory(agg, "stream_session_window", "complete")
+    return out.select(
+        "user_id",
+        F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+        F.col("sw.end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        "total_value",
+    )
