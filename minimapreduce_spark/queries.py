@@ -19,6 +19,7 @@ _OPERATOR_MODULES = [
     "minimapreduce_spark.operators.multimodal",
     "minimapreduce_spark.streaming.windows",
     "minimapreduce_spark.streaming.stateful",
+    "minimapreduce_spark.functions.udfs",
 ]
 
 for _m in _OPERATOR_MODULES:

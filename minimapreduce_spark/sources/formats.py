@@ -1,0 +1,75 @@
+"""Format-dispatched readers and writers.
+
+One entry point per direction so the rest of the engine never touches
+``spark.read`` directly for non-catalog data — format choices, schema
+enforcement, and scale-relevant options live here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+READ_FORMATS = ("parquet", "csv", "json", "text")
+WRITE_FORMATS = ("parquet", "csv", "json", "text")
+
+
+def read_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Read ``path`` in ``fmt``.
+
+    For csv/json, pass ``schema`` in production: schema inference is a
+    full extra pass over the data (at 100 TB, a full extra job). It is
+    only acceptable here for tests and exploration.
+    """
+    if fmt not in READ_FORMATS:
+        raise ValueError(f"unknown source format {fmt!r}; known: {READ_FORMATS}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt == "csv":
+        options.setdefault("inferSchema", "true")
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    return reader.format(fmt).options(**options).load(path)
+
+
+def whole_text_files(spark: SparkSession, glob: str, min_partitions: int = 2) -> DataFrame:
+    """The reference's exact input model (one whole file = one record =
+    one split) as a DataFrame of (path, content).
+
+    Scale caveat (SURVEY §7 hard-part a): a record per FILE means a
+    task must hold a whole file in memory — fine for documents, wrong
+    for huge files; chunk-split sources (read_source with 'text') are
+    the 100 TB path."""
+    rdd = spark.sparkContext.wholeTextFiles(glob, minPartitions=min_partitions)
+    return spark.createDataFrame(rdd, schema="path string, content string")
+
+
+def write_sink(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options: str,
+) -> None:
+    """Write ``df`` to ``path`` in ``fmt``.
+
+    ``partition_by`` produces hive-style directory partitioning —
+    the coarse pruning lever for 100 TB tables (readers skip whole
+    directories; combine with in-file row-group pruning via sorted
+    writes). 'text' expects a single string column."""
+    if fmt not in WRITE_FORMATS:
+        raise ValueError(f"unknown sink format {fmt!r}; known: {WRITE_FORMATS}")
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    writer.format(fmt).options(**options).save(path)

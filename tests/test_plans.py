@@ -1,0 +1,80 @@
+"""Scale-posture assertions on physical plans (SURVEY §6 / build-plan §7.6).
+
+Correctness tests say the answers are right; these say the PLANS are
+right — the properties that decide whether a query survives a 100×
+scale-up: broadcast for dims, pushdown/pruning at the scan, codegen in
+the hot path, and no more shuffles than the operator semantically needs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from minimapreduce_spark import plans
+from minimapreduce_spark import queries as q
+
+from tests.conftest import SF_DIR
+
+
+def _df(spark, name):
+    return q.queries()[name](spark, SF_DIR)
+
+
+def test_dim_joins_broadcast(spark):
+    """Star-schema dims must broadcast — never shuffle the fact table
+    for a kB-sized dimension (q5 joins region+nation+supplier+customer)."""
+    plans.assert_broadcast_join(_df(spark, "q5_local_supplier_volume"), at_least=2)
+    plans.assert_broadcast_join(_df(spark, "join_broadcast_dims"), at_least=2)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plans.assert_pushed_filters(
+        _df(spark, "filter_project"), "IsNotNull(l_shipdate)"
+    )
+
+
+def test_column_pruning(spark):
+    """lineitem has 16 columns; q1 needs 7. The scan must not read 16."""
+    plans.assert_pruned_schema(_df(spark, "q1_pricing_summary"), "lineitem", 7)
+    plans.assert_pruned_schema(_df(spark, "filter_project"), "lineitem", 7)
+
+
+def test_whole_stage_codegen_hot_paths(spark):
+    for name in ("q1_pricing_summary", "wordcount", "events_tumbling_hourly"):
+        plans.assert_whole_stage_codegen(_df(spark, name))
+
+
+def test_no_accidental_cross_products(spark):
+    """Inequality/self joins are all bucketized or broadcast-by-design;
+    none may degenerate into a BroadcastNestedLoopJoin over big sides."""
+    for name in ("events_range_join", "dedup_ngram_jaccard", "dedup_minhash"):
+        plans.assert_no_broadcast_nested_loop(_df(spark, name))
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        # scan → partial agg → 1 shuffle → final agg
+        ("wordcount", 1),
+        ("q1_pricing_summary", 1),
+        ("events_tumbling_hourly", 1),
+        # sessionization: ONE shuffle on user_id feeds both the window
+        # functions and the final per-session agg
+        ("events_sessionization", 1),
+        # as-of join: union + window = one shuffle on user_id
+        ("events_asof_join", 1),
+    ],
+)
+def test_shuffle_budget(spark, name, max_exchanges):
+    n = plans.count_exchanges(_df(spark, name))
+    assert n <= max_exchanges, f"{name}: {n} shuffles > budget {max_exchanges}"
+
+
+def test_ann_corpus_does_not_shuffle(spark):
+    """Brute-force ANN: queries broadcast, corpus scored in place; the
+    only shuffle is the (n_queries × corpus) similarity rows into the
+    per-query window — never a corpus co-partitioning."""
+    df = _df(spark, "ann_cosine_topk")
+    plan = plans.physical_plan(df)
+    assert "BroadcastExchange" in plan
+    assert plans.count_exchanges(df) <= 1
