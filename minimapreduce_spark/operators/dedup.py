@@ -10,6 +10,9 @@ Four escalating strategies over ``documents``:
                generation is linear in corpus size, never pairwise)
 - simhash    — 64-bit SimHash + banded Hamming search (rows-only check;
                xxhash64 has no DuckDB equivalent)
+- embedding  — exact pairwise cosine over the embeddings table
+               (broadcast self-join baseline) with a random-hyperplane
+               LSH candidate generator as the 100 TB path
 
 Scale notes: the inverted-index self-join (ngram) degrades on hot
 shingles (a stopword 5-gram shared by millions of docs creates a
@@ -21,7 +24,7 @@ shingle/band hashes, all aggregates partial+final.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from minimapreduce_spark.catalog import load_table
@@ -221,6 +224,104 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return jaccard_pairs(spark, sf_dir, MINHASH_THRESHOLD, candidates=candidates)
+
+
+EMB_DUP_THRESHOLD = 0.45  # fixture embeddings are random-ish; max pair cosine ≈ 0.51
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    sims AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cosine_sim FROM sims WHERE cosine_sim >= {EMB_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: all (vec_a < vec_b) with
+    cosine ≥ threshold, exact.
+
+    The pair generation is a broadcast nested-loop self-join — every
+    corpus partition scores its vectors against the broadcast copy, so
+    the corpus itself never shuffles and the cosine runs as a codegen'd
+    zip_with/aggregate fold (no Python). Exact all-pairs is the
+    correctness baseline; at 100 TB candidate generation must come from
+    ``embedding_lsh_candidates`` (random-hyperplane signatures, banded
+    like MinHash — recall measured in pytest on planted near-dups) or
+    an IVF partitioning as in ``ann_ivf_topk``, with this same exact
+    cosine as the verification step over candidates only.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    from minimapreduce_spark.operators.similarity import cosine
+
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
+    return (
+        emb.join(F.broadcast(b), F.col("vec_id") < F.col("vec_b"))
+        .select(
+            F.col("vec_id").alias("vec_a"),
+            "vec_b",
+            F.round(cosine(F.col("emb"), F.col("emb_b")), 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= EMB_DUP_THRESHOLD)
+    )
+
+
+def embedding_lsh_candidates(
+    emb: DataFrame, n_planes: int = 64, bands: int = 8, seed: int = 42
+) -> DataFrame:
+    """Random-hyperplane LSH candidate pairs for cosine near-dup at
+    scale: sign-bit signature of ``n_planes`` fixed hyperplanes, split
+    into ``bands``; vectors sharing any band bucket become (vec_a,
+    vec_b) candidates. P(bit differs) = angle/π, so for cosine ≥ 0.9
+    (θ ≈ 26°) an 8-bit band matches with p ≈ 0.29 and 8 bands miss a
+    true pair with p ≈ (1-0.29)^8 ≈ 6%; raise bands for higher recall.
+    The hyperplanes are derived deterministically from (seed, plane,
+    dim) hashes so candidates are reproducible with no driver-side RNG
+    state — nothing here is pairwise over the corpus.
+
+    ``emb`` must have columns (vec_id, emb: array<double>).
+    """
+    dim = len(emb.select("emb").head()["emb"])
+    r = n_planes // bands
+    # deterministic pseudo-random plane component in [-1, 1):
+    # xxhash64(seed, plane, dim) scaled from int64 range
+    def plane_component(p: int, d: int) -> Column:
+        h = F.xxhash64(F.lit(seed), F.lit(p), F.lit(d))
+        return (h.cast("double") / F.lit(float(2**63)))
+
+    def bit(p: int) -> Column:
+        dot_p = sum(
+            (F.element_at("emb", d + 1) * plane_component(p, d) for d in range(dim)),
+            start=F.lit(0.0),
+        )
+        return F.when(dot_p >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.concat_ws("", *[bit(j * r + i) for i in range(r)]).alias("sig"),
+            )
+            for j in range(bands)
+        ]
+    )
+    buckets = emb.select("vec_id", F.explode(band_cols).alias("b")).select(
+        "vec_id", "b.band", "b.sig"
+    )
+    left = buckets.select(F.col("vec_id").alias("vec_a"), "band", "sig")
+    right = buckets.select(F.col("vec_id").alias("vec_b"), "band", "sig")
+    return (
+        left.join(right, ["band", "sig"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
 
 
 @register("dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin

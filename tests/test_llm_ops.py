@@ -12,6 +12,7 @@ ORACLED = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "multimodal_features",
@@ -65,6 +66,36 @@ def test_ivf_recall_vs_brute_force(spark):
     b = {(r.q_vec_id, r.neighbor_id) for r in brute.collect()}
     i = {(r.q_vec_id, r.neighbor_id) for r in ivf.collect()}
     assert len(i & b) / len(i) > 0.2, "IVF recall collapsed — routing is broken"
+
+
+def test_embedding_lsh_recall_on_planted_near_dups(spark):
+    """Random-hyperplane LSH candidates must recover planted high-cosine
+    pairs: 40 base vectors, each with a near-copy (cosine ≳ 0.995 after
+    a tiny deterministic perturbation). All 40 true pairs must appear in
+    the candidate set, and the filter must prune most of the 80×80
+    pairwise space."""
+    import random
+
+    from minimapreduce_spark.operators.dedup import embedding_lsh_candidates
+
+    rng = random.Random(0)
+    dim, n = 16, 40
+    rows = []
+    for i in range(n):
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        near = [v + 0.01 * rng.gauss(0, 1) for v in base]
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, near))
+    emb = spark.createDataFrame(rows, "vec_id: bigint, emb: array<double>")
+    cand = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_lsh_candidates(emb, n_planes=64, bands=8).collect()
+    }
+    true_pairs = {(2 * i, 2 * i + 1) for i in range(n)}
+    assert true_pairs <= cand, f"missed planted pairs: {sorted(true_pairs - cand)[:5]}"
+    # random Gaussian pairs are near-orthogonal: an 8-bit band matches
+    # with p = 2^-8, so the candidate set should stay far below all-pairs
+    assert len(cand) < (2 * n) * (2 * n - 1) / 2 * 0.5, "LSH pruned almost nothing"
 
 
 def test_multimodal_decode_stub_raises():
