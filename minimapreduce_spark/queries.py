@@ -17,6 +17,7 @@ _OPERATOR_MODULES = [
     "minimapreduce_spark.operators.dedup",
     "minimapreduce_spark.operators.similarity",
     "minimapreduce_spark.operators.multimodal",
+    "minimapreduce_spark.operators.scale",
     "minimapreduce_spark.streaming.windows",
     "minimapreduce_spark.streaming.stateful",
     "minimapreduce_spark.functions.udfs",

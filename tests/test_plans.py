@@ -78,3 +78,24 @@ def test_ann_corpus_does_not_shuffle(spark):
     plan = plans.physical_plan(df)
     assert "BroadcastExchange" in plan
     assert plans.count_exchanges(df) <= 1
+
+
+def test_bucketed_join_zero_shuffle(spark, tmp_path):
+    """Both sides pre-bucketed on the join key → the join plan must
+    contain ZERO shuffle exchanges (the write-once/join-many contract)."""
+    from minimapreduce_spark.operators.scale import bucketed_join
+
+    df = bucketed_join(spark, SF_DIR)
+    n = plans.count_exchanges(df)
+    assert n == 0, f"bucketed join still shuffles: {n} exchanges"
+    # and it still computes the right thing
+    got = {r.o_orderpriority: r.total_price for r in df.collect()}
+    assert len(got) == 5 and all(v > 0 for v in got.values())
+
+
+def test_salted_join_spreads_hot_keys(spark):
+    """The salted join must key its exchange on BOTH suppkey and salt —
+    that's the mechanism that splits a hot key across tasks."""
+    df = q.queries()["join_salted_suppliers"](spark, SF_DIR)
+    plan = plans.physical_plan(df)
+    assert "_salt" in plan, "salt column never reached the physical plan"

@@ -25,6 +25,9 @@ RELATIONAL = [
     "set_ops_customers",
     "scalar_functions_showcase",
     "correlated_above_avg_spend",
+    "agg_salted_skew",
+    "join_salted_suppliers",
+    "agg_grouping_sets",
 ]
 
 EVENTS = [
@@ -53,3 +56,22 @@ def test_anti_semi_are_nonempty(spark):
 
     for name in ("join_semi_big_spenders", "join_anti_no_urgent", "events_asof_join"):
         assert q.queries()[name](spark, "/root/testdata/sf0.001").count() > 0, name
+
+
+def test_approx_sketch_error_bounds(spark, duck):
+    """HLL distinct counts within the configured 2% rsd (allow 3σ) and
+    percentile_approx within the neighborhood of the exact quantiles."""
+    from minimapreduce_spark import queries as q
+    from tests.conftest import SF_DIR
+
+    got = {r.l_returnflag: r for r in q.queries()["agg_approx_sketch"](spark, SF_DIR).collect()}
+    exact = duck.execute("""
+        SELECT l_returnflag,
+               count(DISTINCT l_orderkey) AS n_orders,
+               quantile_cont(l_extendedprice, 0.5) AS p50
+        FROM lineitem GROUP BY l_returnflag
+    """).df()
+    for _, row in exact.iterrows():
+        g = got[row.l_returnflag]
+        assert abs(g.approx_orders - row.n_orders) / row.n_orders < 0.06
+        assert abs(g.price_quantiles[0] - row.p50) / row.p50 < 0.05
