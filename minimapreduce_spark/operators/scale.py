@@ -209,6 +209,17 @@ def write_bucketed(
     """Persist a frame bucketed+sorted by the join key. At 100 TB this
     is the write-once/join-many contract: both sides bucketed the same
     way join with no exchange (only per-bucket sorts if needed)."""
+    import os
+    import shutil
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # an in-memory catalog forgets tables between sessions but leaves the
+    # warehouse directory behind; clear the orphan so overwrite succeeds
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table)
+    if os.path.isdir(loc):
+        shutil.rmtree(loc)
     (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, bucket_col)

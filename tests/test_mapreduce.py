@@ -99,3 +99,47 @@ def test_mr_path_equals_dataframe_path(spark, duck):
 
     run_and_compare(spark, duck, "mr_wordcount")
     run_and_compare(spark, duck, "mr_inverted_index")
+
+
+def test_cli_distributed_matches_sequential(spark, tmp_path):
+    """The reference's core test (main/test-mr.sh:31-67): run the CLI in
+    distributed and sequential mode over the same files; the sorted
+    concatenation of output lines must be identical."""
+    from minimapreduce_spark.__main__ import main
+
+    data = tmp_path / "books"
+    data.mkdir()
+    for name, contents in SMALL_CORPUS:
+        (data / f"pg-{name}.txt").write_text(contents)
+
+    for app in ("wc", "indexer", "nocrash"):
+        dist, seq = tmp_path / f"out-{app}", tmp_path / f"seq-{app}"
+        assert main([app, str(dist), str(data / "pg-*.txt")], spark=spark) == 0
+        assert main(["--sequential", app, str(seq), str(data / "pg-*.txt")]) == 0
+        dist_lines = sorted(
+            line
+            for p in glob.glob(str(dist / "part-*"))
+            for line in open(p).read().splitlines()
+            if line
+        )
+        seq_lines = sorted((seq / "mr-out-0").read_text().splitlines())
+        assert dist_lines == seq_lines, app
+
+
+def test_partition_invariance(spark):
+    """The n_reduce contract generalized: shuffle width must never change
+    results. Run shuffle-heavy queries at 2 and 32 shuffle partitions."""
+    from minimapreduce_spark import queries as q
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n in ("2", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            for name in ("wordcount", "q1_pricing_summary", "dedup_minhash"):
+                rows = sorted(map(tuple, q.queries()[name](spark, SF_DIR).collect()))
+                results.setdefault(name, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    for name, (a, b) in results.items():
+        assert a == b, f"{name}: results depend on shuffle partition count"
