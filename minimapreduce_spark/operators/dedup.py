@@ -8,8 +8,8 @@ Four escalating strategies over ``documents``:
 - minhash    — MinHash signatures + LSH banding → candidate pairs →
                exact-Jaccard verification (the 100 TB path: candidate
                generation is linear in corpus size, never pairwise)
-- simhash    — 64-bit SimHash + banded Hamming search (rows-only check;
-               xxhash64 has no DuckDB equivalent)
+- simhash    — 60-bit SimHash (portable md5-prefix token hash) +
+               banded Hamming search, fingerprint-exact vs the oracle
 - embedding  — exact pairwise cosine over the embeddings table
                (broadcast self-join baseline) with a random-hyperplane
                LSH candidate generator as the 100 TB path
@@ -324,26 +324,71 @@ def embedding_lsh_candidates(
     )
 
 
-@register("dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, word, count(*) AS cnt FROM (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+                                  w -> w <> '')) AS word
+        FROM documents)
+      GROUP BY doc_id, word
+    ),
+    hashed AS (
+      SELECT doc_id, cnt, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h
+      FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, b.bit,
+             sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN cnt ELSE -cnt END) AS v
+      FROM hashed, (SELECT unnest(generate_series(0, 59)) AS bit) b
+      GROUP BY doc_id, b.bit
+    ),
+    fp AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
+               AS fingerprint
+      FROM bits GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, fingerprint, j.band,
+             (fingerprint >> (j.band * 15)) & 32767 AS band_val
+      FROM fp, (SELECT unnest(generate_series(0, 3)) AS band) j
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.fingerprint AS fa, b.fingerprint AS fb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(fa, fb))::INT AS hamming
+    FROM pairs WHERE bit_count(xor(fa, fb)) <= {SIMHASH_HAMMING_MAX}
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit fingerprint from count-weighted
-    token-hash bit votes; banded Hamming search (4 × 16-bit bands — any
-    pair within Hamming ≤ 3 shares at least one exact band) then
-    bit_count(XOR) verification. Pytest covers the invariants; the
-    driver records a rows-only check (hash not portable to SQL)."""
+    """SimHash near-dup pairs: 60-bit fingerprint from count-weighted
+    token-hash bit votes; banded Hamming search (4 × 15-bit bands — by
+    pigeonhole any pair within Hamming ≤ 3 shares at least one exact
+    band) then bit_count(XOR) verification. The token hash is the first
+    15 hex chars of md5 — portable, so the oracle reproduces the
+    fingerprints bit-for-bit in SQL. At scale every stage is a hash
+    shuffle on (doc_id|band) keys; nothing is pairwise over the corpus."""
     docs = _docs(spark, sf_dir)
     ws = F.filter(F.split("text", r"[^A-Za-z]+"), lambda w: w != "")
     tokens = (
         docs.select("doc_id", F.explode(ws).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("cnt"))
-        .withColumn("h", F.xxhash64("token"))
+        .withColumn(
+            "h", F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("bigint")
+        )
     )
     bits = tokens.select(
         "doc_id",
         "cnt",
         "h",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
     ).select(
         "doc_id",
         "bit",
@@ -371,8 +416,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "fingerprint",
         "band",
-        F.expr("shiftrightunsigned(fingerprint, band * 16)")
-        .bitwiseAND(F.lit(0xFFFF))
+        F.expr("shiftrightunsigned(fingerprint, band * 15)")
+        .bitwiseAND(F.lit(0x7FFF))
         .alias("band_val"),
     )
     a = bands.select(
