@@ -282,3 +282,83 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("purchase_id", "user_id").agg(
         F.count("click_id").alias("n_recent_clicks")
     )
+
+
+@register(
+    "events_resample_gapfill",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             count(*) AS n, round(avg(value), 6) AS av
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    cal AS (
+      SELECT t.event_type, gs.bucket
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                          (SELECT hi FROM bounds),
+                                          INTERVAL 1 HOUR)) AS bucket) gs
+    ),
+    j AS (
+      SELECT c.event_type, c.bucket, coalesce(h.n, 0) AS n_events, h.av
+      FROM cal c LEFT JOIN hourly h
+        ON h.event_type = c.event_type AND h.bucket = c.bucket
+    )
+    SELECT event_type, bucket, n_events,
+           last_value(av IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_locf
+    FROM j
+    """,
+)
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style resample: hourly rollup per event_type over a
+    DENSE calendar — empty hours appear with n_events = 0 and the avg
+    value carried forward (LOCF) from the last observed hour.
+
+    The calendar is generated, not scanned: a single-row min/max agg
+    broadcast-crossed with the distinct key set, then one explode of a
+    sequence() — O(keys × buckets) rows, never a driver-side loop. The
+    left join and LOCF window both shuffle on event_type only. At 100 TB
+    the dense frame is bounded by keys × time-range, independent of the
+    raw event count."""
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("av"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    cal = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("bucket"),
+        )
+    )
+    j = cal.join(hourly, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        "av",
+    )
+    locf = W.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return j.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        F.last("av", ignorenulls=True).over(locf).alias("value_locf"),
+    )

@@ -37,6 +37,7 @@ EVENTS = [
     "events_sessionization",
     "events_asof_join",
     "events_range_join",
+    "events_resample_gapfill",
 ]
 
 
