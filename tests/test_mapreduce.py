@@ -143,3 +143,42 @@ def test_partition_invariance(spark):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     for name, (a, b) in results.items():
         assert a == b, f"{name}: results depend on shuffle partition count"
+
+
+# ---------------------------------------------------------------------------
+# Property-based: the distributed engine must equal the sequential oracle
+# for ANY corpus and ANY shuffle width — the reference's test protocol
+# (main/test-mr.sh golden diff) generalized from 8 fixed books to
+# generated inputs.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_contents = st.text(
+    alphabet="abAB xyZ.,;\n\t0-", min_size=0, max_size=200
+)
+_corpus = st.lists(
+    st.tuples(st.sampled_from(["d1", "d2", "d3", "d4"]), _contents),
+    min_size=1,
+    max_size=4,
+    unique_by=lambda nc: nc[0],
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_corpus, n_reduce=st.sampled_from([1, 3, 10]))
+def test_runjob_equals_sequential_for_any_corpus(spark, corpus, n_reduce):
+    for mapf, reducef in (
+        (mrapps.wc_map, mrapps.wc_reduce),
+        (mrapps.indexer_map, mrapps.indexer_reduce),
+    ):
+        got = sorted(
+            map(tuple, run_job(spark, corpus, mapf, reducef, n_reduce=n_reduce).collect())
+        )
+        want = sorted(run_job_sequential(corpus, mapf, reducef))
+        assert got == want
