@@ -39,3 +39,57 @@ def test_stream_source_is_streaming(spark):
     sdf = events_stream(spark, SF_DIR)
     assert sdf.isStreaming
     assert dict(sdf.dtypes)["ts"] == "timestamp"
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data policy end-to-end: a 1-hour watermark in append mode
+    must finalize closed windows and silently drop events that arrive
+    after their window's watermark has passed (the reference is strictly
+    batch; this is the streaming contract SURVEY §2c adds). The stream
+    is restarted per micro-batch from one checkpoint, as a production
+    file stream would be."""
+    from pyspark.sql import functions as F
+
+    data_dir, ckpt, out = (
+        str(tmp_path / "in"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+    )
+
+    def feed(*ts):
+        spark.createDataFrame(
+            [(t, 1) for t in ts], "ts timestamp, v long"
+        ).coalesce(1).write.mode("append").parquet(data_dir)
+
+    def drain():
+        sdf = spark.readStream.schema("ts timestamp, v long").parquet(data_dir)
+        agg = (
+            sdf.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w").start.alias("wstart"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    from datetime import datetime
+
+    h = lambda hour, minute=30: datetime(2024, 6, 1, hour, minute)
+
+    feed(h(10), h(11))
+    drain()
+    feed(h(12), h(1))  # h(1) is hours behind the watermark -> must be dropped
+    drain()
+    feed(h(14))
+    drain()
+
+    hours = {r.wstart.hour: r.n for r in spark.read.parquet(out).collect()}
+    assert 1 not in hours, f"late event created a window: {hours}"
+    assert hours.get(10) == 1 and hours.get(11) == 1, f"finalized windows missing: {hours}"
