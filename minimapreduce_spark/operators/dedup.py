@@ -365,6 +365,7 @@ def embedding_lsh_candidates(
     SELECT doc_a, doc_b, bit_count(xor(fa, fb))::INT AS hamming
     FROM pairs WHERE bit_count(xor(fa, fb)) <= {SIMHASH_HAMMING_MAX}
     """,
+    bench=True,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 60-bit fingerprint from count-weighted

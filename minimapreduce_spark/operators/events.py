@@ -315,6 +315,7 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            ) AS value_locf
     FROM j
     """,
+    bench=True,
 )
 def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style resample: hourly rollup per event_type over a
