@@ -10,8 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-READ_FORMATS = ("parquet", "csv", "json", "text")
-WRITE_FORMATS = ("parquet", "csv", "json", "text")
+READ_FORMATS = ("parquet", "orc", "csv", "json", "text")
+WRITE_FORMATS = ("parquet", "orc", "csv", "json", "text")
 
 
 def read_source(

@@ -20,7 +20,7 @@ def nation(spark):
     )
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
 def test_round_trip(spark, nation, tmp_path, fmt):
     path = str(tmp_path / f"nation_{fmt}")
     write_sink(nation, path, fmt=fmt)
