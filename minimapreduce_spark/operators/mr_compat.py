@@ -69,3 +69,52 @@ def mr_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _docs_source(spark, sf_dir), mrapps.indexer_map, mrapps.indexer_reduce, n_reduce=8
     )
     return out.select(F.col("key").alias("word"), F.col("value").alias("index_entry"))
+
+
+def _join_map(name: str, contents: str) -> list[tuple[str, str]]:
+    """Reduce-side join, map phase: tag each record with its relation
+    and emit under the join key — the classic MapReduce join pattern the
+    reference supports by construction (SURVEY §2: 'reduce-side joins
+    etc., by construction, not by implementation')."""
+    if name == "region":
+        regionkey, r_name = contents.split("|", 1)
+        return [(regionkey, f"R|{r_name}")]
+    nationkey_region, n_name = contents.rsplit("|", 1)
+    regionkey = nationkey_region.split("|", 1)[0]
+    return [(regionkey, f"N|{n_name}")]
+
+
+def _join_reduce(key: str, values: list[str]) -> str:
+    """Reduce phase: pair every N record with the single R record for
+    the key; emit the sorted space-joined 'nation:region' matches."""
+    regions = sorted(v[2:] for v in values if v.startswith("R|"))
+    nations = sorted(v[2:] for v in values if v.startswith("N|"))
+    return " ".join(f"{n}:{r}" for r in regions for n in nations)
+
+
+@register(
+    "mr_reduce_side_join",
+    oracle="""
+    SELECT CAST(r_regionkey AS VARCHAR) AS key,
+           string_agg(n_name || ':' || r_name, ' ' ORDER BY n_name) AS value
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_regionkey
+    """,
+)
+def mr_reduce_side_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation ⋈ region executed purely through the Map/Reduce UDF
+    contract: map tags rows by relation under the join key, the shuffle
+    co-locates each key's rows, reduce pairs them. This is the pattern a
+    reference user writes today; operators/relational.py is the engine's
+    fast path for the same semantics (broadcast/SMJ chosen by Catalyst).
+    """
+    region = load_table(spark, sf_dir, "region").select(
+        F.lit("region").alias("name"),
+        F.concat_ws("|", "r_regionkey", "r_name").alias("contents"),
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.lit("nation").alias("name"),
+        F.concat_ws("|", "n_regionkey", "n_name").alias("contents"),
+    )
+    out = run_job(spark, region.unionByName(nation), _join_map, _join_reduce, n_reduce=4)
+    return out

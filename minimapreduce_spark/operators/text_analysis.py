@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from minimapreduce_spark.catalog import load_table
 from minimapreduce_spark.registry import register
@@ -214,4 +215,61 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("fingerprint")
         )
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+                                        w -> w <> '')) AS word
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, word, round(tf * ln(n.n * 1.0 / df.df), 6) AS score
+      FROM tf JOIN df USING (word), n
+    ),
+    ranked AS (
+      SELECT doc_id, word, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, word, score, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic content-signature
+    feature for corpus exploration and keyword-based dedup triage.
+
+    Document frequency comes from the already-aggregated (doc, word)
+    frame (no second tokenize pass); the corpus size is a 1-row agg
+    broadcast into the scoring join. Scores are rounded to 6 dp BEFORE
+    ranking in both engines so FP noise cannot flip a rank; remaining
+    ties break lexicographically. Shuffles: tokenize→(doc,word) agg,
+    word-keyed df join, doc-keyed ranking window — all on natural keys."""
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.select("doc_id", "word", "score", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= 3)
     )

@@ -9,6 +9,8 @@ ORACLED = [
     "text_langid",
     "token_count_stats",
     "doc_fingerprint",
+    "text_tfidf_top_terms",
+    "dedup_simhash",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash",

@@ -182,3 +182,9 @@ def test_runjob_equals_sequential_for_any_corpus(spark, corpus, n_reduce):
         )
         want = sorted(run_job_sequential(corpus, mapf, reducef))
         assert got == want
+
+
+def test_mr_reduce_side_join_matches_oracle(spark, duck):
+    from tests.conftest import run_and_compare
+
+    run_and_compare(spark, duck, "mr_reduce_side_join")
