@@ -188,3 +188,57 @@ def test_mr_reduce_side_join_matches_oracle(spark, duck):
     from tests.conftest import run_and_compare
 
     run_and_compare(spark, duck, "mr_reduce_side_join")
+
+
+def test_task_retry_recovers_injected_crash(tmp_path):
+    """The reference's crash test (main/test-mr.sh:156-203 with
+    mrapps/crash.go): workers die mid-task and the job must still finish
+    with correct output. Spark's analog is task re-execution
+    (spark.task.maxFailures), which local mode only enables via the
+    master string local[N, maxFailures] — hence a subprocess with its
+    own session. The flaky map raises on every partition's first
+    attempt; retries must complete the wordcount correctly."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = tmp_path / "crash_job.py"
+    script.write_text(
+        textwrap.dedent(
+            """
+            import sys
+            sys.path.insert(0, "/root/repo")
+            from pyspark import TaskContext
+            from pyspark.sql import SparkSession
+
+            from minimapreduce_spark import mrapps
+            from minimapreduce_spark.mapreduce import run_job, run_job_sequential
+
+            spark = (
+                SparkSession.builder.master("local[4, 3]")
+                .appName("crash-recovery")
+                .config("spark.sql.shuffle.partitions", "4")
+                .config("spark.ui.enabled", "false")
+                .getOrCreate()
+            )
+            CORPUS = [("d1", "a b a"), ("d2", "b c"), ("d3", "a a c c")]
+
+            def flaky_map(name, contents):
+                ctx = TaskContext.get()
+                if ctx is not None and ctx.attemptNumber() == 0:
+                    raise RuntimeError("injected crash (mrapps/crash.go analog)")
+                return mrapps.wc_map(name, contents)
+
+            got = sorted(
+                map(tuple, run_job(spark, CORPUS, flaky_map, mrapps.wc_reduce, n_reduce=3).collect())
+            )
+            want = sorted(run_job_sequential(CORPUS, mrapps.wc_map, mrapps.wc_reduce))
+            assert got == want, (got, want)
+            print("CRASH-RECOVERY-OK")
+            """
+        )
+    )
+    out = subprocess.run(
+        [sys.executable, str(script)], capture_output=True, text=True, timeout=300
+    )
+    assert "CRASH-RECOVERY-OK" in out.stdout, out.stderr[-2000:]
