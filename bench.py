@@ -37,13 +37,18 @@ def main() -> None:
     # timed query doesn't pay one-time session costs.
     q.queries()["wordcount"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Best-of-N: single runs on a shared machine carry ±25% scheduler
+    # noise; the min is the steady-state cost of the plan itself.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name, fn in q.bench_queries().items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        print(f"[bench] {name}: {dt:.3f}s", file=sys.stderr)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        print(f"[bench] {name}: {best:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
