@@ -437,3 +437,93 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "doc_a", "doc_b", hamming.cast("int").alias("hamming")
     ).where(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+
+
+_CLUSTER_ORACLE = (
+    """
+    WITH pairs_base AS ("""
+    + _JACCARD_ORACLE.format(kminus1=SHINGLE_K - 1, threshold=NGRAM_THRESHOLD)
+    + """
+    ),
+    undirected AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs_base
+      UNION
+      SELECT doc_b, doc_a FROM pairs_base
+    ),
+    reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT src, dst FROM undirected
+        UNION
+        SELECT src, src FROM undirected
+        UNION
+        SELECT r.src, u.dst FROM r JOIN undirected u ON r.dst = u.src
+      )
+      SELECT * FROM r
+    )
+    SELECT src AS doc_id,
+           min(dst) AS cluster_id,
+           (src = min(dst)) AS is_canonical
+    FROM reach
+    GROUP BY src
+    """
+)
+
+
+@register("dedup_clusters", oracle=_CLUSTER_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph: every doc in a
+    Jaccard ≥ 0.8 pair gets a cluster_id (the min doc_id reachable via
+    near-dup edges) and a canonical flag — the keep-one-per-cluster step
+    that turns pairwise dedup output into an actual dedup decision.
+
+    Iterative min-label propagation: each round joins labels to the
+    undirected edge set, takes the min neighbor label per vertex, and
+    stops when no label changed. The driver loop carries only control
+    flow (a changed-count per round); labels and edges stay distributed
+    — the standard Spark pattern for iterative graph algorithms. Rounds
+    needed = graph diameter (near-dup clusters are near-cliques, so a
+    handful); a 50-round guard bounds pathological chains. The oracle is
+    a recursive-CTE transitive closure over the same pair set."""
+    pairs = jaccard_pairs(spark, sf_dir, NGRAM_THRESHOLD).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select("src").distinct().select(F.col("src").alias("v"), F.col("src").alias("label"))
+    ).persist()
+    for _ in range(50):
+        neighbor_min = (
+            edges.alias("e")
+            .join(labels.alias("l"), F.col("e.dst") == F.col("l.v"))
+            .groupBy(F.col("e.src").alias("v"))
+            .agg(F.min("l.label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.alias("cur")
+            .join(neighbor_min.alias("nm"), F.col("cur.v") == F.col("nm.v"), "left")
+            .select(
+                F.col("cur.v").alias("v"),
+                F.least(
+                    F.col("cur.label"), F.coalesce("nm.nbr_label", F.col("cur.label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(
+        F.col("v").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("v") == F.col("label")).alias("is_canonical"),
+    )
+    edges.unpersist()
+    return out

@@ -15,6 +15,7 @@ ORACLED = [
     "dedup_ngram_jaccard",
     "dedup_minhash",
     "dedup_embedding_cosine",
+    "dedup_clusters",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "multimodal_features",
@@ -116,3 +117,21 @@ def test_multimodal_binary_schema(spark):
         "payload": "binary",
         "meta": "struct<mime:string,n_chars:bigint,origin:string>",
     }
+
+
+def test_cluster_assignment_consistent_with_pairs(spark):
+    """Every near-dup pair's endpoints must land in the same cluster,
+    and each cluster's id must be its minimum member (the canonical)."""
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.operators.dedup import NGRAM_THRESHOLD, jaccard_pairs
+
+    labels = {r.doc_id: r.cluster_id for r in q.queries()["dedup_clusters"](spark, SF_DIR).collect()}
+    for r in jaccard_pairs(spark, SF_DIR, NGRAM_THRESHOLD).collect():
+        assert labels[r.doc_a] == labels[r.doc_b], (r.doc_a, r.doc_b)
+    import collections
+
+    members = collections.defaultdict(list)
+    for doc, c in labels.items():
+        members[c].append(doc)
+    for c, docs in members.items():
+        assert c == min(docs)
