@@ -1,6 +1,6 @@
 """Deduplication operators for LLM data pipelines (north-star surface).
 
-Four escalating strategies over ``documents``:
+Escalating strategies over ``documents`` (plus cluster resolution):
 
 - exact      — content-hash groupBy (normalize → sha256 → keep min id)
 - ngram      — exact Jaccard on 5-gram shingles via a shingle inverted
@@ -13,6 +13,9 @@ Four escalating strategies over ``documents``:
 - embedding  — exact pairwise cosine over the embeddings table
                (broadcast self-join baseline) with a random-hyperplane
                LSH candidate generator as the 100 TB path
+- clusters   — connected components over the near-dup pair graph
+               (iterative min-label propagation) → canonical doc per
+               cluster, the actual keep/drop decision
 
 Scale notes: the inverted-index self-join (ngram) degrades on hot
 shingles (a stopword 5-gram shared by millions of docs creates a
