@@ -70,9 +70,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
-def shingle_hashes(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFrame:
-    """Distinct (doc_id, h) pairs, h = 64-bit xxhash of the k-gram word
-    shingle.
+def shingle_hashes(
+    spark: SparkSession, sf_dir: str, k: int = SHINGLE_K, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, h) pairs, h = 64-bit xxhash of the k-gram word shingle —
+    distinct per doc by default.
 
     Scale posture: dedup never needs the shingle *strings* past this
     projection — hashing before the distinct means the dedup shuffle and
@@ -81,6 +83,8 @@ def shingle_hashes(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> Data
     per-row array_distinct): measured at sf0.1, keeping the explode
     narrow and deduping in one exchange is ~3× faster than any variant
     that materializes the shingle array twice to carry a size column.
+    Consumers whose aggregate is duplicate-insensitive (min-hash) pass
+    ``distinct=False`` and skip that corpus-wide exchange entirely.
     """
     docs = _docs(spark, sf_dir)
     ws = F.filter(F.split("text", r"[^A-Za-z]+"), lambda w: w != "")
@@ -93,11 +97,10 @@ def shingle_hashes(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> Data
             lambda i: F.concat_ws(" ", F.slice(ws, i, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select("doc_id", F.explode(sh).alias("shingle"))
-        .select("doc_id", F.xxhash64("shingle").alias("h"))
-        .distinct()
+    out = docs.select("doc_id", F.explode(sh).alias("shingle")).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
     )
+    return out.distinct() if distinct else out
 
 
 def jaccard_pairs(
@@ -177,10 +180,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → MINHASH_PERMS min-hash values, one groupBy over the
-    shingle-hash frame (32 cheap bigint re-hashes per distinct shingle
-    row, no row explosion; all mins combine map-side as partials)."""
-    sh = shingle_hashes(spark, sf_dir)
+    """doc_id → MINHASH_PERMS min-hash values, one groupBy over the RAW
+    shingle-hash frame: min() is insensitive to duplicate shingles, so
+    the per-doc distinct shuffle is skipped — the 32 mins combine
+    map-side as partial aggregates and only (docs × 32 longs) of partial
+    state crosses the wire, never the shingles themselves."""
+    sh = shingle_hashes(spark, sf_dir, distinct=False)
     aggs = [
         F.min(F.xxhash64("h", F.lit(i))).alias(f"s{i}") for i in range(MINHASH_PERMS)
     ]
