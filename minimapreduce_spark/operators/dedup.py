@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from minimapreduce_spark.catalog import load_table
+from minimapreduce_spark.catalog import fan_out, load_table
 from minimapreduce_spark.registry import register
 
 SHINGLE_K = 5
@@ -67,7 +67,9 @@ _JACCARD_ORACLE = """
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # fan_out: shingling/tokenizing is the expensive step; never let a
+    # one-split local scan serialize it onto a single core.
+    return fan_out(spark, load_table(spark, sf_dir, "documents"))
 
 
 def shingle_hashes(

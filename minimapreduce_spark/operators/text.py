@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from minimapreduce_spark.catalog import load_table
+from minimapreduce_spark.catalog import fan_out, load_table
 from minimapreduce_spark.registry import register
 
 WORD_SPLIT = r"[^A-Za-z]+"
@@ -31,7 +31,7 @@ WORD_SPLIT = r"[^A-Za-z]+"
 
 def words_df(spark: SparkSession, sf_dir: str, with_doc: bool = False) -> DataFrame:
     """documents.text → one row per token (reference map-phase of wc)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     cols = (["doc_id"] if with_doc else []) + [
         F.explode(F.split(F.col("text"), WORD_SPLIT)).alias("word")
     ]

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from minimapreduce_spark.catalog import load_table
+from minimapreduce_spark.catalog import fan_out, load_table
 from minimapreduce_spark.registry import register
 
 # BPE-ish tokenizer: letter runs | single digits | single punctuation.
@@ -24,7 +24,8 @@ EN_STOP = ("the", "a", "and", "of", "to", "in")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # fan_out: regex token/feature extraction dominates; see catalog.fan_out.
+    return fan_out(spark, load_table(spark, sf_dir, "documents"))
 
 
 def _tokens(col):
