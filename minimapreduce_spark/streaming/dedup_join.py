@@ -1,0 +1,105 @@
+"""Streaming dedup and stream-stream join (SURVEY §2c streaming row).
+
+Two more Structured Streaming operator families beyond windowed aggs
+(streaming/windows.py) and arbitrary state (streaming/stateful.py):
+
+- ``dropDuplicatesWithinWatermark``: state-bounded streaming dedup —
+  state for a key is dropped once the watermark passes its event time,
+  so state is O(keys-in-watermark-window), not O(stream length). Over
+  a drained finite replay the result equals batch DISTINCT.
+- Stream-stream inner join with an event-time range condition: both
+  sides carry watermarks so Spark can bound the join state buffer;
+  the range condition tells it how long a left row can still match.
+
+Both are drained with availableNow into a memory sink (streaming/
+source.py) so they participate in the batch oracle protocol.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minimapreduce_spark.registry import register
+from minimapreduce_spark.streaming.source import events_stream, run_to_memory
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on (user_id, event_type) with watermark-bounded
+    state: the first event per key is emitted, later duplicates inside
+    the watermark horizon are dropped, and the key's state is evicted
+    once the watermark passes — the streaming form of dedup_exact that
+    never accumulates unbounded state."""
+    sdf = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = sdf.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return run_to_memory(deduped, "stream_dedup_watermark", "append")
+
+
+@register(
+    "stream_view_purchase_join",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id  AS view_id,
+           p.event_id  AS purchase_id,
+           v.ts        AS view_ts,
+           p.ts        AS purchase_ts
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view'
+     AND p.event_type = 'purchase'
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to the views
+    by the same user in the preceding hour. Watermarks on both sides +
+    the time-range join condition let Spark evict buffered rows once
+    they can no longer match — bounded state on an unbounded stream."""
+    views = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id
+            AND purchase_ts >= view_ts
+            AND purchase_ts <= view_ts + INTERVAL 1 HOUR
+            """
+        ),
+    )
+    out = run_to_memory(joined, "stream_view_purchase_join", "append")
+    return out.select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+    )

@@ -11,6 +11,8 @@ STREAMING = [
     "stream_tumbling_hourly",
     "stream_session_window",
     "stream_user_stats_stateful",
+    "stream_dedup_watermark",
+    "stream_view_purchase_join",
 ]
 
 
