@@ -18,6 +18,7 @@ from pyspark.sql.functions import pandas_udf, udtf
 from pyspark.sql.types import (
     DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -91,6 +92,72 @@ def udaf_weighted_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(weighted_mean("l_discount", "l_extendedprice"), 6).alias("wavg_discount")
+    )
+
+
+_COGROUP_SCHEMA = StructType(
+    [
+        StructField("key_id", LongType()),
+        StructField("n_orders", LongType()),
+        StructField("total_spend", DoubleType()),
+        StructField("n_events", LongType()),
+        StructField("total_event_value", DoubleType()),
+    ]
+)
+
+
+def _merge_customer_activity(key, orders_pdf: pd.DataFrame, events_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Cogrouped merge: both sides of one key arrive as whole pandas
+    frames; emit one merged row (full-outer semantics — either side may
+    be empty)."""
+    return pd.DataFrame(
+        [
+            {
+                "key_id": key[0],
+                "n_orders": len(orders_pdf),
+                "total_spend": round(float(orders_pdf["o_totalprice"].sum()), 2),
+                "n_events": len(events_pdf),
+                "total_event_value": round(float(events_pdf["value"].sum()), 2),
+            }
+        ]
+    )
+
+
+@register(
+    "cogroup_customer_activity",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS key_id, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS total_spend
+      FROM orders GROUP BY o_custkey
+    ),
+    e AS (
+      SELECT user_id AS key_id, count(*) AS n_events,
+             round(sum(value), 2) AS total_event_value
+      FROM events GROUP BY user_id
+    )
+    SELECT coalesce(o.key_id, e.key_id)      AS key_id,
+           coalesce(n_orders, 0)             AS n_orders,
+           coalesce(total_spend, 0.0)        AS total_spend,
+           coalesce(n_events, 0)             AS n_events,
+           coalesce(total_event_value, 0.0)  AS total_event_value
+    FROM o FULL OUTER JOIN e ON o.key_id = e.key_id
+    """,
+)
+def cogroup_customer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas: orders grouped by custkey and events
+    grouped by user_id meet per-key in one Python function — the typed,
+    Arrow-batched successor of a reduce-side merge join written as a
+    reducef over tagged values. Each side shuffles once on its key;
+    groups (not the corpus) must fit executor memory, which is the same
+    contract the reference's per-key []string reduce had
+    (mr/worker.go:137-146)."""
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    return (
+        orders.groupBy("o_custkey")
+        .cogroup(events.groupBy("user_id"))
+        .applyInPandas(_merge_customer_activity, schema=_COGROUP_SCHEMA)
     )
 
 

@@ -410,6 +410,34 @@ def unpivot_returnflag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)        AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4)  AS covar_qty_price,
+           round(var_samp(l_discount), 8)                     AS var_discount,
+           round(var_pop(l_tax), 8)                           AS varp_tax
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates (corr / covar_samp / var) — all
+    decomposable into partial moments, so Spark plans partial+final agg
+    like any sum: one shuffle of O(groups) moment tuples."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+            F.round(F.var_samp("l_discount"), 8).alias("var_discount"),
+            F.round(F.var_pop("l_tax"), 8).alias("varp_tax"),
+        )
+    )
+
+
+@register(
     "array_hof_embedding_stats",
     oracle="""
     SELECT vec_id, label,

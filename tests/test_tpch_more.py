@@ -17,6 +17,7 @@ QUERIES = [
     "pivot_status_revenue",
     "unpivot_returnflag_metrics",
     "array_hof_embedding_stats",
+    "agg_corr_covar",
 ]
 
 

@@ -8,6 +8,7 @@ ORACLED = [
     "udf_vectorized_sigmoid",
     "udaf_weighted_discount",
     "udtf_split_sentences",
+    "cogroup_customer_activity",
 ]
 
 
