@@ -71,6 +71,102 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+RESIZE_SCHEMA = "doc_id bigint, n_bytes_out bigint, checksum_out bigint"
+RESIZE_STRIDE = 2
+
+FRAME_BYTES = 64
+FRAME_STRIDE = 4
+FRAME_SCHEMA = "doc_id bigint, frame_index bigint, frame_bytes bigint, frame_checksum bigint"
+
+
+def resize_stride(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas 'resize' stage: stride-2 byte downsample — the
+    deterministic stand-in for an image resize kernel (swap the body
+    for PIL `Image.resize` on a cluster with codecs; the batch shape,
+    schema, and partitioning stay identical)."""
+    mod = 1000000007
+    for pdf in batches:
+        resized = pdf["payload"].map(lambda b: b[::RESIZE_STRIDE])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes_out": resized.map(len),
+                "checksum_out": resized.map(lambda b: sum(b) % mod),
+            }
+        )
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas frame-sample stage: treat the payload as a video of
+    FRAME_BYTES-sized frames, keep every FRAME_STRIDE-th full frame —
+    one OUTPUT ROW PER SAMPLED FRAME (rows-out > rows-in, the UDTF-like
+    mapInPandas shape). Real video would swap the slicing for a
+    pyav/ffmpeg keyframe read; partitioning and schema are unchanged."""
+    mod = 1000000007
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_index": [], "frame_bytes": [], "frame_checksum": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = len(payload) // FRAME_BYTES
+            for fi in range(0, n_frames, FRAME_STRIDE):
+                frame = payload[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]
+                out["doc_id"].append(doc_id)
+                out["frame_index"].append(fi)
+                out["frame_bytes"].append(len(frame))
+                out["frame_checksum"].append(sum(frame) % mod)
+        yield pd.DataFrame(out)
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST((length(text) + 1) // 2 AS BIGINT) AS n_bytes_out,
+           CAST(list_sum(list_transform(generate_series(1, length(text), 2),
+                i -> ascii(substr(text, i, 1)))) % 1000000007 AS BIGINT) AS checksum_out
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage over binary payloads via Arrow-batched mapInPandas;
+    the stride downsample is byte-for-byte reproducible in SQL, which
+    oracle-checks the plumbing (batching, slicing, schema)."""
+    from minimapreduce_spark._pickle import register_self_by_value
+
+    register_self_by_value()
+    return binary_table(spark, sf_dir).mapInPandas(resize_stride, schema=RESIZE_SCHEMA)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, text, length(text) // {FRAME_BYTES} AS n_frames
+      FROM documents
+    ),
+    fi AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, n_frames - 1, {FRAME_STRIDE})) AS frame_index
+      FROM f WHERE n_frames > 0
+    )
+    SELECT doc_id,
+           CAST(frame_index AS BIGINT) AS frame_index,
+           CAST({FRAME_BYTES} AS BIGINT) AS frame_bytes,
+           CAST(list_sum(list_transform(
+                string_split(substr(text, frame_index * {FRAME_BYTES} + 1, {FRAME_BYTES}), ''),
+                c -> ascii(c))) % 1000000007 AS BIGINT) AS frame_checksum
+    FROM fi
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: every 4th 64-byte frame,
+    one row per sampled frame — mapInPandas producing more rows than it
+    consumes, the shape a real video frame-extractor has."""
+    from minimapreduce_spark._pickle import register_self_by_value
+
+    register_self_by_value()
+    return binary_table(spark, sf_dir).mapInPandas(sample_frames, schema=FRAME_SCHEMA)
+
+
 @register(
     "multimodal_features",
     oracle="""

@@ -19,6 +19,8 @@ ORACLED = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
 ]
 
 
