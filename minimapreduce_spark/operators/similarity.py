@@ -51,9 +51,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_cosine_topk",
-    oracle=f"""
+_BRUTE_FORCE_ORACLE = f"""
     WITH q AS (
       SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe
       FROM embeddings WHERE vec_id < {N_QUERIES}
@@ -74,9 +72,10 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT q_vec_id, vec_id AS neighbor_id, cosine_sim, rn
     FROM ranked WHERE rn <= {TOP_K}
-    """,
-    bench=True,
-)
+    """
+
+
+@register("ann_cosine_topk", oracle=_BRUTE_FORCE_ORACLE, bench=True)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for the first 20 query vectors: the
     small query side broadcasts, every corpus partition scores its own
@@ -98,6 +97,64 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sims.select("q_vec_id", F.col("vec_id").alias("neighbor_id"), "cosine_sim",
                     F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= TOP_K)
+    )
+
+
+@register("ann_cosine_topk_numpy", oracle=_BRUTE_FORCE_ORACLE)
+def ann_cosine_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k, Arrow/numpy path: the query matrix is
+    collected (bounded — the query set is small by contract at any
+    corpus scale) and closed over by a mapInPandas stage that scores
+    each Arrow batch with one BLAS matmul (batch × queries). Same
+    answer as ann_cosine_topk; this is the shape to prefer when the
+    vector math outgrows codegen'd folds (high dims, many queries) —
+    per-batch matmul amortizes the Python boundary to one call per
+    ~10k rows."""
+    import numpy as np
+
+    emb = _emb(spark, sf_dir)
+    q_rows = (
+        emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "emb").collect()
+    )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r.emb, dtype=np.float64) for r in q_rows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            E = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            S = En @ Qn.T  # (batch, n_queries)
+            n, m = S.shape
+            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            import pandas as pd
+
+            out = pd.DataFrame(
+                {
+                    "q_vec_id": np.tile(q_ids, n),
+                    "vec_id": np.repeat(vec_ids, m),
+                    "cosine_sim_raw": S.ravel(),
+                }
+            )
+            yield out[out["q_vec_id"] != out["vec_id"]]
+
+    from minimapreduce_spark._pickle import register_self_by_value
+
+    register_self_by_value()
+    sims = emb.select("vec_id", "emb").mapInPandas(
+        score, "q_vec_id long, vec_id long, cosine_sim_raw double"
+    )
+    # Round JVM-side (HALF_UP, matching the oracle) — numpy's half-even
+    # np.round would disagree with SQL round at exact .5 ulps.
+    w = W.partitionBy("q_vec_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        sims.select(
+            "q_vec_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cosine_sim_raw", 6).alias("cosine_sim"),
+        )
+        .select("q_vec_id", "neighbor_id", "cosine_sim", F.row_number().over(w).alias("rn"))
         .where(F.col("rn") <= TOP_K)
     )
 

@@ -274,3 +274,51 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("doc_id", "word", "score", F.row_number().over(w).alias("rnk"))
         .where(F.col("rnk") <= 3)
     )
+
+
+@register(
+    "text_top_bigrams",
+    oracle="""
+    WITH words AS (
+      SELECT lang,
+             list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    pos AS (SELECT lang, ws, generate_subscripts(ws, 1) AS i FROM words),
+    bg AS (
+      SELECT lang, array_to_string(ws[i:i+1], ' ') AS bigram
+      FROM pos WHERE i <= len(ws) - 1
+    ),
+    counts AS (SELECT lang, bigram, count(*) AS cnt FROM bg GROUP BY lang, bigram),
+    ranked AS (
+      SELECT lang, bigram, cnt,
+             row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS rn
+      FROM counts
+    )
+    SELECT lang, bigram, cnt, rn FROM ranked WHERE rn <= 5
+    """,
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word bigrams per language — collocation mining. The bigram
+    explode shuffles once on (lang, bigram) with map-side partial
+    counts; the tiny per-lang count frame then ranks in a window.
+    Ties break lexicographically so the cut is deterministic."""
+    docs = _docs(spark, sf_dir)
+    ws = _tokens(F.col("text"))
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("bigram"))
+    return (
+        counts.select("lang", "bigram", "cnt", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 5)
+    )

@@ -10,6 +10,8 @@ ORACLED = [
     "token_count_stats",
     "doc_fingerprint",
     "text_tfidf_top_terms",
+    "text_top_bigrams",
+    "ann_cosine_topk_numpy",
     "dedup_simhash",
     "dedup_exact",
     "dedup_ngram_jaccard",
