@@ -13,6 +13,7 @@ _OPERATOR_MODULES = [
     "minimapreduce_spark.operators.mr_compat",
     "minimapreduce_spark.operators.relational",
     "minimapreduce_spark.operators.tpch_more",
+    "minimapreduce_spark.operators.tpch_rest",
     "minimapreduce_spark.operators.events",
     "minimapreduce_spark.operators.text_analysis",
     "minimapreduce_spark.operators.dedup",
