@@ -1,0 +1,339 @@
+"""Training-data pipeline operators (north-star surface).
+
+What a 100 TB LLM-data pipeline needs beyond queries: deterministic
+dataset splitting, stratified sampling, PII scrubbing, repetition-based
+quality filtering (Gopher-rule style), dimension upserts (MERGE INTO
+semantics), exact percentile profiling, and histogram profiling. The
+reference engine (Go MapReduce) could express each only as a bespoke
+mapf/reducef pair (mr/worker.go:55-157); here each is a declarative
+plan over the `documents` / `orders` / `customer` tables.
+
+Determinism and portability notes:
+
+- Splits and samples use a *portable content hash*: the first hex chars
+  of md5(key) compared lexicographically. Spark and DuckDB both emit
+  lowercase-hex md5, so assignment is reproducible across engines,
+  across runs, and across cluster sizes — the property a training
+  pipeline needs so that re-running a 100 TB split never migrates a
+  document between train and test. (Same trick as dedup_simhash's
+  portable token hash.)
+- Monetary sums use the exact scaled-integer trick (see
+  tpch_rest._exact_sum) so upsert outputs hash-match bit-for-bit.
+- Quality ratios are integer/integer divisions — bit-identical in both
+  engines, so threshold flags never flip.
+
+Scale posture: every operator is a pure per-row projection or a
+single-key aggregation — no driver-side state, no collect(); the md5
+split/sample predicates push into the scan stage and the PII scrub is
+whole-stage-codegen'd JVM regex, not a Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minimapreduce_spark.catalog import load_table
+from minimapreduce_spark.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _hash2(col):
+    """First two hex chars of md5(key) — a uniform 0..255 bucket that
+    both engines compute identically (lowercase hex in Spark and
+    DuckDB)."""
+    return F.substring(F.md5(col.cast("string")), 1, 2)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "split_train_test",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test assignment by content-key
+    hash (md5 of doc_id): 'cd' = 205/256 ≈ 80.1 %, 'e6' = 230/256 ≈
+    89.8 %. Pure projection — no shuffle, assignment is stable under
+    any partitioning or cluster size."""
+    h = _hash2(F.col("doc_id"))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.when(h < "cd", "train").when(h < "e6", "val").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE WHEN lang = 'en' THEN '1a' ELSE '4d' END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: down-sample the dominant
+    stratum ('en' ≈ 10 %, '1a' = 26/256) and keep more of the rare ones
+    (≈ 30 %, '4d' = 77/256) — the language-rebalancing step of a
+    pretraining mix. The hash predicate evaluates in the scan stage;
+    no shuffle, no RNG state."""
+    h = _hash2(F.col("doc_id"))
+    thresh = F.when(F.col("lang") == "en", "1a").otherwise("4d")
+    return (
+        _t(spark, sf_dir, "documents")
+        .where(h < thresh)
+        .select("doc_id", "lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\d{3}[-.]\d{4}"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(contact, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+    FROM (
+      SELECT doc_id,
+             'reach user' || CAST(doc_id AS VARCHAR) || '@mail' ||
+             CAST(doc_id % 7 AS VARCHAR) || '.example.com or 555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' re: ' ||
+             substr(text, 1, 40) AS contact
+      FROM documents
+    )
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction as a codegen'd regex projection: emails and
+    phone-shaped tokens replaced with typed placeholders. The corpus
+    itself contains no PII, so a deterministic contact line is
+    synthesized per doc — the operator under test is the scrub chain
+    (JVM regexp_replace, global replacement), which at 100 TB runs
+    entirely inside whole-stage codegen with zero Python."""
+    docs = _t(spark, sf_dir, "documents")
+    contact = F.concat(
+        F.lit("reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" re: "),
+        F.substring("text", 1, 40),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(contact, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select("doc_id", scrubbed.alias("scrubbed"))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition quality filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_quality_repetition",
+    oracle="""
+    SELECT doc_id,
+           n_words,
+           n_distinct,
+           n_distinct / CAST(n_words AS DOUBLE)  AS distinct_ratio,
+           top_cnt    / CAST(n_words AS DOUBLE)  AS top_word_share,
+           (n_distinct / CAST(n_words AS DOUBLE) >= 0.3
+            AND top_cnt / CAST(n_words AS DOUBLE) <= 0.12) AS keep
+    FROM (
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT)  AS n_words,
+             CAST(count(*) AS BIGINT)  AS n_distinct,
+             CAST(max(cnt) AS BIGINT)  AS top_cnt
+      FROM (
+        SELECT doc_id, word, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        GROUP BY doc_id, word
+      )
+      GROUP BY doc_id
+    )
+    """,
+)
+def text_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule-style repetition filter: drop documents whose
+    vocabulary is too repetitive (low distinct-word ratio) or dominated
+    by a single token (high top-word share). Two aggs that both
+    hash-partition on doc_id — AQE coalesces them into one exchange;
+    the ratios are int/int divisions so the keep flag is bit-stable
+    across engines. Complements text_quality_score (length/punct/
+    stopword heuristics) with the repetition dimension."""
+    docs = _t(spark, sf_dir, "documents")
+    per_word = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    per_doc = per_word.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    distinct_ratio = F.col("n_distinct") / F.col("n_words").cast("double")
+    top_share = F.col("top_cnt") / F.col("n_words").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        distinct_ratio.alias("distinct_ratio"),
+        top_share.alias("top_word_share"),
+        ((distinct_ratio >= 0.3) & (top_share <= 0.12)).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (upsert) semantics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "merge_upsert_customers",
+    oracle="""
+    WITH updates AS (
+      SELECT o_custkey AS u_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS spend
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+      GROUP BY o_custkey
+    ),
+    source AS (
+      SELECT u_custkey, spend FROM updates
+      UNION ALL
+      SELECT u_custkey + 1000000, spend FROM updates WHERE u_custkey % 100 = 0
+    )
+    SELECT coalesce(c_custkey, u_custkey)    AS custkey,
+           coalesce(c_name, 'NEW')           AS name,
+           coalesce(c_acctbal, 0.0) + coalesce(spend, 0.0) AS balance,
+           CASE WHEN c_custkey IS NULL THEN 'insert'
+                WHEN u_custkey IS NULL THEN 'keep'
+                ELSE 'update' END            AS action
+    FROM customer
+    FULL OUTER JOIN source ON c_custkey = u_custkey
+    """,
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a table format: WHEN MATCHED →
+    update (balance += recent spend), WHEN NOT MATCHED → insert (the
+    synthetic u_custkey+1000000 rows), WHEN NOT MATCHED BY SOURCE →
+    keep. Expressed as one full-outer shuffle join on the key — the
+    same plan Delta/Iceberg MERGE lowers to — with exact-cents spend
+    sums so balances hash-match bit-for-bit."""
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    updates = orders.groupBy(F.col("o_custkey").alias("u_custkey")).agg(
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias("spend")
+    )
+    source = updates.unionAll(
+        updates.where(F.col("u_custkey") % 100 == 0).select(
+            (F.col("u_custkey") + 1000000).alias("u_custkey"), "spend"
+        )
+    )
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.join(source, cust.c_custkey == source.u_custkey, "full_outer")
+        .select(
+            F.coalesce("c_custkey", "u_custkey").alias("custkey"),
+            F.coalesce("c_name", F.lit("NEW")).alias("name"),
+            (
+                F.coalesce("c_acctbal", F.lit(0.0)) + F.coalesce("spend", F.lit(0.0))
+            ).alias("balance"),
+            F.when(F.col("c_custkey").isNull(), "insert")
+            .when(F.col("u_custkey").isNull(), "keep")
+            .otherwise("update")
+            .alias("action"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Profiling: exact percentiles + histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "percentile_quantity",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.50) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def percentile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (type-7 linear interpolation — the
+    same definition as DuckDB's quantile_cont) per group. l_quantity is
+    integer-valued, so the interpolated quartiles are exact binary
+    fractions and bit-identical across engines. The scale path for
+    100 TB is agg_approx_sketch's approx_percentile; this is the exact
+    profiling twin."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.25D)").alias("p25"),
+            F.expr("percentile(l_quantity, 0.50D)").alias("p50"),
+            F.expr("percentile(l_quantity, 0.75D)").alias("p75"),
+        )
+    )
+
+
+@register(
+    "histogram_order_prices",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+           count(*)             AS cnt,
+           min(o_totalprice)    AS lo,
+           max(o_totalprice)    AS hi
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram profile of order totals (25 k buckets over
+    the ~[1 k, 500 k] price range). The bucket id is floor of the same
+    double division in both engines, so edge values never straddle
+    bins; min/max are comparison-only (no summation drift). One
+    map-side-combinable agg on a ~20-value key."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.floor(F.col("o_totalprice") / 25000.0).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
