@@ -99,3 +99,38 @@ def test_salted_join_spreads_hot_keys(spark):
     df = q.queries()["join_salted_suppliers"](spark, SF_DIR)
     plan = plans.physical_plan(df)
     assert "_salt" in plan, "salt column never reached the physical plan"
+
+
+def test_star_join_broadcasts_every_dim(spark):
+    """Q8 joins 6 non-fact sides (part, customer, supplier, nation ×2,
+    region) — every one must broadcast; the fact shuffles only for
+    lineitem ⋈ orders and the final agg."""
+    plans.assert_broadcast_join(_df(spark, "q8_market_share"), at_least=5)
+    plans.assert_no_broadcast_nested_loop(_df(spark, "q8_market_share"))
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["split_train_test", "sample_stratified", "text_pii_scrub"],
+)
+def test_pipeline_projections_never_shuffle(spark, name):
+    """Split/sample/scrub are pure per-row projections — at 100 TB any
+    exchange here would be a catastrophic accidental shuffle."""
+    n = plans.count_exchanges(_df(spark, name))
+    assert n == 0, f"{name}: pure projection has {n} exchanges"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("histogram_order_prices", 1),
+        ("percentile_quantity", 1),
+        # doc_id word-counts then per-doc rollup: both keyed on doc_id
+        ("text_quality_repetition", 2),
+        # orders→per-cust agg (1), union, full-outer join with customer (2)
+        ("merge_upsert_customers", 3),
+    ],
+)
+def test_pipeline_shuffle_budget(spark, name, max_exchanges):
+    n = plans.count_exchanges(_df(spark, name))
+    assert n <= max_exchanges, f"{name}: {n} shuffles > budget {max_exchanges}"
