@@ -178,6 +178,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id
     )
     """,
+    bench=True,
 )
 def text_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule-style repetition filter: drop documents whose
@@ -239,6 +240,7 @@ def text_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     FULL OUTER JOIN source ON c_custkey = u_custkey
     """,
+    bench=True,
 )
 def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics without a table format: WHEN MATCHED →
