@@ -339,3 +339,127 @@ def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (rows-out > rows-in)
+# ---------------------------------------------------------------------------
+
+CHUNK_WORDS = 32
+CHUNK_STRIDE = 24  # 8-word overlap between consecutive chunks
+
+
+@register(
+    "doc_chunks",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, ws, unnest(generate_series(1, len(ws), {CHUNK_STRIDE})) AS start
+      FROM words
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(len(ws[start : start + {CHUNK_WORDS} - 1]) AS BIGINT) AS n_words,
+           array_to_string(ws[start : start + {CHUNK_WORDS} - 1], ' ') AS chunk_text
+    FROM starts
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the tokenize-and-pack step of
+    a pretraining pipeline: 32-word chunks every 24 words (8-word
+    overlap), final partial chunk kept. One row in → ~n_words/stride
+    rows out via sequence + explode + slice, all codegen'd array ops;
+    no shuffle, no Python, memory bounded per row (never materializes
+    the cross product of a doc with its chunks)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return (
+        docs.select("doc_id", words.alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("ws"), F.lit(CHUNK_STRIDE))
+            ).alias("start"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            F.floor((F.col("start") - 1) / CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+            F.size(F.slice("ws", F.col("start"), CHUNK_WORDS)).cast("bigint").alias("n_words"),
+            F.array_join(F.slice("ws", F.col("start"), CHUNK_WORDS), " ").alias("chunk_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension history (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_customer_tier_history",
+    oracle="""
+    WITH yearly AS (
+      SELECT o_custkey AS custkey,
+             CAST(year(o_orderdate) AS BIGINT) AS yr,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_c
+      FROM orders
+      GROUP BY o_custkey, year(o_orderdate)
+    ),
+    tiers AS (
+      SELECT custkey, yr,
+             CASE WHEN spend_c >= 50000000 THEN 'gold'
+                  WHEN spend_c >= 20000000 THEN 'silver'
+                  ELSE 'bronze' END AS tier
+      FROM yearly
+    ),
+    islands AS (
+      SELECT custkey, yr, tier,
+             yr - ROW_NUMBER() OVER (PARTITION BY custkey, tier ORDER BY yr) AS grp
+      FROM tiers
+    )
+    SELECT custkey, tier,
+           min(yr) AS from_year,
+           max(yr) AS to_year,
+           count(*) AS n_years
+    FROM islands
+    GROUP BY custkey, tier, grp
+    """,
+)
+def scd2_customer_tier_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: per-customer
+    yearly spend → tier → consecutive same-tier years collapsed into
+    validity ranges (gaps-and-islands via the yr − row_number trick).
+    Tier thresholds compare exact integer cents so assignments never
+    flip between engines. Shuffles: one for the (custkey, year) agg,
+    one for the custkey-partitioned window + island agg."""
+    orders = _t(spark, sf_dir, "orders")
+    yearly = orders.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("spend_c"))
+    tiers = yearly.select(
+        "custkey",
+        "yr",
+        F.when(F.col("spend_c") >= 50_000_000, "gold")
+        .when(F.col("spend_c") >= 20_000_000, "silver")
+        .otherwise("bronze")
+        .alias("tier"),
+    )
+    from pyspark.sql.window import Window as W
+
+    grp = F.col("yr") - F.row_number().over(
+        W.partitionBy("custkey", "tier").orderBy("yr")
+    )
+    return (
+        tiers.withColumn("grp", grp)
+        .groupBy("custkey", "tier", "grp")
+        .agg(
+            F.min("yr").alias("from_year"),
+            F.max("yr").alias("to_year"),
+            F.count("*").alias("n_years"),
+        )
+        .drop("grp")
+    )

@@ -1,0 +1,80 @@
+"""SQL NULL-semantics showcase.
+
+The reference engine has no NULLs at all — its data model is
+non-nullable strings (SURVEY §1), so every NULL behavior below is new
+surface the Spark engine must get right: three-valued logic in
+predicates, NULL-skipping aggregates, null-safe equality, and empty-set
+aggregates. One oracle-checked query pins them against DuckDB so a
+regression in any of these semantics (e.g. a filter rewrite that turns
+``<=>`` into ``=``) breaks the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minimapreduce_spark.catalog import load_table
+from minimapreduce_spark.registry import register
+
+
+@register(
+    "null_semantics_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                                   AS c_star,
+           count(nullif(o_orderstatus, 'P'))          AS c_col,
+           count(DISTINCT nullif(o_orderstatus, 'P')) AS c_distinct,
+           CAST(sum(CASE WHEN nullif(o_orderstatus, 'P')
+                          IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
+                AS BIGINT)                            AS c_null_safe_eq,
+           coalesce(sum(CASE WHEN o_orderstatus = 'X'
+                             THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                        END) / 100.0, -1.0)           AS sum_empty_coalesced,
+           CAST(sum(CASE WHEN o_orderstatus <> 'P' OR o_orderstatus IS NULL
+                         THEN 0 ELSE 1 END) AS BIGINT) AS c_p_rows
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def null_semantics_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics under aggregation, all pinned in one result:
+
+    - ``count(*)`` counts rows, ``count(col)`` skips NULLs,
+      ``count(DISTINCT col)`` ignores NULL as a value;
+    - ``<=>`` (null-safe equality) is true for NULL vs NULL where
+      ``=`` would be unknown;
+    - an aggregate over the empty set is NULL (not 0) — surfaced via
+      ``coalesce(sum(...), -1)``;
+    - three-valued logic: ``x <> 'P'`` is unknown for NULL x, so the
+      complement needs an explicit ``IS NULL`` arm.
+
+    NULLs are injected deterministically with ``nullif`` since the
+    source tables are fully populated."""
+    orders = load_table(spark, sf_dir, "orders")
+    status_n = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("c_star"),
+        F.count(status_n).alias("c_col"),
+        F.countDistinct(status_n).alias("c_distinct"),
+        F.sum(F.when(status_n.eqNullSafe(F.lit(None).cast("string")), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_null_safe_eq"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("o_orderstatus") == "X",
+                    F.round(F.col("o_totalprice") * 100).cast("long"),
+                )
+            )
+            / 100.0,
+            F.lit(-1.0),
+        ).alias("sum_empty_coalesced"),
+        F.sum(
+            F.when(
+                (F.col("o_orderstatus") != "P") | F.col("o_orderstatus").isNull(), 0
+            ).otherwise(1)
+        )
+        .cast("bigint")
+        .alias("c_p_rows"),
+    )

@@ -21,6 +21,7 @@ _OPERATOR_MODULES = [
     "minimapreduce_spark.operators.multimodal",
     "minimapreduce_spark.operators.scale",
     "minimapreduce_spark.operators.pipeline",
+    "minimapreduce_spark.operators.semantics",
     "minimapreduce_spark.streaming.windows",
     "minimapreduce_spark.streaming.dedup_join",
     "minimapreduce_spark.streaming.stateful",

