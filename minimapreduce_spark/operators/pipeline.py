@@ -255,10 +255,23 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = orders.groupBy(F.col("o_custkey").alias("u_custkey")).agg(
         (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias("spend")
     )
-    source = updates.unionAll(
-        updates.where(F.col("u_custkey") % 100 == 0).select(
-            (F.col("u_custkey") + 1000000).alias("u_custkey"), "spend"
+    # Emit the synthetic insert keys by exploding 1-or-2 structs per
+    # update row instead of a UNION of two branches: Catalyst does not
+    # share subplans across union branches, so the union form would
+    # scan + aggregate orders TWICE.
+    row = F.struct(F.col("u_custkey"), F.col("spend"))
+    extra = F.struct(
+        (F.col("u_custkey") + 1000000).alias("u_custkey"), F.col("spend")
+    )
+    source = (
+        updates.select(
+            F.explode(
+                F.when(F.col("u_custkey") % 100 == 0, F.array(row, extra)).otherwise(
+                    F.array(row)
+                )
+            ).alias("r")
         )
+        .select("r.u_custkey", "r.spend")
     )
     cust = _t(spark, sf_dir, "customer")
     return (

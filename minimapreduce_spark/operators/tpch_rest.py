@@ -592,14 +592,19 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "l_suppkey", "late")
     )
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    # Per-order supplier counts as windows over the join key rather than
+    # an aggregate joined back: the join-back form makes Catalyst
+    # recompute the lineitem ⋈ orders join for BOTH references (no
+    # cross-branch subplan reuse) — two full fact scans at 100 TB.
+    w = W.partitionBy("l_orderkey")
+    counted = li.withColumn(
+        "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "n_late", F.size(F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w))
     )
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        li.join(per_order, "l_orderkey")
-        .where(F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        counted.where(F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))

@@ -31,11 +31,23 @@ def physical_plan(df: DataFrame) -> str:
     return buf.getvalue()
 
 
+def simple_plan(df: DataFrame) -> str:
+    """The one-line-per-operator physical plan (``df.explain()``),
+    where an exchange and its partitioning print on the SAME line —
+    required for counting; the formatted mode splits them across an
+    operator list and an arguments section."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle exchanges in the plan (broadcast exchanges are
-    NOT counted — they move only the small side)."""
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning",
-                          physical_plan(df)))
+    NOT counted — they move only the small side; neither is the final
+    SinglePartition gather of a global aggregate's 1-row result)."""
+    return len(re.findall(r"\bExchange (?:hashpartitioning|rangepartitioning)",
+                          simple_plan(df)))
 
 
 def assert_broadcast_join(df: DataFrame, at_least: int = 1) -> None:

@@ -81,13 +81,17 @@ def test_ann_corpus_does_not_shuffle(spark):
 
 
 def test_bucketed_join_zero_shuffle(spark, tmp_path):
-    """Both sides pre-bucketed on the join key → the join plan must
-    contain ZERO shuffle exchanges (the write-once/join-many contract)."""
+    """Both sides pre-bucketed on the join key → the JOIN must not
+    shuffle either side (the write-once/join-many contract). The final
+    groupBy on a different key keeps its own — single — exchange."""
     from minimapreduce_spark.operators.scale import bucketed_join
 
     df = bucketed_join(spark, SF_DIR)
+    plan = plans.simple_plan(df)
+    assert "hashpartitioning(l_orderkey" not in plan, "probe side re-shuffled"
+    assert "hashpartitioning(o_orderkey" not in plan, "build side re-shuffled"
     n = plans.count_exchanges(df)
-    assert n == 0, f"bucketed join still shuffles: {n} exchanges"
+    assert n == 1, f"expected only the agg exchange, got {n}"
     # and it still computes the right thing
     got = {r.o_orderpriority: r.total_price for r in df.collect()}
     assert len(got) == 5 and all(v > 0 for v in got.values())
