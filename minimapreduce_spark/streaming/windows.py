@@ -98,3 +98,74 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@register(
+    "stream_sliding_1h_30m",
+    oracle="""
+    WITH wins AS (
+      SELECT event_type, value,
+             unnest(ARRAY[
+               time_bucket(INTERVAL '30 minutes', ts),
+               time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+             ]) AS win_start
+      FROM events
+    )
+    SELECT win_start, event_type,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM wins
+    GROUP BY win_start, event_type
+    """,
+)
+def stream_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h length / 30 min slide) on the
+    stream: each event feeds exactly two windows' state. Watermark
+    bounds live state to the two in-horizon slides per key; over the
+    drained replay the result equals the batch twin
+    (events_sliding_1h_30m)."""
+    sdf = events_stream(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    out = run_to_memory(agg, "stream_sliding_1h_30m", "complete")
+    return out.select(
+        F.col("win.start").cast("timestamp_ntz").alias("win_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c_mktsegment, event_type,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins a static
+    dimension (customer) that Spark broadcasts per micro-batch — no
+    stream-side state, no watermark needed for the join itself. The
+    canonical "attach dimensions to a firehose" pattern; rollup by
+    segment × event type over the drained replay equals the batch
+    join-agg."""
+    from minimapreduce_spark.catalog import load_table
+
+    sdf = events_stream(spark, sf_dir)
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    agg = (
+        sdf.join(dim, sdf.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    return run_to_memory(agg, "stream_static_enrich", "complete")

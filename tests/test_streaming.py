@@ -13,6 +13,8 @@ STREAMING = [
     "stream_user_stats_stateful",
     "stream_dedup_watermark",
     "stream_view_purchase_join",
+    "stream_sliding_1h_30m",
+    "stream_static_enrich",
 ]
 
 
