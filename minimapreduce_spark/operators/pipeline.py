@@ -476,3 +476,54 @@ def scd2_customer_tier_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance (algebraic re-aggregation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_rollup_merge",
+    oracle="""
+    SELECT date_trunc('day', ts)   AS day,
+           event_type,
+           count(*)                AS n_events,
+           sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 AS total_value
+    FROM events
+    GROUP BY date_trunc('day', ts), event_type
+    """,
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup maintenance: the daily rollup is kept as
+    algebraic partials (count, exact-scaled sum) so a new slice of the
+    stream can be folded in WITHOUT rescanning history — merge =
+    re-aggregate the partials (sum of counts, sum of sums). Here the
+    events table is split into two time slices, each rolled up
+    independently, then merged; the oracle is the single-pass rollup
+    over everything, proving merge(partial(a), partial(b)) ==
+    full(a ∪ b). This is the 100 TB pattern for daily pipeline runs:
+    O(new data) per day, not O(history)."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+
+    def rollup(slice_df: DataFrame) -> DataFrame:
+        return slice_df.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("sum_e6"),
+        )
+
+    old = rollup(ev.where(F.col("ts") < cutoff))
+    new = rollup(ev.where(F.col("ts") >= cutoff))
+    # The merge step: same code path would fold tomorrow's partial into
+    # the stored rollup. Slices are disjoint so counts/sums add.
+    return (
+        old.unionByName(new)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            (F.sum("sum_e6") / 1_000_000.0).alias("total_value"),
+        )
+    )

@@ -255,3 +255,34 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.row_number().over(w).alias("rn"))
         .where(F.col("rn") <= IVF_TOP_K)
     )
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label,
+           CAST(dim AS BIGINT) AS dim,
+           round(avg(CAST(val AS DOUBLE)), 4) AS centroid
+    FROM (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS dim,
+             unnest(embedding) AS val
+      FROM embeddings
+    )
+    GROUP BY label, dim
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors, flattened to (label, dim, value) —
+    the training step of IVF partitioning (ann_ivf_topk consumes
+    centroids like these) and the class-prototype primitive for
+    embedding analytics. posexplode fans each vector into 64 rows keyed
+    (label, dim): the agg shuffles on a high-cardinality composite key,
+    so centroid computation scales out instead of bottlenecking on one
+    reducer per label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", (F.col("pos") + 1).cast("bigint").alias("dim"))
+        .agg(F.round(F.avg(F.col("val").cast("double")), 4).alias("centroid"))
+    )

@@ -5,7 +5,7 @@ import os
 
 import pytest
 
-from tests.conftest import run_and_compare
+from tests.conftest import assert_frames_match, run_and_compare
 
 QUERIES = [
     "split_train_test",
@@ -133,3 +133,34 @@ def test_scd2_ranges_are_disjoint_per_customer(spark):
         for (f1, t1), (f2, _t2) in zip(ranges, ranges[1:]):
             assert t1 < f2 or f2 > f1, (custkey, ranges)
             assert f2 > t1, f"overlap for customer {custkey}: {ranges}"
+
+
+PHASE3 = ["embedding_label_centroids", "incremental_rollup_merge"]
+
+
+@pytest.mark.parametrize("name", PHASE3)
+def test_phase3_matches_oracle(spark, duck, name):
+    run_and_compare(spark, duck, name)
+
+
+def test_incremental_merge_equals_single_pass(spark):
+    """merge(partial(old), partial(new)) must equal the one-shot rollup
+    computed by Spark itself (not just the DuckDB oracle)."""
+    from pyspark.sql import functions as F
+
+    from minimapreduce_spark.catalog import load_table
+    from minimapreduce_spark.registry import REGISTRY
+
+    merged = REGISTRY["incremental_rollup_merge"].fn(spark, SF_DIR).toPandas()
+    ev = load_table(spark, SF_DIR, "events")
+    single = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.round(F.col("value") * 1_000_000).cast("long")) / 1_000_000.0).alias(
+                "total_value"
+            ),
+        )
+        .toPandas()
+    )
+    assert_frames_match(merged, single, name="incremental_rollup_merge")
