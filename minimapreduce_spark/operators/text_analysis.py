@@ -322,3 +322,47 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.select("lang", "bigram", "cnt", F.row_number().over(w).alias("rn"))
         .where(F.col("rn") <= 5)
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    freq AS (
+      SELECT word,
+             count(*) AS cnt,
+             sum(count(*)) OVER () AS total
+      FROM toks GROUP BY word
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT)                       AS n_tokens,
+           round(avg(-ln(f.cnt / CAST(f.total AS DOUBLE))), 4) AS avg_neg_logprob
+    FROM toks t JOIN freq f USING (word)
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical language scoring: per-document mean negative log
+    probability under the corpus's own unigram model — the classic
+    cheap perplexity proxy that separates natural text from gibberish
+    or boilerplate. Two passes expressed as one plan: corpus word
+    frequencies (agg on word), then tokens ⋈ frequencies (shuffle on
+    word, or broadcast when the vocabulary is small) and a per-doc
+    average. The unigram probability is an exact int/int division;
+    only ln() differs at the last ulp between engines, absorbed by the
+    4-decimal round of a per-doc mean."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    freq = toks.groupBy("word").agg(F.count("*").alias("cnt"))
+    freq = freq.withColumn("total", F.sum("cnt").over(W.partitionBy()))
+    neg_logprob = -F.log(F.col("cnt") / F.col("total").cast("double"))
+    return (
+        toks.join(F.broadcast(freq), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.avg(neg_logprob), 4).alias("avg_neg_logprob"),
+        )
+    )

@@ -164,3 +164,34 @@ def test_incremental_merge_equals_single_pass(spark):
         .toPandas()
     )
     assert_frames_match(merged, single, name="incremental_rollup_merge")
+
+
+def test_unigram_logprob_matches_oracle(spark, duck):
+    run_and_compare(spark, duck, "text_unigram_logprob")
+
+
+def test_chunks_reconstruct_original_text(spark):
+    """Stitching chunk texts back together (first chunk + the last
+    STRIDE words of each full successor + trailing partial) must
+    reproduce every document verbatim — no word lost or duplicated."""
+    from minimapreduce_spark.catalog import load_table
+    from minimapreduce_spark.operators.pipeline import CHUNK_STRIDE
+    from minimapreduce_spark.registry import REGISTRY
+
+    chunks = REGISTRY["doc_chunks"].fn(spark, SF_DIR).collect()
+    originals = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    }
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(originals)
+    for doc_id, cs in by_doc.items():
+        cs.sort(key=lambda r: r["chunk_id"])
+        words = cs[0]["chunk_text"].split(" ")
+        for c in cs[1:]:
+            cw = c["chunk_text"].split(" ")
+            already = len(words) - c["chunk_id"] * CHUNK_STRIDE
+            words.extend(cw[already:])
+        assert " ".join(words) == originals[doc_id], f"doc {doc_id} mangled"
