@@ -395,29 +395,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "h", F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("bigint")
         )
     )
-    bits = tokens.select(
-        "doc_id",
-        "cnt",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
-    ).select(
-        "doc_id",
-        "bit",
-        F.when(F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
-        .otherwise(-F.col("cnt"))
-        .alias("vote"),
-    )
+    # Bit votes as a codegen'd fold over the per-doc token list instead
+    # of exploding 60 rows per (doc, token): that form pushed 60× the
+    # rows through two extra shuffles; this one shuffles each token
+    # exactly once (the collect_list on doc_id) and computes all 60
+    # bit-majorities in one whole-stage-codegen expression.
     fp = (
-        bits.groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("v"))
+        tokens.groupBy("doc_id")
+        .agg(F.collect_list(F.struct("h", "cnt")).alias("toks"))
         .select(
             "doc_id",
-            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-            .otherwise(F.lit(0).cast("bigint"))
-            .alias("bitval"),
+            F.expr(
+                """
+                aggregate(
+                  sequence(0, 59),
+                  CAST(0 AS BIGINT),
+                  (acc, bit) -> acc + IF(
+                    aggregate(
+                      toks, CAST(0 AS BIGINT),
+                      (s, t) -> s + IF((shiftright(t.h, bit) & 1) = 1,
+                                       t.cnt, -t.cnt)) > 0,
+                    shiftleft(CAST(1 AS BIGINT), bit),
+                    CAST(0 AS BIGINT))
+                )
+                """
+            ).alias("fingerprint"),
         )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").cast("bigint").alias("fingerprint"))
     )
     bands = fp.select(
         "doc_id",
