@@ -187,3 +187,62 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_self_by_value()
     return binary_table(spark, sf_dir).mapInPandas(extract_features, schema=FEATURE_SCHEMA)
+
+
+AUDIO_WINDOW = 256
+AUDIO_SCHEMA = "doc_id bigint, window_id bigint, n_samples bigint, energy bigint, peak bigint"
+
+
+def audio_windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas audio-analysis stage: treat the payload as 8-bit PCM
+    and emit fixed-size analysis windows (RMS-style energy + peak per
+    window) — the windowing/batching shape a real loudness or VAD
+    kernel has; swap the arithmetic for librosa/torchaudio where
+    installed. Pure integer math, so the oracle reproduces it exactly."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {"doc_id": [], "window_id": [], "n_samples": [], "energy": [], "peak": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            for w, start in enumerate(range(0, len(arr), AUDIO_WINDOW)):
+                win = arr[start : start + AUDIO_WINDOW]
+                out["doc_id"].append(doc_id)
+                out["window_id"].append(w)
+                out["n_samples"].append(len(win))
+                out["energy"].append(int((win * win).sum()))
+                out["peak"].append(int(win.max()))
+        yield pd.DataFrame(out)
+
+
+@register(
+    "multimodal_audio_windows",
+    oracle=f"""
+    WITH wins AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, length(text), {AUDIO_WINDOW})) AS start
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {AUDIO_WINDOW} AS BIGINT) AS window_id,
+           CAST(least({AUDIO_WINDOW}, length(text) - start + 1) AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(
+                  generate_series(start, least(start + {AUDIO_WINDOW} - 1, length(text))),
+                  i -> ascii(substr(text, i, 1)) * ascii(substr(text, i, 1))))
+                AS BIGINT) AS energy,
+           CAST(list_max(list_transform(
+                  generate_series(start, least(start + {AUDIO_WINDOW} - 1, length(text))),
+                  i -> ascii(substr(text, i, 1))))
+                AS BIGINT) AS peak
+    FROM wins
+    """,
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio analysis over binary payloads (rows-out >
+    rows-in: one row per 256-byte analysis window). Arrow-batched
+    mapInPandas with integer-exact energy/peak, so the whole
+    decode-window-analyze plumbing is oracle-checked byte-for-byte."""
+    from minimapreduce_spark._pickle import register_self_by_value
+
+    register_self_by_value()
+    return binary_table(spark, sf_dir).mapInPandas(audio_windows, schema=AUDIO_SCHEMA)

@@ -23,6 +23,7 @@ ORACLED = [
     "multimodal_features",
     "multimodal_resize",
     "multimodal_frame_sample",
+    "multimodal_audio_windows",
 ]
 
 
