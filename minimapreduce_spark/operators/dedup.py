@@ -421,6 +421,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 """
             ).alias("fingerprint"),
         )
+        # The band join consumes fingerprints on BOTH sides; without a
+        # materialization barrier Catalyst recomputes the collect_list +
+        # fold subtree per side. A lazy local checkpoint computes the
+        # tiny (doc_id, fingerprint) frame exactly once and both
+        # branches read it — at any scale it's 16 bytes/doc of executor
+        # storage.
+        .localCheckpoint(eager=False)
     )
     bands = fp.select(
         "doc_id",
