@@ -121,7 +121,11 @@ def jaccard_pairs(
     The post-aggregation pairs frame is tiny relative to the corpus, so
     AQE turns both size joins into broadcasts at runtime.
     """
-    sh = shingle_hashes(spark, sf_dir)
+    # sh feeds three consumers (sizes, both join sides). ReuseExchange
+    # only dedupes the two identical-plan sides; the sizes aggregate is
+    # a different subtree and would trigger a full recompute of the
+    # shingle scan — checkpoint once, read three times.
+    sh = shingle_hashes(spark, sf_dir).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "h")
     b = sh.select(F.col("doc_id").alias("doc_b"), "h")
@@ -211,7 +215,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     true pair at j ≥ 0.9 is missed with P ≈ 8e-4 (deterministic hashes,
     so verified-stable on the fixture data). This is the 100 TB dedup
     path — no step is pairwise over the corpus."""
-    sigs = minhash_signatures(spark, sf_dir)
+    # The band self-join reads the signature frame on both sides;
+    # checkpoint the (doc × 32 longs) frame so the shingle scan + 32-min
+    # aggregate run once, not per side.
+    sigs = minhash_signatures(spark, sf_dir).localCheckpoint(eager=False)
     r = MINHASH_PERMS // MINHASH_BANDS
     bands = F.array(
         *[
