@@ -1,0 +1,53 @@
+"""Registry-wide gates: every registered query must execute and every
+oracle must be valid DuckDB SQL — so a new operator can't silently ship
+with a broken wiring or an unparseable oracle and only fail at
+driver-verification time."""
+
+import os
+
+import pytest
+
+from minimapreduce_spark import queries as q
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+ALL = sorted(q.REGISTRY)
+
+
+def test_registry_size_matches_coverage_ledger():
+    with open(os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")) as f:
+        text = f.read()
+    import re
+
+    m = re.search(r"Totals: (\d+) registered queries", text)
+    assert m, "COVERAGE.md totals line missing"
+    assert int(m.group(1)) == len(ALL), (
+        f"COVERAGE.md claims {m.group(1)} queries, registry has {len(ALL)} — "
+        "update the ledger"
+    )
+
+
+# Legitimately empty at the sf0.001 smoke scale (the oracle agrees —
+# both sides return zero rows, so the hash check still passes); all
+# produce rows at sf0.01, the driver's correctness scale.
+EMPTY_AT_SMOKE = {"q7_volume_shipping"}
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_query_executes(spark, name):
+    """Each registered plan must build and produce at least one row at
+    the smoke scale (empty results are degenerate coverage), except the
+    audited EMPTY_AT_SMOKE selectivity outliers."""
+    df = q.REGISTRY[name].fn(spark, SF_DIR)
+    n = df.limit(1).count()
+    if name in EMPTY_AT_SMOKE and SF_DIR.rstrip("/").endswith("sf0.001"):
+        return  # executing without error is the gate here
+    assert n == 1, f"{name} returned no rows at {SF_DIR}"
+
+
+def test_all_oracles_parse_in_duckdb(duck):
+    for name in ALL:
+        sql = q.REGISTRY[name].oracle
+        if sql is None:
+            continue
+        duck.execute(f"EXPLAIN {sql}")  # raises on invalid SQL
