@@ -106,7 +106,11 @@ def shingle_hashes(
 
 
 def jaccard_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float, candidates: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float,
+    candidates: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over shingle-hash sets.
 
@@ -124,8 +128,13 @@ def jaccard_pairs(
     # sh feeds three consumers (sizes, both join sides). ReuseExchange
     # only dedupes the two identical-plan sides; the sizes aggregate is
     # a different subtree and would trigger a full recompute of the
-    # shingle scan — checkpoint once, read three times.
-    sh = shingle_hashes(spark, sf_dir).localCheckpoint(eager=False)
+    # shingle scan — checkpoint once, read three times. Callers that
+    # already computed a (doc_id, h) distinct-shingle frame (e.g. the
+    # minhash path derives it from its checkpointed raw-shingle base)
+    # pass ``shingles`` to skip this scan entirely.
+    if shingles is None:
+        shingles = shingle_hashes(spark, sf_dir).localCheckpoint(eager=False)
+    sh = shingles
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "h")
     b = sh.select(F.col("doc_id").alias("doc_b"), "h")
@@ -185,13 +194,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(spark, sf_dir, NGRAM_THRESHOLD)
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signatures(
+    spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None
+) -> DataFrame:
     """doc_id → MINHASH_PERMS min-hash values, one groupBy over the RAW
     shingle-hash frame: min() is insensitive to duplicate shingles, so
     the per-doc distinct shuffle is skipped — the 32 mins combine
     map-side as partial aggregates and only (docs × 32 longs) of partial
-    state crosses the wire, never the shingles themselves."""
-    sh = shingle_hashes(spark, sf_dir, distinct=False)
+    state crosses the wire, never the shingles themselves. Pass a
+    pre-computed (doc_id, h) frame via ``shingles`` to share the corpus
+    scan with other consumers."""
+    sh = shingles if shingles is not None else shingle_hashes(spark, sf_dir, distinct=False)
     aggs = [
         F.min(F.xxhash64("h", F.lit(i))).alias(f"s{i}") for i in range(MINHASH_PERMS)
     ]
@@ -215,10 +228,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     true pair at j ≥ 0.9 is missed with P ≈ 8e-4 (deterministic hashes,
     so verified-stable on the fixture data). This is the 100 TB dedup
     path — no step is pairwise over the corpus."""
-    # The band self-join reads the signature frame on both sides;
-    # checkpoint the (doc × 32 longs) frame so the shingle scan + 32-min
-    # aggregate run once, not per side.
-    sigs = minhash_signatures(spark, sf_dir).localCheckpoint(eager=False)
+    # One corpus scan for the whole query: the raw shingle base is
+    # checkpointed and feeds BOTH the signature aggregate (min() is
+    # duplicate-insensitive, so no distinct needed) and, deduped, the
+    # exact-Jaccard verification. The signature frame (docs × 32 longs)
+    # is checkpointed too since the band self-join reads it twice.
+    base = shingle_hashes(spark, sf_dir, distinct=False).localCheckpoint(eager=False)
+    sigs = minhash_signatures(spark, sf_dir, shingles=base).localCheckpoint(eager=False)
     r = MINHASH_PERMS // MINHASH_BANDS
     bands = F.array(
         *[
@@ -240,7 +256,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return jaccard_pairs(spark, sf_dir, MINHASH_THRESHOLD, candidates=candidates)
+    return jaccard_pairs(
+        spark,
+        sf_dir,
+        MINHASH_THRESHOLD,
+        candidates=candidates,
+        shingles=base.distinct().localCheckpoint(eager=False),
+    )
 
 
 EMB_DUP_THRESHOLD = 0.45  # fixture embeddings are random-ish; max pair cosine ≈ 0.51
