@@ -51,3 +51,13 @@ def test_all_oracles_parse_in_duckdb(duck):
         if sql is None:
             continue
         duck.execute(f"EXPLAIN {sql}")  # raises on invalid SQL
+
+
+def test_bad_sf_dir_raises_not_empty(spark):
+    """A missing table path must fail loudly (AnalysisException), never
+    silently return an empty frame — the failure mode that would turn a
+    misconfigured 100 TB run into a plausible-looking empty output."""
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        q.REGISTRY["wordcount"].fn(spark, "/root/testdata/sf_does_not_exist").collect()
