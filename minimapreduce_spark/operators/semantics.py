@@ -78,3 +78,37 @@ def null_semantics_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("c_p_rows"),
     )
+
+
+@register(
+    "datetime_arithmetic_showcase",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(quarter(o_orderdate) AS BIGINT)                    AS order_quarter,
+           CAST(date_diff('day', TIMESTAMP '2000-01-01', o_orderdate)
+                AS BIGINT)                                          AS days_since_y2k,
+           date_trunc('month', o_orderdate)                        AS month_start,
+           CAST(last_day(o_orderdate) AS TIMESTAMP)                AS month_end,
+           o_orderdate + INTERVAL 3 MONTH                          AS plus_quarter,
+           CAST(epoch(o_orderdate) AS BIGINT)                      AS epoch_s
+    FROM orders
+    """,
+)
+def datetime_arithmetic_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic the reference's string-only model couldn't
+    express at all: quarters, day distances, month truncation/ends,
+    calendar-aware interval addition (month-end clamping behaves the
+    same in both engines), and epoch conversion (exact under the pinned
+    UTC session). All codegen'd JVM expressions."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").cast("bigint").alias("order_quarter"),
+        F.datediff(F.col("o_orderdate"), F.lit("2000-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since_y2k"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.expr("o_orderdate + INTERVAL 3 MONTH").alias("plus_quarter"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )

@@ -195,3 +195,7 @@ def test_chunks_reconstruct_original_text(spark):
             already = len(words) - c["chunk_id"] * CHUNK_STRIDE
             words.extend(cw[already:])
         assert " ".join(words) == originals[doc_id], f"doc {doc_id} mangled"
+
+
+def test_datetime_arithmetic_matches_oracle(spark, duck):
+    run_and_compare(spark, duck, "datetime_arithmetic_showcase")
