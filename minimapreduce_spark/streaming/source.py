@@ -76,3 +76,42 @@ def run_to_memory(sdf: DataFrame, name: str, output_mode: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def run_to_parquet(
+    sdf: DataFrame, out_dir: str, checkpoint_dir: str, output_mode: str = "append"
+) -> None:
+    """Drain a streaming DataFrame into a parquet directory via
+    ``foreachBatch`` with exactly-once restart semantics.
+
+    Each micro-batch overwrites its own ``batch_id=<n>`` partition
+    directory (dynamic partition overwrite), so a batch replayed after
+    a crash-restart rewrites the same files instead of appending
+    duplicates — idempotence is the sink half of Structured Streaming's
+    exactly-once contract (the checkpoint's WAL is the source half).
+    This is the production-sink twin of ``run_to_memory``; works for
+    any output mode whose batches are self-contained (append/update).
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch_df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(out_dir)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    q = (
+        sdf.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -97,3 +97,27 @@ def test_watermark_drops_late_data(spark, tmp_path):
     hours = {r.wstart.hour: r.n for r in spark.read.parquet(out).collect()}
     assert 1 not in hours, f"late event created a window: {hours}"
     assert hours.get(10) == 1 and hours.get(11) == 1, f"finalized windows missing: {hours}"
+
+
+def test_foreachbatch_parquet_sink_exactly_once(spark, tmp_path):
+    """Drain the events stream to a parquet sink; every source row must
+    land exactly once, and a restart from the same checkpoint must not
+    duplicate anything (idempotent per-batch overwrite + WAL)."""
+    from minimapreduce_spark.catalog import load_table
+    from minimapreduce_spark.streaming.source import events_stream, run_to_parquet
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    sdf = events_stream(spark, SF_DIR).select("event_id", "user_id", "value")
+    run_to_parquet(sdf, out, ckpt)
+
+    expected = load_table(spark, SF_DIR, "events").count()
+    got = spark.read.parquet(out)
+    assert got.count() == expected
+    assert got.select("event_id").distinct().count() == expected
+
+    # Restart with the same checkpoint: source is fully consumed, so the
+    # run is a no-op — and even a replayed batch would overwrite, not
+    # append.
+    run_to_parquet(events_stream(spark, SF_DIR).select("event_id", "user_id", "value"), out, ckpt)
+    assert spark.read.parquet(out).count() == expected
