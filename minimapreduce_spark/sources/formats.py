@@ -73,3 +73,30 @@ def write_sink(
     if fmt == "csv":
         options.setdefault("header", "true")
     writer.format(fmt).options(**options).save(path)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int = 4,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Write with a range-partitioned, within-file-sorted layout.
+
+    ``repartitionByRange`` gives each output file a disjoint key range
+    and ``sortWithinPartitions`` orders rows inside it, so every parquet
+    row group carries tight min/max stats on ``sort_cols``. A reader
+    filtering on those columns then skips whole files (range pruning)
+    and whole row groups (footer stats) instead of scanning — the
+    in-file complement to hive-style directory partitioning, and the
+    difference between touching ~1/N and all of a 100 TB table for a
+    range predicate."""
+    (
+        df.repartitionByRange(n_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .format(fmt)
+        .save(path)
+    )

@@ -56,3 +56,48 @@ def test_partitioned_write_prunes(spark, nation, tmp_path):
     plan = plans.physical_plan(back)
     assert "PartitionFilters" in plan and "n_regionkey" in plan.split("PartitionFilters", 1)[1][:200]
     assert back.count() == nation.where("n_regionkey = 2").count()
+
+
+def test_sorted_write_produces_skippable_row_groups(spark, tmp_path):
+    """write_sorted must yield parquet whose row-group min/max stats on
+    the sort key are tight and non-overlapping WITHIN each file, and
+    whose files cover disjoint key ranges — the physical property that
+    lets range predicates skip data instead of scanning it."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+
+    from minimapreduce_spark.sources.formats import write_sorted
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    )
+    path = str(tmp_path / "li_sorted")
+    write_sorted(li, path, ["l_shipdate"], n_files=4)
+
+    file_ranges = []
+    for f in sorted(globmod.glob(path + "/part-*.parquet")):
+        meta = pq.ParquetFile(f).metadata
+        idx = next(
+            i for i in range(meta.num_columns)
+            if meta.row_group(0).column(i).path_in_schema == "l_shipdate"
+        )
+        groups = [
+            (meta.row_group(g).column(idx).statistics.min,
+             meta.row_group(g).column(idx).statistics.max)
+            for g in range(meta.num_row_groups)
+        ]
+        # sorted within the file: row-group ranges are ordered
+        for (lo1, hi1), (lo2, _hi2) in zip(groups, groups[1:]):
+            assert hi1 <= lo2, f"row groups overlap in {f}: {groups}"
+        file_ranges.append((groups[0][0], groups[-1][1]))
+
+    assert len(file_ranges) >= 2, "expected multiple range-partitioned files"
+    # files cover disjoint key ranges
+    file_ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(file_ranges, file_ranges[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: {file_ranges}"
+
+    # and the layout is lossless
+    back = read_source(spark, path, fmt="parquet")
+    assert back.count() == li.count()
