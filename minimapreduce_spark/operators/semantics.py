@@ -112,3 +112,55 @@ def datetime_arithmetic_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("o_orderdate + INTERVAL 3 MONTH").alias("plus_quarter"),
         F.unix_timestamp("o_orderdate").alias("epoch_s"),
     )
+
+
+@register(
+    "array_set_ops",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey AS custkey,
+             list_sort(list_distinct(list(o_orderstatus))) AS statuses
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT custkey,
+           array_to_string(statuses, ',') AS statuses,
+           -- DuckDB's array_to_string returns NULL (not '') for an
+           -- empty list; Spark's array_join returns '' — coalesce the
+           -- columns that can legitimately empty out.
+           coalesce(array_to_string(
+             list_sort(list_filter(statuses, s -> s IN ('F', 'O'))), ','), '')
+             AS inter_fo,
+           array_to_string(list_sort(list_distinct(list_concat(statuses, ['X']))), ',')
+             AS union_x,
+           coalesce(array_to_string(
+             list_sort(list_filter(statuses, s -> s <> 'P')), ','), '')
+             AS except_p
+    FROM per_cust
+    """,
+)
+def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra over collected groups: per-customer distinct
+    status sets, then intersect / union / except with literal sets —
+    the array-column manipulation layer (collect_set, array_intersect,
+    array_union, array_except, array_sort) the reference's flat
+    string-pair model had no analog for. Arrays serialize through
+    array_join so the cross-engine value hash is representation-free.
+    One shuffle: the per-customer collect_set."""
+    orders = load_table(spark, sf_dir, "orders")
+    statuses = F.array_sort(F.collect_set("o_orderstatus"))
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        statuses.alias("statuses")
+    )
+    return per_cust.select(
+        "custkey",
+        F.array_join("statuses", ",").alias("statuses"),
+        F.array_join(
+            F.array_sort(F.array_intersect("statuses", F.array(F.lit("F"), F.lit("O")))), ","
+        ).alias("inter_fo"),
+        F.array_join(
+            F.array_sort(F.array_union("statuses", F.array(F.lit("X")))), ","
+        ).alias("union_x"),
+        F.array_join(
+            F.array_sort(F.array_except("statuses", F.array(F.lit("P")))), ","
+        ).alias("except_p"),
+    )

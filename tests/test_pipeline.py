@@ -199,3 +199,7 @@ def test_chunks_reconstruct_original_text(spark):
 
 def test_datetime_arithmetic_matches_oracle(spark, duck):
     run_and_compare(spark, duck, "datetime_arithmetic_showcase")
+
+
+def test_array_set_ops_matches_oracle(spark, duck):
+    run_and_compare(spark, duck, "array_set_ops")
