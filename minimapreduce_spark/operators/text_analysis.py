@@ -366,3 +366,82 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(neg_logprob), 4).alias("avg_neg_logprob"),
         )
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("spark", "table", "query")
+BM25_TOPK = 20
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    doclen AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM doclen
+    ),
+    tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM toks
+      WHERE word IN {BM25_TERMS!r}
+      GROUP BY doc_id, word
+    ),
+    df AS (
+      SELECT word, count(*) AS df FROM tf GROUP BY word
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(
+               ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+               tf * ({BM25_K1} + 1) /
+               (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
+             ) AS score
+      FROM tf
+      JOIN df USING (word)
+      JOIN doclen USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 4) AS score
+    FROM scored
+    ORDER BY round(score, 4) DESC, doc_id
+    LIMIT {BM25_TOPK}
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the corpus for a fixed term set — the
+    dataset-curation search primitive (find documents about X in a
+    100 TB corpus). Everything is aggregation algebra: doc lengths and
+    corpus stats are 1-row/broadcastable aggregates, term frequencies
+    shuffle on (doc, word), and the final top-k orders by the ROUNDED
+    score with doc_id tiebreak so ranking is identical across engines
+    (raw ln() differs in the last ulp). No Python in the plan."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = doclen.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs"))
+    tf = (
+        toks.where(F.col("word").isin(*BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_part = (
+        F.col("tf") * (BM25_K1 + 1)
+        / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tf_part).alias("score"))
+        .select("doc_id", F.round("score", 4).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_TOPK)

@@ -19,3 +19,22 @@ def test_wordcount_nonempty_and_schema(spark):
     df = q.queries()["wordcount"](spark, "/root/testdata/sf0.001")
     assert df.columns == ["word", "cnt"]
     assert df.count() > 0
+
+
+def test_bm25_matches_oracle(spark, duck):
+    from tests.conftest import run_and_compare
+
+    run_and_compare(spark, duck, "text_bm25_topk")
+
+
+def test_bm25_scores_positive_and_ranked(spark):
+    import os
+
+    from minimapreduce_spark.registry import REGISTRY
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    rows = REGISTRY["text_bm25_topk"].fn(spark, sf).collect()
+    assert rows, "BM25 returned no hits"
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
