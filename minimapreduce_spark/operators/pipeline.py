@@ -527,3 +527,107 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("sum_e6") / 1_000_000.0).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline evaluation + quality-weighted sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "langid_confusion_matrix",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+        len(list_filter(ws, w -> w IN ('the','a','and','of')))  * 1.0 / len(ws) AS r_en,
+        len(list_filter(ws, w -> w IN ('der','die','das','und'))) * 1.0 / len(ws) AS r_de,
+        len(list_filter(ws, w -> w IN ('le','la','les','et')))  * 1.0 / len(ws) AS r_fr,
+        len(list_filter(ws, w -> w IN ('el','los','las','y')))  * 1.0 / len(ws) AS r_es
+      FROM toks WHERE len(ws) > 0
+    ),
+    pred AS (
+      SELECT lang AS actual_lang,
+             CASE WHEN r_en >= greatest(r_de, r_fr, r_es) AND r_en > 0 THEN 'en'
+                  WHEN r_de >= greatest(r_fr, r_es) AND r_de > 0 THEN 'de'
+                  WHEN r_fr >= r_es AND r_fr > 0 THEN 'fr'
+                  WHEN r_es > 0 THEN 'es'
+                  ELSE 'und' END AS predicted_lang
+      FROM scored
+    )
+    SELECT actual_lang, predicted_lang, count(*) AS n_docs
+    FROM pred GROUP BY actual_lang, predicted_lang
+    """,
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation rollup: actual × predicted language counts
+    from the text_langid heuristic — the accuracy-audit query every
+    labeling stage of a data pipeline needs. Reuses the registered
+    langid plan and adds one small-domain aggregate."""
+    from minimapreduce_spark.registry import REGISTRY
+
+    pred = REGISTRY["text_langid"].fn(spark, sf_dir)
+    return pred.groupBy("actual_lang", "predicted_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+@register(
+    "sample_quality_weighted",
+    oracle="""
+    WITH per_doc AS (
+      SELECT doc_id,
+             CAST(count(DISTINCT word) AS BIGINT) * 1.0
+               / CAST(count(*) AS BIGINT) AS distinct_ratio
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.lang,
+           CASE WHEN p.distinct_ratio >= 0.5  THEN 'high'
+                WHEN p.distinct_ratio >= 0.35 THEN 'mid'
+                ELSE 'low' END AS quality_bucket
+    FROM documents d JOIN per_doc p USING (doc_id)
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) <
+          CASE WHEN p.distinct_ratio >= 0.5  THEN 'cd'
+               WHEN p.distinct_ratio >= 0.35 THEN '67'
+               ELSE '1a' END
+    """,
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted mix sampling: keep-probability rises with the
+    document's repetition-quality score (~80 % of high-quality docs,
+    ~40 % mid, ~10 % low) — the pretraining-mix upsampling step, fully
+    deterministic via the portable content hash, so re-running the mix
+    at any cluster size selects the same documents. The ratio is an
+    int/int division, so bucket boundaries never flip between
+    engines."""
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.countDistinct("word").cast("bigint") * 1.0
+                / F.count("*").cast("bigint")
+            ).alias("distinct_ratio")
+        )
+    )
+    joined = docs.select("doc_id", "lang").join(per_doc, "doc_id")
+    bucket = (
+        F.when(F.col("distinct_ratio") >= 0.5, "high")
+        .when(F.col("distinct_ratio") >= 0.35, "mid")
+        .otherwise("low")
+    )
+    thresh = (
+        F.when(F.col("distinct_ratio") >= 0.5, "cd")
+        .when(F.col("distinct_ratio") >= 0.35, "67")
+        .otherwise("1a")
+    )
+    return (
+        joined.where(_hash2(F.col("doc_id")) < thresh)
+        .select("doc_id", "lang", bucket.alias("quality_bucket"))
+    )

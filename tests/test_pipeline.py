@@ -203,3 +203,8 @@ def test_datetime_arithmetic_matches_oracle(spark, duck):
 
 def test_array_set_ops_matches_oracle(spark, duck):
     run_and_compare(spark, duck, "array_set_ops")
+
+
+@pytest.mark.parametrize("name", ["langid_confusion_matrix", "sample_quality_weighted"])
+def test_phase4_matches_oracle(spark, duck, name):
+    run_and_compare(spark, duck, name)
