@@ -208,3 +208,7 @@ def test_array_set_ops_matches_oracle(spark, duck):
 @pytest.mark.parametrize("name", ["langid_confusion_matrix", "sample_quality_weighted"])
 def test_phase4_matches_oracle(spark, duck, name):
     run_and_compare(spark, duck, name)
+
+
+def test_decimal_exact_revenue_matches_oracle(spark, duck):
+    run_and_compare(spark, duck, "decimal_exact_revenue")
