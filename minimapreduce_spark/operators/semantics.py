@@ -196,3 +196,108 @@ def decimal_exact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
         F.count("*").alias("n_rows"),
     )
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+    SELECT coalesce(o_orderpriority, '<all>') AS priority,
+           coalesce(o_orderstatus, '<all>')   AS status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT)   AS g_status,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() flags: subtotal rows are distinguishable
+    from genuine NULL group keys — the metadata that makes rollup
+    results safely machine-consumable. The flags come from the same
+    Expand operator as the rollup itself; no extra pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            "g_priority",
+            "g_status",
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "agg_filter_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                                          AS n_all,
+           count(*) FILTER (WHERE o_orderstatus = 'F')       AS n_finished,
+           count(*) FILTER (WHERE o_totalprice > 300000)     AS n_large,
+           CAST(sum(round(o_totalprice * 100)::BIGINT)
+                FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS open_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate FILTER clauses — per-aggregate predicates in one pass
+    (the SQL-standard form of conditional aggregation; Catalyst plans
+    it identically to CASE-WHEN inputs, one scan + one hash agg)."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("filter_clause_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*)                                            AS n_all,
+               count(*) FILTER (WHERE o_orderstatus = 'F')         AS n_finished,
+               count(*) FILTER (WHERE o_totalprice > 300000)       AS n_large,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    FILTER (WHERE o_orderstatus = 'O') AS BIGINT)  AS open_cents
+        FROM filter_clause_orders
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "window_first_last_nth",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           )                              AS last_order,
+           nth_value(o_orderkey, 2) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           )                              AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The value-window family (first_value / last_value / nth_value):
+    each customer's first, last, and second order. last/nth need the
+    full-partition frame (the default frame stops at CURRENT ROW —
+    the classic last_value gotcha); ordering carries an o_orderkey
+    tiebreak so results are deterministic."""
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(wfull).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_order"),
+    )

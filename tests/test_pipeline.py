@@ -212,3 +212,10 @@ def test_phase4_matches_oracle(spark, duck, name):
 
 def test_decimal_exact_revenue_matches_oracle(spark, duck):
     run_and_compare(spark, duck, "decimal_exact_revenue")
+
+
+@pytest.mark.parametrize(
+    "name", ["agg_grouping_id", "agg_filter_clause", "window_first_last_nth"]
+)
+def test_phase5_matches_oracle(spark, duck, name):
+    run_and_compare(spark, duck, name)
