@@ -301,3 +301,108 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(wfull).alias("last_order"),
         F.nth_value("o_orderkey", 2).over(wfull).alias("second_order"),
     )
+
+
+@register(
+    "lateral_top2_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice
+    FROM customer,
+    LATERAL (
+      SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+      FROM orders
+      WHERE o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    )
+    WHERE c_nationkey = 7
+    """,
+)
+def lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — each customer's two largest
+    orders via a per-row dependent subquery (the SQL-standard spelling
+    of per-group top-k; Catalyst rewrites it into the same
+    window/rank plan as the explicit form, so there's no
+    nested-loop execution)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, o_orderkey, o_totalprice
+        FROM lat_customer,
+        LATERAL (
+          SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+          FROM lat_orders
+          WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        )
+        WHERE c_nationkey = 7
+        """
+    )
+
+
+@register(
+    "set_ops_multiset",
+    oracle="""
+    SELECT status, cnt FROM (
+      SELECT 'except_all' AS tag, o_orderstatus AS status, count(*) AS cnt FROM (
+        SELECT o_orderstatus FROM orders WHERE o_orderpriority <> '5-LOW'
+        EXCEPT ALL
+        SELECT o_orderstatus FROM orders WHERE o_totalprice > 250000
+      ) GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'intersect_all', o_orderstatus, count(*) FROM (
+        SELECT o_orderstatus FROM orders WHERE o_orderpriority <> '5-LOW'
+        INTERSECT ALL
+        SELECT o_orderstatus FROM orders WHERE o_totalprice > 250000
+      ) GROUP BY o_orderstatus
+    )
+    """,
+)
+def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — EXCEPT ALL / INTERSECT ALL keep
+    duplicate cardinalities (|A⧵B| = max(count_A − count_B, 0) per
+    value), unlike the distinct-set variants in set_ops_customers.
+    Rolled up to counts so the result is order-free."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderpriority") != "5-LOW").select("o_orderstatus")
+    b = orders.where(F.col("o_totalprice") > 250000).select("o_orderstatus")
+    ex = (
+        a.exceptAll(b)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("o_orderstatus").alias("status"), "cnt")
+    )
+    inter = (
+        a.intersectAll(b)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("o_orderstatus").alias("status"), "cnt")
+    )
+    return ex.unionByName(inter)
+
+
+@register(
+    "page_orders_offset",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS total_price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50 OFFSET 100
+    """,
+)
+def page_orders_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-free pagination: global ORDER BY with LIMIT/OFFSET (rows
+    101–150 of the price leaderboard). The o_orderkey tiebreak makes
+    the page deterministic; prices are 2-decimal doubles, so the sort
+    compares identical values in both engines. (At 100 TB, deep OFFSET
+    pages degrade — a keyset predicate is the scale path; this pins the
+    semantics of the SQL construct itself.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
+        .offset(100)
+        .limit(50)
+    )

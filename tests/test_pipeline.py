@@ -219,3 +219,10 @@ def test_decimal_exact_revenue_matches_oracle(spark, duck):
 )
 def test_phase5_matches_oracle(spark, duck, name):
     run_and_compare(spark, duck, name)
+
+
+@pytest.mark.parametrize(
+    "name", ["lateral_top2_orders", "set_ops_multiset", "page_orders_offset"]
+)
+def test_phase6_matches_oracle(spark, duck, name):
+    run_and_compare(spark, duck, name)
