@@ -631,3 +631,48 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.where(_hash2(F.col("doc_id")) < thresh)
         .select("doc_id", "lang", bucket.alias("quality_bucket"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity resolution (blocked edit-distance join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fuzzy_join_blocked",
+    oracle="""
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+    FROM customer a
+    JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_custkey // 100 = b.c_custkey // 100
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def fuzzy_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocked fuzzy join: candidate pairs come
+    from equality on a blocking key (nation + custkey bucket) so the
+    edit-distance predicate runs on O(block²) pairs, never corpus² —
+    the standard record-linkage shape (blocking → pairwise scorer →
+    threshold). levenshtein is a codegen'd JVM function; the join
+    itself is a plain hash join on the block key."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", (F.col("c_custkey") / 100).cast("bigint").alias("blk")
+    )
+    a = cust.select(
+        F.col("c_custkey").alias("cust_a"), F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nat_a"), F.col("blk").alias("blk_a"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("cust_b"), F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nat_b"), F.col("blk").alias("blk_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, (F.col("nat_a") == F.col("nat_b")) & (F.col("blk_a") == F.col("blk_b")))
+        .where(F.col("cust_a") < F.col("cust_b"))
+        .where(dist <= 2)
+        .select("cust_a", "cust_b", dist.cast("bigint").alias("edit_dist"))
+    )

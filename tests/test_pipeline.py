@@ -226,3 +226,7 @@ def test_phase5_matches_oracle(spark, duck, name):
 )
 def test_phase6_matches_oracle(spark, duck, name):
     run_and_compare(spark, duck, name)
+
+
+def test_fuzzy_join_blocked_matches_oracle(spark, duck):
+    run_and_compare(spark, duck, "fuzzy_join_blocked")
