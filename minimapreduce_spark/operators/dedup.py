@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from minimapreduce_spark.catalog import fan_out, load_table
 from minimapreduce_spark.registry import register
@@ -576,3 +577,88 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.unpersist()
     return out
+
+
+SPAN_K = 10  # repeated-span window length, in tokens (Lee et al. use 50; scaled to the fixture's ~50-token docs)
+
+_SPAN_ORACLE = f"""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    pos AS (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i FROM words),
+    sp AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+{SPAN_K - 1}], ' ') AS span
+      FROM pos WHERE i <= len(ws) - {SPAN_K - 1}
+    ),
+    stats AS (
+      SELECT doc_id, span,
+             count(*)    OVER (PARTITION BY span) AS n_docs,
+             min(doc_id) OVER (PARTITION BY span) AS first_doc
+      FROM sp
+    )
+    SELECT doc_id,
+           count(*)                                         AS n_spans,
+           count(*) FILTER (WHERE n_docs >= 2)              AS n_shared,
+           count(*) FILTER (WHERE first_doc < doc_id)       AS n_copied,
+           round(count(*) FILTER (WHERE n_docs >= 2) * 1.0 / count(*), 6) AS shared_ratio
+    FROM stats
+    GROUP BY doc_id
+"""
+
+
+@register("dedup_span_repeats", oracle=_SPAN_ORACLE)
+def dedup_span_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span detection — the exact-substring dedup
+    of Lee et al. ("Deduplicating Training Data Makes Language Models
+    Better"), token-window variant: every 10-token window of every doc,
+    flagged when the identical window also appears in another document.
+
+    Per doc: distinct window count, how many windows are shared with any
+    other doc, how many were "copied" (same span exists in a lower
+    doc_id — the occurrence exact-substring dedup would cut), and the
+    shared ratio.
+
+    Scale posture: windows stay (doc_id, span) pairs — one shuffle
+    partitioned by span for the window stats (count/min over the span
+    partition: single pass, no groupBy-then-join-back re-scan of the
+    shingle derivation), one partial+final agg by doc_id. At 100 TB the
+    span strings would be xxhashed before the shuffle (~10× less IO), as
+    dedup_ngram_jaccard does; kept as strings here because the oracle
+    must share the exact key. No reference analog (the reference's
+    closest surface is the wc/indexer word-level apps,
+    mrapps/indexer.go:15-30).
+    """
+    docs = _docs(spark, sf_dir)
+    ws = F.filter(F.split("text", r"[^A-Za-z]+"), lambda w: w != "")
+    spans = (
+        docs.select("doc_id", ws.alias("ws"))
+        .where(F.size("ws") >= SPAN_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ws") - (SPAN_K - 1)),
+                        lambda i: F.concat_ws(" ", F.slice("ws", i, SPAN_K)),
+                    )
+                )
+            ).alias("span"),
+        )
+    )
+    by_span = W.partitionBy("span")
+    stats = spans.select(
+        "doc_id",
+        F.count("*").over(by_span).alias("n_docs"),
+        F.min("doc_id").over(by_span).alias("first_doc"),
+    )
+    n_shared = F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+    return stats.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        n_shared.cast("bigint").alias("n_shared"),
+        F.sum(F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_copied"),
+        F.round(n_shared * F.lit(1.0) / F.count("*"), 6).alias("shared_ratio"),
+    )

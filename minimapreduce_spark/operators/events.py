@@ -363,3 +363,148 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.last("av", ignorenulls=True).over(locf).alias("value_locf"),
     )
+
+
+FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH w1 AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events
+    ),
+    w2 AS (
+      SELECT *, min(CASE WHEN event_type = 'view' AND ts > t1 THEN ts END)
+               OVER (PARTITION BY user_id) AS t2 FROM w1
+    ),
+    w3 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts > t2 THEN ts END)
+               OVER (PARTITION BY user_id) AS t3 FROM w2
+    ),
+    w4 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t3 THEN ts END)
+               OVER (PARTITION BY user_id) AS t4 FROM w3
+    ),
+    per_user AS (
+      SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3, max(t4) AS t4
+      FROM w4 GROUP BY user_id
+    )
+    SELECT count(t1)                                   AS n_signup,
+           count(t2)                                   AS n_view,
+           count(t3)                                   AS n_click,
+           count(t4)                                   AS n_purchase,
+           round(count(t4) * 1.0 / count(t1), 6)       AS conversion
+    FROM per_user
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: how many users signup, then view AFTER
+    the signup, then click AFTER that view, then purchase AFTER that
+    click — the sequential-pattern query behind every product-analytics
+    dashboard (strict event ordering, not mere co-occurrence).
+
+    The cascade t1 → t2 → t3 → t4 is four window expressions over ONE
+    user_id partition: Spark plans a single sort+window stage (one
+    shuffle on user_id), then a per-user agg and a tiny global rollup —
+    no per-stage join cascade (the naive plan is 4 self-joins = 4 fact
+    shuffles). Counts are integers and the final ratio is int/int, so
+    the DuckDB hash matches exactly. No reference analog; nearest shape
+    is the reduce-side grouping of mr/worker.go:114-130.
+    """
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
+    by_user = W.partitionBy("user_id")
+
+    def first_after(stage: str, prev):
+        cond = F.col("event_type") == stage
+        if prev is not None:
+            cond = cond & (F.col("ts") > F.col(prev))
+        return F.min(F.when(cond, F.col("ts"))).over(by_user)
+
+    staged = (
+        ev.withColumn("t1", first_after("signup", None))
+        .withColumn("t2", first_after("view", "t1"))
+        .withColumn("t3", first_after("click", "t2"))
+        .withColumn("t4", first_after("purchase", "t3"))
+    )
+    per_user = staged.groupBy("user_id").agg(
+        *[F.max(t).alias(t) for t in ("t1", "t2", "t3", "t4")]
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_view"),
+        F.count("t3").alias("n_click"),
+        F.count("t4").alias("n_purchase"),
+        F.round(F.count("t4") * F.lit(1.0) / F.count("t1"), 6).alias("conversion"),
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             date_diff('day', f.cohort_week,
+                       date_trunc('week', e.ts)) // 7 AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    ),
+    counts AS (
+      SELECT cohort_week, week_offset, count(*) AS n_active
+      FROM activity GROUP BY cohort_week, week_offset
+    )
+    SELECT cohort_week, week_offset, n_active,
+           max(CASE WHEN week_offset = 0 THEN n_active END)
+             OVER (PARTITION BY cohort_week) AS cohort_size,
+           round(n_active * 1.0 /
+                 max(CASE WHEN week_offset = 0 THEN n_active END)
+                   OVER (PARTITION BY cohort_week), 6) AS retention
+    FROM counts
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by the week of
+    their first event; for each (cohort_week, week_offset) the count of
+    cohort members active that week and the retention ratio vs the
+    cohort's week 0.
+
+    Plan: one shuffle on user_id computes the cohort assignment as a
+    window-min (no agg+join-back re-scan of events), a distinct on
+    (user, cohort, offset), a partial+final count, and the cohort_size
+    denominator as a window over the tiny counts frame. week_offset is
+    day-difference DIV 7 (integer), retention int/int — hash-exact vs
+    DuckDB. Both engines truncate weeks to ISO Monday.
+    """
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    by_user = W.partitionBy("user_id")
+    with_cohort = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).alias("week"),
+        F.date_trunc("week", F.min("ts").over(by_user)).alias("cohort_week"),
+    )
+    activity = with_cohort.select(
+        "user_id",
+        "cohort_week",
+        (F.datediff("week", "cohort_week") / F.lit(7)).cast("bigint").alias("week_offset"),
+    ).distinct()
+    counts = activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_active")
+    )
+    by_cohort = W.partitionBy("cohort_week")
+    cohort_size = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_active"))
+    ).over(by_cohort)
+    return counts.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        cohort_size.alias("cohort_size"),
+        F.round(F.col("n_active") * F.lit(1.0) / cohort_size, 6).alias("retention"),
+    )

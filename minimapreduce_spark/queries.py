@@ -22,6 +22,7 @@ _OPERATOR_MODULES = [
     "minimapreduce_spark.operators.scale",
     "minimapreduce_spark.operators.pipeline",
     "minimapreduce_spark.operators.semantics",
+    "minimapreduce_spark.operators.graph",
     "minimapreduce_spark.streaming.windows",
     "minimapreduce_spark.streaming.dedup_join",
     "minimapreduce_spark.streaming.stateful",

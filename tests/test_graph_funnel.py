@@ -1,0 +1,54 @@
+"""Semantic invariants for the iterative-graph, funnel, retention, and
+repeated-span operators (the oracle hash check is the driver's; these
+pin the properties that must survive refactors)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from minimapreduce_spark.operators.graph import SCALE, pagerank_nation_trade
+from minimapreduce_spark.operators.events import (
+    events_funnel_conversion,
+    events_retention_cohorts,
+)
+from minimapreduce_spark.operators.dedup import dedup_span_repeats
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_pagerank_mass_and_positivity(spark):
+    rows = pagerank_nation_trade(spark, SF_DIR).collect()
+    assert len(rows) == 25
+    total = sum(r.rank_e12 for r in rows)
+    # Total mass ≤ 1.0 (dangling/leak loses mass, integer DIV truncates
+    # down) but must stay close — the loop is wired wrong if not.
+    assert 0.5 * SCALE < total <= SCALE
+    assert all(r.rank_e12 > 0 for r in rows)
+
+
+def test_funnel_counts_monotone(spark):
+    row = events_funnel_conversion(spark, SF_DIR).collect()[0]
+    assert row.n_signup >= row.n_view >= row.n_click >= row.n_purchase >= 0
+    assert 0.0 <= row.conversion <= 1.0
+
+
+def test_retention_week0_is_full(spark):
+    rows = events_retention_cohorts(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_active <= r.cohort_size
+        if r.week_offset == 0:
+            assert r.retention == pytest.approx(1.0)
+        assert r.week_offset >= 0
+
+
+def test_span_repeats_bounds(spark):
+    df = dedup_span_repeats(spark, SF_DIR)
+    bad = df.where(
+        (F.col("n_shared") > F.col("n_spans"))
+        | (F.col("n_copied") > F.col("n_shared"))
+        | (F.col("shared_ratio") < 0)
+        | (F.col("shared_ratio") > 1)
+    ).count()
+    assert bad == 0
