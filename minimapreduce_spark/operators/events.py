@@ -508,3 +508,95 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         cohort_size.alias("cohort_size"),
         F.round(F.col("n_active") * F.lit(1.0) / cohort_size, 6).alias("retention"),
     )
+
+
+@register(
+    "events_rolling_zscore",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 10000) AS BIGINT) AS vc,
+             count(*) OVER w AS n,
+             sum(CAST(round(value * 10000) AS BIGINT)) OVER w AS s,
+             sum(CAST(round(value * 10000) AS BIGINT)
+                 * CAST(round(value * 10000) AS BIGINT)) OVER w AS ssq
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+      SELECT user_id, ts, event_id, vc, n,
+             CAST(s AS DOUBLE) / n AS mean,
+             sqrt(greatest(
+               (CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+               / (n - 1), 0)) AS std
+      FROM v WHERE n >= 5
+    )
+    SELECT user_id, ts, event_id,
+           round(vc / 10000.0, 4)                      AS value,
+           round(mean / 10000.0, 4)                    AS window_mean,
+           round((CAST(vc AS DOUBLE) - mean) / std, 4) AS zscore
+    FROM z
+    WHERE std > 0 AND abs((CAST(vc AS DOUBLE) - mean) / std) > 2
+    """,
+)
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window anomaly detection: each event's value z-scored
+    against that user's trailing window of the 10 PRIOR events (the
+    event itself excluded — no self-contamination); emit events more
+    than 2σ from their own recent history.
+
+    Cross-engine determinism for a *float* statistic: values are first
+    fixed-pointed to exact BIGINT ten-thousandths, the window sum and
+    sum-of-squares accumulate as integers (order-independent, exact),
+    and only then does ONE double conversion + identical IEEE expression
+    shape on both engines produce mean/std/z — so even sqrt and division
+    are bit-identical. The generic trick for shipping any
+    variance-family metric through the repr-hash oracle gate; see also
+    tpch_rest._exact_sum.
+
+    Scale posture: one shuffle on user_id, one sort per partition, O(1)
+    state per row (running count/sum/sumsq over a bounded ROWS frame).
+    At 100 TB this is the canonical telemetry-anomaly scan: perfectly
+    parallel across users, no driver state, no joins. No reference
+    analog (§2c window functions are absent there).
+    """
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    vc = F.round(F.col("value") * 10000).cast("bigint")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    staged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        vc.alias("vc"),
+        F.count("value").over(w).alias("n"),
+        F.sum(vc).over(w).alias("s"),
+        F.sum(vc * vc).over(w).alias("ssq"),
+    ).where(F.col("n") >= 5)
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("ssq").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    zed = staged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "vc",
+        mean.alias("mean"),
+        std.alias("std"),
+    )
+    z = (F.col("vc").cast("double") - F.col("mean")) / F.col("std")
+    return zed.where((F.col("std") > 0) & (F.abs(z) > 2)).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("vc") / 10000.0, 4).alias("value"),
+        F.round(F.col("mean") / 10000.0, 4).alias("window_mean"),
+        F.round(z, 4).alias("zscore"),
+    )

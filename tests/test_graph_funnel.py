@@ -52,3 +52,11 @@ def test_span_repeats_bounds(spark):
         | (F.col("shared_ratio") > 1)
     ).count()
     assert bad == 0
+
+
+def test_rolling_zscore_flags_only_outliers(spark):
+    from minimapreduce_spark.operators.events import events_rolling_zscore
+
+    rows = events_rolling_zscore(spark, SF_DIR).collect()
+    assert rows
+    assert all(abs(r.zscore) > 2 for r in rows)

@@ -63,6 +63,14 @@ def test_no_accidental_cross_products(spark):
         ("events_sessionization", 1),
         # as-of join: union + window = one shuffle on user_id
         ("events_asof_join", 1),
+        # funnel: 4 cascaded window mins + per-user agg + global rollup
+        # all reuse ONE user_id shuffle
+        ("events_funnel_conversion", 1),
+        # span stats window on span + final agg by doc_id (fan_out's
+        # round-robin exchange happens before the derivation)
+        ("dedup_span_repeats", 2),
+        # cohort window on user_id, count agg, cohort_size window
+        ("events_retention_cohorts", 3),
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
