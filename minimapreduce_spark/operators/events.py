@@ -511,6 +511,63 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH touched AS (
+      SELECT user_id, event_id, event_type, value,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      FROM events
+    )
+    SELECT coalesce(touch, 'direct') AS channel,
+           count(*) AS n_purchases,
+           round(sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0, 2)
+             AS attributed_value
+    FROM touched
+    WHERE event_type = 'purchase'
+    GROUP BY coalesce(touch, 'direct')
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the most recent preceding view/click by the same user (any earlier
+    event wins over none — purchases with no prior touch are 'direct'),
+    then revenue rolls up per attributed channel.
+
+    One window pass (running last-non-null touch over each user's
+    timeline) + one small agg — the same single user_id shuffle as
+    sessionization. The running carry-forward is O(1) state per row, so
+    the plan is a linear scan at any scale; no self-join of purchases
+    against touches (the naive formulation, which is O(n²) per user).
+    Purchase values sum as exact fixed-point BIGINT so the per-channel
+    totals hash-match DuckDB bit-for-bit.
+    """
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type", "value")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin("view", "click"), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select("user_id", "event_id", "event_type", "value", touch.alias("touch"))
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(
+                F.sum(F.round(F.col("value") * 10000).cast("long")) / 10000.0, 2
+            ).alias("attributed_value"),
+        )
+    )
+
+
+@register(
     "events_rolling_zscore",
     oracle="""
     WITH v AS (

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from minimapreduce_spark.catalog import load_table
 from minimapreduce_spark.registry import register
@@ -287,6 +288,45 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("update")
             .alias("action"),
         )
+    )
+
+
+@register(
+    "dedup_keep_latest",
+    oracle="""
+    SELECT user_id, event_type, ts, event_id, value
+    FROM (
+      SELECT user_id, event_type, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-version-per-key dedup: of all events a user emitted
+    of a given type, retain only the most recent (ties broken by
+    event_id so the winner is deterministic). The CDC-compaction /
+    snapshot-from-changelog primitive — distinct from merge_upsert
+    (which folds a delta into a base) and from dedup_exact (which keys
+    on content).
+
+    row_number over (key ORDER BY ts DESC) + rn=1 filter is one shuffle
+    on the key and streams each group without materializing it; at
+    100 TB this beats groupBy(max(ts)) + self-join (two shuffles and a
+    join) and is skew-safe to the size of the largest single key group.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
     )
 
 

@@ -203,6 +203,65 @@ def agg_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_bloom_pruned_revenue",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(CAST(round(l_extendedprice * 10000) AS BIGINT)) / 10000.0, 2)
+             AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_orderkey
+    """,
+)
+def join_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning: per-order lineitem revenue for
+    urgent orders, shaped so Catalyst's InjectRuntimeFilter rewrites the
+    fact side to ``might_contain(bloom_filter_agg(o_orderkey), ...)`` —
+    the selective dim predicate prunes lineitem rows BEFORE the
+    aggregation shuffle, not after the join.
+
+    At 100 TB this is the difference between shuffling the whole fact
+    table and shuffling the ~20% that can possibly match: the bloom
+    filter (a few MB of bits) ships to every scan task, while the
+    default thresholds (application side > 10 GB, creation side <
+    100 MB) ensure the rewrite only fires when it pays. Locally the
+    application-side threshold is dropped for the duration of plan
+    optimization (the QueryExecution caches the injected plan; the
+    session conf is restored before returning) so the plan shape is
+    testable at sf0.01 — asserted in tests/test_plans.py.
+
+    The merge hint pins the dim side to a shuffle join: broadcast would
+    also be correct (and AQE may pick it at this scale), but the bloom
+    pattern under test only applies to shuffle joins.
+    """
+    key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    rev = li.groupBy("l_orderkey").agg(
+        (F.sum(F.round(F.col("l_extendedprice") * 10000).cast("long")) / 10000.0).alias(
+            "_rev"
+        )
+    )
+    df = rev.join(o.hint("merge"), rev.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", F.round("_rev", 2).alias("revenue")
+    )
+    old = spark.conf.get(key)
+    spark.conf.set(key, "1KB")
+    try:
+        # Force optimization NOW so the injected bloom plan is cached in
+        # this DataFrame's QueryExecution, then restore the threshold so
+        # other queries in the session keep the at-scale default.
+        df._jdf.queryExecution().optimizedPlan()
+    finally:
+        spark.conf.set(key, old)
+    return df
+
+
 def write_bucketed(
     df: DataFrame, table: str, bucket_col: str, n_buckets: int = 8
 ) -> None:

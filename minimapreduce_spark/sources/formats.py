@@ -7,6 +7,9 @@ enforcement, and scale-relevant options live here.
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
@@ -100,3 +103,33 @@ def write_sorted(
         .format(fmt)
         .save(path)
     )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """Compact a directory of many small parquet files into ~target-size
+    ones; returns the output file count.
+
+    The small-files problem is the silent killer of 100 TB tables:
+    every file costs a scan task, a footer read, and a catalog entry,
+    so a table of 10 KB files is bottlenecked on task scheduling, not
+    IO. Compaction sizes the output from the actual input bytes and
+    uses ``coalesce`` — a narrow, shuffle-free merge of input splits
+    into fewer tasks — so rewriting N small files moves each byte
+    exactly once. (Trade-off vs ``repartition``: coalesce preserves
+    input clustering per merged group but not a global balance; for a
+    strict size/sort layout use write_sorted instead.)
+    """
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(in_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(in_dir).coalesce(n_files).write.mode("overwrite").parquet(out_dir)
+    return n_files

@@ -13,6 +13,7 @@ QUERIES = [
     "text_pii_scrub",
     "text_quality_repetition",
     "merge_upsert_customers",
+    "dedup_keep_latest",
     "percentile_quantity",
     "histogram_order_prices",
 ]
@@ -230,3 +231,22 @@ def test_phase6_matches_oracle(spark, duck, name):
 
 def test_fuzzy_join_blocked_matches_oracle(spark, duck):
     run_and_compare(spark, duck, "fuzzy_join_blocked")
+
+
+def test_keep_latest_is_per_key_max(spark):
+    """Exactly one survivor per (user_id, event_type), and it carries
+    that key's maximum timestamp."""
+    from pyspark.sql import functions as F
+
+    from minimapreduce_spark.catalog import load_table
+    from minimapreduce_spark.registry import REGISTRY
+
+    kept = REGISTRY["dedup_keep_latest"].fn(spark, SF_DIR)
+    assert kept.groupBy("user_id", "event_type").count().where("count > 1").count() == 0
+    maxes = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.max("ts").alias("max_ts"))
+    )
+    stale = kept.join(maxes, ["user_id", "event_type"]).where("ts <> max_ts")
+    assert stale.count() == 0

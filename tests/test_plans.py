@@ -146,3 +146,17 @@ def test_pipeline_projections_never_shuffle(spark, name):
 def test_pipeline_shuffle_budget(spark, name, max_exchanges):
     n = plans.count_exchanges(_df(spark, name))
     assert n <= max_exchanges, f"{name}: {n} shuffles > budget {max_exchanges}"
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """The bloom-pruned join must actually carry the injected runtime
+    filter (might_contain over a bloom_filter_agg subquery) on the fact
+    side, and building it must leave the session's at-scale threshold
+    untouched."""
+    df = _df(spark, "join_bloom_pruned_revenue")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in plan and "bloom_filter_agg" in plan
+    thr = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    assert thr == "10737418240b", f"session threshold leaked: {thr}"

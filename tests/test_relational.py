@@ -28,6 +28,7 @@ RELATIONAL = [
     "agg_salted_skew",
     "join_salted_suppliers",
     "agg_grouping_sets",
+    "join_bloom_pruned_revenue",
 ]
 
 EVENTS = [
@@ -38,6 +39,7 @@ EVENTS = [
     "events_asof_join",
     "events_range_join",
     "events_resample_gapfill",
+    "events_attribution_last_touch",
 ]
 
 

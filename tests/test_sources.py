@@ -101,3 +101,26 @@ def test_sorted_write_produces_skippable_row_groups(spark, tmp_path):
     # and the layout is lossless
     back = read_source(spark, path, fmt="parquet")
     assert back.count() == li.count()
+
+
+def test_compact_small_files(spark, tmp_path):
+    """64 tiny files in, a handful out, zero rows lost — and the output
+    file count is derived from real input bytes, not guessed."""
+    import glob as globmod
+
+    from minimapreduce_spark.sources.formats import compact_small_files
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    small = str(tmp_path / "small")
+    li.repartition(64).write.parquet(small)
+    assert len(globmod.glob(small + "/part-*.parquet")) == 64
+
+    compacted = str(tmp_path / "compacted")
+    n = compact_small_files(spark, small, compacted, target_file_bytes=1 << 20)
+    files = globmod.glob(compacted + "/part-*.parquet")
+    assert len(files) <= n < 64
+    back = spark.read.parquet(compacted)
+    assert back.count() == li.count()
+    assert back.agg(F.sum("l_orderkey")).first()[0] == li.agg(F.sum("l_orderkey")).first()[0]
