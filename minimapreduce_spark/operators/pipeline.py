@@ -716,3 +716,75 @@ def fuzzy_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(dist <= 2)
         .select("cust_a", "cust_b", dist.cast("bigint").alias("edit_dist"))
     )
+
+
+@register(
+    "dq_constraint_audit",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                  WHEN o_orderkey % 101 = 0 THEN 9999999
+                  ELSE o_custkey END AS custkey,
+             o_totalprice,
+             CASE WHEN o_orderkey % 103 = 0 THEN 2 ELSE 1 END AS copies
+      FROM orders
+    ),
+    staged AS (
+      SELECT o_orderkey, custkey, o_totalprice,
+             unnest(generate_series(1, copies)) AS _i
+      FROM base
+    )
+    SELECT count(*)                                     AS n_rows,
+           count(*) FILTER (custkey IS NULL)            AS n_null_custkey,
+           count(*) FILTER (custkey IS NOT NULL
+                            AND c_custkey IS NULL)      AS n_orphan_custkey,
+           count(*) - count(DISTINCT o_orderkey)        AS n_dup_orderkey,
+           count(*) FILTER (o_totalprice < 0)           AS n_negative_price
+    FROM staged LEFT JOIN customer ON custkey = c_custkey
+    """,
+)
+def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-gate data-quality audit: NOT NULL, foreign-key, primary-key
+    uniqueness, and value-range constraints checked in ONE pass, emitted
+    as violation counts. The input simulates a dirty staged batch by
+    deterministically corrupting orders (key%97 → NULL custkey, key%101
+    → orphan custkey, key%103 → duplicated row) — both engines derive
+    the identical batch, so the audit numbers are exact, and the
+    negative-price check proves a passing constraint reports 0 rather
+    than being skipped.
+
+    Scale posture: corruption + explode are narrow; the FK probe is a
+    broadcast left join against the dimension's key column only; all
+    five counts fold into a single global aggregate (partial map-side,
+    one exchange of a handful of counters). Auditing 100 TB costs one
+    scan — the pattern that replaces five separate validation queries.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    custkey = (
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None).cast("bigint"))
+        .when(F.col("o_orderkey") % 101 == 0, F.lit(9999999))
+        .otherwise(F.col("o_custkey"))
+    )
+    base = o.select(
+        "o_orderkey",
+        custkey.alias("custkey"),
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 103 == 0, F.lit(2)).otherwise(F.lit(1)).alias(
+            "copies"
+        ),
+    )
+    staged = base.withColumn(
+        "_i", F.explode(F.sequence(F.lit(1), F.col("copies")))
+    ).drop("_i", "copies")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    j = staged.join(F.broadcast(cust), staged.custkey == cust.c_custkey, "left")
+    return j.agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.col("custkey").isNull()).alias("n_null_custkey"),
+        F.count_if(F.col("custkey").isNotNull() & F.col("c_custkey").isNull()).alias(
+            "n_orphan_custkey"
+        ),
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("n_dup_orderkey"),
+        F.count_if(F.col("o_totalprice") < 0).alias("n_negative_price"),
+    )

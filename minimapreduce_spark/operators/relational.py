@@ -626,3 +626,46 @@ def correlated_above_avg_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("total") > F.col("thr"))
         .select(F.col("o_custkey").alias("custkey"), F.round("total", 2).alias("total_spend"))
     )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS modal_priority, n
+    FROM (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY count(*) DESC, o_orderpriority) AS rn
+      FROM orders
+      GROUP BY o_orderstatus, o_orderpriority
+    )
+    WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent value) with an EXPLICIT tie-break:
+    highest count first, then lexicographically smallest value. Built-in
+    ``mode()`` is unusable cross-engine (Spark and DuckDB both document
+    ties as nondeterministic), so the engine's deterministic variant is
+    count + row_number over (count DESC, value ASC) — same rule spelled
+    out on both sides, bit-stable anywhere.
+
+    Scale: a two-level hash agg (status, priority) — tiny intermediate —
+    then a window over the handful of groups. The fact table is scanned
+    once; nothing about the plan changes at 1000× rows, only the first
+    agg's input.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(F.col("n").desc(), "o_orderpriority")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("modal_priority"),
+            "n",
+        )
+    )

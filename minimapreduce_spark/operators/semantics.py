@@ -406,3 +406,57 @@ def page_orders_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(100)
         .limit(50)
     )
+
+
+@register(
+    "map_agg_event_counts",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events
+      GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           count(*)                                              AS n_types,
+           CAST(coalesce(sum(n) FILTER (event_type = 'purchase'), 0) AS BIGINT)
+             AS n_purchases,
+           string_agg(event_type || ':' || n, ',' ORDER BY event_type)
+             AS type_counts
+    FROM per
+    GROUP BY user_id
+    """,
+)
+def map_agg_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: aggregate each user's event history into a real
+    ``map<string,bigint>`` (event_type → count), then read it back out
+    with map functions — ``size``, ``element_at`` point lookup, and a
+    ``map_entries`` + ``transform`` fold into a canonical string.
+
+    The map is built with ``map_from_entries(array_sort(collect_list(
+    struct(...))))`` — the array_sort is the engine's determinism
+    contract (SURVEY §1): collect_list order depends on which shuffle
+    partition fed the group, exactly like the reference's Reduce values
+    slice (mr/worker.go:137), so any map serialization must sort first.
+    The oracle builds the same answer relationally — proving the map
+    round-trip loses nothing.
+
+    Scale: two hash aggs on (user_id[, event_type]) — the second
+    reuses the first's user_id-compatible partitioning; per-user state
+    is bounded by event-type cardinality (5), not event count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    g = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    entry_str = lambda e: F.concat_ws(":", e["key"], e["value"].cast("string"))  # noqa: E731
+    return g.select(
+        "user_id",
+        F.size("m").cast("bigint").alias("n_types"),
+        F.coalesce(F.element_at("m", "purchase"), F.lit(0)).alias("n_purchases"),
+        F.concat_ws(",", F.transform(F.map_entries("m"), entry_str)).alias(
+            "type_counts"
+        ),
+    )

@@ -14,6 +14,7 @@ QUERIES = [
     "text_quality_repetition",
     "merge_upsert_customers",
     "dedup_keep_latest",
+    "dq_constraint_audit",
     "percentile_quantity",
     "histogram_order_prices",
 ]
@@ -250,3 +251,17 @@ def test_keep_latest_is_per_key_max(spark):
     )
     stale = kept.join(maxes, ["user_id", "event_type"]).where("ts <> max_ts")
     assert stale.count() == 0
+
+
+def test_dq_audit_finds_injected_violations(spark):
+    """Each injected corruption class must be counted (>0) and the
+    clean constraint must report exactly 0 — the audit can neither
+    under- nor over-flag."""
+    from minimapreduce_spark.registry import REGISTRY
+
+    r = REGISTRY["dq_constraint_audit"].fn(spark, SF_DIR).first()
+    assert r.n_null_custkey > 0
+    assert r.n_orphan_custkey > 0
+    assert r.n_dup_orderkey > 0
+    assert r.n_negative_price == 0
+    assert r.n_rows > r.n_dup_orderkey

@@ -29,6 +29,8 @@ RELATIONAL = [
     "join_salted_suppliers",
     "agg_grouping_sets",
     "join_bloom_pruned_revenue",
+    "agg_mode_deterministic",
+    "map_agg_event_counts",
 ]
 
 EVENTS = [
