@@ -49,18 +49,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-    rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via
-    the legacy flag and convert ns → µs ourselves (integer DIV — a
-    double division would lose precision above 2^53 ns), landing on
+    """Load events with ``ts`` normalized to TIMESTAMP_NTZ.
+
+    Driver-generated data has carried ``ts`` as either parquet
+    TIMESTAMP(NANOS) — which Spark's reader rejects outright
+    ([PARQUET_TYPE_ILLEGAL]) unless the legacy nanosAsLong flag maps it
+    to raw int64 — or as plain TIMESTAMP(MICROS). Handle both: when the
+    column arrives as a long it is nanos and we convert ns → µs with
+    integer DIV (a double division would lose precision above 2^53 ns);
+    when it is already a timestamp we only align the type to
     TIMESTAMP_NTZ to match the other tables and the DuckDB oracle."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
-    )
+    if isinstance(df.schema["ts"].dataType, LongType):
+        ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+    else:
+        ts = F.col("ts")
+    return df.withColumn("ts", ts.cast("timestamp_ntz"))
 
 
 def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:

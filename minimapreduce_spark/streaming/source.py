@@ -43,17 +43,24 @@ def _stage_dir(parquet_file: str) -> str:
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``spark.readStream`` over the events parquet.
 
-    The file carries TIMESTAMP(NANOS), which Spark's parquet reader only
-    accepts as raw int64 (legacy nanosAsLong flag — same handling as the
-    batch path in catalog._load_events); ns → µs uses integer DIV to
-    keep full precision. ``ts`` lands as TIMESTAMP (UTC session) because
+    The file carries ``ts`` as either TIMESTAMP(NANOS) — which Spark's
+    parquet reader only accepts as raw int64 (legacy nanosAsLong flag —
+    same handling as the batch path in catalog._load_events; ns → µs
+    uses integer DIV to keep full precision) — or plain
+    TIMESTAMP(MICROS). ``ts`` lands as TIMESTAMP (UTC session) because
     watermarks operate on event-time timestamps.
     """
+    from pyspark.sql.types import LongType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = table_path(sf_dir, "events")
     schema = spark.read.parquet(path).schema  # one footer read; stream needs explicit schema
     sdf = spark.readStream.schema(schema).parquet(_stage_dir(path))
-    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(schema["ts"].dataType, LongType):
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    return sdf
 
 
 def run_to_memory(sdf: DataFrame, name: str, output_mode: str) -> DataFrame:
