@@ -1,0 +1,203 @@
+"""Sequence and windowed-statistics analytics over the events table.
+
+Operators absent from the reference (SURVEY §2c — windows and sequence
+analysis don't exist there) that a product-analytics user of the engine
+needs as first-class queries: rolling medians (a frame-aggregate Spark
+has no built-in for), cumulative distinct counts (a window COUNT
+(DISTINCT) neither engine supports directly), and Markov transition
+matrices over per-user event sequences.
+
+All three are single-shuffle plans partitioned by user_id or
+event_type: at 100 TB each is one exchange + one per-partition sort,
+O(1)-or-O(frame) state per row, no joins, no driver state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from minimapreduce_spark.catalog import load_table
+from minimapreduce_spark.registry import register
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "window_rolling_median",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 10000) AS BIGINT) AS vc
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, ts, event_id, vc,
+             count(*)   OVER w AS n,
+             median(vc) OVER w AS med
+      FROM v
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, ts, event_id,
+           round(vc / 10000.0, 4)  AS value,
+           round(med / 10000.0, 4) AS rolling_median
+    FROM m
+    WHERE n = 7
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row median of each user's event value — the robust
+    smoother (median filter) used for spike-resistant telemetry
+    baselines.
+
+    Spark has no median frame aggregate, so the frame is materialized
+    with ``collect_list`` over a bounded 7-row window, ``array_sort``
+    ed, and the middle element taken — O(frame log frame) per row with
+    a constant 7-element frame, so still O(1) state per row at scale.
+    DuckDB's ``median() OVER`` computes the same statistic natively;
+    values are fixed-pointed to BIGINT ten-thousandths first so both
+    engines select the identical middle element (and an even-count
+    mid-average, were the frame even, would be an exact .5 — though
+    the n=7 gate keeps frames odd and the median an array member).
+
+    Scale posture: one shuffle on user_id, one sort per partition,
+    bounded frame. No reference analog (§2c windows absent).
+    """
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    vc = F.round(F.col("value") * 10000).cast("bigint")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    staged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        vc.alias("vc"),
+        F.count("value").over(w).alias("n"),
+        F.array_sort(F.collect_list(vc).over(w)).alias("frame"),
+    ).where(F.col("n") == 7)
+    med = F.element_at("frame", 4).cast("double")
+    return staged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("vc") / 10000.0, 4).alias("value"),
+        F.round(med / 10000.0, 4).alias("rolling_median"),
+    )
+
+
+@register(
+    "window_cumulative_distinct_users",
+    oracle="""
+    WITH firsts AS (
+      SELECT event_type, user_id, min(date_trunc('day', ts)) AS first_day
+      FROM events GROUP BY event_type, user_id
+    ),
+    new_users AS (
+      SELECT event_type, first_day AS day, count(*) AS n_new
+      FROM firsts GROUP BY event_type, first_day
+    ),
+    spine AS (
+      SELECT DISTINCT event_type, date_trunc('day', ts) AS day FROM events
+    )
+    SELECT s.event_type, s.day,
+           coalesce(n.n_new, 0) AS n_new,
+           CAST(sum(coalesce(n.n_new, 0)) OVER (
+             PARTITION BY s.event_type ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_users
+    FROM spine s LEFT JOIN new_users n
+      ON s.event_type = n.event_type AND s.day = n.day
+    """,
+)
+def window_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per event type by day — the "total
+    audience reached as of day D" growth curve.
+
+    Neither Spark nor DuckDB supports ``COUNT(DISTINCT) OVER (ORDER BY
+    ...)``, so both engines use the first-seen decomposition: a user
+    contributes exactly once, on their first active day, and the
+    cumulative distinct count is the running SUM of per-day first-seen
+    counts — turning an unbounded-state distinct window into two
+    ordinary hash aggregates plus a running integer sum.
+
+    Scale posture: the min-day agg shuffles on (event_type, user_id) —
+    the natural high-cardinality key, map-side partial min applies; the
+    day spine and running sum operate on (types × days) rows, tiny at
+    any scale. All-integer arithmetic → exact cross-engine.
+    """
+    ev = _events(spark, sf_dir).select(
+        "event_type", "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    firsts = ev.groupBy("event_type", "user_id").agg(F.min("day").alias("first_day"))
+    new_users = firsts.groupBy("event_type", F.col("first_day").alias("day")).agg(
+        F.count("*").alias("n_new")
+    )
+    spine = ev.select("event_type", "day").distinct()
+    joined = spine.join(new_users, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("n_new", F.lit(0)).alias("n_new")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "event_type", "day", "n_new", F.sum("n_new").over(w).alias("cum_users")
+    )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    pairs AS (
+      SELECT src, dst, count(*) AS n
+      FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY src), 6) AS prob
+    FROM pairs
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each ordered (src → dst) event-type pair, the count
+    and the conditional probability P(dst | src).
+
+    The sequence pairing is one ``lead`` window per user (the same
+    shuffle the funnel/sessionization family already pays), the matrix
+    is a hash agg on (src, dst) — bounded by |types|² rows — and the
+    row normalization is a window over that tiny matrix. Probability =
+    one division of exact BIGINTs, identical on both engines.
+
+    Scale posture: one shuffle on user_id + one on (src, dst) with
+    map-side partial counts; output is O(|types|²) regardless of input
+    size. The "what do users do next" primitive behind next-action
+    prediction and UX-flow mining.
+    """
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(wseq).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+    wsrc = W.partitionBy("src")
+    return pairs.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(wsrc), 6).alias("prob"),
+    )

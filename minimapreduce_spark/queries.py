@@ -15,6 +15,7 @@ _OPERATOR_MODULES = [
     "minimapreduce_spark.operators.tpch_more",
     "minimapreduce_spark.operators.tpch_rest",
     "minimapreduce_spark.operators.events",
+    "minimapreduce_spark.operators.analytics",
     "minimapreduce_spark.operators.text_analysis",
     "minimapreduce_spark.operators.dedup",
     "minimapreduce_spark.operators.similarity",

@@ -1,0 +1,95 @@
+"""Property tests for the sequence/windowed-statistics analytics
+operators (operators/analytics.py) beyond the oracle hash-match: each
+query's defining mathematical invariant is asserted directly."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from minimapreduce_spark.operators.analytics import (
+    events_markov_transitions,
+    window_cumulative_distinct_users,
+    window_rolling_median,
+)
+from tests.conftest import SF_DIR, assert_frames_match
+
+from minimapreduce_spark import queries as q
+
+
+def test_rolling_median_matches_pandas(spark):
+    """The fixed-point rolling median must equal pandas' rolling(7)
+    median computed from the same fixed-pointed values."""
+    out = window_rolling_median(spark, SF_DIR).toPandas()
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    ev["vc"] = (ev["value"] * 10000).round().astype("int64")
+    ev["med"] = (
+        ev.groupby("user_id")["vc"]
+        .rolling(7, min_periods=7)
+        .median()
+        .reset_index(level=0, drop=True)
+    )
+    exp = ev.dropna(subset=["med"])
+    got = out.set_index("event_id")["rolling_median"]
+    want = (exp["med"] / 10000.0).round(4)
+    want.index = exp["event_id"]
+    assert len(got) == len(want)
+    pd.testing.assert_series_equal(
+        got.sort_index(), want.sort_index(), check_names=False
+    )
+
+
+def test_rolling_median_oracle(spark, duck):
+    out = window_rolling_median(spark, SF_DIR).toPandas()
+    exp = duck.execute(q.REGISTRY["window_rolling_median"].oracle).df()
+    assert_frames_match(out, exp, "window_rolling_median")
+
+
+def test_cumulative_distinct_converges_to_count_distinct(spark):
+    """The last point of each curve must equal the plain
+    COUNT(DISTINCT user_id) for that event type, and every curve must
+    be monotone non-decreasing."""
+    out = (
+        window_cumulative_distinct_users(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["event_type", "day"])
+    )
+    truth = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("event_type")
+        .agg({"user_id": "count"})
+        .withColumnRenamed("count(user_id)", "n")
+        .collect()
+    }
+    import pyspark.sql.functions as F
+
+    distinct = {
+        r["event_type"]: r["nd"]
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .collect()
+    }
+    for et, grp in out.groupby("event_type"):
+        curve = grp["cum_users"].tolist()
+        assert curve == sorted(curve), f"{et} curve not monotone"
+        assert curve[-1] == distinct[et], f"{et} final != countDistinct"
+        assert truth[et] >= distinct[et]
+
+
+def test_markov_probabilities_normalize(spark):
+    """Per-src probabilities sum to 1 (within rounding) and total
+    transition count equals total events minus number of active users
+    (each user's last event has no successor)."""
+    out = events_markov_transitions(spark, SF_DIR).toPandas()
+    for src, grp in out.groupby("src"):
+        assert abs(grp["prob"].sum() - 1.0) < 1e-4, f"{src} probs don't sum to 1"
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert out["n"].sum() == n_events - n_users
