@@ -314,3 +314,169 @@ def bucketed_join(
         .groupBy("o_orderpriority")
         .agg(F.round(F.sum("l_extendedprice"), 2).alias("total_price"))
     )
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering — multi-dimensional data skipping
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 16
+
+
+def zorder_col(x: Column, y: Column, bits: int = ZORDER_BITS) -> Column:
+    """Morton/Z-order interleave of two non-negative integer columns
+    (low ``bits`` bits each) into one locality-preserving sort key.
+
+    Sorting by this key clusters rows that are close in BOTH dimensions
+    into the same files/row-groups, so parquet min-max statistics can
+    prune scans for predicates on EITHER column — the layout trick
+    single-column sorting (sorted-write in sources/formats) only offers
+    its leading column. Pure shiftright/and/shiftleft/or column
+    arithmetic: whole-stage-codegen'd, no UDF.
+
+    Inputs must already be normalized to comparable ranges (see
+    ``normalized_dim``): interleaving raw values whose magnitudes
+    differ by orders of magnitude degenerates into a single-column
+    sort, because the wider dimension owns all the high bits.
+    """
+    import functools
+
+    # bigint lanes: bit 2*bits-1 of the interleave would land on an
+    # int32 sign bit (DuckDB computes the oracle in BIGINT).
+    mask = F.lit((1 << bits) - 1).cast("long")
+    x, y = x.cast("long").bitwiseAND(mask), y.cast("long").bitwiseAND(mask)
+    parts = []
+    for i in range(bits):
+        xbit = F.shiftright(x, i).bitwiseAND(F.lit(1))
+        ybit = F.shiftright(y, i).bitwiseAND(F.lit(1))
+        parts.append(F.shiftleft(xbit, 2 * i + 1))
+        parts.append(F.shiftleft(ybit, 2 * i))
+    return functools.reduce(lambda a, b: a.bitwiseOR(b), parts)
+
+
+def zorder_sql(x: str, y: str, bits: int = ZORDER_BITS) -> str:
+    """The identical interleave as ANSI/DuckDB SQL text (for oracles)."""
+    xm, ym = f"({x} & {(1 << bits) - 1})", f"({y} & {(1 << bits) - 1})"
+    parts = []
+    for i in range(bits):
+        parts.append(f"((({xm} >> {i}) & 1) << {2 * i + 1})")
+        parts.append(f"((({ym} >> {i}) & 1) << {2 * i})")
+    return " | ".join(parts)
+
+
+def normalized_dim(col: Column, lo: Column, hi: Column, bits: int = ZORDER_BITS) -> Column:
+    """Linearly rescale ``col`` from [lo, hi] onto the full [0, 2^bits)
+    grid — exact BIGINT arithmetic, identical cross-engine.
+
+    Every real Z-order implementation normalizes dimensions before
+    interleaving (lakehouse OPTIMIZE ZORDER uses range-partition ids);
+    min-max scaling is the cheap variant (one tiny agg, broadcast) and
+    is what ``write_zordered`` applies. For heavily skewed columns,
+    substitute quantile-rank normalization — the interleave is
+    unchanged.
+    """
+    span = F.greatest(hi.cast("bigint") - lo.cast("bigint"), F.lit(1))
+    pos = col.cast("bigint") - lo.cast("bigint")
+    return (pos * ((1 << bits) - 1)) / span  # integer DIV applied by caller
+
+
+def normalized_dim_sql(col: str, lo: str, hi: str, bits: int = ZORDER_BITS) -> str:
+    return (
+        f"((CAST({col} AS BIGINT) - CAST({lo} AS BIGINT)) * {(1 << bits) - 1})"
+        f" // greatest(CAST({hi} AS BIGINT) - CAST({lo} AS BIGINT), 1)"
+    )
+
+
+def write_zordered(
+    df: DataFrame, path: str, x: str, y: str, n_files: int, bits: int = ZORDER_BITS
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-order of (x, y):
+    min-max normalize both dimensions onto the same 2^bits grid,
+    range-partition on the interleaved key (equal-size output files via
+    sampled range boundaries, same mechanism as the sorted-write
+    layout), sort within partitions, drop the transient key.
+
+    Each output file then covers one tight 2-D tile, and its parquet
+    footer min/max for BOTH x and y are narrow — readers skip files for
+    any box predicate. This is the standard lakehouse OPTIMIZE ZORDER
+    layout, built from plain repartitionByRange + sortWithinPartitions.
+    """
+    bounds = df.agg(
+        F.min(x).alias("_xlo"), F.max(x).alias("_xhi"),
+        F.min(y).alias("_ylo"), F.max(y).alias("_yhi"),
+    )
+    xn = F.floor(normalized_dim(F.col(x), F.col("_xlo"), F.col("_xhi"), bits)).cast("int")
+    yn = F.floor(normalized_dim(F.col(y), F.col("_ylo"), F.col("_yhi"), bits)).cast("int")
+    (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("_z", zorder_col(xn, yn, bits))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", "_xlo", "_xhi", "_ylo", "_yhi")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+_Z_DAY = "datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))"
+_Z_XN = normalized_dim_sql("o_custkey", "b.xlo", "b.xhi")
+_Z_YN = normalized_dim_sql("day", "b.ylo", "b.yhi")
+
+
+@register(
+    "zorder_tile_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT o_custkey, {_Z_DAY} AS day FROM orders
+    ),
+    b AS (
+      SELECT min(o_custkey) AS xlo, max(o_custkey) AS xhi,
+             min(day) AS ylo, max(day) AS yhi
+      FROM d
+    ),
+    z AS (
+      SELECT o_custkey, day,
+             ({zorder_sql(_Z_XN, _Z_YN)}) >> 26 AS tile
+      FROM d, b
+    )
+    SELECT tile, count(*) AS n_orders,
+           min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+           min(day) AS min_day, max(day) AS max_day
+    FROM z GROUP BY tile
+    """,
+)
+def zorder_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile statistics of the Z-order clustering of orders on
+    (o_custkey, o_orderdate-as-day): both dimensions are min-max
+    normalized onto the same 2^16 grid, Morton-interleaved, and the top
+    6 bits name one of 64 2-D tiles. The min/max spread of BOTH
+    dimensions inside a tile is what a parquet footer advertises after
+    ``write_zordered`` — narrow on both, so box predicates on either
+    column prune files.
+
+    The interleave is 64 shift/and/or terms of exact integer column
+    arithmetic — fully codegen'd, bit-identical cross-engine, one
+    broadcast of the 1-row bounds + one hash-agg shuffle on tile id.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+    )
+    d = orders.select("o_custkey", day.alias("day"))
+    b = d.agg(
+        F.min("o_custkey").alias("_xlo"), F.max("o_custkey").alias("_xhi"),
+        F.min("day").alias("_ylo"), F.max("day").alias("_yhi"),
+    )
+    xn = F.floor(
+        normalized_dim(F.col("o_custkey"), F.col("_xlo"), F.col("_xhi"))
+    ).cast("int")
+    yn = F.floor(normalized_dim(F.col("day"), F.col("_ylo"), F.col("_yhi"))).cast("int")
+    z = d.crossJoin(F.broadcast(b)).select(
+        "o_custkey", "day", F.shiftright(zorder_col(xn, yn), 26).alias("tile")
+    )
+    return z.groupBy("tile").agg(
+        F.count("*").alias("n_orders"),
+        F.min("o_custkey").alias("min_cust"),
+        F.max("o_custkey").alias("max_cust"),
+        F.min("day").alias("min_day"),
+        F.max("day").alias("max_day"),
+    )

@@ -445,3 +445,99 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.round("score", 4).alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_TOPK)
+
+
+@register(
+    "doc_pair_cosine_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+                                        w -> w <> '')) AS word
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    tfw AS (
+      SELECT doc_id, word,
+             tf * CAST(round(ln(n.n * 1.0 / dfreq.df) * 10000) AS BIGINT) AS w
+      FROM tf JOIN dfreq USING (word), n
+      WHERE dfreq.df * 2 <= n.n
+    ),
+    norms AS (SELECT doc_id, sum(w * w) AS nsq FROM tfw GROUP BY 1),
+    dots AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, sum(a.w * b.w) AS dot
+      FROM tfw a JOIN tfw b USING (word)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc1, doc2,
+           round(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(n1.nsq AS DOUBLE)) * sqrt(CAST(n2.nsq AS DOUBLE))),
+                 6) AS cosine
+    FROM dots
+    JOIN norms n1 ON doc1 = n1.doc_id
+    JOIN norms n2 ON doc2 = n2.doc_id
+    WHERE CAST(dot AS DOUBLE)
+          / (sqrt(CAST(n1.nsq AS DOUBLE)) * sqrt(CAST(n2.nsq AS DOUBLE))) > 0.2
+    """,
+)
+def doc_pair_cosine_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with TF-IDF cosine similarity > 0.2, computed
+    as a term-partitioned sparse dot product — the scale path for
+    content similarity (the dense-embedding twin is ann_cosine_topk).
+
+    No doc×doc cross join anywhere: the self-join runs on `word`, so
+    only pairs sharing a surviving term ever meet, and the per-term
+    fanout is capped by dropping corpus-stopwords (df > N/2) — the
+    terms that would otherwise both dominate the skew AND contribute
+    near-zero IDF weight. That is the standard pruning that keeps
+    sparse all-pairs similarity sub-quadratic on real corpora.
+
+    Cross-engine exactness: IDF is quantized once to BIGINT
+    ten-thousandths (one ln + one round per term), after which weights,
+    dots, and squared norms are all exact integer arithmetic —
+    order-independent sums — and the final cosine is one identical IEEE
+    sqrt/divide on both engines (see events_rolling_zscore for the
+    pattern).
+
+    Scale posture: shuffles on (doc, word), word, and (doc1, doc2) —
+    all natural keys with map-side partial aggregation. Norms join by
+    doc key; nothing is collected to the driver.
+    """
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    iw = F.round(F.log(F.col("n") / F.col("df")) * 10000).cast("bigint")
+    tfw = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n))
+        .where(F.col("df") * 2 <= F.col("n"))
+        .select("doc_id", "word", (F.col("tf") * iw).alias("w"))
+    )
+    norms = tfw.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("nsq"))
+    a, b = tfw.alias("a"), tfw.alias("b")
+    dots = (
+        a.join(b, "word")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    n1 = norms.select(F.col("doc_id").alias("doc1"), F.col("nsq").alias("nsq1"))
+    n2 = norms.select(F.col("doc_id").alias("doc2"), F.col("nsq").alias("nsq2"))
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("nsq1").cast("double")) * F.sqrt(F.col("nsq2").cast("double"))
+    )
+    return (
+        dots.join(n1, "doc1")
+        .join(n2, "doc2")
+        .where(cos > 0.2)
+        .select("doc1", "doc2", F.round(cos, 6).alias("cosine"))
+    )
