@@ -201,3 +201,188 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") * 1.0 / F.sum("n").over(wsrc), 6).alias("prob"),
     )
+
+
+@register(
+    "basket_part_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+    part_cnt AS (
+      SELECT l_partkey, count(*) AS cnt FROM items GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support_cnt
+      FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p1, p2, support_cnt,
+           round(support_cnt * 1.0 * n.n_orders / (c1.cnt * c2.cnt), 6) AS lift
+    FROM pairs
+    JOIN part_cnt c1 ON p1 = c1.l_partkey
+    JOIN part_cnt c2 ON p2 = c2.l_partkey
+    CROSS JOIN n
+    WHERE support_cnt >= 2
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining: pairs of parts co-ordered in >= 2 orders,
+    with lift (observed co-occurrence / expected-if-independent) — the
+    association-rule primitive behind "frequently bought together".
+
+    The pair generation is a self-join on l_orderkey, so the blow-up is
+    bounded by the per-basket item count (TPC-H orders hold <= 7
+    lines), never by the catalog size — the same block-bounded O(b²)
+    shape as fuzzy_join_blocked. Counts are exact BIGINTs; lift is one
+    identical double expression both engines evaluate over them.
+
+    Scale posture: shuffle on l_orderkey (self-join), then hash agg on
+    (p1, p2) with map-side partials; part marginals broadcast back in.
+    A hot basket (one order with thousands of items) is the one skew
+    risk — cap basket size upstream if the domain allows it.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = items.select(F.countDistinct("l_orderkey").alias("n_orders"))
+    part_cnt = items.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("support_cnt"))
+        .where(F.col("support_cnt") >= 2)
+    )
+    c1 = part_cnt.select(F.col("l_partkey").alias("p1"), F.col("cnt").alias("cnt1"))
+    c2 = part_cnt.select(F.col("l_partkey").alias("p2"), F.col("cnt").alias("cnt2"))
+    return (
+        pairs.join(c1, "p1")
+        .join(c2, "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "support_cnt",
+            F.round(
+                F.col("support_cnt") * 1.0 * F.col("n_orders")
+                / (F.col("cnt1") * F.col("cnt2")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(round(value * 10000) AS BIGINT) AS vc,
+             (lead(epoch_us(ts)) OVER w - epoch_us(ts)) // 1000000 AS gap_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           count(*) AS n_intervals,
+           round(CAST(sum(vc * gap_s) AS DOUBLE)
+                 / (sum(gap_s) * 10000.0), 4) AS twa_value
+    FROM seq
+    WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    HAVING sum(gap_s) > 0
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's event value: every reading
+    is held until the next one and weighted by that holding duration —
+    the correct mean for irregularly-sampled gauges (plain avg
+    over-weights bursts).
+
+    Durations come from one lead() over (user, time); values are
+    fixed-pointed to BIGINT ten-thousandths and weighted by whole
+    seconds, so the weighted sum and the weight sum are exact integers;
+    the final division is one identical double op (see
+    events_rolling_zscore for the pattern).
+
+    Scale posture: one shuffle on user_id + per-partition sort, then a
+    hash agg on the same key — the second agg is shuffle-free because
+    partitioning is preserved. O(1) state per row.
+    """
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.round(F.col("value") * 10000).cast("bigint").alias("vc"),
+        ((F.lead(us).over(wseq) - us) / F.lit(1000000)).cast("bigint").alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum(F.col("vc") * F.col("gap_s")).alias("ws"),
+            F.sum("gap_s").alias("w"),
+        )
+        .where(F.col("w") > 0)
+        .select(
+            "user_id",
+            "n_intervals",
+            F.round(F.col("ws").cast("double") / (F.col("w") * 10000.0), 4).alias(
+                "twa_value"
+            ),
+        )
+    )
+
+
+@register(
+    "events_variant_shred",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_decile,
+           count(*) AS n_events,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           round(sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0, 4) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props pipeline on Spark 4's VARIANT type: parse
+    the JSON once into a Variant column, then extract typed fields with
+    ``try_variant_get`` — the shredded-access path that replaces
+    repeated ``get_json_object`` string re-parsing (each of which
+    re-tokenizes the JSON) with one parse + cheap typed reads.
+
+    The aggregation buckets events by decile of the extracted integer;
+    sums are exact fixed-point. DuckDB's oracle reads the same fields
+    with its native JSON extractors — identical values, engine-specific
+    access machinery.
+
+    Scale posture: parse + extract are per-row JVM expressions (no
+    Python, no shuffle); one hash agg on the derived bucket. VARIANT
+    binary encoding also pushes straight down to parquet at rest in
+    Spark 4 — the storage layout multimodal/typed-metadata columns
+    want.
+    """
+    ev = _events(spark, sf_dir)
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    vc = F.round(F.col("value") * 10000).cast("bigint")
+    return (
+        ev.select(
+            F.floor(k / 10).cast("bigint").alias("k_decile"),
+            k.alias("k"),
+            vc.alias("vc"),
+        )
+        .groupBy("k_decile")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.sum("vc") / 10000.0, 4).alias("total_value"),
+        )
+    )

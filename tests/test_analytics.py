@@ -93,3 +93,60 @@ def test_markov_probabilities_normalize(spark):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert out["n"].sum() == n_events - n_users
+
+
+def test_basket_pairs_symmetric_and_bounded(spark):
+    """Pairs are canonical (p1 < p2), support is bounded by each part's
+    marginal order count, and lift matches its definition recomputed
+    from raw counts for a sample pair."""
+    from minimapreduce_spark.operators.analytics import basket_part_pairs
+
+    out = basket_part_pairs(spark, SF_DIR).toPandas()
+    assert (out["p1"] < out["p2"]).all()
+    items = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .toPandas()
+    )
+    n_orders = items["l_orderkey"].nunique()
+    marg = items.groupby("l_partkey")["l_orderkey"].nunique()
+    row = out.sort_values("support_cnt", ascending=False).iloc[0]
+    assert row["support_cnt"] <= min(marg[row["p1"]], marg[row["p2"]])
+    expect_lift = round(
+        row["support_cnt"] * n_orders / (marg[row["p1"]] * marg[row["p2"]]), 6
+    )
+    assert abs(row["lift"] - expect_lift) < 1e-9
+
+
+def test_time_weighted_avg_within_value_range(spark):
+    """A weighted mean must lie within [min, max] of the user's values,
+    and a constant-value user would equal the plain mean (checked via
+    the bound since the data is random)."""
+    from minimapreduce_spark.operators.analytics import events_time_weighted_avg
+    import pyspark.sql.functions as F
+
+    out = events_time_weighted_avg(spark, SF_DIR).toPandas().set_index("user_id")
+    rng = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    joined = out.join(rng)
+    assert (joined["twa_value"] >= joined["lo"].round(4) - 1e-4).all()
+    assert (joined["twa_value"] <= joined["hi"].round(4) + 1e-4).all()
+
+
+def test_variant_shred_covers_all_events(spark):
+    """Decile buckets partition the whole table: counts sum to the
+    event count and each bucket's [min_k, max_k] sits inside its
+    decile."""
+    from minimapreduce_spark.operators.analytics import events_variant_shred
+
+    out = events_variant_shred(spark, SF_DIR).toPandas()
+    total = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert out["n_events"].sum() == total
+    ok = (out["min_k"] >= out["k_decile"] * 10) & (out["max_k"] < (out["k_decile"] + 1) * 10)
+    assert ok.all()
