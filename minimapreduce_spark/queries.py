@@ -28,6 +28,7 @@ _OPERATOR_MODULES = [
     "minimapreduce_spark.streaming.dedup_join",
     "minimapreduce_spark.streaming.stateful",
     "minimapreduce_spark.functions.udfs",
+    "minimapreduce_spark.sources.pydatasource",
 ]
 
 for _m in _OPERATOR_MODULES:

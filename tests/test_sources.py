@@ -124,3 +124,30 @@ def test_compact_small_files(spark, tmp_path):
     back = spark.read.parquet(compacted)
     assert back.count() == li.count()
     assert back.agg(F.sum("l_orderkey")).first()[0] == li.agg(F.sum("l_orderkey")).first()[0]
+
+
+def test_pydatasource_partition_invariance(spark):
+    """The custom Python DataSource must return identical rows no
+    matter how many shards plan it (the reference's nReduce contract
+    applied to the source side), and must actually honor the planned
+    partition count."""
+    from minimapreduce_spark.sources.pydatasource import SynthLogDataSource
+
+    spark.dataSource.register(SynthLogDataSource)
+
+    def load(shards):
+        return (
+            spark.read.format("synthlog")
+            .option("n_rows", 1000)
+            .option("n_shards", shards)
+            .load()
+        )
+
+    assert load(3).rdd.getNumPartitions() == 3
+    # shard is provenance metadata (like input_file_name) — it moves
+    # with the plan; the data columns must not.
+    a = sorted(tuple(r) for r in load(3).drop("shard").collect())
+    b = sorted(tuple(r) for r in load(7).drop("shard").collect())
+    assert a == b and len(a) == 1000
+    ids = [r[0] for r in a]
+    assert ids == list(range(1000))  # no dropped/duplicated boundary rows
