@@ -166,6 +166,7 @@ def window_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
            round(n * 1.0 / sum(n) OVER (PARTITION BY src), 6) AS prob
     FROM pairs
     """,
+    bench=True,
 )
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
@@ -227,6 +228,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     CROSS JOIN n
     WHERE support_cnt >= 2
     """,
+    bench=True,
 )
 def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket mining: pairs of parts co-ordered in >= 2 orders,
@@ -385,4 +387,76 @@ def events_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
             F.round(F.sum("vc") / 10000.0, 4).alias("total_value"),
         )
+    )
+
+
+@register(
+    "chi2_lang_source",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT lang, count(*) AS row_n FROM documents GROUP BY 1),
+    ct AS (SELECT source, count(*) AS col_n FROM documents GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    grid AS (
+      SELECT rt.lang, ct.source, rt.row_n, ct.col_n, n.n,
+             coalesce(c.o, 0) AS o
+      FROM rt CROSS JOIN ct CROSS JOIN n
+      LEFT JOIN cells c ON rt.lang = c.lang AND ct.source = c.source
+    )
+    SELECT lang, source, o AS observed,
+           round(CAST(row_n AS DOUBLE) * col_n / n, 4) AS expected,
+           round(
+             (o - CAST(row_n AS DOUBLE) * col_n / n)
+             * (o - CAST(row_n AS DOUBLE) * col_n / n)
+             / (CAST(row_n AS DOUBLE) * col_n / n), 6) AS contribution
+    FROM grid
+    """,
+)
+def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency decomposition of documents over
+    (lang × source): per-cell observed count, independence-expected
+    count, and the cell's χ² contribution — the drift/dependence test a
+    training-data pipeline runs to catch a source suddenly skewing its
+    language mix (summing `contribution` gives the χ² statistic with
+    (R−1)(C−1) degrees of freedom).
+
+    The full grid is materialized (marginals cross-joined, zero cells
+    kept) because empty cells still carry their expected-count
+    contribution — dropping them understates the statistic. All counts
+    are exact; expected/contribution are one identical double
+    expression on both engines.
+
+    Scale posture: one scan feeds three hash aggs (Spark shares the
+    scan via exchange reuse); the grid itself is |langs|×|sources| —
+    trivially broadcast-sized regardless of corpus scale.
+    """
+    from minimapreduce_spark.catalog import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    rt = docs.groupBy("lang").agg(F.count("*").alias("row_n"))
+    ct = docs.groupBy("source").agg(F.count("*").alias("col_n"))
+    n = docs.agg(F.count("*").alias("n"))
+    grid = (
+        rt.crossJoin(ct)
+        .crossJoin(F.broadcast(n))
+        .join(cells, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            "row_n",
+            "col_n",
+            "n",
+            F.coalesce("o", F.lit(0)).alias("o"),
+        )
+    )
+    e = F.col("row_n").cast("double") * F.col("col_n") / F.col("n")
+    return grid.select(
+        "lang",
+        "source",
+        F.col("o").alias("observed"),
+        F.round(e, 4).alias("expected"),
+        F.round((F.col("o") - e) * (F.col("o") - e) / e, 6).alias("contribution"),
     )

@@ -788,3 +788,75 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - F.count_distinct("o_orderkey")).alias("n_dup_orderkey"),
         F.count_if(F.col("o_totalprice") < 0).alias("n_negative_price"),
     )
+
+
+@register(
+    "scd2_asof_lookup",
+    oracle="""
+    WITH yearly AS (
+      SELECT o_custkey AS custkey,
+             CAST(year(o_orderdate) AS BIGINT) AS yr,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_c
+      FROM orders
+      GROUP BY o_custkey, year(o_orderdate)
+    ),
+    tiers AS (
+      SELECT custkey, yr,
+             CASE WHEN spend_c >= 50000000 THEN 'gold'
+                  WHEN spend_c >= 20000000 THEN 'silver'
+                  ELSE 'bronze' END AS tier
+      FROM yearly
+    ),
+    islands AS (
+      SELECT custkey, yr, tier,
+             yr - ROW_NUMBER() OVER (PARTITION BY custkey, tier ORDER BY yr) AS grp
+      FROM tiers
+    ),
+    hist AS (
+      SELECT custkey, tier, min(yr) AS from_year, max(yr) AS to_year
+      FROM islands GROUP BY custkey, tier, grp
+    )
+    SELECT h.tier,
+           count(*) AS n_orders,
+           round(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+             AS total_price
+    FROM orders o
+    JOIN hist h
+      ON o.o_custkey = h.custkey
+     AND CAST(year(o.o_orderdate) AS BIGINT) BETWEEN h.from_year AND h.to_year
+    GROUP BY h.tier
+    """,
+)
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD2 dimension: each order is
+    joined to the customer-tier version VALID AT its order date
+    (equality on custkey + validity-range predicate), then rolled up
+    per tier — the temporal-join read side of the SCD2 history that
+    ``scd2_customer_tier_history`` builds.
+
+    Every order lands in exactly one validity island, so the join
+    neither drops nor duplicates facts (the pytest pins n_orders ==
+    count(orders)). The equality key keeps this a plain hash/SMJ join
+    with the BETWEEN as a cheap residual — never an interval cross
+    join.
+
+    Scale posture: shuffle both sides on custkey (or broadcast the
+    dimension — SCD2 dims are small relative to facts); exact integer
+    cents through the rollup.
+    """
+    hist = scd2_customer_tier_history(spark, sf_dir)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").cast("bigint").alias("o_yr"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    joined = orders.join(
+        hist,
+        (orders.o_custkey == hist.custkey)
+        & (orders.o_yr >= hist.from_year)
+        & (orders.o_yr <= hist.to_year),
+    )
+    return joined.groupBy("tier").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("price_c") / 100.0, 2).alias("total_price"),
+    )

@@ -443,6 +443,7 @@ _Z_YN = normalized_dim_sql("day", "b.ylo", "b.yhi")
            min(day) AS min_day, max(day) AS max_day
     FROM z GROUP BY tile
     """,
+    bench=True,
 )
 def zorder_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tile statistics of the Z-order clustering of orders on

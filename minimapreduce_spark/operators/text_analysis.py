@@ -481,6 +481,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(dot AS DOUBLE)
           / (sqrt(CAST(n1.nsq AS DOUBLE)) * sqrt(CAST(n2.nsq AS DOUBLE))) > 0.2
     """,
+    bench=True,
 )
 def doc_pair_cosine_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All document pairs with TF-IDF cosine similarity > 0.2, computed

@@ -150,3 +150,32 @@ def test_variant_shred_covers_all_events(spark):
     assert out["n_events"].sum() == total
     ok = (out["min_k"] >= out["k_decile"] * 10) & (out["max_k"] < (out["k_decile"] + 1) * 10)
     assert ok.all()
+
+
+def test_scd2_asof_lookup_partitions_facts(spark, duck):
+    """Temporal validity join: every order matches exactly one SCD2
+    version, so tier order-counts sum to the full orders count."""
+    from minimapreduce_spark.operators.pipeline import scd2_asof_lookup
+
+    out = scd2_asof_lookup(spark, SF_DIR).toPandas()
+    total = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    assert out["n_orders"].sum() == total
+    exp = duck.execute(q.REGISTRY["scd2_asof_lookup"].oracle).df()
+    assert_frames_match(out, exp, "scd2_asof_lookup")
+
+
+def test_chi2_grid_is_complete_and_consistent(spark):
+    """The contingency grid covers langs × sources exactly once;
+    observed and expected both sum to N (the marginal identity); the
+    statistic is non-negative."""
+    from minimapreduce_spark.operators.analytics import chi2_lang_source
+
+    out = chi2_lang_source(spark, SF_DIR).toPandas()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    n_langs = docs.select("lang").distinct().count()
+    n_sources = docs.select("source").distinct().count()
+    assert len(out) == n_langs * n_sources
+    assert out["observed"].sum() == n
+    assert abs(out["expected"].sum() - n) < 0.01
+    assert (out["contribution"] >= 0).all()
