@@ -460,3 +460,168 @@ def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(e, 4).alias("expected"),
         F.round((F.col("o") - e) * (F.col("o") - e) / e, 6).alias("contribution"),
     )
+
+
+@register(
+    "histogram_equidepth_prices",
+    oracle="""
+    WITH b AS (
+      SELECT o_totalprice,
+             ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT bucket,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM b GROUP BY bucket
+    """,
+)
+def histogram_equidepth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram of order prices via ntile(8)
+    — the quantile-bucketed complement of the fixed-width
+    `histogram_order_prices`; equi-depth bins are what optimizers and
+    drift monitors actually want, because every bin carries equal
+    evidence.
+
+    ntile ties are broken by the (price, orderkey) total order, so
+    bucket assignment is deterministic cross-engine. NOTE the global
+    ORDER BY window: at 100 TB a single-partition ntile is the wrong
+    plan — the scale path is approx_percentile boundaries + a
+    broadcast bucket join, or the two-phase offset pattern in
+    ``surrogate_keys_documents``; this operator keeps the exact
+    semantics for modest inputs and documents the trade.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    b = orders.select("o_totalprice", F.ntile(8).over(w).alias("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+@register(
+    "surrogate_keys_documents",
+    oracle="""
+    SELECT doc_id,
+           row_number() OVER (ORDER BY doc_id) AS sk
+    FROM documents
+    """,
+)
+def surrogate_keys_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense surrogate-key assignment (1..N in doc_id order) WITHOUT a
+    single-partition global window — the scalable two-phase pattern:
+
+    1. range-partition + sort by the business key (a total order,
+       since doc_id is unique);
+    2. row_number within each partition — parallel, bounded state;
+    3. per-partition counts (a tiny agg) → running offsets via a
+       window over #partitions rows → broadcast back and add.
+
+    The result equals the oracle's global row_number, but no stage
+    ever funnels the table through one task — the difference between
+    "works on 60k rows" and "works on 100 TB". (Contrast
+    histogram_equidepth_prices, which documents the single-partition
+    form.) monotonically_increasing_id is NOT used: its values are
+    partition-sparse, not dense, and move with the plan.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    parted = docs.repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id")
+    staged = parted.select(
+        "doc_id",
+        F.spark_partition_id().alias("pid"),
+        F.row_number()
+        .over(W.partitionBy(F.spark_partition_id()).orderBy("doc_id"))
+        .alias("rn"),
+    )
+    counts = staged.groupBy("pid").agg(F.count("*").alias("n"))
+    offsets = counts.select(
+        "pid",
+        (
+            F.sum("n").over(W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1))
+        ).alias("offset"),
+    ).fillna({"offset": 0})
+    return (
+        staged.join(F.broadcast(offsets), "pid")
+        .select("doc_id", (F.col("offset") + F.col("rn")).alias("sk"))
+    )
+
+
+@register(
+    "sessions_peak_concurrency",
+    oracle="""
+    WITH sessions AS (
+      SELECT user_id, session_id,
+             min(ts) AS session_start, max(ts) AS session_end
+      FROM (
+        SELECT user_id, ts,
+               sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM (
+          SELECT user_id, ts, event_id,
+                 epoch(ts) - lag(epoch(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          FROM events
+        )
+      )
+      GROUP BY user_id, session_id
+    ),
+    deltas AS (
+      SELECT session_start AS t, 1 AS d FROM sessions
+      UNION ALL
+      SELECT session_end AS t, -1 AS d FROM sessions
+    ),
+    swept AS (
+      SELECT t,
+             CAST(sum(sum(d)) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  + sum(CASE WHEN d = -1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS peak_at_t
+      FROM deltas GROUP BY t
+    )
+    SELECT date_trunc('day', t) AS day,
+           max(peak_at_t) AS peak_concurrent
+    FROM swept GROUP BY 1
+    """,
+)
+def sessions_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak number of simultaneously-open user sessions per day — the
+    capacity-planning metric — via the sweep-line decomposition:
+    sessionize (the same 30-min gap rule as events_sessionization),
+    emit +1 at each session start and −1 at each end, order by time,
+    and take the running sum's daily maximum.
+
+    Point events collapse per timestamp BEFORE the running sum (GROUP
+    BY t with an inner sum), so tie order can't differ between engines
+    — and the instant's peak counts starts BEFORE ends (running net
+    sum plus the ends that fired at t), so a single-event session
+    (start == end) still registers as live at its instant. All-integer
+    deltas → exact.
+
+    Scale posture: sessionization shuffles on user_id; the sweep is a
+    global sort over 2×sessions rows — orders of magnitude smaller
+    than events. At extreme scale the sweep itself range-partitions by
+    time with per-range carry-in offsets (the surrogate-key pattern on
+    the time axis).
+    """
+    from minimapreduce_spark.operators.events import events_sessionization
+
+    sessions = events_sessionization(spark, sf_dir)
+    starts = sessions.select(F.col("session_start").alias("t"), F.lit(1).alias("d"))
+    ends = sessions.select(F.col("session_end").alias("t"), F.lit(-1).alias("d"))
+    deltas = starts.unionAll(ends)
+    per_t = deltas.groupBy("t").agg(
+        F.sum("d").alias("dsum"),
+        F.sum(F.when(F.col("d") == -1, 1).otherwise(0)).alias("ends"),
+    )
+    wsweep = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    swept = per_t.select(
+        "t",
+        (F.sum("dsum").over(wsweep) + F.col("ends")).cast("bigint").alias("peak_at_t"),
+    )
+    return swept.groupBy(F.date_trunc("day", "t").alias("day")).agg(
+        F.max("peak_at_t").alias("peak_concurrent")
+    )

@@ -179,3 +179,36 @@ def test_chi2_grid_is_complete_and_consistent(spark):
     assert out["observed"].sum() == n
     assert abs(out["expected"].sum() - n) < 0.01
     assert (out["contribution"] >= 0).all()
+
+
+def test_equidepth_buckets_are_balanced_and_ordered(spark):
+    from minimapreduce_spark.operators.analytics import histogram_equidepth_prices
+
+    out = histogram_equidepth_prices(spark, SF_DIR).toPandas().sort_values("bucket")
+    total = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    assert out["n_orders"].sum() == total
+    assert out["n_orders"].max() - out["n_orders"].min() <= 1  # equi-depth
+    # bucket ranges tile the domain in order
+    assert (out["lo"].values[1:] >= out["hi"].values[:-1]).all()
+
+
+def test_surrogate_keys_dense_and_orderpreserving(spark):
+    from minimapreduce_spark.operators.analytics import surrogate_keys_documents
+
+    out = surrogate_keys_documents(spark, SF_DIR).toPandas().sort_values("doc_id")
+    assert sorted(out["sk"]) == list(range(1, len(out) + 1))  # dense 1..N
+    assert (out.sort_values("doc_id")["sk"].diff().dropna() > 0).all()  # order-preserving
+
+
+def test_peak_concurrency_bounds(spark):
+    """Daily peak is at least 1 (there are sessions every day in the
+    fixture) and never exceeds the number of sessions overlapping that
+    day; the global peak never exceeds the user count."""
+    from minimapreduce_spark.operators.analytics import sessions_peak_concurrency
+
+    out = sessions_peak_concurrency(spark, SF_DIR).toPandas()
+    n_users = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet").select("user_id").distinct().count()
+    )
+    assert (out["peak_concurrent"] >= 1).all()
+    assert out["peak_concurrent"].max() <= n_users

