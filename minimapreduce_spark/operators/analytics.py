@@ -625,3 +625,167 @@ def sessions_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return swept.groupBy(F.date_trunc("day", "t").alias("day")).agg(
         F.max("peak_at_t").alias("peak_concurrent")
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS support_cnt
+      FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    tri AS (
+      SELECT e1.u AS p1, e1.v AS p2, e2.v AS p3
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT p1, p2, p3 FROM tri
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the part co-purchase graph (edges = part pairs
+    co-ordered ≥ 2 times, from the basket_part_pairs construction):
+    triples of parts that pairwise co-occur — the clique primitive
+    behind community detection and recommendation bundles.
+
+    Distributed triangle enumeration in its canonical two-join form:
+    orient every edge low→high (kills duplicate rotations AND bounds
+    the join fan-out by out-degree), join wedges u→v→w, then close
+    each wedge against the edge list. Both joins are plain hash joins
+    on part keys.
+
+    Scale posture: wedge count is sum(out_deg²) — the quadratic term
+    — so production runs degree-order the orientation (point the edge
+    from the lower-degree endpoint) to cap it; the low→high id
+    orientation here keeps the oracle simple. Support-thresholded
+    edges already prune the hub explosion.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("support_cnt"))
+        .where(F.col("support_cnt") >= 2)
+        .select("u", "v")
+    )
+    e1 = edges.select(F.col("u").alias("p1"), F.col("v").alias("p2"))
+    e2 = edges.select(F.col("u").alias("p2"), F.col("v").alias("p3"))
+    wedges = e1.join(e2, "p2")
+    e3 = edges.select(F.col("u").alias("p1"), F.col("v").alias("p3"))
+    return wedges.join(e3, ["p1", "p3"]).select("p1", "p2", "p3")
+
+
+@register(
+    "vocab_growth_curve",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+                                        w -> w <> '')) AS word
+      FROM documents
+    ),
+    firsts AS (SELECT word, min(doc_id) AS first_doc FROM toks GROUP BY 1),
+    new_words AS (
+      SELECT first_doc AS doc_id, count(*) AS n_new FROM firsts GROUP BY 1
+    ),
+    spine AS (SELECT DISTINCT doc_id FROM documents)
+    SELECT s.doc_id,
+           coalesce(n.n_new, 0) AS n_new_words,
+           CAST(sum(coalesce(n.n_new, 0)) OVER (
+             ORDER BY s.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS vocab_size
+    FROM spine s LEFT JOIN new_words n USING (doc_id)
+    """,
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth (Heaps'-law curve): distinct words seen as of
+    each document in doc_id order — how fast a corpus stops yielding
+    new types, the saturation signal data-curation uses to decide when
+    more of a source adds nothing.
+
+    Same first-seen decomposition as window_cumulative_distinct_users,
+    on the word axis: a word contributes at its minimum doc_id, per-doc
+    first-seen counts are a hash agg, and the curve is a running sum
+    over the (small) doc spine. No distinct-state window anywhere.
+
+    Scale posture: tokenize is embarrassingly parallel; the min-doc agg
+    shuffles on word (high cardinality, map-side partial min); the
+    running sum orders #docs rows. All-integer → exact.
+    """
+    from minimapreduce_spark.operators.text_analysis import _docs, _tokens
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("word"))
+    firsts = toks.groupBy("word").agg(F.min("doc_id").alias("doc_id"))
+    new_words = firsts.groupBy("doc_id").agg(F.count("*").alias("n_new"))
+    spine = docs.select("doc_id").distinct()
+    joined = spine.join(new_words, "doc_id", "left").select(
+        "doc_id", F.coalesce("n_new", F.lit(0)).alias("n_new_words")
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return joined.select(
+        "doc_id",
+        "n_new_words",
+        F.sum("n_new_words").over(w).cast("bigint").alias("vocab_size"),
+    )
+
+
+@register(
+    "window_max_drawdown",
+    oracle="""
+    WITH cum AS (
+      SELECT user_id, ts, event_id,
+             sum(CAST(round(value * 10000) AS BIGINT)) OVER w AS cum_v
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    dd AS (
+      SELECT user_id,
+             max(cum_v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - cum_v AS drawdown
+      FROM cum
+    )
+    SELECT user_id,
+           round(max(drawdown) / 10000.0, 4) AS max_drawdown
+    FROM dd GROUP BY user_id
+    """,
+)
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each user's cumulative event value: the
+    largest peak-to-trough fall of the running total — the
+    risk/regression metric for any cumulative series (spend, score,
+    PnL).
+
+    Two stacked windows over ONE (user, time) sort: running sum, then
+    running max of that sum; drawdown = peak − current, aggregated to
+    its per-user max. Fixed-point BIGINT all the way — running sums
+    and maxes are exact, so no float drift across engines.
+
+    Scale posture: one shuffle on user_id; both windows and the final
+    agg reuse the same partitioning; O(1) state per row.
+    """
+    ev = _events(spark, sf_dir)
+    vc = F.round(F.col("value") * 10000).cast("bigint")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = ev.select("user_id", "ts", "event_id", F.sum(vc).over(w).alias("cum_v"))
+    dd = cum.select(
+        "user_id", (F.max("cum_v").over(w) - F.col("cum_v")).alias("drawdown")
+    )
+    return dd.groupBy("user_id").agg(
+        F.round(F.max("drawdown") / 10000.0, 4).alias("max_drawdown")
+    )

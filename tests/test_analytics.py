@@ -212,3 +212,54 @@ def test_peak_concurrency_bounds(spark):
     )
     assert (out["peak_concurrent"] >= 1).all()
     assert out["peak_concurrent"].max() <= n_users
+
+
+def test_triangles_are_canonical_cliques(spark):
+    """Each triangle is an ordered triple whose three edges all exist
+    in the support-thresholded edge set."""
+    from minimapreduce_spark.operators.analytics import graph_triangle_count, basket_part_pairs
+
+    tri = graph_triangle_count(spark, SF_DIR).toPandas()
+    assert (tri["p1"] < tri["p2"]).all() and (tri["p2"] < tri["p3"]).all()
+    edges = set(
+        map(tuple, basket_part_pairs(spark, SF_DIR).select("p1", "p2").toPandas().values)
+    )
+    for _, r in tri.head(20).iterrows():
+        assert (r["p1"], r["p2"]) in edges
+        assert (r["p2"], r["p3"]) in edges
+        assert (r["p1"], r["p3"]) in edges
+
+
+def test_vocab_growth_is_monotone_and_converges(spark):
+    from minimapreduce_spark.operators.analytics import vocab_growth_curve
+    from minimapreduce_spark.operators.text_analysis import _docs, _tokens
+    import pyspark.sql.functions as F
+
+    out = vocab_growth_curve(spark, SF_DIR).toPandas().sort_values("doc_id")
+    assert (out["vocab_size"].diff().dropna() >= 0).all()
+    total_vocab = (
+        _docs(spark, SF_DIR)
+        .select(F.explode(_tokens(F.col("text"))).alias("w"))
+        .distinct()
+        .count()
+    )
+    assert out["vocab_size"].iloc[-1] == total_vocab
+
+
+def test_max_drawdown_nonnegative_and_zero_for_monotone(spark):
+    """Drawdowns are >= 0 by construction; a user whose values are all
+    positive has a cumulative series that only rises, so drawdown 0."""
+    from minimapreduce_spark.operators.analytics import window_max_drawdown
+    import pyspark.sql.functions as F
+
+    out = window_max_drawdown(spark, SF_DIR).toPandas().set_index("user_id")
+    assert (out["max_drawdown"] >= 0).all()
+    all_pos = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"))
+        .where(F.col("lo") > 0)
+        .toPandas()["user_id"]
+    )
+    if len(all_pos):
+        assert (out.loc[all_pos, "max_drawdown"] == 0).all()
