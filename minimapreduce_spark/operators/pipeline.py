@@ -860,3 +860,83 @@ def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.sum("price_c") / 100.0, 2).alias("total_price"),
     )
+
+
+PACK_CAPACITY = 512
+
+
+@register(
+    "pack_token_batches",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+                             w -> w <> '')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM toks
+    )
+    SELECT CAST((cum - n_tokens) // {PACK_CAPACITY} AS BIGINT) AS batch_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c GROUP BY 1
+    """,
+)
+def pack_token_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training batches: documents in doc_id
+    order are streamed into fixed-capacity token batches (512
+    tokens) by the start-offset rule — a document belongs to the batch
+    its first token falls in, so every batch except possibly the last
+    spans >= capacity tokens and documents are never reordered (the
+    concat-then-chunk packing used for pretraining, batch boundaries
+    only; doc_chunks does the within-doc split).
+
+    The global running token count does NOT use a single-partition
+    window: same two-phase shape as surrogate_keys_documents —
+    range-partition by doc_id, cumsum within each partition, add
+    broadcast per-partition offsets. Exact integers end-to-end.
+    """
+    from pyspark.sql.window import Window as W
+
+    from minimapreduce_spark.operators.text_analysis import _docs, _tokens
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(_tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    parted = docs.repartitionByRange(8, "doc_id")
+    staged = parted.select(
+        "doc_id",
+        "n_tokens",
+        F.spark_partition_id().alias("pid"),
+        F.sum("n_tokens")
+        .over(
+            W.partitionBy(F.spark_partition_id())
+            .orderBy("doc_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("local_cum"),
+    )
+    totals = staged.groupBy("pid").agg(F.sum("n_tokens").alias("n"))
+    offsets = totals.select(
+        "pid",
+        F.sum("n")
+        .over(W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1))
+        .alias("offset"),
+    ).fillna({"offset": 0})
+    c = staged.join(F.broadcast(offsets), "pid").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("local_cum") + F.col("offset")).alias("cum"),
+    )
+    batch = ((F.col("cum") - F.col("n_tokens")) / PACK_CAPACITY).cast("bigint")
+    return c.groupBy(batch.alias("batch_id")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

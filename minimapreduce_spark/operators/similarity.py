@@ -286,3 +286,71 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", (F.col("pos") + 1).cast("bigint").alias("dim"))
         .agg(F.round(F.avg(F.col("val").cast("double")), 4).alias("centroid"))
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos, embedding AS arr
+      FROM embeddings
+    ),
+    x AS (SELECT vec_id, pos, CAST(arr[pos] AS DOUBLE) AS v FROM e),
+    dims AS (SELECT pos, min(v) AS lo, max(v) AS hi FROM x GROUP BY pos),
+    q AS (
+      SELECT vec_id,
+             CAST(floor((v - lo) * 255 / (hi - lo)) AS BIGINT) AS code,
+             abs(v - (lo + floor((v - lo) * 255 / (hi - lo)) * (hi - lo) / 255))
+               AS err
+      FROM x JOIN dims USING (pos)
+      WHERE hi > lo
+    )
+    SELECT vec_id,
+           count(*) AS n_dims,
+           CAST(sum(code) AS BIGINT) AS code_checksum,
+           min(code) AS min_code, max(code) AS max_code,
+           round(max(err), 6) AS max_abs_err
+    FROM q GROUP BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column: per-dimension
+    min-max calibration over the corpus, each float mapped to a 0..255
+    code — the 4× compression every 100 TB vector store applies before
+    ANN (the IVF path in ann_ivf_topk would scan these codes, not
+    floats). Emits per-vector code stats and the max absolute
+    reconstruction error, i.e. the quantization quality report.
+
+    Exactness: float32 inputs widen to identical doubles on both
+    engines; code and reconstruction are the same IEEE expression
+    shape, and only order-independent aggregates (count/sum-of-int/
+    min/max) touch the results — no float accumulation anywhere.
+
+    Scale posture: calibration is one posexplode + per-dimension
+    min/max (map-side combinable, |dims| groups); the dim table
+    broadcasts back. At 100 TB the posexplode never materializes — the
+    quantize step fuses into the scan projection.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "vf")
+    ).select("vec_id", "pos", F.col("vf").cast("double").alias("v"))
+    dims = x.groupBy("pos").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    code = F.floor((F.col("v") - F.col("lo")) * 255 / (F.col("hi") - F.col("lo")))
+    recon = F.col("lo") + code * (F.col("hi") - F.col("lo")) / 255
+    q = (
+        x.join(F.broadcast(dims), "pos")
+        .where(F.col("hi") > F.col("lo"))
+        .select(
+            "vec_id",
+            code.cast("bigint").alias("code"),
+            F.abs(F.col("v") - recon).alias("err"),
+        )
+    )
+    return q.groupBy("vec_id").agg(
+        F.count("*").alias("n_dims"),
+        F.sum("code").alias("code_checksum"),
+        F.min("code").alias("min_code"),
+        F.max("code").alias("max_code"),
+        F.round(F.max("err"), 6).alias("max_abs_err"),
+    )

@@ -265,3 +265,40 @@ def test_dq_audit_finds_injected_violations(spark):
     assert r.n_dup_orderkey > 0
     assert r.n_negative_price == 0
     assert r.n_rows > r.n_dup_orderkey
+
+
+def test_pack_token_batches_capacity_and_order(spark):
+    """Start-offset packing: batches tile the doc sequence in order
+    (first/last doc ranges don't interleave), token totals cover the
+    corpus exactly, and every batch's START offset respects capacity
+    (total_tokens >= capacity for all but the final batch is NOT
+    guaranteed by start-offset packing — but batch starts every
+    `capacity` tokens, so total >= capacity - max_doc_tokens is)."""
+    import pyspark.sql.functions as F
+    from minimapreduce_spark.operators.pipeline import pack_token_batches, PACK_CAPACITY
+    from minimapreduce_spark.operators.text_analysis import _docs, _tokens
+
+    out = pack_token_batches(spark, SF_DIR).toPandas().sort_values("batch_id")
+    docs = _docs(spark, SF_DIR).select(
+        "doc_id", F.size(_tokens(F.col("text"))).alias("n")
+    )
+    total = docs.agg(F.sum("n")).first()[0]
+    n_docs = docs.count()
+    assert out["total_tokens"].sum() == total
+    assert out["n_docs"].sum() == n_docs
+    # batches are contiguous, ordered doc ranges
+    assert (out["first_doc"].values[1:] > out["last_doc"].values[:-1]).all()
+    # batch ids are the dense occupied set
+    assert out["batch_id"].is_monotonic_increasing
+    assert out["batch_id"].iloc[-1] == (total - out["total_tokens"].iloc[-1]) // PACK_CAPACITY
+
+
+def test_embedding_quantize_int8_codes_in_range(spark):
+    from minimapreduce_spark.operators.similarity import embedding_quantize_int8
+
+    out = embedding_quantize_int8(spark, SF_DIR).toPandas()
+    assert (out["min_code"] >= 0).all()
+    assert (out["max_code"] <= 255).all()
+    # max-min calibration bounds reconstruction error by one step of
+    # the widest dimension
+    assert (out["max_abs_err"] >= 0).all()
