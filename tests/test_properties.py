@@ -1,0 +1,145 @@
+"""Property-based tests (hypothesis) for the scale helpers: each is
+checked against an independent reference model on generated inputs —
+the SURVEY §5 golden-diff protocol generalized from fixed fixtures to
+arbitrary data."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from minimapreduce_spark.operators.scale import (
+    N_SALTS,
+    salt_col,
+    salted_agg,
+    zorder_col,
+)
+
+
+def _zorder_ref(x: int, y: int, bits: int) -> int:
+    """Independent Python model of the Morton interleave."""
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i + 1)
+        z |= ((y >> i) & 1) << (2 * i)
+    return z
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+        min_size=1,
+        max_size=50,
+    ),
+    bits=st.sampled_from([4, 8, 16]),
+)
+def test_zorder_col_matches_reference_model(spark, pairs, bits):
+    df = spark.createDataFrame(pairs, "x int, y int")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder_col(F.col("x"), F.col("y"), bits).alias("z")).collect()
+    }
+    for x, y in pairs:
+        assert got[(x, y)] == _zorder_ref(x & ((1 << bits) - 1), y & ((1 << bits) - 1), bits)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(-1000, 1000),
+            st.integers(0, 10**6),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_salted_agg_equals_plain_agg(spark, rows):
+    """Salting must be invisible: for ANY input, two-stage salted
+    aggregation equals the plain groupBy (integer sums → exact)."""
+    df = spark.createDataFrame(rows, "k string, v long, e long")
+    got = {
+        r["k"]: (r["s"], r["n"], r["mx"])
+        for r in salted_agg(
+            df,
+            keys=["k"],
+            salt=salt_col(N_SALTS, "e"),
+            partials={
+                "ps": F.sum("v"),
+                "pn": F.count("*"),
+                "pm": F.max("v"),
+            },
+            finals={
+                "s": F.sum("ps"),
+                "n": F.sum("pn"),
+                "mx": F.max("pm"),
+            },
+        ).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["k", "v", "e"])
+    want = pdf.groupby("k")["v"].agg(["sum", "count", "max"])
+    assert set(got) == set(want.index)
+    for k, (s, n, mx) in got.items():
+        assert (s, n, mx) == (want.loc[k, "sum"], want.loc[k, "count"], want.loc[k, "max"])
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(0, 300), min_size=1, max_size=40),
+    capacity=st.sampled_from([64, 512]),
+    n_parts=st.sampled_from([1, 3, 8]),
+)
+def test_two_phase_running_sum_equals_cumsum(spark, sizes, capacity, n_parts):
+    """The range-partition + broadcast-offsets running sum (the
+    surrogate-key / pack_token_batches pattern) must equal a plain
+    sequential cumsum for ANY sizes and ANY partition count."""
+    from pyspark.sql.window import Window as W
+
+    rows = [(i, s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "id long, n long").repartitionByRange(n_parts, "id")
+    staged = df.select(
+        "id",
+        "n",
+        F.spark_partition_id().alias("pid"),
+        F.sum("n")
+        .over(
+            W.partitionBy(F.spark_partition_id())
+            .orderBy("id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("local_cum"),
+    )
+    offsets = (
+        staged.groupBy("pid")
+        .agg(F.sum("n").alias("t"))
+        .select(
+            "pid",
+            F.sum("t").over(W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)).alias("off"),
+        )
+        .fillna({"off": 0})
+    )
+    got = {
+        r["id"]: r["cum"]
+        for r in staged.join(F.broadcast(offsets), "pid")
+        .select("id", (F.col("local_cum") + F.col("off")).alias("cum"))
+        .collect()
+    }
+    want = pd.Series(sizes).cumsum()
+    for i in range(len(sizes)):
+        assert got[i] == want.iloc[i]
