@@ -988,3 +988,92 @@ def extract_numbers_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("num_str").cast("bigint").alias("num_val"),
         F.count("*").alias("n_occurrences"),
     )
+
+
+@register(
+    "agg_mad_user_value",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, CAST(round(value * 10000) AS BIGINT) AS vc FROM events
+    ),
+    med AS (
+      SELECT user_id, quantile_cont(vc, 0.5) AS med FROM v GROUP BY user_id
+    )
+    SELECT v.user_id,
+           round(any_value(med.med) / 10000.0, 4) AS median_value,
+           round(quantile_cont(abs(vc - med.med), 0.5) / 10000.0, 4) AS mad
+    FROM v JOIN med USING (user_id)
+    GROUP BY v.user_id
+    """,
+)
+def agg_mad_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of each user's event values — the
+    robust spread estimate that, unlike stddev (events_rolling_zscore's
+    denominator), one wild outlier cannot inflate.
+
+    Two-level exact median: values fixed-point to BIGINT, per-user
+    median via exact type-7 interpolation (percentile ≡ DuckDB
+    quantile_cont — same definition, and on integer inputs the
+    interpolated value is an exact binary fraction), deviations |v−med|
+    are exact halves, and their median interpolates exactly again.
+    Bit-identical cross-engine with NO float accumulation.
+
+    Scale posture: two shuffles on user_id (median, then deviation
+    median — the second reuses the partitioning); exact percentile
+    sorts within groups. The approx twin at 100 TB is
+    approx_percentile on both levels.
+    """
+    ev = _events(spark, sf_dir)
+    vc = F.round(F.col("value") * 10000).cast("bigint")
+    v = ev.select("user_id", vc.alias("vc"))
+    med = v.groupBy("user_id").agg(F.expr("percentile(vc, 0.5D)").alias("med"))
+    dev = v.join(med, "user_id").select(
+        "user_id", "med", F.abs(F.col("vc") - F.col("med")).alias("adev")
+    )
+    return dev.groupBy("user_id").agg(
+        F.round(F.any_value("med") / 10000.0, 4).alias("median_value"),
+        F.round(F.expr("percentile(adev, 0.5D)") / 10000.0, 4).alias("mad"),
+    )
+
+
+@register(
+    "weekly_growth_rate",
+    oracle="""
+    WITH wk AS (
+      SELECT event_type, date_trunc('week', ts) AS week,
+             sum(CAST(round(value * 10000) AS BIGINT)) AS rev_fp
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, week,
+           round(rev_fp / 10000.0, 4) AS revenue,
+           round(
+             (rev_fp - lag(rev_fp) OVER w) * 100.0 / lag(rev_fp) OVER w,
+             4) AS pct_change
+    FROM wk
+    WINDOW w AS (PARTITION BY event_type ORDER BY week)
+    """,
+)
+def weekly_growth_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth per event type: weekly fixed-point
+    sums (exact), then one lag window for the percent change — the
+    KPI-dashboard primitive. First week's change is NULL by definition
+    (no prior), which both engines agree on; the division runs on exact
+    BIGINTs so the percentage is one identical double op.
+
+    Scale posture: one hash agg shuffle on (type, week), then a window
+    over the tiny weekly rollup. The growth never touches row-level
+    data.
+    """
+    ev = _events(spark, sf_dir)
+    vc = F.round(F.col("value") * 10000).cast("bigint")
+    wk = ev.groupBy(
+        "event_type", F.date_trunc("week", "ts").alias("week")
+    ).agg(F.sum(vc).alias("rev_fp"))
+    w = W.partitionBy("event_type").orderBy("week")
+    prev = F.lag("rev_fp").over(w)
+    return wk.select(
+        "event_type",
+        "week",
+        F.round(F.col("rev_fp") / 10000.0, 4).alias("revenue"),
+        F.round((F.col("rev_fp") - prev) * 100.0 / prev, 4).alias("pct_change"),
+    )

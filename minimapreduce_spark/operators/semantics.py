@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from minimapreduce_spark.catalog import load_table
 from minimapreduce_spark.registry import register
@@ -460,3 +461,48 @@ def map_agg_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_counts"
         ),
     )
+
+
+@register(
+    "sort_nulls_ordering",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_orderkey, o_custkey,
+             datediff('day', o_orderdate,
+                      lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey))
+               AS gap_days
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, gap_days
+    FROM gaps
+    ORDER BY gap_days ASC NULLS FIRST, o_orderkey
+    LIMIT 20
+    """,
+)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL placement in ORDER BY — the cross-engine trap this
+    engine refuses to leave implicit: Spark defaults to NULLS FIRST on
+    ASC, DuckDB to NULLS LAST, so any sorted output with nullable keys
+    silently diverges unless the placement is spelled out. Here the
+    nullable key is real (each customer's final order has no next-order
+    gap), the placement is explicit on BOTH engines (asc_nulls_first ≡
+    ASC NULLS FIRST), and the tie-break key makes the LIMIT
+    deterministic.
+
+    Scale posture: one shuffle on custkey for the lead window; the
+    global top-k is a TakeOrdered — no full sort materialization.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.lead(F.col("o_orderdate").cast("date")).over(w),
+            F.col("o_orderdate").cast("date"),
+        ).alias("gap_days"),
+    )
+    return gaps.orderBy(
+        F.col("gap_days").asc_nulls_first(), F.col("o_orderkey").asc()
+    ).limit(20)
