@@ -199,3 +199,71 @@ def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs d, LATERAL split_sentences(d.text) s
         """
     )
+
+
+def _arrow_norm_batches(it):
+    """mapInArrow worker: per Arrow RecordBatch, fixed-point squared-L2
+    of each embedding — numpy over Arrow buffers, no pandas
+    materialization. Half-away-from-zero rounding to match both SQL
+    engines (numpy's default round is half-to-even)."""
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in it:
+        vec_ids = batch.column(0)
+        emb = batch.column(1)
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        scaled = flat * 1_000_000.0
+        codes = np.where(
+            scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+        ).astype(np.int64)
+        offsets = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        ssq = np.add.reduceat(codes * codes, offsets[:-1])
+        ssq[offsets[:-1] == offsets[1:]] = 0  # empty vectors
+        yield pa.RecordBatch.from_arrays(
+            [vec_ids, pa.array(ssq, type=pa.int64())], ["vec_id", "ssq"]
+        )
+
+
+@register(
+    "arrow_embedding_norms",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos, embedding AS arr
+      FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id,
+             CAST(round(CAST(arr[pos] AS DOUBLE) * 1000000) AS BIGINT) AS code
+      FROM x
+    )
+    SELECT vec_id,
+           round(sqrt(CAST(sum(code * code) AS DOUBLE)) / 1000000.0, 6)
+             AS l2_norm
+    FROM c GROUP BY vec_id
+    """,
+)
+def arrow_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm of every embedding via ``mapInArrow`` — the
+    lowest-overhead Python path: Arrow RecordBatches flow straight into
+    numpy (zero pandas boxing, unlike the mapInPandas stages in
+    operators/multimodal.py), vectorized squared-sum per batch, Arrow
+    back out. The per-vector reduction is np.add.reduceat over the list
+    array's own offsets — one C loop for the whole batch.
+
+    Exactness: components are fixed-pointed to int64 millionths with
+    half-away-from-zero rounding (matching SQL ``round``, NOT numpy's
+    banker's default — the one-ULP trap in Python numeric parity), so
+    the squared sum is exact and the final sqrt/divide is one identical
+    IEEE op. The oracle recomputes it in pure SQL.
+
+    Scale posture: embarrassingly parallel scan→batch→batch; the only
+    exchange is whatever downstream wants. Arrow batch size bounds
+    worker memory.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ssq = emb.mapInArrow(_arrow_norm_batches, schema="vec_id long, ssq long")
+    return ssq.select(
+        "vec_id",
+        F.round(F.sqrt(F.col("ssq").cast("double")) / 1_000_000.0, 6).alias("l2_norm"),
+    )

@@ -26,3 +26,37 @@ def test_udtf_rows_expand(spark):
     n_docs = load_table(spark, SF_DIR, "documents").count()
     assert out.count() >= n_docs
     assert out.columns == ["doc_id", "sent_no", "sentence"]
+
+
+def test_arrow_embedding_norms_matches_builtin(spark):
+    """The mapInArrow fixed-point norm must equal the same computation
+    done with built-in array expressions (independent plan, same
+    rounding rule)."""
+    import pyspark.sql.functions as F
+    from minimapreduce_spark.functions.udfs import arrow_embedding_norms
+    from minimapreduce_spark.catalog import load_table
+
+    got = {
+        r["vec_id"]: r["l2_norm"]
+        for r in arrow_embedding_norms(spark, SF_DIR).collect()
+    }
+    emb = load_table(spark, SF_DIR, "embeddings")
+    ref = emb.select(
+        "vec_id",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        "embedding",
+                        lambda v: F.round(v.cast("double") * 1000000).cast("bigint"),
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, c: acc + c * c,
+                ).cast("double")
+            )
+            / 1000000.0,
+            6,
+        ).alias("l2_norm"),
+    )
+    want = {r["vec_id"]: r["l2_norm"] for r in ref.collect()}
+    assert got == want
