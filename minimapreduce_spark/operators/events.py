@@ -657,3 +657,52 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mean") / 10000.0, 4).alias("window_mean"),
         F.round(z, 4).alias("zscore"),
     )
+
+
+@register(
+    "events_attribution_first_touch",
+    oracle="""
+    WITH touched AS (
+      SELECT user_id, event_id, event_type, value,
+             first_value(CASE WHEN event_type IN ('view', 'click')
+                              THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      FROM events
+    )
+    SELECT coalesce(touch, 'direct') AS channel,
+           count(*) AS n_purchases,
+           round(sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0, 2)
+             AS attributed_value
+    FROM touched
+    WHERE event_type = 'purchase'
+    GROUP BY coalesce(touch, 'direct')
+    """,
+)
+def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution — the acquisition-credit twin of
+    events_attribution_last_touch: each purchase credits the EARLIEST
+    view/click in the user's preceding timeline (who brought them in,
+    not who closed them). Identical single-window scale posture; only
+    the carried value flips from running-last to running-first."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type", "value")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.first(
+        F.when(F.col("event_type").isin("view", "click"), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select("event_type", "value", touch.alias("touch"))
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(
+                F.sum(F.round(F.col("value") * 10000).cast("long")) / 10000.0, 2
+            ).alias("attributed_value"),
+        )
+    )

@@ -506,3 +506,37 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gaps.orderBy(
         F.col("gap_days").asc_nulls_first(), F.col("o_orderkey").asc()
     ).limit(20)
+
+
+@register(
+    "explode_outer_semantics",
+    oracle="""
+    WITH arr AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+                         w -> len(w) >= 12) AS lw
+      FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(lw) AS long_word FROM arr)
+    SELECT a.doc_id, e.long_word
+    FROM arr a LEFT JOIN ex e USING (doc_id)
+    """,
+)
+def explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode`` vs ``explode_outer`` — the row-dropping trap: plain
+    explode silently DELETES every document whose array is empty (here:
+    docs with no 12+-letter words), which in a pipeline reads as data
+    loss, not as "no matches". explode_outer keeps the parent row with
+    a NULL element — the semantics a LEFT JOIN against the unnested
+    rows reproduces, which is exactly how the oracle states it.
+
+    Scale posture: pure per-row projection, no shuffle; the NULL rows
+    cost nothing and preserve auditability (counts reconcile against
+    the input)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lw = F.filter(
+        F.split("text", r"[^A-Za-z]+"), lambda w: F.length(w) >= 12
+    )
+    return docs.select(
+        "doc_id", F.explode_outer(lw).alias("long_word")
+    )

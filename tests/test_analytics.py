@@ -343,3 +343,28 @@ def test_weekly_growth_first_week_null(spark):
     for _, grp in out.groupby("event_type"):
         assert pd.isna(grp["pct_change"].iloc[0])
         assert grp["pct_change"].iloc[1:].notna().all()
+
+
+def test_attribution_first_vs_last_touch_reconcile(spark):
+    """Both attribution models distribute the SAME purchases — totals
+    must agree even when per-channel splits differ."""
+    from minimapreduce_spark.operators.events import (
+        events_attribution_first_touch,
+        events_attribution_last_touch,
+    )
+
+    first = events_attribution_first_touch(spark, SF_DIR).toPandas()
+    last = events_attribution_last_touch(spark, SF_DIR).toPandas()
+    assert first["n_purchases"].sum() == last["n_purchases"].sum()
+    assert abs(first["attributed_value"].sum() - last["attributed_value"].sum()) < 0.05
+
+
+def test_explode_outer_preserves_every_document(spark):
+    from minimapreduce_spark.operators.semantics import explode_outer_semantics
+
+    out = explode_outer_semantics(spark, SF_DIR).toPandas()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert out["doc_id"].nunique() == n_docs  # no row-dropping
+    # docs with no long words surface exactly once, with NULL
+    nulls = out[out["long_word"].isna()]
+    assert (nulls.groupby("doc_id").size() == 1).all()
