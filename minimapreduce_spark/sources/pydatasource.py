@@ -105,3 +105,38 @@ def pysource_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id").alias("min_id"),
         F.max("id").alias("max_id"),
     )
+
+
+@register(
+    "binaryfile_manifest",
+    oracle="""
+    -- The driver contract fixes the correctness scale at sf0.01, and
+    -- oracle SQL runs verbatim (no parameter substitution), so this is
+    -- the one oracle that must name the path literally.
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           CAST(size AS BIGINT) AS n_bytes
+    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    """,
+)
+def binaryfile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest manifest via Spark's ``binaryFile`` source — the entry
+    point for multimodal payloads (images/audio/video arrive as opaque
+    bytes + metadata, operators/multimodal.py takes over from there):
+    one row per file with name and size.
+
+    Content checksums are pinned in pytest against hashlib instead,
+    since DuckDB's blob surface lacks a portable digest.
+
+    Scale posture: binaryFile plans one split per file (the reference's
+    file=split model, mr/master.go:327-338, again) and streams bytes
+    lazily; the manifest projection never loads content.
+    """
+    df = (
+        spark.read.format("binaryFile")
+        .load(f"{sf_dir}/*.parquet")
+        .select(
+            F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("file_name"),
+            F.col("length").cast("bigint").alias("n_bytes"),
+        )
+    )
+    return df

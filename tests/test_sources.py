@@ -151,3 +151,28 @@ def test_pydatasource_partition_invariance(spark):
     assert a == b and len(a) == 1000
     ids = [r[0] for r in a]
     assert ids == list(range(1000))  # no dropped/duplicated boundary rows
+
+
+def test_binaryfile_manifest_checksums(spark):
+    """The binaryFile source's bytes must be the real file bytes:
+    Spark-side sha2 equals hashlib over the same files (the digest
+    check the DuckDB oracle can't express)."""
+    import glob
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    df = (
+        spark.read.format("binaryFile")
+        .load(f"{SF_DIR}/*.parquet")
+        .select(
+            F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("name"),
+            F.col("length"),
+            F.sha2("content", 256).alias("digest"),
+        )
+    )
+    got = {r["name"]: (r["length"], r["digest"]) for r in df.collect()}
+    for path in glob.glob(f"{SF_DIR}/*.parquet"):
+        data = open(path, "rb").read()
+        name = path.rsplit("/", 1)[1]
+        assert got[name] == (len(data), hashlib.sha256(data).hexdigest())
