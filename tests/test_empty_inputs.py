@@ -1,0 +1,59 @@
+"""Degenerate-input robustness: every representative operator must
+EXECUTE on structurally-identical but EMPTY tables — returning an empty
+(or zero-row-derived) result, never crashing. The failure mode this
+pins: an operator that implicitly assumes >= 1 row (a first()/head
+driver-side peek, a non-null aggregate, an unguarded division) would
+turn a quiet upstream filter-to-nothing into a 100 TB job abort."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from minimapreduce_spark import queries as q
+from minimapreduce_spark.catalog import TABLES, table_path
+from tests.conftest import SF_DIR
+
+# One per family — chosen to cover scans, joins, windows, aggs, dedup,
+# similarity, text, streaming-batch twins, and the pipeline ops.
+REPRESENTATIVE = [
+    "wordcount",
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "window_topk_per_customer",
+    "window_rolling_median",
+    "events_sessionization",
+    "events_markov_transitions",
+    "sessions_peak_concurrency",
+    "dedup_exact",
+    "dedup_minhash",
+    "doc_pair_cosine_tfidf",
+    "ann_cosine_topk",
+    "text_quality_score",
+    "basket_part_pairs",
+    "surrogate_keys_documents",
+    "pack_token_batches",
+    "contamination_test_train",
+    "merge_upsert_customers",
+    "zorder_tile_stats",
+    "chi2_lang_source",
+    "embedding_quantize_int8",
+    "arrow_embedding_norms",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("empty_sf"))
+    for t in TABLES:
+        df = spark.read.parquet(table_path(SF_DIR, t))
+        df.limit(0).write.parquet(os.path.join(base, f"{t}.parquet"))
+    return base
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_operator_survives_empty_tables(spark, empty_sf_dir, name):
+    df = q.queries()[name](spark, empty_sf_dir)
+    rows = df.collect()
+    assert rows == [] or all(r is not None for r in rows)
