@@ -1077,3 +1077,88 @@ def weekly_growth_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rev_fp") / 10000.0, 4).alias("revenue"),
         F.round((F.col("rev_fp") - prev) * 100.0 / prev, 4).alias("pct_change"),
     )
+
+
+@register(
+    "ts_similarity_topk",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             sum(CAST(round(value * 10000) AS BIGINT)) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (SELECT DISTINCT day FROM daily),
+    users AS (SELECT DISTINCT user_id FROM daily),
+    grid AS (
+      SELECT u.user_id, s.day, coalesce(d.v, 0) AS v
+      FROM users u CROSS JOIN spine s
+      LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = s.day
+    ),
+    dists AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             sum((a.v - b.v) * (a.v - b.v)) AS d2
+      FROM grid a JOIN grid b ON a.day = b.day AND a.user_id < b.user_id
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT user_a, user_b,
+             round(sqrt(CAST(d2 AS DOUBLE)) / 10000.0, 4) AS distance,
+             row_number() OVER (ORDER BY d2, user_a, user_b) AS rnk
+      FROM dists
+    )
+    SELECT user_a, user_b, distance, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (the REPOSE/Odyssey problem shape,
+    PAPERS.md): the 5 most similar pairs of users by Euclidean distance
+    between their aligned daily-value series.
+
+    Alignment is a dense (user × day) grid — absent days are true
+    zeros, not missing joins, so the metric is well-defined; the
+    pairwise term then joins on day (series-length-bounded fanout, the
+    same day-partitioned decomposition the distributed data-series
+    systems use) and reduces to one exact integer sum per pair.
+    Distance surfaces as one identical sqrt; ranking ties break on the
+    pair key.
+
+    Scale posture: at user-count scale the all-pairs stage needs the
+    usual candidate pruning (LSH on series sketches — the minhash
+    machinery — or triangle-inequality pivots a la Odyssey); the
+    day-join decomposition itself is the distributed-friendly part:
+    shuffle on day, map-side partial pair sums, never a series
+    materialized per task pair.
+    """
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("v"))
+    spine = daily.select("day").distinct()
+    users = daily.select("user_id").distinct()
+    grid = (
+        users.crossJoin(spine)
+        .join(daily, ["user_id", "day"], "left")
+        .select("user_id", "day", F.coalesce("v", F.lit(0)).alias("v"))
+    )
+    a = grid.select(F.col("user_id").alias("user_a"), "day", F.col("v").alias("va"))
+    b = grid.select(F.col("user_id").alias("user_b"), "day", F.col("v").alias("vb"))
+    dists = (
+        a.join(b, "day")
+        .where(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.sum(
+                (F.col("va") - F.col("vb")) * (F.col("va") - F.col("vb"))
+            ).alias("d2")
+        )
+    )
+    wr = W.orderBy("d2", "user_a", "user_b")
+    return (
+        dists.select(
+            "user_a",
+            "user_b",
+            F.round(F.sqrt(F.col("d2").cast("double")) / 10000.0, 4).alias("distance"),
+            F.row_number().over(wr).alias("rnk"),
+        )
+        .where(F.col("rnk") <= 5)
+    )

@@ -542,3 +542,57 @@ def doc_pair_cosine_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cos > 0.2)
         .select("doc1", "doc2", F.round(cos, 6).alias("cosine"))
     )
+
+
+POS_WORDS = ("fast", "small")
+NEG_WORDS = ("slow", "big")
+
+
+@register(
+    "text_sentiment_lexicon",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), w -> w <> '') AS ws
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           len(list_filter(ws, w -> w IN {POS_WORDS!r})) AS n_pos,
+           len(list_filter(ws, w -> w IN {NEG_WORDS!r})) AS n_neg,
+           round((len(list_filter(ws, w -> w IN {POS_WORDS!r}))
+                  - len(list_filter(ws, w -> w IN {NEG_WORDS!r})))
+                 * 1.0 / len(ws), 6) AS polarity
+    FROM toks
+    WHERE len(ws) > 0
+    """,
+)
+def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment scoring (the large-scale-sentiment shape
+    from PAPERS.md, with a deliberately tiny demo lexicon — swap in
+    AFINN/VADER lists for real corpora): per-document positive/negative
+    hit counts and a token-normalized polarity in [−1, 1].
+
+    Pure higher-order array expressions over one tokenize — no Python,
+    no shuffle (per-row projection; any rollup downstream is the
+    caller's). Counts are exact; polarity is one identical division.
+    The same filter-count shape as text_quality_score's stopword ratio
+    — lexicon scoring IS quality scoring with a different word list.
+    """
+    docs = _docs(spark, sf_dir)
+    ws = _tokens(F.col("text"))
+    n_pos = F.size(F.filter(ws, lambda w: w.isin(*POS_WORDS)))
+    n_neg = F.size(F.filter(ws, lambda w: w.isin(*NEG_WORDS)))
+    return (
+        docs.select("doc_id", "lang", n_pos.alias("n_pos"), n_neg.alias("n_neg"),
+                    F.size(ws).alias("n_tokens"))
+        .where(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "n_pos",
+            "n_neg",
+            F.round((F.col("n_pos") - F.col("n_neg")) * 1.0 / F.col("n_tokens"), 6).alias(
+                "polarity"
+            ),
+        )
+    )

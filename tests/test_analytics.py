@@ -368,3 +368,39 @@ def test_explode_outer_preserves_every_document(spark):
     # docs with no long words surface exactly once, with NULL
     nulls = out[out["long_word"].isna()]
     assert (nulls.groupby("doc_id").size() == 1).all()
+
+
+def test_ts_similarity_is_metric_consistent(spark):
+    """Distances are >= 0, pairs canonical, ranks dense, and the top-1
+    pair's distance equals a numpy recompute over the aligned grids."""
+    import numpy as np
+    from minimapreduce_spark.operators.analytics import ts_similarity_topk
+    import pyspark.sql.functions as F
+
+    out = ts_similarity_topk(spark, SF_DIR).toPandas().sort_values("rnk")
+    assert (out["distance"] >= 0).all()
+    assert (out["user_a"] < out["user_b"]).all()
+    assert list(out["rnk"]) == list(range(1, len(out) + 1))
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", F.date_trunc("day", "ts").alias("day"), "value"
+    )
+    daily = (
+        ev.groupBy("user_id", "day")
+        .agg(F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("v"))
+        .toPandas()
+        .pivot_table(index="user_id", columns="day", values="v", fill_value=0, aggfunc="sum")
+    )
+    ua, ub = out.iloc[0]["user_a"], out.iloc[0]["user_b"]
+    d2 = int(((daily.loc[ua] - daily.loc[ub]) ** 2).sum())
+    assert round(np.sqrt(d2) / 10000.0, 4) == out.iloc[0]["distance"]
+
+
+def test_sentiment_polarity_bounds(spark):
+    from minimapreduce_spark.operators.text_analysis import text_sentiment_lexicon
+
+    out = text_sentiment_lexicon(spark, SF_DIR).toPandas()
+    assert out["polarity"].between(-1, 1).all()
+    assert ((out["n_pos"] >= 0) & (out["n_neg"] >= 0)).all()
+    # the lexicon words do occur in the fixture corpus
+    assert out["n_pos"].sum() > 0 and out["n_neg"].sum() > 0
