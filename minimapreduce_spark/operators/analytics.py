@@ -1162,3 +1162,57 @@ def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rnk") <= 5)
     )
+
+
+EVENT_TYPE_BITS = {"click": 1, "error": 2, "purchase": 4, "signup": 8, "view": 16}
+
+
+@register(
+    "window_trailing_distinct_types",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                             WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                             WHEN 'view' THEN 16 ELSE 0 END AS mask
+      FROM events
+    )
+    SELECT user_id, ts, event_id,
+           bit_count(CAST(bit_or(mask) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT))
+             AS n_distinct_types
+    FROM m
+    """,
+)
+def window_trailing_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct event types in each user's trailing 10-event window —
+    the behavioral-diversity signal — computed with O(1) window state:
+    each type maps to one bit of a small-domain bitmask, the frame
+    aggregate is bit_or (decomposable, constant-size), and popcount
+    reads the distinct count off the accumulated mask.
+
+    The naive form (collect_set over the frame, size()) carries the
+    whole set per row; the bitmask form is the standard small-domain
+    distinct trick that survives any frame length — and it's exactly
+    what a COUNT(DISTINCT) OVER would need Spark/DuckDB don't provide
+    (window_cumulative_distinct_users handles the unbounded large-
+    domain case; this is the bounded-domain one). Integer-exact.
+
+    Scale posture: one shuffle on user_id, O(1) per-row state, fully
+    codegen'd.
+    """
+    ev = _events(spark, sf_dir)
+    mask = F.when(F.col("event_type") == "click", 1)
+    for t, b in list(EVENT_TYPE_BITS.items())[1:]:
+        mask = mask.when(F.col("event_type") == t, b)
+    mask = mask.otherwise(0)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-9, 0)
+    return ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.bit_count(F.bit_or(mask.cast("bigint")).over(w)).cast("int").alias(
+            "n_distinct_types"
+        ),
+    )

@@ -404,3 +404,21 @@ def test_sentiment_polarity_bounds(spark):
     assert ((out["n_pos"] >= 0) & (out["n_neg"] >= 0)).all()
     # the lexicon words do occur in the fixture corpus
     assert out["n_pos"].sum() > 0 and out["n_neg"].sum() > 0
+
+
+def test_trailing_distinct_types_vs_collect_set(spark):
+    """The O(1)-state bitmask form must equal the naive
+    collect_set-over-frame form on the full fixture."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window as W
+    from minimapreduce_spark.operators.analytics import window_trailing_distinct_types
+
+    got = window_trailing_distinct_types(spark, SF_DIR).toPandas()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-9, 0)
+    naive = ev.select(
+        "event_id",
+        F.size(F.collect_set("event_type").over(w)).alias("n"),
+    ).toPandas()
+    merged = got.merge(naive, on="event_id")
+    assert (merged["n_distinct_types"] == merged["n"]).all()
