@@ -596,3 +596,56 @@ def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+PHRASE = ("hash", "join")
+
+
+@register(
+    "phrase_search_positional",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, generate_subscripts(ws, 1) AS p, ws AS arr FROM words
+    ),
+    tokens AS (SELECT doc_id, p, arr[p] AS word FROM pos)
+    SELECT a.doc_id, count(*) AS n_hits,
+           min(a.p) AS first_pos
+    FROM tokens a JOIN tokens b
+      ON a.doc_id = b.doc_id AND b.p = a.p + 1
+    WHERE a.word = '{PHRASE[0]}' AND b.word = '{PHRASE[1]}'
+    GROUP BY a.doc_id
+    """,
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("hash join") via a positional index — the IR
+    primitive ranked-retrieval (text_bm25_topk) can't express: a match
+    requires word₁ at position p AND word₂ at p+1 in the SAME document.
+
+    Both sides of the positional join are pre-filtered to their own
+    phrase term BEFORE joining, so the join input is |postings(w₁)| +
+    |postings(w₂)| rows, never the full token stream — the inverted-
+    index discipline that makes phrase queries cheap at corpus scale
+    (longer phrases chain the same p+k join). Exact integer positions.
+
+    Scale posture: one tokenize scan, two tiny filtered projections,
+    one equi-join on (doc, adjacent-position) that shuffles only the
+    postings of the two phrase terms.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(_tokens(F.col("text"))).alias("p0", "word"),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "word")
+    a = toks.where(F.col("word") == PHRASE[0]).select("doc_id", "p")
+    b = toks.where(F.col("word") == PHRASE[1]).select(
+        "doc_id", (F.col("p") - 1).alias("p")
+    )
+    hits = a.join(b, ["doc_id", "p"])
+    return hits.groupBy("doc_id").agg(
+        F.count("*").alias("n_hits"), F.min("p").alias("first_pos")
+    )

@@ -38,3 +38,30 @@ def test_bm25_scores_positive_and_ranked(spark):
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert all(s > 0 for s in scores)
+
+
+def test_phrase_search_hits_are_real(spark):
+    """Every reported doc actually contains the adjacent-word phrase,
+    at exactly the reported count (checked in Python on raw text)."""
+    import re
+
+    from minimapreduce_spark.operators.text_analysis import (
+        PHRASE,
+        phrase_search_positional,
+    )
+    from tests.conftest import SF_DIR
+
+    out = phrase_search_positional(spark, SF_DIR).toPandas()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    assert len(out) > 0
+    for _, row in out.iterrows():
+        words = [w for w in re.split(r"[^A-Za-z]+", texts[row["doc_id"]]) if w]
+        n = sum(
+            1
+            for i in range(len(words) - 1)
+            if words[i] == PHRASE[0] and words[i + 1] == PHRASE[1]
+        )
+        assert n == row["n_hits"] and n > 0
