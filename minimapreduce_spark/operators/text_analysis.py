@@ -649,3 +649,106 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy("doc_id").agg(
         F.count("*").alias("n_hits"), F.min("p").alias("first_pos")
     )
+
+
+@register(
+    "text_collocations_pmi",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    pos AS (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i FROM words),
+    uni AS (
+      SELECT arr_w AS w, count(*) AS c FROM (
+        SELECT unnest(ws) AS arr_w FROM words
+      ) GROUP BY 1
+    ),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+    bg AS (
+      SELECT ws[i] AS w1, ws[i + 1] AS w2, count(*) AS c12
+      FROM pos WHERE i <= len(ws) - 1
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT w1, w2, c12,
+             round(ln(CAST(c12 AS DOUBLE) * n.n
+                      / (CAST(u1.c AS DOUBLE) * u2.c)), 6) AS pmi
+      FROM bg JOIN uni u1 ON w1 = u1.w JOIN uni u2 ON w2 = u2.w, n
+      WHERE c12 >= 5
+    ),
+    ranked AS (
+      SELECT w1, w2, c12, pmi,
+             row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rnk
+      FROM scored
+    )
+    SELECT w1, w2, c12, pmi, rnk FROM ranked WHERE rnk <= 10
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 collocations by pointwise mutual information — bigrams
+    that co-occur far above chance (text_top_bigrams ranks by raw
+    count, which surfaces common-word pairs; PMI surfaces BOUND pairs).
+    Support threshold c ≥ 5 applies the standard PMI low-count
+    correction.
+
+    PMI = ln(c₁₂·N / (c₁·c₂)): the argument is a ratio of exact
+    integer counts, evaluated with the identical expression shape on
+    both engines, rounded to 6 dp BEFORE ranking so a last-ulp ln
+    difference cannot flip a rank (the text_tfidf_top_terms
+    discipline); remaining ties break lexicographically.
+
+    Scale posture: bigram + unigram aggs shuffle on their word keys
+    (map-side partials), the corpus size broadcasts, ranking windows
+    run over the thresholded collocation set only.
+    """
+    docs = _docs(spark, sf_dir)
+    ws = _tokens(F.col("text"))
+    toks = docs.select("doc_id", F.posexplode(ws).alias("i", "w"))
+    uni = toks.groupBy(F.col("w")).agg(F.count("*").alias("c"))
+    n = uni.agg(F.sum("c").cast("bigint").alias("n"))
+    bg = (
+        docs.select(
+            F.explode(
+                F.when(
+                    F.size(ws) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(ws) - 1),
+                        lambda i: F.struct(
+                            F.element_at(ws, i).alias("w1"),
+                            F.element_at(ws, i + 1).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .where(F.col("c12") >= 5)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bg.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    F.col("c12").cast("double") * F.col("n")
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    wr = W.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.select("w1", "w2", "c12", "pmi", F.row_number().over(wr).alias("rnk"))
+        .where(F.col("rnk") <= 10)
+    )

@@ -176,3 +176,31 @@ def test_binaryfile_manifest_checksums(spark):
         data = open(path, "rb").read()
         name = path.rsplit("/", 1)[1]
         assert got[name] == (len(data), hashlib.sha256(data).hexdigest())
+
+
+def test_dynamic_partition_overwrite_preserves_other_partitions(spark, nation, tmp_path):
+    """INSERT OVERWRITE with dynamic partitionOverwriteMode must
+    replace only the partitions present in the incoming batch - the
+    incremental-backfill write pattern; static mode would wipe the
+    whole table."""
+    path = str(tmp_path / "nation_dyn")
+    nation.write.partitionBy("n_regionkey").parquet(path)
+    before = spark.read.parquet(path)
+    n_before = before.count()
+    n_r2 = before.where("n_regionkey = 2").count()
+
+    patch = (
+        nation.where("n_regionkey = 2")
+        .withColumn("n_name", F.concat(F.col("n_name"), F.lit("_V2")))
+    )
+    (
+        patch.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("n_regionkey")
+        .parquet(path)
+    )
+    after = spark.read.parquet(path)
+    assert after.count() == n_before  # other partitions intact
+    assert after.where("n_regionkey = 2").count() == n_r2
+    assert after.where("n_name LIKE '%_V2'").count() == n_r2
+    assert after.where("n_regionkey != 2 AND n_name LIKE '%_V2'").count() == 0
