@@ -706,3 +706,81 @@ def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("attributed_value"),
         )
     )
+
+
+@register(
+    "cohort_ltv_matrix",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, ts, event_type, value,
+             date_trunc('week', min(ts) OVER (PARTITION BY user_id))
+               AS cohort_week
+      FROM events
+    ),
+    wk AS (
+      SELECT cohort_week,
+             CAST(datediff('day', cohort_week, date_trunc('week', ts)) // 7
+                  AS BIGINT) AS week_offset,
+             sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 10000) AS BIGINT) ELSE 0 END)
+               AS rev_fp
+      FROM base GROUP BY 1, 2
+    )
+    SELECT cohort_week, week_offset,
+           round(rev_fp / 10000.0, 4) AS week_revenue,
+           round(CAST(sum(rev_fp) OVER (PARTITION BY cohort_week
+                   ORDER BY week_offset
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) / 10000.0, 4) AS cum_revenue
+    FROM wk
+    """,
+)
+def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix — the revenue twin of
+    events_retention_cohorts: users bucketed by first-event week, and
+    for each (cohort, week-offset) cell the cohort's purchase revenue
+    that week plus the running cumulative LTV curve.
+
+    Cohort assignment is the same window-min (no agg + join-back
+    rescan); revenue accumulates as fixed-point BIGINT through both
+    the weekly agg and the cumulative window, so the LTV curve is
+    hash-exact. The matrix is |cohorts| × |offsets| — tiny at any
+    input scale.
+
+    Scale posture: one shuffle on user_id for cohort assignment, one
+    hash agg on (cohort, offset), one window over the matrix.
+    """
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_type", "value")
+    by_user = W.partitionBy("user_id")
+    base = ev.select(
+        "ts",
+        "event_type",
+        "value",
+        F.date_trunc("week", F.min("ts").over(by_user)).alias("cohort_week"),
+    )
+    rev = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 10000).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    offset = (
+        F.datediff(
+            F.date_trunc("week", "ts").cast("date"), F.col("cohort_week").cast("date")
+        )
+        / 7
+    ).cast("bigint")
+    wk = base.groupBy(
+        "cohort_week", offset.alias("week_offset")
+    ).agg(F.sum(rev).alias("rev_fp"))
+    wcum = (
+        W.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return wk.select(
+        "cohort_week",
+        "week_offset",
+        F.round(F.col("rev_fp") / 10000.0, 4).alias("week_revenue"),
+        F.round(F.sum("rev_fp").over(wcum).cast("bigint") / 10000.0, 4).alias(
+            "cum_revenue"
+        ),
+    )

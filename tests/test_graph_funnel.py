@@ -60,3 +60,26 @@ def test_rolling_zscore_flags_only_outliers(spark):
     rows = events_rolling_zscore(spark, SF_DIR).collect()
     assert rows
     assert all(abs(r.zscore) > 2 for r in rows)
+
+
+def test_cohort_ltv_cumulative_is_monotone(spark):
+    """Within each cohort the LTV curve is non-decreasing and its last
+    point equals the cohort's total purchase revenue."""
+    import pyspark.sql.functions as F
+    from minimapreduce_spark.operators.events import cohort_ltv_matrix
+
+    out = (
+        cohort_ltv_matrix(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["cohort_week", "week_offset"])
+    )
+    for _, grp in out.groupby("cohort_week"):
+        assert (grp["cum_revenue"].diff().dropna() >= 0).all()
+        assert abs(grp["week_revenue"].sum() - grp["cum_revenue"].iloc[-1]) < 1e-6
+    total = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .where(F.col("event_type") == "purchase")
+        .agg(F.sum(F.round(F.col("value") * 10000).cast("bigint")))
+        .first()[0]
+    )
+    assert abs(out["week_revenue"].sum() - total / 10000.0) < 1e-6
