@@ -540,3 +540,60 @@ def explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.explode_outer(lw).alias("long_word")
     )
+
+
+@register(
+    "union_schema_evolution",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+             o_orderpriority AS priority
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    unioned AS (FROM v1 UNION ALL BY NAME FROM v2)
+    SELECT coalesce(priority, '(pre-upgrade)') AS priority,
+           count(*) AS n_orders,
+           CAST(count(priority) AS BIGINT) AS n_with_priority,
+           round(sum(price_c) / 100.0, 2) AS total_price
+    FROM unioned GROUP BY 1
+    """,
+)
+def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: combine a v1 batch (no ``priority``
+    column — even orderkeys stand in for pre-upgrade files) with a v2
+    batch that added it, via ``unionByName(allowMissingColumns=True)``
+    — missing columns become NULLs, by NAME, never by position (the
+    silent-corruption mode of positional UNION when a column was
+    inserted mid-schema). The rollup shows the canonical downstream
+    handling: NULL priority surfaces as an explicit '(pre-upgrade)'
+    bucket and ``count(col)`` vs ``count(*)`` quantifies coverage.
+
+    Scale posture: a metadata-only concat (no shuffle) + one hash agg;
+    this is how heterogeneous parquet generations coexist in one scan
+    at 100 TB (parquet's mergeSchema read is the file-level analog).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    price_c = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    v1 = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", price_c.alias("price_c")
+    )
+    v2 = orders.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        price_c.alias("price_c"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    unioned = v1.unionByName(v2, allowMissingColumns=True)
+    return unioned.groupBy(
+        F.coalesce("priority", F.lit("(pre-upgrade)")).alias("priority")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.count("priority").cast("bigint").alias("n_with_priority"),
+        F.round(F.sum("price_c") / 100.0, 2).alias("total_price"),
+    )
