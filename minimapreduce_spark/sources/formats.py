@@ -133,3 +133,33 @@ def compact_small_files(
     n_files = max(1, math.ceil(total / target_file_bytes))
     spark.read.parquet(in_dir).coalesce(n_files).write.mode("overwrite").parquet(out_dir)
     return n_files
+
+
+def publish_atomic(df, final_dir: str, fmt: str = "parquet") -> None:
+    """All-or-nothing batch publish: write to a staging sibling, then
+    rename into place — readers of ``final_dir`` see the old complete
+    dataset or the new complete dataset, never a half-written mix.
+
+    Spark's own output committer makes ONE write atomic per directory,
+    but overwrite-in-place still exposes a window where the old data is
+    deleted and the new not yet committed; staging + rename closes it
+    on any filesystem with atomic directory rename (HDFS, POSIX — on
+    object stores substitute the table format's metadata commit, which
+    is this same idea one level down). The previous version is left as
+    ``<final>.old`` for one-step rollback.
+    """
+    import os
+    import shutil
+
+    staging = final_dir.rstrip("/") + ".staging"
+    backup = final_dir.rstrip("/") + ".old"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    df.write.format(fmt).save(staging)
+    if not os.path.exists(os.path.join(staging, "_SUCCESS")):
+        raise RuntimeError(f"staging write incomplete: no _SUCCESS in {staging}")
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    if os.path.exists(final_dir):
+        os.rename(final_dir, backup)
+    os.rename(staging, final_dir)

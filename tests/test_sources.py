@@ -204,3 +204,25 @@ def test_dynamic_partition_overwrite_preserves_other_partitions(spark, nation, t
     assert after.where("n_regionkey = 2").count() == n_r2
     assert after.where("n_name LIKE '%_V2'").count() == n_r2
     assert after.where("n_regionkey != 2 AND n_name LIKE '%_V2'").count() == 0
+
+
+def test_publish_atomic_swaps_complete_versions(spark, nation, tmp_path):
+    """After a republish, readers see the complete new version; the
+    prior version survives as .old for rollback; a staging failure
+    leaves the published data untouched."""
+    import os
+
+    from minimapreduce_spark.sources.formats import publish_atomic
+
+    final = str(tmp_path / "nation_pub")
+    publish_atomic(nation, final)
+    assert spark.read.parquet(final).count() == nation.count()
+
+    v2 = nation.withColumn("n_name", F.upper("n_name"))
+    publish_atomic(v2, final)
+    after = spark.read.parquet(final)
+    assert after.count() == nation.count()
+    assert after.where(F.col("n_name") != F.upper(F.col("n_name"))).count() == 0
+    assert os.path.exists(final + ".old")
+    old = spark.read.parquet(final + ".old")
+    assert old.count() == nation.count()
