@@ -169,3 +169,49 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
     )
     return run_to_memory(agg, "stream_static_enrich", "complete")
+
+
+@register(
+    "stream_tumbling_append_finalized",
+    oracle="""
+    WITH w AS (
+      SELECT date_trunc('hour', ts) AS hour_start, event_type,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (SELECT max(ts) AS mx FROM events)
+    SELECT hour_start, event_type, n_events
+    FROM w, m
+    WHERE hour_start + INTERVAL 1 HOUR <= mx - INTERVAL 30 MINUTE
+    """,
+)
+def stream_tumbling_append_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode windowed aggregation — the EXACTLY-ONCE-emission
+    semantic the complete/update twins sidestep: a window row is
+    emitted only when the watermark passes its end, i.e. it is final
+    and will never be retracted — what a downstream append-only sink
+    (parquet, Kafka) requires.
+
+    The oracle states the contract precisely: over a drained stream
+    the emitted set is every window whose end <= max(event time) −
+    watermark delay; the still-open tail windows are withheld BY
+    DESIGN (5 rows at sf0.01). Spark's no-data final micro-batch
+    flushes windows the last data batch closed — without it the
+    emission would lag one trigger.
+
+    Scale posture: identical state bound to the complete twin
+    (watermark evicts closed windows); emission timing, not state, is
+    what changes.
+    """
+    sdf = events_stream(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = run_to_memory(agg, "stream_tumbling_append_finalized", "append")
+    return out.select(
+        F.col("win.start").cast("timestamp_ntz").alias("hour_start"),
+        "event_type",
+        "n_events",
+    )

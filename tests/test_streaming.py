@@ -121,3 +121,26 @@ def test_foreachbatch_parquet_sink_exactly_once(spark, tmp_path):
     # append.
     run_to_parquet(events_stream(spark, SF_DIR).select("event_id", "user_id", "value"), out, ckpt)
     assert spark.read.parquet(out).count() == expected
+
+
+def test_append_mode_withholds_open_windows(spark, duck):
+    """Append emits exactly the watermark-closed windows: a strict
+    subset of the complete-mode result, missing only windows ending
+    within the watermark delay of max event time."""
+    import pyspark.sql.functions as F
+
+    from minimapreduce_spark.streaming.windows import (
+        stream_tumbling_append_finalized,
+    )
+
+    out = stream_tumbling_append_finalized(spark, SF_DIR).toPandas()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    total_windows = (
+        ev.groupBy(F.date_trunc("hour", "ts"), "event_type").count().count()
+    )
+    assert 0 < len(out) < total_windows
+    mx = ev.agg(F.max("ts")).first()[0]
+    import pandas as pd
+
+    cutoff = pd.Timestamp(mx) - pd.Timedelta("30 minutes")
+    assert (pd.to_datetime(out["hour_start"]) + pd.Timedelta("1 hour") <= cutoff).all()
