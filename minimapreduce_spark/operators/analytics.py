@@ -1216,3 +1216,52 @@ def window_trailing_distinct_types(spark: SparkSession, sf_dir: str) -> DataFram
             "n_distinct_types"
         ),
     )
+
+
+@register(
+    "agg_arg_extremes",
+    oracle="""
+    WITH keyed AS (
+      SELECT l_returnflag, l_orderkey, l_linenumber,
+             CAST(round(l_extendedprice * 100) AS BIGINT) * 10000000
+               + l_orderkey * 10 + l_linenumber AS price_key,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           arg_max(l_orderkey, price_key) AS max_price_orderkey,
+           arg_min(l_orderkey, price_key) AS min_price_orderkey,
+           round(max(price_c) / 100.0, 2) AS max_price,
+           round(min(price_c) / 100.0, 2) AS min_price
+    FROM keyed GROUP BY l_returnflag
+    """,
+)
+def agg_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-extremum aggregates (max_by/min_by ≡ DuckDB arg_max/arg_min)
+    — "WHICH order had the extreme price", answered in the aggregation
+    itself instead of a rank-window + filter (one hash agg, no sort).
+
+    The comparison key is made UNIQUE (price in cents, then orderkey,
+    then linenumber packed into one BIGINT) because arg-extremes on a
+    tied key are engine-nondeterministic — the same tie-break
+    discipline as every rank in this engine, folded into integer
+    arithmetic.
+
+    Scale posture: single partial+final hash agg; the packed key adds
+    no shuffle width.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    key = price_c * 10000000 + F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    keyed = li.select(
+        "l_returnflag",
+        "l_orderkey",
+        key.alias("price_key"),
+        price_c.alias("price_c"),
+    )
+    return keyed.groupBy("l_returnflag").agg(
+        F.max_by("l_orderkey", "price_key").alias("max_price_orderkey"),
+        F.min_by("l_orderkey", "price_key").alias("min_price_orderkey"),
+        F.round(F.max("price_c") / 100.0, 2).alias("max_price"),
+        F.round(F.min("price_c") / 100.0, 2).alias("min_price"),
+    )

@@ -597,3 +597,45 @@ def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("priority").cast("bigint").alias("n_with_priority"),
         F.round(F.sum("price_c") / 100.0, 2).alias("total_price"),
     )
+
+
+@register(
+    "try_arithmetic_semantics",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           CAST(count(CASE WHEN o_orderkey % 10 <> 0
+                           THEN o_totalprice / (o_orderkey % 10) END)
+                AS BIGINT) AS n_divisible,
+           CAST(count(TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT))
+                AS BIGINT) AS n_numeric_prefix,
+           CAST(count(TRY_CAST(o_orderstatus AS BIGINT)) AS BIGINT)
+             AS n_status_numeric
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def try_arithmetic_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression semantics: ``try_divide`` yields NULL on a
+    zero divisor (never a job abort — at 100 TB one poison row must not
+    kill the stage) and ``try_cast`` yields NULL on malformed input
+    ('1-URGENT' → 1 via its prefix; 'F'/'O'/'P' → NULL). The NULL-count
+    aggregation quantifies how much data each guard absorbed — the
+    dead-letter accounting a robust pipeline reports instead of
+    swallowing.
+
+    DuckDB oracle: TRY_CAST is portable; the zero-divisor guard is the
+    explicit CASE that try_divide desugars to.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        F.count(
+            F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 10)
+        ).cast("bigint").alias("n_divisible"),
+        F.count(
+            F.try_to_number(F.substring("o_orderpriority", 1, 1), F.lit("9"))
+        ).cast("bigint").alias("n_numeric_prefix"),
+        F.count(F.col("o_orderstatus").try_cast("bigint")).cast("bigint").alias(
+            "n_status_numeric"
+        ),
+    )
