@@ -1,15 +1,25 @@
-"""Sequence and windowed-statistics analytics over the events table.
+"""Sequence, windowed-statistics, and statistical analytics.
 
 Operators absent from the reference (SURVEY §2c — windows and sequence
-analysis don't exist there) that a product-analytics user of the engine
-needs as first-class queries: rolling medians (a frame-aggregate Spark
-has no built-in for), cumulative distinct counts (a window COUNT
-(DISTINCT) neither engine supports directly), and Markov transition
-matrices over per-user event sequences.
+analysis don't exist there) that a product-analytics or data-science
+user of the engine needs as first-class queries. Families here:
 
-All three are single-shuffle plans partitioned by user_id or
-event_type: at 100 TB each is one exchange + one per-partition sort,
-O(1)-or-O(frame) state per row, no joins, no driver state.
+- window statistics Spark lacks natively: rolling median, cumulative
+  distinct (first-seen decomposition), bounded-domain distinct-in-frame
+  (bit_or bitmask), max drawdown, MAD, equi-depth histograms;
+- sequence analytics: Markov transitions, time-weighted averages,
+  session path mining, peak session concurrency (sweep-line), OLS
+  trends, week-over-week growth, time-series similarity search;
+- co-occurrence/statistics: market-basket lift, triangle counting,
+  chi-square contingency, arg-extremum aggregates;
+- semi-structured: VARIANT shredding, regex fact extraction;
+- infrastructure shapes: the two-phase global running sum
+  (surrogate keys) reused by pack_token_batches.
+
+The common discipline: one shuffle on the natural key per stage,
+map-side-combinable aggregates, bounded per-row state, and the
+exactness playbook (README) — fixed-point integers until one final
+identical double op.
 """
 
 from __future__ import annotations
