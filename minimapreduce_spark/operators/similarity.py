@@ -354,3 +354,172 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("code").alias("max_code"),
         F.round(F.max("err"), 6).alias("max_abs_err"),
     )
+
+
+@register(
+    "ann_ivf_int8_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+    x AS (
+      SELECT vec_id, label, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v
+      FROM e
+    ),
+    dims AS (SELECT pos, min(v) AS lo, max(v) AS hi FROM x GROUP BY pos),
+    codes AS (
+      SELECT vec_id, label, x.pos,
+             CAST(floor((v - lo) * 255 / (hi - lo)) AS BIGINT) AS c
+      FROM x JOIN dims ON x.pos = dims.pos
+      WHERE hi > lo
+    ),
+    nsq AS (SELECT vec_id, sum(c * c) AS n2 FROM codes GROUP BY vec_id),
+    cent AS (
+      SELECT label, list(av ORDER BY pos) AS centroid
+      FROM (SELECT label, pos, avg(v) AS av FROM x GROUP BY label, pos)
+      GROUP BY label
+    ),
+    q AS (SELECT vec_id AS q_vec_id, emb AS qe FROM e WHERE vec_id < {N_QUERIES}),
+    assign AS (
+      SELECT q_vec_id, label,
+             row_number() OVER (
+               PARTITION BY q_vec_id
+               ORDER BY round(list_cosine_similarity(qe, centroid), 6) DESC, label
+             ) AS crn
+      FROM q, cent
+    ),
+    routed AS (SELECT q_vec_id, label AS q_label FROM assign WHERE crn = 1),
+    qcodes AS (
+      SELECT r.q_vec_id, r.q_label, c.pos, c.c AS qc
+      FROM routed r JOIN codes c ON c.vec_id = r.q_vec_id
+    ),
+    dots AS (
+      SELECT q.q_vec_id, c.vec_id, sum(q.qc * c.c) AS dot
+      FROM qcodes q JOIN codes c
+        ON c.pos = q.pos AND c.label = q.q_label AND c.vec_id <> q.q_vec_id
+      GROUP BY 1, 2
+    ),
+    sims AS (
+      SELECT d.q_vec_id, d.vec_id,
+             round(CAST(d.dot AS DOUBLE)
+                   / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))),
+                   6) AS q_sim
+      FROM dots d
+      JOIN nsq nq ON nq.vec_id = d.q_vec_id
+      JOIN nsq nc ON nc.vec_id = d.vec_id
+    ),
+    ranked AS (
+      SELECT q_vec_id, vec_id, q_sim,
+             row_number() OVER (PARTITION BY q_vec_id
+                                ORDER BY q_sim DESC, vec_id) AS rn
+      FROM sims
+    )
+    SELECT q_vec_id, vec_id AS neighbor_id, q_sim, rn
+    FROM ranked WHERE rn <= {IVF_TOP_K}
+    """,
+)
+def ann_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production vector-search path in one plan: IVF routing
+    (query → nearest label centroid, exact float, round-before-rank) +
+    int8-quantized scoring inside the routed partition
+    (embedding_quantize_int8's codes; the dot product and squared
+    norms are exact integer sums, the final cosine one identical
+    sqrt/divide) + top-5 with vec_id tie-break.
+
+    This composes the engine's two ANN accelerations the way a real
+    100 TB vector store does — partition pruning cuts the scan by
+    |partitions|, code scoring cuts bytes/vector 4× and keeps SIMD-
+    friendly integer math; a float refine of the int8 top-k (compare
+    ann_ivf_topk) is the optional last stage. Recall vs the float path
+    is measured in pytest.
+
+    Scale posture: quantization calibration is one tiny broadcast;
+    codes join on (pos, label) — at scale the long format becomes a
+    code-array column and the dot a codegen'd fold, same semantics.
+    """
+    emb = _emb(spark, sf_dir)
+    x = emb.select(
+        "vec_id", "label", F.posexplode("emb").alias("pos", "v")
+    )
+    dims = x.groupBy("pos").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    codes = (
+        x.join(F.broadcast(dims), "pos")
+        .where(F.col("hi") > F.col("lo"))
+        .select(
+            "vec_id",
+            "label",
+            "pos",
+            F.floor(
+                (F.col("v") - F.col("lo")) * 255 / (F.col("hi") - F.col("lo"))
+            ).cast("bigint").alias("c"),
+        )
+    )
+    nsq = codes.groupBy("vec_id").agg(F.sum(F.col("c") * F.col("c")).alias("n2"))
+    cent = (
+        x.groupBy("label", "pos")
+        .agg(F.avg("v").alias("av"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "av"))), lambda s: s["av"]
+            ).alias("centroid")
+        )
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("emb").alias("q_emb")
+    )
+    assign_w = W.partitionBy("q_vec_id").orderBy(F.desc("c_sim"), F.asc("label"))
+    routed = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "q_vec_id",
+            "label",
+            F.round(cosine(F.col("q_emb"), F.col("centroid")), 6).alias("c_sim"),
+        )
+        .select(
+            "q_vec_id", "label", F.row_number().over(assign_w).alias("crn")
+        )
+        .where(F.col("crn") == 1)
+        .select("q_vec_id", F.col("label").alias("q_label"))
+    )
+    qcodes = routed.join(
+        codes.select(
+            F.col("vec_id").alias("q_vec_id"),
+            F.col("pos").alias("qpos"),
+            F.col("c").alias("qc"),
+        ),
+        "q_vec_id",
+    )
+    dots = (
+        qcodes.join(
+            codes,
+            (codes.pos == qcodes.qpos)
+            & (codes.label == qcodes.q_label)
+            & (codes.vec_id != qcodes.q_vec_id),
+        )
+        .groupBy("q_vec_id", "vec_id")
+        .agg(F.sum(F.col("qc") * F.col("c")).alias("dot"))
+    )
+    nq = nsq.select(F.col("vec_id").alias("q_vec_id"), F.col("n2").alias("nq2"))
+    nc = nsq.select("vec_id", F.col("n2").alias("nc2"))
+    sims = (
+        dots.join(nq, "q_vec_id")
+        .join(nc, "vec_id")
+        .select(
+            "q_vec_id",
+            "vec_id",
+            F.round(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("nq2").cast("double")) * F.sqrt(F.col("nc2").cast("double"))),
+                6,
+            ).alias("q_sim"),
+        )
+    )
+    w = W.partitionBy("q_vec_id").orderBy(F.desc("q_sim"), F.asc("vec_id"))
+    return (
+        sims.select(
+            "q_vec_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "q_sim",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= IVF_TOP_K)
+    )

@@ -155,3 +155,25 @@ def test_contamination_consistent_with_split(spark):
     assert (splits.loc[out["doc_id"]] == "test").all()
     assert (out["n_contaminated"] <= out["n_shingles"]).all()
     assert out["contamination_ratio"].between(0, 1).all()
+
+
+def test_int8_ivf_recall_vs_float_ivf(spark):
+    """Quantized scoring must largely agree with the float IVF path:
+    same routing, so recall@5 of int8 vs float top-5 within the routed
+    partition should be high (codes only coarsen the ranking)."""
+    from minimapreduce_spark.operators.similarity import (
+        ann_ivf_int8_topk,
+        ann_ivf_topk,
+    )
+
+    i8 = ann_ivf_int8_topk(spark, SF_DIR).toPandas()
+    fl = ann_ivf_topk(spark, SF_DIR).toPandas()
+    recall_num = recall_den = 0
+    for qid, grp in fl.groupby("q_vec_id"):
+        truth = set(grp["neighbor_id"])
+        got = set(i8[i8["q_vec_id"] == qid]["neighbor_id"])
+        recall_num += len(truth & got)
+        recall_den += len(truth)
+    assert recall_den > 0
+    recall = recall_num / recall_den
+    assert recall >= 0.7, f"int8 recall@5 too low: {recall:.2f}"
