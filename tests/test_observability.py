@@ -48,3 +48,24 @@ def test_observe_sees_post_filter_rows(spark):
     n_direct = filtered.count()
     assert obs.get["n"] == n_direct
     assert n_direct < orders.count()
+
+
+def test_streaming_progress_accounts_for_every_input_row(spark):
+    """Streaming observability: the query's progress telemetry must
+    account for exactly the rows the source holds — the monitoring
+    signal a production stream alerts on (lag, dropped input)."""
+    from minimapreduce_spark.streaming.source import events_stream
+
+    sdf = events_stream(spark, SF_DIR).groupBy("event_type").count()
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("obs_progress_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    total_in = sum(p["numInputRows"] for p in (q.recentProgress or []))
+    expected = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert total_in == expected
+    assert spark.table("obs_progress_sink").count() > 0
