@@ -257,7 +257,9 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     risk — cap basket size upstream if the domain allows it.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # one distinct shuffle feeds the self-join sides, the marginals,
+    # and the order count (localCheckpoint stops 4x recomputation)
+    items = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=False)
     n = items.select(F.countDistinct("l_orderkey").alias("n_orders"))
     part_cnt = items.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
     a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
@@ -686,6 +688,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("support_cnt"))
         .where(F.col("support_cnt") >= 2)
         .select("u", "v")
+        .localCheckpoint(eager=False)  # read 3x: wedge sides + closer
     )
     e1 = edges.select(F.col("u").alias("p1"), F.col("v").alias("p2"))
     e2 = edges.select(F.col("u").alias("p2"), F.col("v").alias("p3"))
@@ -1150,27 +1153,37 @@ def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(daily, ["user_id", "day"], "left")
         .select("user_id", "day", F.coalesce("v", F.lit(0)).alias("v"))
     )
-    a = grid.select(F.col("user_id").alias("user_a"), "day", F.col("v").alias("va"))
-    b = grid.select(F.col("user_id").alias("user_b"), "day", F.col("v").alias("vb"))
-    dists = (
-        a.join(b, "day")
-        .where(F.col("user_a") < F.col("user_b"))
-        .groupBy("user_a", "user_b")
-        .agg(
-            F.sum(
-                (F.col("va") - F.col("vb")) * (F.col("va") - F.col("vb"))
-            ).alias("d2")
-        )
+    # Each series packs into one day-sorted array (|days| ints), so the
+    # pairwise stage is a broadcast cross join + codegen'd fold instead
+    # of a (pairs x days)-row shuffle — measured 10.0 s → sub-second at
+    # sf0.1 (1500 users x 30 days: the day-join form materialized 34M
+    # rows). Exact BIGINT arithmetic is unchanged.
+    vecs = grid.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "v"))), lambda s: s["v"]
+        ).alias("vec")
+    ).localCheckpoint(eager=False)
+    a = vecs.select(F.col("user_id").alias("user_a"), F.col("vec").alias("va"))
+    b = vecs.select(F.col("user_id").alias("user_b"), F.col("vec").alias("vb"))
+    d2 = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
     )
+    dists = (
+        a.join(F.broadcast(b), F.col("user_a") < F.col("user_b"))
+        .select("user_a", "user_b", d2.alias("d2"))
+    )
+    # TakeOrdered top-5 first (parallel per-partition heaps), THEN the
+    # 5-row rank window — a global row_number over all pairs would pull
+    # every pair through one partition.
+    top = dists.orderBy("d2", "user_a", "user_b").limit(5)
     wr = W.orderBy("d2", "user_a", "user_b")
-    return (
-        dists.select(
-            "user_a",
-            "user_b",
-            F.round(F.sqrt(F.col("d2").cast("double")) / 10000.0, 4).alias("distance"),
-            F.row_number().over(wr).alias("rnk"),
-        )
-        .where(F.col("rnk") <= 5)
+    return top.select(
+        "user_a",
+        "user_b",
+        F.round(F.sqrt(F.col("d2").cast("double")) / 10000.0, 4).alias("distance"),
+        F.row_number().over(wr).alias("rnk"),
     )
 
 

@@ -520,6 +520,7 @@ def doc_pair_cosine_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n))
         .where(F.col("df") * 2 <= F.col("n"))
         .select("doc_id", "word", (F.col("tf") * iw).alias("w"))
+        .localCheckpoint(eager=False)  # read 3x: both join sides + norms
     )
     norms = tfw.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("nsq"))
     a, b = tfw.alias("a"), tfw.alias("b")
