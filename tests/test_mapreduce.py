@@ -242,3 +242,32 @@ def test_task_retry_recovers_injected_crash(tmp_path):
         [sys.executable, str(script)], capture_output=True, text=True, timeout=300
     )
     assert "CRASH-RECOVERY-OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_keys_and_values_with_spaces_survive(spark):
+    """SURVEY §1 divergence, pinned: the reference corrupts any key or
+    value containing a space (mr/worker.go:196-202 re-parses its
+    intermediate text lines by splitting on ONE space, keeping only
+    kv[0]/kv[1]). This engine carries (key, value) as typed columns
+    end-to-end, so embedded spaces — multi-word keys, sentence values
+    — survive the full distributed pipeline bit-for-bit."""
+
+    def mapf(name, contents):
+        # multi-word keys AND multi-word values
+        return [
+            ("New York", "Empire State of Mind"),
+            ("New York", "album  double-space"),
+            ("San Francisco", contents),
+        ]
+
+    def reducef(key, values):
+        return " | ".join(sorted(values))
+
+    corpus = [("doc1", "full text body"), ("doc2", "x y z")]
+    got = sorted(map(tuple, run_job(spark, corpus, mapf, reducef, n_reduce=3).collect()))
+    want = sorted(run_job_sequential(corpus, mapf, reducef))
+    assert got == want
+    keys = {k for k, _ in got}
+    assert keys == {"New York", "San Francisco"}
+    ny = dict(got)["New York"]
+    assert "Empire State of Mind" in ny and "album  double-space" in ny
