@@ -267,3 +267,72 @@ def arrow_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(F.sqrt(F.col("ssq").cast("double")) / 1_000_000.0, 6).alias("l2_norm"),
     )
+
+
+_STREAK_SCHEMA = "user_id bigint, n_active_days bigint, longest_streak bigint"
+
+
+def _longest_streak(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map worker: longest run of consecutive active days for
+    one user's partition of (user_id, day) rows."""
+    days = pd.Series(sorted(pdf["day"].unique()))
+    if len(days) == 0:
+        return pd.DataFrame(columns=["user_id", "n_active_days", "longest_streak"])
+    gaps = days.diff().dt.days.fillna(1)
+    # new streak wherever the gap from the previous active day isn't 1
+    streak_ids = (gaps != 1).cumsum()
+    longest = int(streak_ids.value_counts().max())
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n_active_days": [len(days)],
+            "longest_streak": [longest],
+        }
+    )
+
+
+@register(
+    "user_longest_daily_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    islands AS (
+      SELECT user_id,
+             datediff('day', DATE '1992-01-01', day)
+               - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      FROM days
+    ),
+    runs AS (
+      SELECT user_id, count(*) AS run_len FROM islands GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(sum(run_len) AS BIGINT) AS n_active_days,
+           max(run_len) AS longest_streak
+    FROM runs GROUP BY user_id
+    """,
+)
+def user_longest_daily_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-days streak per user — the
+    engagement metric — via grouped-map ``applyInPandas``: each user's
+    distinct active days arrive as ONE pandas frame and arbitrary
+    imperative Python computes the runs (the modern typed successor to
+    the reference's Reduce UDAF contract, mr/worker.go:146 — whole
+    group in, one row out).
+
+    The oracle proves the same semantics declaratively (gaps-and-
+    islands: day − row_number collapses consecutive runs), so this
+    doubles as the engine's demonstration that the Python escape hatch
+    and the relational form agree exactly.
+
+    Scale posture: one shuffle on user_id; per-group memory is the
+    user's distinct-day list (bounded by the calendar, not event
+    volume — the distinct happens BEFORE the Python stage).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    return days.groupBy("user_id").applyInPandas(
+        _longest_streak, schema=_STREAK_SCHEMA
+    )
