@@ -71,6 +71,23 @@ def test_no_accidental_cross_products(spark):
         ("dedup_span_repeats", 2),
         # cohort window on user_id, count agg, cohort_size window
         ("events_retention_cohorts", 3),
+        # single user_id shuffle serves window + agg in each of these
+        ("window_rolling_median", 1),
+        ("window_max_drawdown", 1),
+        ("events_time_weighted_avg", 1),
+        ("window_trailing_distinct_types", 1),
+        ("agg_arg_extremes", 1),
+        ("try_arithmetic_semantics", 1),
+        ("histogram_equidepth_prices", 1),
+        # weekly rollup + tiny window / two-level median
+        ("weekly_growth_rate", 2),
+        ("agg_mad_user_value", 2),
+        ("user_longest_daily_streak", 2),
+        # user sequence + matrix agg + src normalization
+        ("events_markov_transitions", 3),
+        ("cohort_ltv_matrix", 3),
+        ("sessions_peak_concurrency", 3),
+        ("window_cumulative_distinct_users", 4),
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
