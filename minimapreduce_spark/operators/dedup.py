@@ -737,3 +737,86 @@ def contamination_test_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_contaminated") * 1.0 / F.col("n_shingles"), 6),
         )
     )
+
+
+from minimapreduce_spark.operators.text_analysis import EN_STOP
+
+_QUALITY_SQL = f"""
+      SELECT doc_id,
+             round(0.5 * least(len(ws) / 100.0, 1.0)
+                   + 0.3 * (1.0 - len(list_filter(ws, w -> w IN {EN_STOP!r})) * 1.0 / len(ws))
+                   + 0.2 * (len(list_distinct(ws)) * 1.0 / len(ws)), 6) AS quality
+      FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), w -> w <> '') AS ws
+        FROM documents
+      ) WHERE len(ws) > 0
+"""
+
+_CANONICAL_QUALITY_ORACLE = (
+    _CLUSTER_ORACLE.replace(
+        "SELECT src AS doc_id,",
+        "SELECT src AS doc_id,",
+    ).rsplit("SELECT src AS doc_id,", 1)[0]
+    + """
+    , members AS (
+      SELECT src AS doc_id, min(dst) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    quality AS (
+    """
+    + _QUALITY_SQL
+    + """
+    ),
+    ranked AS (
+      SELECT m.cluster_id, m.doc_id, q.quality,
+             row_number() OVER (PARTITION BY m.cluster_id
+                                ORDER BY q.quality DESC, m.doc_id) AS rn,
+             count(*) OVER (PARTITION BY m.cluster_id) AS n_members
+      FROM members m JOIN quality q USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS kept_doc_id, quality AS kept_quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """
+)
+
+
+@register("dedup_canonical_by_quality", oracle=_CANONICAL_QUALITY_ORACLE)
+def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION, completed: within each near-dup cluster
+    (dedup_clusters' connected components), keep the member with the
+    highest quality score (text_quality_score's formula) — what
+    production pipelines actually do, where min-doc_id canonicalization
+    is only a deterministic placeholder. Quality is rounded BEFORE
+    ranking (the engine's float-rank discipline) and ties break on
+    doc_id.
+
+    Composes three engine layers — pairwise similarity, iterative
+    graph clustering, and content scoring — into one auditable output:
+    (cluster, survivor, its quality, cluster size).
+
+    Scale posture: adds one broadcast-sized join (cluster membership ×
+    per-doc quality) and one window over clusters to what
+    dedup_clusters already pays.
+    """
+    from minimapreduce_spark.operators.text_analysis import text_quality_score
+
+    members = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    quality = text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    ranked_w = W.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    joined = members.join(quality, "doc_id").select(
+        "cluster_id",
+        "doc_id",
+        "quality",
+        F.row_number().over(ranked_w).alias("rn"),
+        F.count("*").over(W.partitionBy("cluster_id")).alias("n_members"),
+    )
+    return joined.where(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("quality").alias("kept_quality"),
+        F.col("n_members").cast("bigint").alias("n_members"),
+    )

@@ -177,3 +177,22 @@ def test_int8_ivf_recall_vs_float_ivf(spark):
     assert recall_den > 0
     recall = recall_num / recall_den
     assert recall >= 0.7, f"int8 recall@5 too low: {recall:.2f}"
+
+
+def test_canonical_by_quality_picks_best_member(spark):
+    """The survivor of each cluster is a member with maximal quality
+    among that cluster's members (doc_id breaks ties)."""
+    from minimapreduce_spark.operators.dedup import (
+        dedup_canonical_by_quality,
+        dedup_clusters,
+    )
+    from minimapreduce_spark.operators.text_analysis import text_quality_score
+
+    kept = dedup_canonical_by_quality(spark, SF_DIR).toPandas()
+    members = dedup_clusters(spark, SF_DIR).toPandas()
+    quality = text_quality_score(spark, SF_DIR).toPandas().set_index("doc_id")["quality"]
+    for _, row in kept.iterrows():
+        club = members[members["cluster_id"] == row["cluster_id"]]["doc_id"]
+        assert row["n_members"] == len(club)
+        best = quality.loc[club].max()
+        assert quality.loc[row["kept_doc_id"]] == best == row["kept_quality"]
