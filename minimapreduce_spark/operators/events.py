@@ -784,3 +784,134 @@ def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_revenue"
         ),
     )
+
+
+@register(
+    "events_resample_linear",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             count(*) AS n,
+             round(sum(CAST(round(value * 10000) AS BIGINT))
+                   / (count(*) * 10000.0), 6) AS av
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    cal AS (
+      SELECT t.event_type, u.bucket
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        FROM bounds
+      ) u
+    ),
+    j AS (
+      SELECT c.event_type, c.bucket,
+             coalesce(h.n, 0) AS n_events, h.av
+      FROM cal c LEFT JOIN hourly h USING (event_type, bucket)
+    ),
+    ctx AS (
+      SELECT event_type, bucket, n_events,
+             last_value(av IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN av IS NOT NULL THEN bucket END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+             first_value(av IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN av IS NOT NULL THEN bucket END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+      FROM j
+    )
+    SELECT event_type, bucket, n_events,
+           round(CASE
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             WHEN nb = pb THEN pv
+             ELSE pv + (nv - pv)
+                  * (epoch(bucket) - epoch(pb)) / (epoch(nb) - epoch(pb))
+           END, 6) AS value_interp
+    FROM ctx
+    """,
+)
+def events_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample with LINEAR interpolation — the gap-fill policy for
+    continuous gauges where LOCF (events_resample_gapfill) is the wrong
+    physics: empty hours take the value on the straight line between
+    the surrounding observed hourly means; before the first / after the
+    last observation the edge value extends.
+
+    Both engines compute the hourly mean as exact-fixed-point-sum /
+    count and the interpolation as ONE identical double expression over
+    (prev, next, time fractions) — rounded to 6 dp at the boundary.
+    The prev/next context comes from four IGNORE NULLS value windows
+    over the dense calendar (window_first_last_nth's machinery applied
+    to gap-filling).
+
+    Scale posture: identical to the LOCF twin — generated calendar,
+    one event_type shuffle for join + windows; dense-frame size is
+    keys × hours, independent of event volume.
+    """
+    ev = _events(spark, sf_dir)
+    vc = F.round(F.col("value") * 10000).cast("bigint")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(vc) / (F.count("*") * 10000.0), 6).alias("av"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    cal = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
+                "bucket"
+            ),
+        )
+    )
+    j = cal.join(hourly, ["event_type", "bucket"], "left").select(
+        "event_type", "bucket", F.coalesce("n", F.lit(0)).alias("n_events"), "av"
+    )
+    wp = W.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wn = W.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        W.currentRow, W.unboundedFollowing
+    )
+    obs_bucket = F.when(F.col("av").isNotNull(), F.col("bucket"))
+    ctx = j.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        F.last("av", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_bucket, ignorenulls=True).over(wp).alias("pb"),
+        F.first("av", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_bucket, ignorenulls=True).over(wn).alias("nb"),
+    )
+    ep = lambda c: F.unix_timestamp(F.col(c).cast("timestamp")).cast("double")  # noqa: E731
+    interp = (
+        F.when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .when(F.col("nb") == F.col("pb"), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (ep("bucket") - ep("pb"))
+            / (ep("nb") - ep("pb"))
+        )
+    )
+    return ctx.select(
+        "event_type", "bucket", "n_events", F.round(interp, 6).alias("value_interp")
+    )

@@ -422,3 +422,35 @@ def test_trailing_distinct_types_vs_collect_set(spark):
     ).toPandas()
     merged = got.merge(naive, on="event_id")
     assert (merged["n_distinct_types"] == merged["n"]).all()
+
+
+def test_linear_resample_lies_between_neighbors(spark):
+    """Interpolated hours lie within [min(prev,next), max(prev,next)]
+    of their surrounding observations, and observed hours keep their
+    own mean (interp == observed where n_events > 0)."""
+    import pyspark.sql.functions as F
+    from minimapreduce_spark.operators.events import (
+        events_resample_gapfill,
+        events_resample_linear,
+    )
+
+    lin = events_resample_linear(spark, SF_DIR).toPandas()
+    # at observed hours, interpolation equals the hourly mean in the
+    # LOCF twin (same formula up to float-sum rounding, so compare with
+    # a tolerance rather than exactly)
+    locf = events_resample_gapfill(spark, SF_DIR).toPandas()
+    merged = lin.merge(locf, on=["event_type", "bucket", "n_events"])
+    obs = merged[merged["n_events"] > 0]
+    assert (abs(obs["value_interp"] - obs["value_locf"]) < 1e-5).all()
+    # gap rows: value must lie between the neighboring observed values
+    for et, grp in lin.groupby("event_type"):
+        grp = grp.sort_values("bucket").reset_index(drop=True)
+        vals = grp["value_interp"]
+        observed_idx = grp.index[grp["n_events"] > 0]
+        for i in grp.index[grp["n_events"] == 0]:
+            prevs = observed_idx[observed_idx < i]
+            nexts = observed_idx[observed_idx > i]
+            if len(prevs) and len(nexts):
+                lo = min(vals[prevs[-1]], vals[nexts[0]])
+                hi = max(vals[prevs[-1]], vals[nexts[0]])
+                assert lo - 1e-9 <= vals[i] <= hi + 1e-9
