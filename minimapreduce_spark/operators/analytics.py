@@ -1288,3 +1288,60 @@ def agg_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("price_c") / 100.0, 2).alias("max_price"),
         F.round(F.min("price_c") / 100.0, 2).alias("min_price"),
     )
+
+
+@register(
+    "dim_date_generate",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS lo,
+             CAST(date_trunc('day', max(ts)) AS DATE) AS hi
+      FROM events
+    ),
+    days AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM bounds
+    )
+    SELECT CAST(d AS TIMESTAMP) AS date_day,
+           CAST(isodow(d) AS BIGINT) AS iso_dow,
+           CAST(week(d) AS BIGINT) AS iso_week,
+           CAST(month(d) AS BIGINT) AS month,
+           CAST(quarter(d) AS BIGINT) AS quarter,
+           isodow(d) >= 6 AS is_weekend,
+           CAST(date_trunc('month', d) AS TIMESTAMP) AS month_start
+    FROM days
+    """,
+)
+def dim_date_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated date dimension over the event range — the warehouse
+    utility every star schema joins against: one row per calendar day
+    with ISO weekday/week, month, quarter, weekend flag, and month
+    anchor. Generated (sequence + explode from a 1-row bounds agg),
+    never loaded — the dimension is a pure function of the range.
+
+    Calendar functions are engine-portable as used (ISO weekday
+    numbering matches dayofweek-with-Monday=1 via a shift; week() is
+    ISO week on both). All-integer output.
+
+    Scale posture: O(days) rows from a broadcast bounds agg; the
+    downstream pattern is a broadcast join of facts to this dimension.
+    """
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("date_day")
+    )
+    d = F.col("date_day").cast("date")
+    # Spark dayofweek: Sunday=1..Saturday=7 → ISO Monday=1..Sunday=7
+    iso_dow = ((F.dayofweek(d) + 5) % 7) + 1
+    return days.select(
+        "date_day",
+        iso_dow.cast("bigint").alias("iso_dow"),
+        F.weekofyear(d).cast("bigint").alias("iso_week"),
+        F.month(d).cast("bigint").alias("month"),
+        F.quarter(d).cast("bigint").alias("quarter"),
+        (iso_dow >= 6).alias("is_weekend"),
+        F.date_trunc("month", d).alias("month_start"),
+    )
