@@ -1475,3 +1475,49 @@ def events_autocorrelation_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.where(denx * deny > 0).select(
         "user_id", "n", F.round(num / F.sqrt(denx * deny), 6).alias("acf1")
     )
+
+
+@register(
+    "events_user_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY 1),
+    terms AS (
+      SELECT c.user_id,
+             CAST(round(
+               (CAST(c.n AS DOUBLE) / t.tot) * ln(CAST(c.n AS DOUBLE) / t.tot)
+               * 1000000000) AS BIGINT) AS plogp_nf
+      FROM c JOIN t USING (user_id)
+    )
+    SELECT user_id,
+           round(-sum(plogp_nf) / 1000000000.0, 6) AS entropy_nats
+    FROM terms GROUP BY user_id
+    """,
+)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each user's event-type distribution —
+    the behavioral-diversity scalar (0: single-action users; ln 5: all
+    five types equally). Complements window_trailing_distinct_types:
+    entropy weighs HOW EVENLY, not just how many.
+
+    Each p·ln p term is computed from exact integer counts as one
+    identical double expression, then quantized to BIGINT nano-nats
+    BEFORE the per-user sum — so the summation is order-independent
+    even though ln is irrational (the idf-quantization discipline
+    applied to an aggregate's terms, not just its weights).
+
+    Scale posture: two hash aggs on (user, type) then user — map-side
+    combinable; terms per user bounded by |types|.
+    """
+    ev = _events(spark, sf_dir)
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    t = c.groupBy("user_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n").cast("double") / F.col("tot")
+    plogp_nf = F.round(p * F.log(p) * 1000000000).cast("bigint")
+    terms = c.join(t, "user_id").select("user_id", plogp_nf.alias("plogp_nf"))
+    return terms.groupBy("user_id").agg(
+        F.round(-F.sum("plogp_nf") / 1000000000.0, 6).alias("entropy_nats")
+    )

@@ -494,3 +494,21 @@ def test_autocorrelation_bounded_and_selfcheck(spark):
     r = np.corrcoef(y[:-1], y[1:])[0, 1]
     got = out.set_index("user_id").loc[u, "acf1"]
     assert abs(got - round(r, 6)) < 1e-5
+
+
+def test_entropy_bounds_and_extremes(spark):
+    """0 <= H <= ln(n_types); single-type users score 0; and a scipy-
+    free numpy recompute matches for one user."""
+    import numpy as np
+    from minimapreduce_spark.operators.analytics import events_user_entropy
+
+    out = events_user_entropy(spark, SF_DIR).toPandas().set_index("user_id")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").toPandas()
+    n_types = ev["event_type"].nunique()
+    assert (out["entropy_nats"] >= 0).all()
+    assert (out["entropy_nats"] <= np.log(n_types) + 1e-9).all()
+    u = out.index[0]
+    counts = ev[ev["user_id"] == u]["event_type"].value_counts().to_numpy()
+    p = counts / counts.sum()
+    want = round(-np.sum(np.round(p * np.log(p) * 1e9)) / 1e9, 6)
+    assert abs(out.loc[u, "entropy_nats"] - want) < 1e-9
