@@ -753,3 +753,70 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("w1", "w2", "c12", "pmi", F.row_number().over(wr).alias("rnk"))
         .where(F.col("rnk") <= 10)
     )
+
+
+@register(
+    "text_readability_flesch",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, lang,
+             len(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+                             w -> w <> '')) AS n_words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents,
+             greatest(len(regexp_extract_all(text, '[aeiouAEIOU]+')), 1) AS n_syll
+      FROM documents
+    )
+    SELECT doc_id, lang, n_words,
+           CAST(n_sents AS BIGINT) AS n_sents,
+           CAST(n_syll AS BIGINT) AS n_syllables,
+           round(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                 - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 4) AS flesch
+    FROM m WHERE n_words > 0
+    """,
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with the standard cheap
+    proxies: sentences = terminal-punctuation runs, syllables = vowel
+    groups (the dictionary-free approximation every large-corpus
+    readability pass uses — swap in a hyphenation dict offline for
+    precision). A quality-filtering feature alongside
+    text_quality_score: very low ease flags run-on machine text, very
+    high flags fragmentary text.
+
+    All three counts are exact integers from codegen'd regex; the
+    formula is one identical double expression (greatest(…, 1) guards
+    the empty-sentence/vowel degenerate cases on both engines).
+
+    Scale posture: pure per-row projection — embarrassingly parallel,
+    no shuffle.
+    """
+    docs = _docs(spark, sf_dir)
+    n_words = F.size(_tokens(F.col("text")))
+    n_sents = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), F.lit(0))), F.lit(1)
+    )
+    n_syll = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit("[aeiouAEIOU]+"), F.lit(0))),
+        F.lit(1),
+    )
+    m = docs.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        n_sents.cast("bigint").alias("n_sents"),
+        n_syll.cast("bigint").alias("n_syllables"),
+    ).where(F.col("n_words") > 0)
+    flesch = (
+        F.lit(206.835)
+        - 1.015 * (F.col("n_words").cast("double") / F.col("n_sents"))
+        - 84.6 * (F.col("n_syllables").cast("double") / F.col("n_words"))
+    )
+    return m.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_sents",
+        "n_syllables",
+        F.round(flesch, 4).alias("flesch"),
+    )
