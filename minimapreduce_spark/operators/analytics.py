@@ -1521,3 +1521,142 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("user_id").agg(
         F.round(-F.sum("plogp_nf") / 1000000000.0, 6).alias("entropy_nats")
     )
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 10000) AS BIGINT) AS vc
+      FROM events
+    ),
+    tot AS (SELECT user_id, sum(vc) AS total, count(*) AS n FROM v GROUP BY 1),
+    cum AS (
+      SELECT v.user_id, v.ts, v.event_id, t.total, t.n,
+             sum(vc) OVER (PARTITION BY v.user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck,
+             row_number() OVER (PARTITION BY v.user_id ORDER BY ts, event_id) AS k
+      FROM v JOIN tot t USING (user_id)
+    ),
+    scored AS (
+      SELECT user_id, ts, event_id, n,
+             abs(n * ck - k * total) AS dev_n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY abs(n * ck - k * total) DESC, ts, event_id)
+               AS rn
+      FROM cum
+    )
+    SELECT user_id, ts AS change_ts, event_id AS change_event_id,
+           round(CAST(dev_n AS DOUBLE) / (n * 10000.0), 4) AS cusum_dev
+    FROM scored WHERE rn = 1
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per user: the instant where the
+    cumulative deviation from the user's own mean peaks — the standard
+    single-changepoint estimator (a mean shift at time τ maximizes
+    |Σ_{i≤k}(x_i − x̄)| at k = τ).
+
+    The usual formulation subtracts a float mean per row; multiplying
+    through by n instead gives |n·cum_k − k·total| — ALL integer
+    arithmetic until one final division, so the argmax (tie-broken on
+    time) is exact and cross-engine stable even when two instants tie.
+
+    Scale posture: one shuffle on user_id serving the running sum,
+    the rank, and (via join) the per-user totals; O(1) row state.
+    """
+    ev = _events(spark, sf_dir)
+    vc = F.round(F.col("value") * 10000).cast("bigint")
+    v = ev.select("user_id", "ts", "event_id", vc.alias("vc"))
+    tot = v.groupBy("user_id").agg(
+        F.sum("vc").alias("total"), F.count("*").alias("n")
+    )
+    wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = wseq.rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = v.join(tot, "user_id").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "total",
+        "n",
+        F.sum("vc").over(wrun).alias("ck"),
+        F.row_number().over(wseq).alias("k"),
+    )
+    dev_n = F.abs(F.col("n") * F.col("ck") - F.col("k") * F.col("total"))
+    wrank = W.partitionBy("user_id").orderBy(
+        F.desc("dev_n"), F.asc("ts"), F.asc("event_id")
+    )
+    scored = cum.select(
+        "user_id", "ts", "event_id", "n", dev_n.alias("dev_n")
+    ).select("*", F.row_number().over(wrank).alias("rn"))
+    return scored.where(F.col("rn") == 1).select(
+        "user_id",
+        F.col("ts").alias("change_ts"),
+        F.col("event_id").alias("change_event_id"),
+        F.round(F.col("dev_n").cast("double") / (F.col("n") * 10000.0), 4).alias(
+            "cusum_dev"
+        ),
+    )
+
+
+@register(
+    "pareto_revenue_concentration",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT rev_c,
+             row_number() OVER (ORDER BY rev_c DESC, o_custkey) AS rn,
+             count(*) OVER () AS n_cust,
+             sum(rev_c) OVER () AS total_c
+      FROM cust
+    )
+    SELECT CAST(max(n_cust) AS BIGINT) AS n_customers,
+           CAST(count(*) AS BIGINT) AS n_top20,
+           round(CAST(sum(rev_c) AS DOUBLE) / max(total_c), 6) AS top20_share
+    FROM ranked
+    WHERE rn * 5 <= n_cust
+    """,
+)
+def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 audit: what share of total order revenue the top 20 %
+    of customers carry — the concentration scalar behind account
+    prioritization and skew forecasts (a high share predicts hot keys
+    downstream).
+
+    Customers rank by exact integer revenue (orderkey tie-break);
+    membership in the top quintile is the integer predicate
+    rank×5 ≤ n; the share is one exact-integer ratio. The unbounded
+    windows run over the CUSTOMER rollup (already |customers| rows),
+    not the fact table.
+
+    Scale posture: one hash agg on custkey, then windows over the
+    rollup; at extreme customer counts the rank step becomes the
+    two-phase pattern (surrogate_keys_documents).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_c")
+    )
+    wr = W.orderBy(F.desc("rev_c"), F.asc("o_custkey"))
+    wall = W.partitionBy()
+    ranked = cust.select(
+        "rev_c",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wall).alias("n_cust"),
+        F.sum("rev_c").over(wall).alias("total_c"),
+    )
+    return (
+        ranked.where(F.col("rn") * 5 <= F.col("n_cust"))
+        .agg(
+            F.max("n_cust").cast("bigint").alias("n_customers"),
+            F.count("*").cast("bigint").alias("n_top20"),
+            F.round(
+                F.sum("rev_c").cast("double") / F.max("total_c"), 6
+            ).alias("top20_share"),
+        )
+    )

