@@ -1660,3 +1660,63 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top20_share"),
         )
     )
+
+
+@register(
+    "gini_revenue_inequality",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT rev_c,
+             row_number() OVER (ORDER BY rev_c, o_custkey) AS i,
+             count(*) OVER () AS n,
+             sum(rev_c) OVER () AS total
+      FROM cust
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           round(
+             2.0 * sum(i * rev_c) / (CAST(max(n) AS DOUBLE) * max(total))
+             - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM ranked
+    """,
+)
+def gini_revenue_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the inequality scalar
+    that pairs with pareto_revenue_concentration (a share says how much
+    the top holds; Gini says how skewed the WHOLE curve is, 0 = equal,
+    →1 = winner-take-all).
+
+    The rank formulation G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n needs only the
+    ascending rank (orderkey tie-break) and two integer sums — Σ(i·x)
+    stays within BIGINT because ranks are bounded by |customers| —
+    then one identical double expression.
+
+    Scale posture: hash agg to the customer rollup, rank over it
+    (two-phase pattern at extreme cardinality), one final 1-row agg.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_c")
+    )
+    wr = W.orderBy(F.asc("rev_c"), F.asc("o_custkey"))
+    wall = W.partitionBy()
+    ranked = cust.select(
+        "rev_c",
+        F.row_number().over(wr).alias("i"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("rev_c").over(wall).alias("total"),
+    )
+    n = F.max("n")
+    return ranked.agg(
+        n.cast("bigint").alias("n_customers"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("rev_c"))
+            / (n.cast("double") * F.max("total"))
+            - (n + 1.0) / n,
+            6,
+        ).alias("gini"),
+    )
