@@ -1720,3 +1720,109 @@ def gini_revenue_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "hhi_supplier_concentration",
+    oracle="""
+    WITH s AS (
+      SELECT n.n_name AS nation, l.l_suppkey,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS rev_c
+      FROM lineitem l
+      JOIN supplier su ON l.l_suppkey = su.s_suppkey
+      JOIN nation n ON su.s_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    t AS (SELECT nation, sum(rev_c) AS tot FROM s GROUP BY 1),
+    terms AS (
+      SELECT s.nation,
+             CAST(round(
+               (CAST(s.rev_c AS DOUBLE) / t.tot)
+               * (CAST(s.rev_c AS DOUBLE) / t.tot) * 1000000000) AS BIGINT)
+               AS share_sq_nf
+      FROM s JOIN t USING (nation)
+    )
+    SELECT nation,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(sum(share_sq_nf) / 1000000000.0, 6) AS hhi
+    FROM terms GROUP BY nation
+    """,
+)
+def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman index of supplier revenue per nation — the
+    per-group concentration measure (gini_revenue_inequality is the
+    global curve-shape twin): Σ shareᵢ², 1/n = perfectly competitive,
+    1.0 = monopoly. The antitrust-style metric a marketplace pipeline
+    tracks per segment.
+
+    Each squared share is one identical double expression over exact
+    integer revenues, quantized to BIGINT billionths BEFORE the
+    per-nation sum (events_user_entropy's discipline) — the sum is
+    order-independent, so the result survives any partitioning.
+
+    Scale posture: fact rollup to (nation, supplier) with broadcast
+    dims, then two tiny aggs; terms per nation bounded by suppliers.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    s = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "rev_c"
+            )
+        )
+    )
+    t = s.groupBy("nation").agg(F.sum("rev_c").alias("tot"))
+    share = F.col("rev_c").cast("double") / F.col("tot")
+    share_sq_nf = F.round(share * share * 1000000000).cast("bigint")
+    terms = s.join(t, "nation").select("nation", share_sq_nf.alias("share_sq_nf"))
+    return terms.groupBy("nation").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.round(F.sum("share_sq_nf") / 1000000000.0, 6).alias("hhi"),
+    )
+
+
+@register(
+    "customer_existence_flags",
+    oracle="""
+    SELECT c.c_custkey,
+           count(o.o_orderkey) > 0 AS has_any_order,
+           CAST(count(CASE WHEN o.o_orderpriority = '1-URGENT'
+                           THEN 1 END) AS BIGINT) > 0 AS has_urgent,
+           CAST(count(CASE WHEN o.o_orderstatus = 'O'
+                           THEN 1 END) AS BIGINT) > 0 AS has_open,
+           CAST(count(CASE WHEN o.o_orderpriority = '1-URGENT'
+                            AND o.o_orderstatus = 'O'
+                           THEN 1 END) AS BIGINT) > 0 AS has_open_urgent
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def customer_existence_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four EXISTS-style predicates answered in ONE left join + one
+    conditional aggregation — the pattern that replaces N correlated
+    EXISTS subqueries (each a separate semi-join scanning the fact
+    table again) with a single pass: count(CASE …) > 0 per flag.
+
+    At 100 TB the difference is N fact scans + N shuffles vs exactly
+    one of each — the classic "flatten your EXISTS battery" rewrite
+    query reviewers look for. Boolean outputs are exact.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+    urgent = F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+    open_ = F.when(F.col("o_orderstatus") == "O", 1)
+    open_urgent = F.when(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "O"), 1
+    )
+    return j.groupBy("c_custkey").agg(
+        (F.count("o_orderkey") > 0).alias("has_any_order"),
+        (F.count(urgent) > 0).alias("has_urgent"),
+        (F.count(open_) > 0).alias("has_open"),
+        (F.count(open_urgent) > 0).alias("has_open_urgent"),
+    )

@@ -545,3 +545,24 @@ def test_pareto_share_bounds(spark):
     row = pareto_revenue_concentration(spark, SF_DIR).collect()[0]
     assert 0.2 <= row["top20_share"] <= 1.0
     assert row["n_top20"] == row["n_customers"] // 5
+
+
+def test_hhi_bounds(spark):
+    """1/n <= HHI <= 1 per nation."""
+    from minimapreduce_spark.operators.analytics import hhi_supplier_concentration
+
+    out = hhi_supplier_concentration(spark, SF_DIR).toPandas()
+    assert ((out["hhi"] > 0) & (out["hhi"] <= 1.0)).all()
+    assert (out["hhi"] >= 1.0 / out["n_suppliers"] - 1e-6).all()
+
+
+def test_existence_flags_imply_hierarchy(spark):
+    """has_open_urgent implies has_urgent, has_open, and has_any_order;
+    customers without orders have all flags false."""
+    from minimapreduce_spark.operators.analytics import customer_existence_flags
+
+    out = customer_existence_flags(spark, SF_DIR).toPandas()
+    ou = out[out["has_open_urgent"]]
+    assert ou["has_urgent"].all() and ou["has_open"].all() and ou["has_any_order"].all()
+    none = out[~out["has_any_order"]]
+    assert (~none[["has_urgent", "has_open", "has_open_urgent"]]).all().all()
