@@ -820,3 +820,43 @@ def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("quality").alias("kept_quality"),
         F.col("n_members").cast("bigint").alias("n_members"),
     )
+
+
+_CLUSTER_SIZES_ORACLE = (
+    _CLUSTER_ORACLE.rsplit("SELECT src AS doc_id,", 1)[0]
+    + """
+    , members AS (
+      SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    ),
+    sizes AS (
+      SELECT cluster_id, count(*) AS cluster_size FROM members GROUP BY 1
+    )
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+           CAST(sum(cluster_size - 1) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY cluster_size
+    """
+)
+
+
+@register("dedup_cluster_size_histogram", oracle=_CLUSTER_SIZES_ORACLE)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup impact report: distribution of near-dup cluster sizes
+    with, per size, how many documents are involved and how many a
+    keep-one policy would REMOVE (size − 1 each) — the number a data
+    lead wants before approving a dedup pass, and the skew signal
+    (one giant cluster = template spam; many pairs = organic near-dups).
+
+    Pure rollup over dedup_clusters' membership — exact integers.
+
+    Scale posture: two tiny aggs past what the clustering already
+    paid; output is O(distinct sizes).
+    """
+    members = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    sizes = members.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
+        F.sum(F.col("cluster_size") - 1).cast("bigint").alias("n_removable"),
+    )
