@@ -1826,3 +1826,127 @@ def customer_existence_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(open_) > 0).alias("has_open"),
         (F.count(open_urgent) > 0).alias("has_open_urgent"),
     )
+
+
+@register(
+    "events_transition_dwell",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER w AS dst,
+             (lead(epoch_us(ts)) OVER w - epoch_us(ts)) // 1000000 AS gap_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT src, dst,
+           count(*) AS n,
+           CAST(quantile_cont(gap_s, 0.5) * 2 AS BIGINT) AS median_gap_2s,
+           round(sum(gap_s) / (count(*) * 1.0), 2) AS mean_gap_s
+    FROM seq WHERE dst IS NOT NULL
+    GROUP BY src, dst
+    """,
+)
+def events_transition_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell time per event transition: for each (src → dst) edge of
+    the Markov matrix (events_markov_transitions), how LONG users take
+    — median and mean whole-second gaps. The timing layer of UX-flow
+    mining: a slow view→purchase edge is a checkout problem, a fast
+    error→error edge is a retry storm.
+
+    Gaps are exact integer seconds (floor division of exact micros);
+    the median is an exact type-7 interpolation over integers — doubled
+    into a BIGINT (×2 keeps the possible .5 exact with no float column)
+    — and the mean is one identical division of exact sums.
+
+    Scale posture: one user_id shuffle for the lead window, one hash
+    agg on the |types|² edge set.
+    """
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(wseq).alias("dst"),
+        F.floor((F.lead(us).over(wseq) - us) / 1000000).cast("bigint").alias("gap_s"),
+    ).where(F.col("dst").isNotNull())
+    return seq.groupBy("src", "dst").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(gap_s, 0.5D)") * 2).cast("bigint").alias(
+            "median_gap_2s"
+        ),
+        F.round(F.sum("gap_s") / (F.count("*") * 1.0), 2).alias("mean_gap_s"),
+    )
+
+
+@register(
+    "abc_part_classification",
+    oracle="""
+    WITH p AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_c
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT rev_c,
+             sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_c,
+             sum(rev_c) OVER () AS total_c
+      FROM p
+    ),
+    classed AS (
+      SELECT rev_c,
+             CASE WHEN CAST(cum_c AS DOUBLE) / total_c <= 0.8 THEN 'A'
+                  WHEN CAST(cum_c AS DOUBLE) / total_c <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             total_c
+      FROM ranked
+    )
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(CAST(sum(rev_c) AS DOUBLE) / max(total_c), 6) AS revenue_share
+    FROM classed GROUP BY abc_class
+    """,
+)
+def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, class A
+    holds the first 80 % of cumulative revenue, B the next 15 %, C the
+    tail — the standard stock-priority segmentation
+    (pareto_revenue_concentration's quintile cut generalized to
+    cumulative-share bands).
+
+    The cumulative share is one identical double division of exact
+    integer cents evaluated against fixed thresholds, with a
+    deterministic (revenue desc, partkey) rank order — so class
+    boundaries can't wobble between engines or partitionings.
+
+    Scale posture: part rollup, ranked windows over it (two-phase at
+    extreme cardinality), 3-row output.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("rev_c")
+    )
+    wcum = W.orderBy(F.desc("rev_c"), F.asc("l_partkey")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wall = W.partitionBy()
+    ranked = p.select(
+        "rev_c",
+        F.sum("rev_c").over(wcum).alias("cum_c"),
+        F.sum("rev_c").over(wall).alias("total_c"),
+    )
+    share = F.col("cum_c").cast("double") / F.col("total_c")
+    classed = ranked.select(
+        "rev_c",
+        "total_c",
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.round(F.sum("rev_c").cast("double") / F.max("total_c"), 6).alias(
+            "revenue_share"
+        ),
+    )

@@ -566,3 +566,37 @@ def test_existence_flags_imply_hierarchy(spark):
     assert ou["has_urgent"].all() and ou["has_open"].all() and ou["has_any_order"].all()
     none = out[~out["has_any_order"]]
     assert (~none[["has_urgent", "has_open", "has_open_urgent"]]).all().all()
+
+
+def test_transition_dwell_counts_match_markov(spark):
+    """Edge counts must equal the Markov matrix's counts exactly, and
+    gaps are non-negative."""
+    from minimapreduce_spark.operators.analytics import (
+        events_markov_transitions,
+        events_transition_dwell,
+    )
+
+    dwell = events_transition_dwell(spark, SF_DIR).toPandas()
+    markov = events_markov_transitions(spark, SF_DIR).toPandas()
+    a = dwell.set_index(["src", "dst"])["n"].sort_index()
+    b = markov.set_index(["src", "dst"])["n"].sort_index()
+    assert a.equals(b)
+    assert (dwell["mean_gap_s"] >= 0).all()
+    assert (dwell["median_gap_2s"] >= 0).all()
+
+
+def test_abc_classes_partition_and_order(spark):
+    """A+B+C covers all parts; shares sum to 1; A's share ~0.8 bound."""
+    from minimapreduce_spark.operators.analytics import abc_part_classification
+
+    out = abc_part_classification(spark, SF_DIR).toPandas().set_index("abc_class")
+    n_parts = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert out["n_parts"].sum() == n_parts
+    assert abs(out["revenue_share"].sum() - 1.0) < 1e-6
+    assert out.loc["A", "revenue_share"] <= 0.8 + 1e-6
+    assert out.loc["A", "revenue_share"] > out.loc["C", "revenue_share"]
