@@ -226,3 +226,49 @@ def test_publish_atomic_swaps_complete_versions(spark, nation, tmp_path):
     assert os.path.exists(final + ".old")
     old = spark.read.parquet(final + ".old")
     assert old.count() == nation.count()
+
+
+def test_csv_malformed_rows_permissive_vs_failfast(spark, tmp_path):
+    """Ingestion robustness semantics: PERMISSIVE mode quarantines
+    malformed rows into the corrupt-record column (dead-letter
+    accounting, same doctrine as try_arithmetic_semantics) while
+    FAILFAST aborts on first touch — both explicit choices, never
+    silent row drops."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "dirty.csv")
+    with open(path, "w") as f:
+        f.write("id,qty,price\n")
+        f.write("1,10,9.99\n")
+        f.write("2,not_a_number,5.00\n")
+        f.write("3,7,bad_price\n")
+        f.write("4,3,1.25\n")
+
+    schema = "id int, qty int, price double, _corrupt string"
+    df = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    rows = df.cache().collect()
+    good = [r for r in rows if r["_corrupt"] is None]
+    bad = [r for r in rows if r["_corrupt"] is not None]
+    assert len(rows) == 4 and len(good) == 2 and len(bad) == 2
+    assert {r["id"] for r in good} == {1, 4}
+    assert all(r["_corrupt"].startswith(("2,", "3,")) for r in bad)
+    df.unpersist()
+
+    strict = (
+        spark.read.schema("id int, qty int, price double")
+        .option("header", True)
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )
+    try:
+        strict.collect()
+        raise AssertionError("FAILFAST accepted malformed rows")
+    except Exception as exc:  # Py4JJavaError or PySparkException by version
+        assert not isinstance(exc, AssertionError)
+        assert "FAILFAST" in str(exc) or "MALFORMED" in str(exc)
