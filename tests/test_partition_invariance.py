@@ -1,15 +1,21 @@
 """Partition-invariance gate (the reference's n_reduce contract,
 main/test-mr.sh protocol): a query's VALUES may not depend on how many
 partitions computed them. Runs the newest/statistics-heavy operators
-under two different shuffle widths in two separate SparkSessions and
-compares order-insensitive value hashes."""
+under two different shuffle widths and compares order-insensitive value
+hashes.
+
+The width flips via session conf on the SHARED fixture session —
+``spark.sql.shuffle.partitions`` is read at planning time, so each
+toPandas() replans under the current width. (A previous version built
+and stopped its own sessions; ``getOrCreate`` returns the active one,
+so the stop() tore down the suite-wide JVM for every later test.)
+"""
 
 from __future__ import annotations
 
 import hashlib
 
 from minimapreduce_spark import queries as q
-from minimapreduce_spark.session import get_spark
 from tests.conftest import SF_DIR
 
 CANDIDATES = [
@@ -26,30 +32,28 @@ CANDIDATES = [
 ]
 
 
-def _hashes(parts: int) -> dict[str, str]:
-    spark = get_spark(
-        app_name=f"pinv{parts}", master="local[4]", shuffle_partitions=parts
-    )
+def _hashes(spark, parts: int) -> dict[str, str]:
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     out = {}
-    try:
-        for name in CANDIDATES:
-            pdf = q.queries()[name](spark, SF_DIR).toPandas()
-            pdf = pdf[sorted(pdf.columns)]
-            out[name] = hashlib.sha256(
-                "\n".join(
-                    sorted(
-                        ",".join(repr(v) for v in r)
-                        for r in pdf.itertuples(index=False)
-                    )
-                ).encode()
-            ).hexdigest()
-    finally:
-        spark.stop()
+    for name in CANDIDATES:
+        pdf = q.queries()[name](spark, SF_DIR).toPandas()
+        pdf = pdf[sorted(pdf.columns)]
+        out[name] = hashlib.sha256(
+            "\n".join(
+                sorted(
+                    ",".join(repr(v) for v in r) for r in pdf.itertuples(index=False)
+                )
+            ).encode()
+        ).hexdigest()
     return out
 
 
-def test_values_invariant_under_shuffle_width():
-    a = _hashes(2)
-    b = _hashes(8)
+def test_values_invariant_under_shuffle_width(spark):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        a = _hashes(spark, 2)
+        b = _hashes(spark, 8)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     diffs = [n for n in CANDIDATES if a[n] != b[n]]
     assert not diffs, f"partition-dependent results: {diffs}"
