@@ -1950,3 +1950,155 @@ def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share"
         ),
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             datediff('day', max(o_orderdate),
+                      (SELECT max(o_orderdate) FROM orders)) AS recency_d,
+             count(*) AS frequency,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_c
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             ntile(5) OVER (ORDER BY recency_d ASC, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary_c DESC, o_custkey) AS m_score
+      FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the marketing-analytics workhorse: every
+    customer scored 1–5 on Recency (days since last order, fresher =
+    better), Frequency, and Monetary value via quintile ntiles, rolled
+    up to segment cells (5³ max rows). Score 1 = best quintile on each
+    axis, so cell (1,1,1) is the champions segment.
+
+    ntile ties break on custkey (the engine's rank discipline) and all
+    three metrics are exact integers, so quintile edges are
+    deterministic cross-engine. The global ntile windows run over the
+    CUSTOMER rollup; at extreme cardinality each becomes the two-phase
+    rank pattern.
+
+    Scale posture: one custkey hash agg + three windows over the
+    rollup + one tiny cell agg.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("mxd"))
+    rfm = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.max("mxd").cast("date"), F.max("o_orderdate").cast("date")
+            ).alias("recency_d"),
+            F.count("*").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "monetary_c"
+            ),
+        )
+    )
+    r_w = W.orderBy(F.asc("recency_d"), F.asc("o_custkey"))
+    f_w = W.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m_w = W.orderBy(F.desc("monetary_c"), F.asc("o_custkey"))
+    scored = rfm.select(
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").cast("bigint").alias("n_customers")
+    )
+
+
+@register(
+    "category_share_drift",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi FROM orders
+    ),
+    facts AS (
+      SELECT p.p_type,
+             CASE WHEN epoch(o.o_orderdate) * 2 <= epoch(b.lo) + epoch(b.hi)
+                  THEN 'early' ELSE 'late' END AS half,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS rev_c
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      CROSS JOIN bounds b
+    ),
+    agg AS (
+      SELECT p_type, half, sum(rev_c) AS rev
+      FROM facts GROUP BY 1, 2
+    ),
+    tot AS (SELECT half, sum(rev) AS t FROM agg GROUP BY 1),
+    shares AS (
+      SELECT a.p_type, a.half, CAST(a.rev AS DOUBLE) / t.t AS share
+      FROM agg a JOIN tot t USING (half)
+    )
+    SELECT p_type,
+           round(coalesce(max(CASE WHEN half = 'early' THEN share END), 0), 6)
+             AS early_share,
+           round(coalesce(max(CASE WHEN half = 'late' THEN share END), 0), 6)
+             AS late_share,
+           round(coalesce(max(CASE WHEN half = 'late' THEN share END), 0)
+                 - coalesce(max(CASE WHEN half = 'early' THEN share END), 0), 6)
+             AS drift
+    FROM shares GROUP BY p_type
+    """,
+)
+def category_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-share drift per part category between the early and
+    late halves of the order history — the longitudinal mix-shift
+    report (chi2_lang_source is the cross-sectional independence test;
+    this one says WHICH categories grew). The midpoint split is an
+    exact integer epoch comparison, shares are exact-integer ratios,
+    and the pivot uses max(CASE) so absent halves coalesce to 0.
+
+    Scale posture: fact joins with broadcast part dim, hash agg to
+    (category × 2) cells, trivial pivots. The 1-row bounds broadcast
+    decides the split without a second date scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    bounds = orders.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    ep = lambda c: F.unix_timestamp(F.col(c).cast("timestamp"))  # noqa: E731
+    facts = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "p_type",
+            F.when(
+                ep("o_orderdate") * 2 <= ep("lo") + ep("hi"), "early"
+            ).otherwise("late").alias("half"),
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("rev_c"),
+        )
+    )
+    agg = facts.groupBy("p_type", "half").agg(F.sum("rev_c").alias("rev"))
+    tot = agg.groupBy("half").agg(F.sum("rev").alias("t"))
+    shares = agg.join(tot, "half").select(
+        "p_type", "half", (F.col("rev").cast("double") / F.col("t")).alias("share")
+    )
+    early = F.coalesce(
+        F.max(F.when(F.col("half") == "early", F.col("share"))), F.lit(0.0)
+    )
+    late = F.coalesce(
+        F.max(F.when(F.col("half") == "late", F.col("share"))), F.lit(0.0)
+    )
+    return shares.groupBy("p_type").agg(
+        F.round(early, 6).alias("early_share"),
+        F.round(late, 6).alias("late_share"),
+        F.round(late - early, 6).alias("drift"),
+    )

@@ -600,3 +600,34 @@ def test_abc_classes_partition_and_order(spark):
     assert abs(out["revenue_share"].sum() - 1.0) < 1e-6
     assert out.loc["A", "revenue_share"] <= 0.8 + 1e-6
     assert out.loc["A", "revenue_share"] > out.loc["C", "revenue_share"]
+
+
+def test_rfm_quintiles_balanced(spark):
+    """Each axis assigns ~n/5 customers per quintile (ntile guarantee)
+    and the cell counts sum to the customer base with orders."""
+    from minimapreduce_spark.operators.analytics import customer_rfm_segments
+    import pyspark.sql.functions as F
+
+    out = customer_rfm_segments(spark, SF_DIR).toPandas()
+    n_cust = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert out["n_customers"].sum() == n_cust
+    for axis in ("r_score", "f_score", "m_score"):
+        per = out.groupby(axis)["n_customers"].sum()
+        assert set(per.index) == {1, 2, 3, 4, 5}
+        assert per.max() - per.min() <= 1
+
+
+def test_category_drift_sums_to_zero(spark):
+    """Shares are a distribution per half, so drifts sum to ~0 and each
+    half's shares sum to ~1."""
+    from minimapreduce_spark.operators.analytics import category_share_drift
+
+    out = category_share_drift(spark, SF_DIR).toPandas()
+    assert abs(out["early_share"].sum() - 1.0) < 1e-4
+    assert abs(out["late_share"].sum() - 1.0) < 1e-4
+    assert abs(out["drift"].sum()) < 1e-4
