@@ -1074,3 +1074,65 @@ def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unchanged")
     )
     return joined.groupBy(status.alias("status")).agg(F.count("*").alias("n_rows"))
+
+
+@register(
+    "tier_migration_matrix",
+    oracle="""
+    WITH yearly AS (
+      SELECT o_custkey AS custkey,
+             CAST(year(o_orderdate) AS BIGINT) AS yr,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_c
+      FROM orders GROUP BY 1, 2
+    ),
+    tiers AS (
+      SELECT custkey, yr,
+             CASE WHEN spend_c >= 50000000 THEN 'gold'
+                  WHEN spend_c >= 20000000 THEN 'silver'
+                  ELSE 'bronze' END AS tier
+      FROM yearly
+    )
+    SELECT a.tier AS from_tier, b.tier AS to_tier,
+           count(*) AS n_customers
+    FROM tiers a JOIN tiers b
+      ON a.custkey = b.custkey AND b.yr = a.yr + 1
+    GROUP BY 1, 2
+    """,
+)
+def tier_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year customer tier migration: for every customer with
+    consecutive active years, the (tier → next-year tier) cell counts —
+    the upgrade/downgrade/retention matrix a lifecycle team reads off
+    the SCD2 dimension (same tier rule as scd2_customer_tier_history;
+    events_markov_transitions is the event-level analog of this
+    entity-level transition matrix).
+
+    The consecutive-year pairing is a self-join on (custkey, yr+1) —
+    an equi-join, partitioned on custkey; tiers come from exact
+    integer-cent thresholds, so the matrix is exact.
+
+    Scale posture: one (cust, yr) rollup, one custkey-keyed self-join
+    (both sides the same tiny tier frame), one |tiers|² agg.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    yearly = orders.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("spend_c"))
+    tiers = yearly.select(
+        "custkey",
+        "yr",
+        F.when(F.col("spend_c") >= 50_000_000, "gold")
+        .when(F.col("spend_c") >= 20_000_000, "silver")
+        .otherwise("bronze")
+        .alias("tier"),
+    ).localCheckpoint(eager=False)  # both self-join sides
+    a = tiers.select("custkey", "yr", F.col("tier").alias("from_tier"))
+    b = tiers.select(
+        "custkey", (F.col("yr") - 1).alias("yr"), F.col("tier").alias("to_tier")
+    )
+    return (
+        a.join(b, ["custkey", "yr"])
+        .groupBy("from_tier", "to_tier")
+        .agg(F.count("*").alias("n_customers"))
+    )

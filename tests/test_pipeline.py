@@ -337,3 +337,22 @@ def test_snapshot_diff_partitions_the_union(spark):
     assert out.get("added", 0) == 0
     assert out["removed"] + out["changed"] + out["unchanged"] == n_base
     assert out["removed"] >= 1 and out["changed"] >= 1
+
+
+def test_tier_migration_reconciles_with_history(spark):
+    """Matrix total = number of consecutive-year customer pairs; every
+    from/to tier is a valid tier name."""
+    import pyspark.sql.functions as F
+    from minimapreduce_spark.catalog import load_table
+    from minimapreduce_spark.operators.pipeline import tier_migration_matrix
+
+    out = tier_migration_matrix(spark, SF_DIR).toPandas()
+    tiers = {"gold", "silver", "bronze"}
+    assert set(out["from_tier"]) <= tiers and set(out["to_tier"]) <= tiers
+    orders = load_table(spark, SF_DIR, "orders")
+    yearly = orders.select(
+        F.col("o_custkey").alias("c"), F.year("o_orderdate").alias("yr")
+    ).distinct()
+    b = yearly.select("c", (F.col("yr") - 1).alias("yr"))
+    n_pairs = yearly.join(b, ["c", "yr"]).count()
+    assert out["n_customers"].sum() == n_pairs
