@@ -2102,3 +2102,80 @@ def category_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(late, 6).alias("late_share"),
         F.round(late - early, 6).alias("drift"),
     )
+
+
+@register(
+    "events_usage_heatmap",
+    oracle="""
+    SELECT CAST(isodow(ts) AS BIGINT) AS iso_dow,
+           CAST(hour(ts) AS BIGINT) AS hour_of_day,
+           count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0, 4)
+             AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_usage_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekly usage heatmap: activity by (ISO weekday × hour of
+    day) with event counts, distinct users, and exact fixed-point value
+    totals — the 7×24 grid behind every "when are our users active"
+    dashboard and the load profile capacity planning reads.
+
+    Spark's Sunday-first dayofweek shifts to ISO numbering
+    (dim_date_generate's convention); distinct users per cell is a
+    partial+final distinct agg, never a collect.
+
+    Scale posture: one hash agg onto a 168-cell grid — map-side
+    partials absorb everything; output size is constant.
+    """
+    ev = _events(spark, sf_dir)
+    d = F.col("ts").cast("date")
+    iso_dow = ((F.dayofweek(d) + 5) % 7) + 1
+    vc = F.round(F.col("value") * 10000).cast("bigint")
+    return ev.groupBy(
+        iso_dow.cast("bigint").alias("iso_dow"),
+        F.hour("ts").cast("bigint").alias("hour_of_day"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.round(F.sum(vc) / 10000.0, 4).alias("total_value"),
+    )
+
+
+@register(
+    "profile_qty_discount_grid",
+    oracle="""
+    SELECT CAST(round(l_quantity) AS BIGINT) // 10 AS qty_bucket,
+           CAST(round(l_discount * 100) AS BIGINT) // 2 AS disc_bucket,
+           count(*) AS n_items,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+             AS revenue
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def profile_qty_discount_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional profiling grid: lineitems bucketed by quantity
+    decade × discount band (2-point steps), with counts and exact
+    revenue — the pricing-analysis heatmap that shows whether discounts
+    actually move volume (and the 2-D histogram primitive
+    histogram_order_prices generalizes to).
+
+    Bucket edges are integer floor-divisions of exact fixed-point
+    values — no float binning wobble.
+
+    Scale posture: one hash agg onto a bounded grid (≈6×26 cells);
+    map-side partials absorb the fact table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_b = F.floor(F.round("l_quantity").cast("bigint") / 10).cast("bigint")
+    disc_b = F.floor(F.round(F.col("l_discount") * 100).cast("bigint") / 2).cast(
+        "bigint"
+    )
+    rev_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return li.groupBy(
+        qty_b.alias("qty_bucket"), disc_b.alias("disc_bucket")
+    ).agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum(rev_c) / 100.0, 2).alias("revenue"),
+    )

@@ -631,3 +631,28 @@ def test_category_drift_sums_to_zero(spark):
     assert abs(out["early_share"].sum() - 1.0) < 1e-4
     assert abs(out["late_share"].sum() - 1.0) < 1e-4
     assert abs(out["drift"].sum()) < 1e-4
+
+
+def test_usage_heatmap_covers_week_grid(spark):
+    from minimapreduce_spark.operators.analytics import events_usage_heatmap
+
+    out = events_usage_heatmap(spark, SF_DIR).toPandas()
+    assert out["iso_dow"].between(1, 7).all()
+    assert out["hour_of_day"].between(0, 23).all()
+    total = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert out["n_events"].sum() == total
+    assert (out["n_users"] <= out["n_events"]).all()
+
+
+def test_qty_discount_grid_reconciles_revenue(spark):
+    import pyspark.sql.functions as F
+    from minimapreduce_spark.operators.analytics import profile_qty_discount_grid
+
+    out = profile_qty_discount_grid(spark, SF_DIR).toPandas()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    assert out["n_items"].sum() == li.count()
+    want = (
+        li.agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))).first()[0]
+        / 100.0
+    )
+    assert abs(out["revenue"].sum() - want) < 0.05
