@@ -2179,3 +2179,50 @@ def profile_qty_discount_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         F.round(F.sum(rev_c) / 100.0, 2).alias("revenue"),
     )
+
+
+@register(
+    "events_wau_daily",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    spine AS (SELECT DISTINCT day FROM active),
+    expanded AS (
+      SELECT s.day, a.user_id
+      FROM spine s JOIN active a
+        ON a.day <= s.day AND a.day >= s.day - INTERVAL 6 DAY
+    )
+    SELECT day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+    FROM expanded GROUP BY day
+    """,
+)
+def events_wau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (WAU) — THE engagement
+    series. A distinct-count over a sliding window has no windowed
+    aggregate form, so both engines use the bounded expansion: each
+    (user, active-day) row contributes to at most 7 report days (a
+    range join with a 6-day band), then an ordinary distinct count per
+    day. Fanout is exactly min(7, window), never data-dependent — the
+    trick that keeps sliding-distinct linear at 100 TB (the first-seen
+    decomposition, window_cumulative_distinct_users, handles the
+    UNBOUNDED variant; this is the bounded-window one).
+
+    Scale posture: the (user, day) distinct is the only big shuffle;
+    the band join fans out ×7 and re-aggregates with map-side partial
+    distincts. All-integer.
+    """
+    ev = _events(spark, sf_dir)
+    active = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    spine = active.select("day").distinct().select(F.col("day").alias("report_day"))
+    expanded = active.join(
+        spine,
+        (F.col("day") <= F.col("report_day"))
+        & (F.col("day") >= F.col("report_day") - F.expr("interval 6 days")),
+    )
+    return expanded.groupBy(F.col("report_day").alias("day")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )

@@ -656,3 +656,27 @@ def test_qty_discount_grid_reconciles_revenue(spark):
         / 100.0
     )
     assert abs(out["revenue"].sum() - want) < 0.05
+
+
+def test_wau_bounds_and_window_semantics(spark):
+    """WAU >= that day's DAU, WAU <= total users, and the first day's
+    WAU equals its DAU (no prior days in the window)."""
+    import pyspark.sql.functions as F
+    from minimapreduce_spark.operators.analytics import events_wau_daily
+
+    out = events_wau_daily(spark, SF_DIR).toPandas().sort_values("day")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    dau = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+        .groupBy("day")
+        .count()
+        .toPandas()
+        .set_index("day")["count"]
+    )
+    n_users = ev.select("user_id").distinct().count()
+    merged = out.set_index("day").join(dau.rename("dau"))
+    assert (merged["wau"] >= merged["dau"]).all()
+    assert (merged["wau"] <= n_users).all()
+    first = out.iloc[0]
+    assert first["wau"] == dau.loc[first["day"]]
