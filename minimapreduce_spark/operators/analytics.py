@@ -2226,3 +2226,56 @@ def events_wau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expanded.groupBy(F.col("report_day").alias("day")).agg(
         F.countDistinct("user_id").cast("bigint").alias("wau")
     )
+
+
+@register(
+    "customer_reorder_intervals",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             datediff('day',
+                      lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey),
+                      o_orderdate) AS gap_d
+      FROM orders
+    ),
+    gaps AS (SELECT gap_d FROM seq WHERE gap_d IS NOT NULL)
+    SELECT CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(quantile_cont(gap_d, 0.5) * 2 AS BIGINT) AS median_gap_2d,
+           CAST(quantile_cont(gap_d, 0.9) * 10 AS BIGINT) AS p90_gap_10d,
+           round(sum(gap_d) / (count(*) * 1.0), 4) AS mean_gap_d
+    FROM gaps
+    """,
+)
+def customer_reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The purchase-cycle profile: distribution of day-gaps between each
+    customer's consecutive orders — median, p90, and mean reorder
+    interval, the numbers replenishment forecasting and churn-risk
+    cutoffs ("no order for > p90 days") are built on.
+
+    Gaps are exact integer days from one lag window; the exact type-7
+    percentiles scale into BIGINTs (×2 for the median's possible .5,
+    ×10 for p90's tenths — events_transition_dwell's doubled-median
+    trick generalized to the quantile's denominator) so no float
+    column survives to the hash; the mean is one identical division.
+
+    Scale posture: one custkey shuffle for the lag, one global agg of
+    integer gaps (percentile state is the sorted gap multiset — at
+    extreme scale swap in approx_percentile).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    gaps = orders.select(
+        F.datediff(d, F.lag(d).over(w)).alias("gap_d")
+    ).where(F.col("gap_d").isNotNull())
+    return gaps.agg(
+        F.count("*").cast("bigint").alias("n_intervals"),
+        F.round(F.expr("percentile(gap_d, 0.5D)") * 2).cast("bigint").alias(
+            "median_gap_2d"
+        ),
+        F.round(F.expr("percentile(gap_d, 0.9D)") * 10).cast("bigint").alias(
+            "p90_gap_10d"
+        ),
+        F.round(F.sum("gap_d") / (F.count("*") * 1.0), 4).alias("mean_gap_d"),
+    )

@@ -680,3 +680,19 @@ def test_wau_bounds_and_window_semantics(spark):
     assert (merged["wau"] <= n_users).all()
     first = out.iloc[0]
     assert first["wau"] == dau.loc[first["day"]]
+
+
+def test_reorder_intervals_stats_consistent(spark):
+    """median <= p90 (after unscaling), mean within [min, max] of gaps,
+    interval count = orders - customers-with-orders."""
+    import pyspark.sql.functions as F
+    from minimapreduce_spark.operators.analytics import customer_reorder_intervals
+
+    row = customer_reorder_intervals(spark, SF_DIR).collect()[0]
+    med, p90 = row["median_gap_2d"] / 2.0, row["p90_gap_10d"] / 10.0
+    assert med <= p90
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n_orders = orders.count()
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert row["n_intervals"] == n_orders - n_cust
+    assert 0 <= med <= row["mean_gap_d"] * 3
