@@ -2279,3 +2279,83 @@ def customer_reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.sum("gap_d") / (F.count("*") * 1.0), 4).alias("mean_gap_d"),
     )
+
+
+@register(
+    "basket_size_histogram",
+    oracle="""
+    WITH sizes AS (
+      SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS n_orders FROM sizes)
+    SELECT s.n_items,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(count(*) * 1.0 / max(n.n_orders), 6) AS share
+    FROM sizes s CROSS JOIN n
+    GROUP BY s.n_items
+    """,
+)
+def basket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-size distribution: how many lineitems a basket holds, with
+    each size's share of all orders — the input-shape profile join
+    planners and batch sizers read (basket_part_pairs' O(b²) bound IS
+    this histogram's tail).
+
+    Exact counts; share is one identical division against the
+    broadcast total.
+
+    Scale posture: one orderkey hash agg, one tiny histogram agg.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(F.count("*").alias("n_items"))
+    n = sizes.agg(F.count("*").alias("n_orders"))
+    return (
+        sizes.crossJoin(F.broadcast(n))
+        .groupBy("n_items")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.count("*") * 1.0 / F.max("n_orders"), 6).alias("share"),
+        )
+    )
+
+
+@register(
+    "events_value_boxplot",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 10000) AS BIGINT) AS vc
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           min(vc) AS min_fp,
+           CAST(quantile_cont(vc, 0.25) * 4 AS BIGINT) AS q1_4fp,
+           CAST(quantile_cont(vc, 0.5) * 2 AS BIGINT) AS median_2fp,
+           CAST(quantile_cont(vc, 0.75) * 4 AS BIGINT) AS q3_4fp,
+           max(vc) AS max_fp
+    FROM v GROUP BY event_type
+    """,
+)
+def events_value_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-number summary (boxplot statistics) of event value per
+    type: min, quartiles, max over fixed-point integers. Type-7
+    quartile interpolation lands on quarters, so Q1/Q3 scale ×4 and
+    the median ×2 into exact BIGINTs — the whole summary ships through
+    the hash gate with zero float columns (percentile_quantity's exact
+    twin, generalized to the full box).
+
+    Scale posture: one hash agg per type; exact percentile state is
+    the per-group sorted multiset — approx_percentile is the swap-in
+    at extreme group sizes.
+    """
+    ev = _events(spark, sf_dir)
+    vc = F.round(F.col("value") * 10000).cast("bigint")
+    v = ev.select("event_type", vc.alias("vc"))
+    return v.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("vc").alias("min_fp"),
+        F.round(F.expr("percentile(vc, 0.25D)") * 4).cast("bigint").alias("q1_4fp"),
+        F.round(F.expr("percentile(vc, 0.5D)") * 2).cast("bigint").alias("median_2fp"),
+        F.round(F.expr("percentile(vc, 0.75D)") * 4).cast("bigint").alias("q3_4fp"),
+        F.max("vc").alias("max_fp"),
+    )

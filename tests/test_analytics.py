@@ -696,3 +696,31 @@ def test_reorder_intervals_stats_consistent(spark):
     n_cust = orders.select("o_custkey").distinct().count()
     assert row["n_intervals"] == n_orders - n_cust
     assert 0 <= med <= row["mean_gap_d"] * 3
+
+
+def test_basket_histogram_shares_sum_to_one(spark):
+    from minimapreduce_spark.operators.analytics import basket_size_histogram
+
+    out = basket_size_histogram(spark, SF_DIR).toPandas()
+    assert abs(out["share"].sum() - 1.0) < 1e-4
+    n_orders = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    assert out["n_orders"].sum() == n_orders
+    assert (out["n_items"] >= 1).all()
+
+
+def test_boxplot_ordering_invariant(spark):
+    """min <= Q1 <= median <= Q3 <= max per type, after unscaling."""
+    from minimapreduce_spark.operators.analytics import events_value_boxplot
+
+    out = events_value_boxplot(spark, SF_DIR).toPandas()
+    q1 = out["q1_4fp"] / 4.0
+    med = out["median_2fp"] / 2.0
+    q3 = out["q3_4fp"] / 4.0
+    assert (out["min_fp"] <= q1).all()
+    assert (q1 <= med).all() and (med <= q3).all()
+    assert (q3 <= out["max_fp"]).all()
