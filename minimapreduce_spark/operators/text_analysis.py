@@ -820,3 +820,46 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_syllables",
         F.round(flesch, 4).alias("flesch"),
     )
+
+
+@register(
+    "corpus_source_profile",
+    oracle="""
+    WITH per_lang AS (
+      SELECT source, lang, count(*) AS n,
+             sum(CAST(n_chars AS BIGINT)) AS chars_l
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(sum(chars_l) AS BIGINT) AS total_chars,
+           round(sum(chars_l) / (sum(n) * 1.0), 4) AS avg_chars,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           arg_max(lang, lpad(CAST(n AS VARCHAR), 12, '0') || lang) AS top_lang
+    FROM per_lang GROUP BY source
+    """,
+)
+def corpus_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile: document count, exact character
+    volume, mean length, language diversity, and the dominant language
+    (arg-max over a fixed-width packed (count, lang) string key so ties
+    break lexicographically — the agg_arg_extremes unique-key
+    discipline, string-packed because DuckDB's arg_max takes no
+    composite) — the first table a data-sourcing review reads.
+
+    Scale posture: one (source, lang) hash agg then a per-source
+    rollup; the max_by runs over |langs| rows per source.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n"), F.sum(F.col("n_chars").cast("bigint")).alias("chars_l")
+    )
+    return per_lang.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.sum("chars_l").cast("bigint").alias("total_chars"),
+        F.round(F.sum("chars_l") / (F.sum("n") * 1.0), 4).alias("avg_chars"),
+        F.count("*").cast("bigint").alias("n_langs"),
+        F.max_by(
+            "lang", F.concat(F.lpad(F.col("n").cast("string"), 12, "0"), F.col("lang"))
+        ).alias("top_lang"),
+    )

@@ -65,3 +65,19 @@ def test_phrase_search_hits_are_real(spark):
             if words[i] == PHRASE[0] and words[i + 1] == PHRASE[1]
         )
         assert n == row["n_hits"] and n > 0
+
+
+def test_corpus_profile_reconciles(spark):
+    from minimapreduce_spark.operators.text_analysis import corpus_source_profile
+    from tests.conftest import SF_DIR
+
+    out = corpus_source_profile(spark, SF_DIR).toPandas()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").toPandas()
+    assert out["n_docs"].sum() == len(docs)
+    assert out["total_chars"].sum() == docs["n_chars"].sum()
+    for _, row in out.iterrows():
+        sub = docs[docs["source"] == row["source"]]
+        counts = sub["lang"].value_counts()
+        best = max(counts.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        assert row["top_lang"] == best
+        assert row["n_langs"] == sub["lang"].nunique()
