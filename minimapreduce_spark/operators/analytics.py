@@ -2359,3 +2359,80 @@ def events_value_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(vc, 0.75D)") * 4).cast("bigint").alias("q3_4fp"),
         F.max("vc").alias("max_fp"),
     )
+
+
+@register(
+    "customer_360_overlap",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS k, count(*) AS n_orders,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    e AS (
+      SELECT user_id AS k, count(*) AS n_events FROM events GROUP BY 1
+    ),
+    j AS (
+      SELECT coalesce(o.k, e.k) AS k,
+             CASE WHEN o.k IS NULL THEN 'events_only'
+                  WHEN e.k IS NULL THEN 'orders_only'
+                  ELSE 'both' END AS presence,
+             coalesce(o.n_orders, 0) AS n_orders,
+             coalesce(o.rev_c, 0) AS rev_c,
+             coalesce(e.n_events, 0) AS n_events
+      FROM o FULL OUTER JOIN e ON o.k = e.k
+    )
+    SELECT presence,
+           CAST(count(*) AS BIGINT) AS n_entities,
+           CAST(sum(n_orders) AS BIGINT) AS total_orders,
+           round(sum(rev_c) / 100.0, 2) AS total_revenue,
+           CAST(sum(n_events) AS BIGINT) AS total_events
+    FROM j GROUP BY presence
+    """,
+)
+def customer_360_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The customer-360 identity overlap: entities rolled up from the
+    TRANSACTIONAL system (orders, by custkey) full-outer-joined with
+    the BEHAVIORAL system (events, by user_id, sharing the key domain)
+    and segmented into orders-only / events-only / both — the coverage
+    report every identity-stitching project starts from, with each
+    segment's order, revenue, and event volume.
+
+    One full-outer join of two pre-aggregated per-key frames (never
+    raw fact × raw fact) and exact integer measures throughout.
+
+    Scale posture: two independent hash aggs shrink each system to its
+    entity rollup before the join — the join input is |entities|, not
+    |facts|; coalesce-based presence classification is null-safe by
+    construction.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ev = _events(spark, sf_dir)
+    o = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_c"),
+    )
+    e = ev.groupBy(F.col("user_id").alias("k")).agg(F.count("*").alias("n_events"))
+    j = o.withColumnRenamed("k", "ok").join(
+        e.withColumnRenamed("k", "ek"), F.col("ok") == F.col("ek"), "full_outer"
+    )
+    presence = (
+        F.when(F.col("ok").isNull(), "events_only")
+        .when(F.col("ek").isNull(), "orders_only")
+        .otherwise("both")
+    )
+    return (
+        j.select(
+            presence.alias("presence"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("rev_c", F.lit(0)).alias("rev_c"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+        .groupBy("presence")
+        .agg(
+            F.count("*").cast("bigint").alias("n_entities"),
+            F.sum("n_orders").cast("bigint").alias("total_orders"),
+            F.round(F.sum("rev_c") / 100.0, 2).alias("total_revenue"),
+            F.sum("n_events").cast("bigint").alias("total_events"),
+        )
+    )

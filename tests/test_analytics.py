@@ -724,3 +724,26 @@ def test_boxplot_ordering_invariant(spark):
     assert (out["min_fp"] <= q1).all()
     assert (q1 <= med).all() and (med <= q3).all()
     assert (q3 <= out["max_fp"]).all()
+
+
+def test_customer_360_reconciles_both_systems(spark):
+    """Segment totals must reconcile with each system independently:
+    orders+revenue across segments == full orders table, events across
+    segments == full events table."""
+    import pyspark.sql.functions as F
+    from minimapreduce_spark.operators.analytics import customer_360_overlap
+
+    out = customer_360_overlap(spark, SF_DIR).toPandas().set_index("presence")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert out["total_orders"].sum() == orders.count()
+    assert out["total_events"].sum() == events.count()
+    want_rev = (
+        orders.agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))).first()[0]
+        / 100.0
+    )
+    assert abs(out["total_revenue"].sum() - want_rev) < 0.05
+    if "events_only" in out.index:
+        assert out.loc["events_only", "total_orders"] == 0
+    if "orders_only" in out.index:
+        assert out.loc["orders_only", "total_events"] == 0
