@@ -490,23 +490,38 @@ def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def histogram_equidepth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth (equal-count) histogram of order prices via ntile(8)
-    — the quantile-bucketed complement of the fixed-width
-    `histogram_order_prices`; equi-depth bins are what optimizers and
-    drift monitors actually want, because every bin carries equal
-    evidence.
+    """Equi-depth (equal-count) histogram of order prices with exact
+    ntile(8) semantics — the quantile-bucketed complement of the
+    fixed-width `histogram_order_prices`; equi-depth bins are what
+    optimizers and drift monitors actually want, because every bin
+    carries equal evidence.
 
-    ntile ties are broken by the (price, orderkey) total order, so
-    bucket assignment is deterministic cross-engine. NOTE the global
-    ORDER BY window: at 100 TB a single-partition ntile is the wrong
-    plan — the scale path is approx_percentile boundaries + a
-    broadcast bucket join, or the two-phase offset pattern in
-    ``surrogate_keys_documents``; this operator keeps the exact
-    semantics for modest inputs and documents the trade.
+    NO single-partition ntile window: the bucket is reconstructed
+    arithmetically from a two-phase global row number (range-partition
+    → local row_number → broadcast per-range offsets; operators/
+    ordered.py) and the scalar row count — bit-identical to SQL
+    NTILE(8) with the (price, orderkey) tie-break, fully parallel.
+
+    Scale posture: one range shuffle of (price, key) pairs + a
+    broadcast of ≤ n_ranges offsets + a 1-row count; the final agg
+    shuffles 8 groups.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    w = W.orderBy("o_totalprice", "o_orderkey")
-    b = orders.select("o_totalprice", F.ntile(8).over(w).alias("bucket"))
+    from minimapreduce_spark.operators.ordered import (
+        ntile_expr,
+        with_global_row_number,
+        with_scalars,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey"
+    )
+    rn = with_global_row_number(
+        orders, [F.asc("o_totalprice"), F.asc("o_orderkey")], out="rn"
+    )
+    n = orders.agg(F.count(F.lit(1)).alias("_n"))
+    b = with_scalars(rn, n).select(
+        "o_totalprice", ntile_expr(F.col("rn"), F.col("_n"), 8).alias("bucket")
+    )
     return b.groupBy("bucket").agg(
         F.count("*").alias("n_orders"),
         F.round(F.min("o_totalprice"), 2).alias("lo"),
@@ -534,30 +549,19 @@ def surrogate_keys_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The result equals the oracle's global row_number, but no stage
     ever funnels the table through one task — the difference between
-    "works on 60k rows" and "works on 100 TB". (Contrast
-    histogram_equidepth_prices, which documents the single-partition
-    form.) monotonically_increasing_id is NOT used: its values are
-    partition-sparse, not dense, and move with the plan.
+    "works on 60k rows" and "works on 100 TB".
+    monotonically_increasing_id is NOT used: its values are
+    partition-sparse, not dense, and move with the plan. The pattern
+    lives in operators/ordered.py (shared by the equi-depth histogram,
+    RFM ntiles, Pareto/Gini/ABC ranks, and the sweep-line running sum),
+    including the single-materialization guard against the range
+    partitioner's sampled, per-plan boundaries.
     """
+    from minimapreduce_spark.operators.ordered import with_global_row_number
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    parted = docs.repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id")
-    staged = parted.select(
-        "doc_id",
-        F.spark_partition_id().alias("pid"),
-        F.row_number()
-        .over(W.partitionBy(F.spark_partition_id()).orderBy("doc_id"))
-        .alias("rn"),
-    )
-    counts = staged.groupBy("pid").agg(F.count("*").alias("n"))
-    offsets = counts.select(
-        "pid",
-        (
-            F.sum("n").over(W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1))
-        ).alias("offset"),
-    ).fillna({"offset": 0})
-    return (
-        staged.join(F.broadcast(offsets), "pid")
-        .select("doc_id", (F.col("offset") + F.col("rn")).alias("sk"))
+    return with_global_row_number(docs, [F.asc("doc_id")], out="sk").select(
+        "doc_id", "sk"
     )
 
 
@@ -613,13 +617,13 @@ def sessions_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     (start == end) still registers as live at its instant. All-integer
     deltas → exact.
 
-    Scale posture: sessionization shuffles on user_id; the sweep is a
-    global sort over 2×sessions rows — orders of magnitude smaller
-    than events. At extreme scale the sweep itself range-partitions by
-    time with per-range carry-in offsets (the surrogate-key pattern on
-    the time axis).
+    Scale posture: sessionization shuffles on user_id; the sweep
+    range-partitions the distinct-timestamp axis with per-range
+    carry-in offsets (operators/ordered.py two-phase running sum) —
+    no single-partition pass even when the timestamp spine is huge.
     """
     from minimapreduce_spark.operators.events import events_sessionization
+    from minimapreduce_spark.operators.ordered import with_global_running_sum
 
     sessions = events_sessionization(spark, sf_dir)
     starts = sessions.select(F.col("session_start").alias("t"), F.lit(1).alias("d"))
@@ -629,10 +633,9 @@ def sessions_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d").alias("dsum"),
         F.sum(F.when(F.col("d") == -1, 1).otherwise(0)).alias("ends"),
     )
-    wsweep = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
-    swept = per_t.select(
-        "t",
-        (F.sum("dsum").over(wsweep) + F.col("ends")).cast("bigint").alias("peak_at_t"),
+    cum = with_global_running_sum(per_t, [F.asc("t")], F.col("dsum"), out="cum_d")
+    swept = cum.select(
+        "t", (F.col("cum_d") + F.col("ends")).cast("bigint").alias("peak_at_t")
     )
     return swept.groupBy(F.date_trunc("day", "t").alias("day")).agg(
         F.max("peak_at_t").alias("peak_concurrent")
@@ -728,12 +731,17 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same first-seen decomposition as window_cumulative_distinct_users,
     on the word axis: a word contributes at its minimum doc_id, per-doc
     first-seen counts are a hash agg, and the curve is a running sum
-    over the (small) doc spine. No distinct-state window anywhere.
+    over the doc spine. No distinct-state window anywhere — and the
+    running sum itself is the two-phase pattern (operators/ordered.py:
+    range-partition the spine, local running sums, broadcast per-range
+    offsets), so even a billion-document spine never funnels through
+    one task.
 
     Scale posture: tokenize is embarrassingly parallel; the min-doc agg
     shuffles on word (high cardinality, map-side partial min); the
-    running sum orders #docs rows. All-integer → exact.
+    running sum is one range shuffle of the spine. All-integer → exact.
     """
+    from minimapreduce_spark.operators.ordered import with_global_running_sum
     from minimapreduce_spark.operators.text_analysis import _docs, _tokens
 
     docs = _docs(spark, sf_dir)
@@ -744,11 +752,11 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = spine.join(new_words, "doc_id", "left").select(
         "doc_id", F.coalesce("n_new", F.lit(0)).alias("n_new_words")
     )
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return joined.select(
-        "doc_id",
-        "n_new_words",
-        F.sum("n_new_words").over(w).cast("bigint").alias("vocab_size"),
+    cum = with_global_running_sum(
+        joined, [F.asc("doc_id")], F.col("n_new_words"), out="vocab_size"
+    )
+    return cum.select(
+        "doc_id", "n_new_words", F.col("vocab_size").cast("bigint").alias("vocab_size")
     )
 
 
@@ -1127,58 +1135,123 @@ def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     PAPERS.md): the 5 most similar pairs of users by Euclidean distance
     between their aligned daily-value series.
 
-    Alignment is a dense (user × day) grid — absent days are true
-    zeros, not missing joins, so the metric is well-defined; the
-    pairwise term then joins on day (series-length-bounded fanout, the
-    same day-partitioned decomposition the distributed data-series
-    systems use) and reduces to one exact integer sum per pair.
-    Distance surfaces as one identical sqrt; ranking ties break on the
-    pair key.
+    Alignment maps each user's sparse (day, value) rows onto the day
+    spine WITHOUT a dense user × day cross join: days get positional
+    indexes (two-phase row_number over the tiny calendar spine), each
+    series becomes an index→value map, and one codegen'd transform
+    densifies it — absent days are true zeros, so the metric is
+    well-defined.
 
-    Scale posture: at user-count scale the all-pairs stage needs the
-    usual candidate pruning (LSH on series sketches — the minhash
-    machinery — or triangle-inequality pivots a la Odyssey); the
-    day-join decomposition itself is the distributed-friendly part:
-    shuffle on day, map-side partial pair sums, never a series
-    materialized per task pair.
+    The pairwise stage is EXACT pivot pruning (the Odyssey
+    triangle-inequality shape), not all-pairs:
+
+    1. norm pivot: ‖u‖ lower-bounds every distance —
+       |‖a‖−‖b‖| ≤ d(a,b);
+    2. seed threshold τ: exact distances of norm-adjacent user pairs
+       (a lead window inside each range partition — no global pass);
+       the 5th smallest seed distance upper-bounds the true 5th
+       smallest overall, because seed pairs are a subset of all pairs;
+    3. banded candidate join: users bucket by floor(norm / w), w
+       slightly over τ; any pair with d ≤ τ differs by ≤ 1 bucket, so
+       joining each user against its own and ±1 buckets (3 emitted
+       keys, one equi-join — the minhash banding shape) provably
+       contains the true top-5;
+    4. exact BIGINT distances on the candidates only, takeOrdered 5.
+
+    Guaranteed identical to the all-pairs oracle — the pruning is
+    lossless by the triangle inequality, with the bucket width padded
+    1.001× so float rounding of the double norms can never push a
+    qualifying pair two buckets apart.
+
+    Scale posture: no cross join, no corpus broadcast, no
+    single-partition stage (the final rank window sees exactly 5
+    rows). Candidate count is data-dependent (dense norm clusters →
+    bigger buckets — the usual LSH skew caveat, mitigated by more
+    pivots); every stage is an equi-shuffle or a broadcast of one
+    scalar.
     """
+    from minimapreduce_spark.operators.ordered import (
+        with_global_row_number,
+        with_scalars,
+    )
+
     ev = _events(spark, sf_dir)
     daily = ev.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("day")
     ).agg(F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("v"))
-    spine = daily.select("day").distinct()
-    users = daily.select("user_id").distinct()
-    grid = (
-        users.crossJoin(spine)
-        .join(daily, ["user_id", "day"], "left")
-        .select("user_id", "day", F.coalesce("v", F.lit(0)).alias("v"))
+    spine = with_global_row_number(
+        daily.select("day").distinct(), [F.asc("day")], out="idx"
     )
-    # Each series packs into one day-sorted array (|days| ints), so the
-    # pairwise stage is a broadcast cross join + codegen'd fold instead
-    # of a (pairs x days)-row shuffle — measured 10.0 s → sub-second at
-    # sf0.1 (1500 users x 30 days: the day-join form materialized 34M
-    # rows). Exact BIGINT arithmetic is unchanged.
-    vecs = grid.groupBy("user_id").agg(
+    nd = spine.agg(F.count(F.lit(1)).alias("nd"))
+    indexed = daily.join(spine, "day").select("user_id", "idx", "v")
+    vecs = with_scalars(
+        indexed.groupBy("user_id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("idx"), F.col("v")))
+            ).alias("m")
+        ),
+        nd,
+    ).select(
+        "user_id",
         F.transform(
-            F.array_sort(F.collect_list(F.struct("day", "v"))), lambda s: s["v"]
-        ).alias("vec")
-    ).localCheckpoint(eager=False)
-    a = vecs.select(F.col("user_id").alias("user_a"), F.col("vec").alias("va"))
-    b = vecs.select(F.col("user_id").alias("user_b"), F.col("vec").alias("vb"))
-    d2 = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
+            F.sequence(F.lit(1).cast("bigint"), F.col("nd").cast("bigint")),
+            lambda i: F.coalesce(F.element_at("m", i), F.lit(0).cast("bigint")),
+        ).alias("vec"),
+    )
+    sq = lambda va, vb: F.aggregate(  # noqa: E731  exact ∑(x−y)²
+        F.zip_with(va, vb, lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    dists = (
-        a.join(F.broadcast(b), F.col("user_a") < F.col("user_b"))
-        .select("user_a", "user_b", d2.alias("d2"))
+    norm = F.sqrt(
+        F.aggregate(
+            "vec", F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+        ).cast("double")
     )
-    # TakeOrdered top-5 first (parallel per-partition heaps), THEN the
-    # 5-row rank window — a global row_number over all pairs would pull
-    # every pair through one partition.
+    nv = vecs.select("user_id", "vec", norm.alias("nrm")).localCheckpoint(
+        eager=False
+    )
+
+    # 2. seed τ from norm-adjacent pairs (partition-local lead is fine:
+    # missing boundary pairs only loosen the bound, never break it)
+    parted = nv.repartitionByRange(8, "nrm", "user_id").sortWithinPartitions(
+        "nrm", "user_id"
+    )
+    wseed = W.partitionBy(F.spark_partition_id()).orderBy("nrm", "user_id")
+    seeds = parted.select(
+        sq(F.col("vec"), F.lead("vec").over(wseed)).alias("d2")
+    ).where(F.col("d2").isNotNull())
+    tau = seeds.orderBy("d2").limit(5).agg(
+        # < 5 seed pairs → no valid bound → one huge bucket (tiny data)
+        F.when(F.count(F.lit(1)) < 5, F.lit(float(2**62)))
+        .otherwise(F.max("d2").cast("double"))
+        .alias("tau2")
+    ).select((F.sqrt("tau2") * 1.001 + 1e-9).alias("w"))
+
+    # 3. banded candidate join on the norm axis
+    withw = with_scalars(nv, tau)
+    left = withw.select(
+        F.col("user_id").alias("user_a"),
+        F.col("vec").alias("va"),
+        F.floor(F.col("nrm") / F.col("w")).alias("bkt"),
+    )
+    right = withw.select(
+        F.col("user_id").alias("user_b"),
+        F.col("vec").alias("vb"),
+        F.explode(
+            F.array(
+                F.floor(F.col("nrm") / F.col("w")) - 1,
+                F.floor(F.col("nrm") / F.col("w")),
+                F.floor(F.col("nrm") / F.col("w")) + 1,
+            )
+        ).alias("bkt"),
+    )
+    cands = left.join(right, "bkt").where(F.col("user_a") < F.col("user_b"))
+
+    # 4. exact distances on candidates only, parallel top-5
+    dists = cands.select("user_a", "user_b", sq(F.col("va"), F.col("vb")).alias("d2"))
     top = dists.orderBy("d2", "user_a", "user_b").limit(5)
-    wr = W.orderBy("d2", "user_a", "user_b")
+    wr = W.orderBy("d2", "user_a", "user_b")  # 5 rows post-limit
     return top.select(
         "user_a",
         "user_b",
@@ -1628,28 +1701,32 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     prioritization and skew forecasts (a high share predicts hot keys
     downstream).
 
-    Customers rank by exact integer revenue (orderkey tie-break);
+    Customers rank by exact integer revenue (custkey tie-break);
     membership in the top quintile is the integer predicate
-    rank×5 ≤ n; the share is one exact-integer ratio. The unbounded
-    windows run over the CUSTOMER rollup (already |customers| rows),
-    not the fact table.
+    rank×5 ≤ n; the share is one exact-integer ratio.
 
-    Scale posture: one hash agg on custkey, then windows over the
-    rollup; at extreme customer counts the rank step becomes the
-    two-phase pattern (surrogate_keys_documents).
+    Scale posture: one hash agg on custkey; the rank over the rollup
+    is the two-phase pattern (operators/ordered.py — range shuffle +
+    broadcast offsets, no single-partition window), and the count/total
+    constants arrive as a broadcast 1-row agg instead of empty-partition
+    windows.
     """
+    from minimapreduce_spark.operators.ordered import (
+        with_global_row_number,
+        with_scalars,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     cust = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_c")
     )
-    wr = W.orderBy(F.desc("rev_c"), F.asc("o_custkey"))
-    wall = W.partitionBy()
-    ranked = cust.select(
-        "rev_c",
-        F.row_number().over(wr).alias("rn"),
-        F.count("*").over(wall).alias("n_cust"),
-        F.sum("rev_c").over(wall).alias("total_c"),
+    rn = with_global_row_number(
+        cust, [F.desc("rev_c"), F.asc("o_custkey")], out="rn"
     )
+    scalars = cust.agg(
+        F.count(F.lit(1)).alias("n_cust"), F.sum("rev_c").alias("total_c")
+    )
+    ranked = with_scalars(rn, scalars)
     return (
         ranked.where(F.col("rn") * 5 <= F.col("n_cust"))
         .agg(
@@ -1691,25 +1768,30 @@ def gini_revenue_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
     →1 = winner-take-all).
 
     The rank formulation G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n needs only the
-    ascending rank (orderkey tie-break) and two integer sums — Σ(i·x)
+    ascending rank (custkey tie-break) and two integer sums — Σ(i·x)
     stays within BIGINT because ranks are bounded by |customers| —
     then one identical double expression.
 
-    Scale posture: hash agg to the customer rollup, rank over it
-    (two-phase pattern at extreme cardinality), one final 1-row agg.
+    Scale posture: hash agg to the customer rollup; the rank is the
+    two-phase pattern (operators/ordered.py) and n/total come from a
+    broadcast 1-row agg — no single-partition window anywhere.
     """
+    from minimapreduce_spark.operators.ordered import (
+        with_global_row_number,
+        with_scalars,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     cust = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_c")
     )
-    wr = W.orderBy(F.asc("rev_c"), F.asc("o_custkey"))
-    wall = W.partitionBy()
-    ranked = cust.select(
-        "rev_c",
-        F.row_number().over(wr).alias("i"),
-        F.count("*").over(wall).alias("n"),
-        F.sum("rev_c").over(wall).alias("total"),
+    rn = with_global_row_number(
+        cust, [F.asc("rev_c"), F.asc("o_custkey")], out="i"
     )
+    scalars = cust.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rev_c").alias("total")
+    )
+    ranked = with_scalars(rn, scalars)
     n = F.max("n")
     return ranked.agg(
         n.cast("bigint").alias("n_customers"),
@@ -1920,22 +2002,29 @@ def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (revenue desc, partkey) rank order — so class
     boundaries can't wobble between engines or partitionings.
 
-    Scale posture: part rollup, ranked windows over it (two-phase at
-    extreme cardinality), 3-row output.
+    Scale posture: part rollup, then the cumulative revenue is the
+    two-phase running sum (operators/ordered.py — range shuffle +
+    broadcast per-range offsets) and the total a broadcast 1-row agg;
+    no single-partition window. 3-row output.
     """
+    from minimapreduce_spark.operators.ordered import (
+        with_global_running_sum,
+        with_scalars,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     p = li.groupBy("l_partkey").agg(
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("rev_c")
     )
-    wcum = W.orderBy(F.desc("rev_c"), F.asc("l_partkey")).rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    cum = with_global_running_sum(
+        p,
+        [F.desc("rev_c"), F.asc("l_partkey")],
+        F.col("rev_c"),
+        out="cum_c",
     )
-    wall = W.partitionBy()
-    ranked = p.select(
-        "rev_c",
-        F.sum("rev_c").over(wcum).alias("cum_c"),
-        F.sum("rev_c").over(wall).alias("total_c"),
-    )
+    ranked = with_scalars(
+        cum, p.agg(F.sum("rev_c").alias("total_c"))
+    ).select("rev_c", "cum_c", "total_c")
     share = F.col("cum_c").cast("double") / F.col("total_c")
     classed = ranked.select(
         "rev_c",
@@ -1984,12 +2073,14 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ntile ties break on custkey (the engine's rank discipline) and all
     three metrics are exact integers, so quintile edges are
-    deterministic cross-engine. The global ntile windows run over the
-    CUSTOMER rollup; at extreme cardinality each becomes the two-phase
-    rank pattern.
+    deterministic cross-engine. Each quintile score is reconstructed
+    arithmetically (ordered.ntile_expr) from a two-phase global row
+    number on its axis — three range shuffles over the CUSTOMER rollup,
+    zero single-partition windows.
 
-    Scale posture: one custkey hash agg + three windows over the
-    rollup + one tiny cell agg.
+    Scale posture: one custkey hash agg + three two-phase ranks over
+    the rollup + one tiny cell agg; the row count arrives as a
+    broadcast 1-row scalar.
     """
     orders = load_table(spark, sf_dir, "orders")
     mx = orders.agg(F.max("o_orderdate").alias("mxd"))
@@ -2006,13 +2097,26 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    r_w = W.orderBy(F.asc("recency_d"), F.asc("o_custkey"))
-    f_w = W.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    m_w = W.orderBy(F.desc("monetary_c"), F.asc("o_custkey"))
-    scored = rfm.select(
-        F.ntile(5).over(r_w).alias("r_score"),
-        F.ntile(5).over(f_w).alias("f_score"),
-        F.ntile(5).over(m_w).alias("m_score"),
+    from minimapreduce_spark.operators.ordered import (
+        ntile_expr,
+        with_global_row_number,
+        with_scalars,
+    )
+
+    ranked = with_global_row_number(
+        rfm, [F.asc("recency_d"), F.asc("o_custkey")], out="rn_r"
+    )
+    ranked = with_global_row_number(
+        ranked, [F.desc("frequency"), F.asc("o_custkey")], out="rn_f"
+    )
+    ranked = with_global_row_number(
+        ranked, [F.desc("monetary_c"), F.asc("o_custkey")], out="rn_m"
+    )
+    n = rfm.agg(F.count(F.lit(1)).alias("_n"))
+    scored = with_scalars(ranked, n).select(
+        ntile_expr(F.col("rn_r"), F.col("_n"), 5).alias("r_score"),
+        ntile_expr(F.col("rn_f"), F.col("_n"), 5).alias("f_score"),
+        ntile_expr(F.col("rn_m"), F.col("_n"), 5).alias("m_score"),
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").cast("bigint").alias("n_customers")

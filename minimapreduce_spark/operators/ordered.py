@@ -1,0 +1,140 @@
+"""Scalable global-order analytics: two-phase rank / running-sum / ntile.
+
+The anti-pattern these helpers replace is ``W.orderBy(...)`` with no
+``partitionBy`` — a window that funnels the WHOLE input through one
+task. It works on 60k rows and dies at 100 TB. The reference never hits
+this (its only global sort is the sequential oracle,
+main/mrsequential.go:59); a Spark engine must solve it properly.
+
+The replacement is the classic two-phase decomposition (the same shape
+as ``surrogate_keys_documents``):
+
+1. ``repartitionByRange`` on the order keys — Spark's range partitioner
+   gives partition i everything that sorts before partition i+1 — then
+   sort within each partition. Parallel, spill-safe.
+2. Compute the running quantity (row_number / running sum) WITHIN each
+   partition: a window partitioned by ``spark_partition_id()`` —
+   bounded state, parallel.
+3. Aggregate one row per partition (count / sum) — #partitions rows —
+   take a running total over THAT (the only remaining "global" window,
+   over ≤ n_ranges rows), and broadcast the per-partition offsets back.
+
+The order keys MUST form a total order (include a unique tie-break
+column); otherwise ties split across range boundaries could be numbered
+differently from a single-sort engine.
+
+``ntile_expr`` reconstructs SQL NTILE(k) arithmetically from the global
+row number and the total count, matching the standard semantics: the
+first ``n % k`` buckets get ``ceil(n/k)`` rows, the rest ``floor(n/k)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+# Range-partition fan-out for phase 1. At 100 TB this is sized to the
+# cluster (e.g. 2-4x executor cores); the offset table stays tiny either
+# way because it is one row per RANGE, not per data row.
+DEFAULT_RANGES = 8
+
+_PID = "__tp_pid"
+_LOCAL = "__tp_local"
+_OFF = "__tp_off"
+
+
+def _staged(df: DataFrame, order_cols: list[Column], n_ranges: int) -> DataFrame:
+    parted = df.repartitionByRange(n_ranges, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    return parted.withColumn(_PID, F.spark_partition_id())
+
+
+def _offsets(staged: DataFrame, local_total: Column) -> DataFrame:
+    """One row per range partition: sum of ``local_total`` in all EARLIER
+    partitions. The window here runs over ≤ n_ranges rows — bounded by
+    the partition count, not the data — which is what makes the whole
+    construction scale-safe."""
+    counts = staged.groupBy(_PID).agg(local_total.alias("_n"))
+    w = W.orderBy(_PID).rowsBetween(W.unboundedPreceding, -1)
+    return counts.select(
+        _PID, F.coalesce(F.sum("_n").over(w), F.lit(0)).alias(_OFF)
+    )
+
+
+def with_global_row_number(
+    df: DataFrame,
+    order_cols: list[Column],
+    out: str = "rn",
+    n_ranges: int = DEFAULT_RANGES,
+) -> DataFrame:
+    """df + a column ``out`` = 1-based global row number in the total
+    order of ``order_cols``, computed without any single-partition pass
+    over the data."""
+    staged = _staged(df, order_cols, n_ranges)
+    local = F.row_number().over(W.partitionBy(_PID).orderBy(*order_cols))
+    # localCheckpoint: the offsets branch and the join-probe branch MUST
+    # see the SAME range boundaries — RangePartitioner samples with a
+    # per-plan seed, so recomputing the exchange in each branch can
+    # assign rows to different pids and corrupt every offset.
+    staged = staged.withColumn(_LOCAL, local).localCheckpoint(eager=False)
+    offs = _offsets(staged, F.count(F.lit(1)))
+    return (
+        staged.join(F.broadcast(offs), _PID)
+        .withColumn(out, (F.col(_OFF) + F.col(_LOCAL)).cast("bigint"))
+        .drop(_PID, _LOCAL, _OFF)
+    )
+
+
+def with_global_running_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value: Column,
+    out: str = "cum",
+    n_ranges: int = DEFAULT_RANGES,
+) -> DataFrame:
+    """df + a column ``out`` = running sum of ``value`` over the total
+    order of ``order_cols`` (frame: unbounded preceding .. current row),
+    two-phase — no single-partition window over the data."""
+    staged = _staged(df, order_cols, n_ranges).withColumn("__tp_v", value)
+    wloc = (
+        W.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # Same single-materialization discipline as with_global_row_number.
+    staged = staged.withColumn(_LOCAL, F.sum("__tp_v").over(wloc)).localCheckpoint(
+        eager=False
+    )
+    offs = _offsets(staged, F.sum("__tp_v"))
+    return (
+        staged.join(F.broadcast(offs), _PID)
+        .withColumn(out, F.col(_OFF) + F.col(_LOCAL))
+        .drop(_PID, _LOCAL, _OFF, "__tp_v")
+    )
+
+
+def with_scalars(df: DataFrame, agg_df: DataFrame) -> DataFrame:
+    """Attach the 1-row aggregate ``agg_df`` (totals, counts, maxima) to
+    every row via crossJoin(broadcast(...)) — the scale-safe replacement
+    for ``expr OVER (PARTITION BY)`` empty-partition windows, which
+    squeeze the whole input through one task to compute a constant."""
+    return df.crossJoin(F.broadcast(agg_df))
+
+
+def ntile_expr(rn: Column, n: Column, k: int) -> Column:
+    """SQL NTILE(k) from a 1-based global row number ``rn`` and total
+    row count ``n``: first n%k buckets hold ceil(n/k) rows, the rest
+    floor(n/k). Pure integer arithmetic — evaluates identically on any
+    engine, no window required."""
+    # cast-after-divide floors for nonnegative inputs; exact while
+    # counts stay under 2^53 (double's integer range) — 9e15 rows.
+    q = (n / k).cast("bigint")
+    r = n - q * k
+    big = (q + 1) * r  # rows covered by the ceil-sized buckets
+    return (
+        F.when(rn <= big, ((rn - 1) / (q + 1)).cast("bigint") + 1)
+        .otherwise(r + ((rn - big - 1) / q).cast("bigint") + 1)
+        .cast("int")
+    )

@@ -348,18 +348,23 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability under the corpus's own unigram model — the classic
     cheap perplexity proxy that separates natural text from gibberish
     or boilerplate. Two passes expressed as one plan: corpus word
-    frequencies (agg on word), then tokens ⋈ frequencies (shuffle on
-    word, or broadcast when the vocabulary is small) and a per-doc
-    average. The unigram probability is an exact int/int division;
-    only ln() differs at the last ulp between engines, absorbed by the
-    4-decimal round of a per-doc mean."""
+    frequencies (agg on word), then tokens ⋈ frequencies (a word-keyed
+    shuffle join — NO broadcast hint: a 100 TB corpus has a 100M+-row
+    vocabulary, so whether to broadcast is AQE's runtime call) and a
+    per-doc average. The corpus token total is a 1-row scalar agg
+    attached via crossJoin(broadcast(...)) — not an empty-partition
+    window, which would squeeze the whole vocabulary through one task.
+    The unigram probability is an exact int/int division; only ln()
+    differs at the last ulp between engines, absorbed by the 4-decimal
+    round of a per-doc mean."""
     docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     freq = toks.groupBy("word").agg(F.count("*").alias("cnt"))
-    freq = freq.withColumn("total", F.sum("cnt").over(W.partitionBy()))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    freq = freq.crossJoin(F.broadcast(total))
     neg_logprob = -F.log(F.col("cnt") / F.col("total").cast("double"))
     return (
-        toks.join(F.broadcast(freq), "word")
+        toks.join(freq, "word")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),

@@ -106,3 +106,26 @@ def assert_whole_stage_codegen(df: DataFrame) -> None:
         assert m and int(m.group(1)) >= 1, "no WholeStageCodegen subtree in plan"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def assert_no_single_partition_window(df: DataFrame) -> None:
+    """No Window operator may run with an empty partition spec over
+    data-scale input — that funnels the whole dataset through ONE task
+    (Spark itself warns 'Moving all data to a single partition').
+
+    The one sanctioned exception is the two-phase offset pattern
+    (operators/ordered.py): its offsets window orders by the range
+    partition id ``__tp_pid`` and therefore sees ≤ n_ranges rows —
+    bounded by the partition count, not the data.
+
+    In the one-line plan an unpartitioned window prints
+    ``Window [exprs], [orderSpec]`` (two bracket groups) while a
+    partitioned one prints ``Window [exprs], [partSpec], [orderSpec]``.
+    """
+    for line in simple_plan(df).splitlines():
+        m = re.search(r"\bWindow (\[.*)$", line)
+        if not m:
+            continue
+        groups = re.findall(r"\[[^\[\]]*(?:\[[^\[\]]*\][^\[\]]*)*\]", m.group(1))
+        if len(groups) <= 2 and "__tp_pid" not in line:
+            raise AssertionError(f"single-partition window in plan: {line.strip()}")

@@ -45,12 +45,83 @@ def register(name: str, oracle: str | None = None, bench: bool = False) -> Calla
     return deco
 
 
+# Driver-priority tier: the correctness driver verifies the first N
+# registrations it sees, so the surface must lead with a sample of EVERY
+# operator family (round-1 verdict: the first 50 were all text/relational/
+# TPC-H, leaving dedup/ANN/streaming/events/multimodal driver-unchecked).
+# Order here = dict order of queries()/oracles(); the remainder follows in
+# module registration order. tests/test_driver_contract.py pins coverage.
+DRIVER_PRIORITY: list[str] = [
+    "wordcount",
+    "mr_wordcount",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q9_product_type_profit",
+    "events_sessionization",
+    "events_asof_join",
+    "events_retention_cohorts",
+    "histogram_equidepth_prices",
+    "customer_rfm_segments",
+    "abc_part_classification",
+    "pareto_revenue_concentration",
+    "gini_revenue_inequality",
+    "vocab_growth_curve",
+    "sessions_peak_concurrency",
+    "ts_similarity_topk",
+    "events_markov_transitions",
+    "basket_part_pairs",
+    "graph_triangle_count",
+    "text_tfidf_top_terms",
+    "text_unigram_logprob",
+    "doc_pair_cosine_tfidf",
+    "text_bm25_topk",
+    "text_quality_score",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "contamination_test_train",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_ivf_int8_topk",
+    "multimodal_features",
+    "multimodal_audio_windows",
+    "agg_salted_skew",
+    "zorder_tile_stats",
+    "merge_upsert_customers",
+    "pack_token_batches",
+    "fuzzy_join_blocked",
+    "text_pii_scrub",
+    "null_semantics_agg",
+    "decimal_exact_revenue",
+    "pagerank_nation_trade",
+    "stream_session_window",
+    "stream_dedup_watermark",
+    "stream_user_stats_stateful",
+    "udaf_weighted_discount",
+    "pysource_partitioned_scan",
+]
+
+
+def _ordered_names() -> list[str]:
+    """Priority tier first, then the rest in registration order."""
+    prio = [n for n in DRIVER_PRIORITY if n in REGISTRY]
+    rest = [n for n in REGISTRY if n not in set(prio)]
+    return prio + rest
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: q.fn for name, q in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _ordered_names()}
 
 
 def oracles() -> dict[str, str]:
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
+    }
 
 
 def bench_queries() -> dict[str, QueryFn]:

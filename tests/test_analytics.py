@@ -747,3 +747,51 @@ def test_customer_360_reconciles_both_systems(spark):
         assert out.loc["events_only", "total_orders"] == 0
     if "orders_only" in out.index:
         assert out.loc["orders_only", "total_events"] == 0
+
+
+def test_ts_similarity_pruned_path_is_lossless(spark):
+    """The banded norm-pivot pruning must be EXACT (recall 1.0): the
+    top-5 from the pruned plan equals a numpy brute-force all-pairs
+    recompute, and the plan contains no cartesian product — the
+    candidate join is an equi-join on the norm bucket."""
+    import itertools
+
+    import numpy as np
+    import pyspark.sql.functions as F
+    import pytest
+
+    from minimapreduce_spark import plans
+    from minimapreduce_spark.operators.analytics import ts_similarity_topk
+
+    out = (
+        ts_similarity_topk(spark, SF_DIR)
+        .toPandas()
+        .sort_values("rnk")
+        .reset_index(drop=True)
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", F.date_trunc("day", "ts").alias("day"), "value"
+    )
+    daily = (
+        ev.groupBy("user_id", "day")
+        .agg(F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("v"))
+        .toPandas()
+        .pivot_table(
+            index="user_id", columns="day", values="v", fill_value=0, aggfunc="sum"
+        )
+    )
+    users = sorted(daily.index)
+    brute = sorted(
+        (int(((daily.loc[a] - daily.loc[b]) ** 2).sum()), a, b)
+        for a, b in itertools.combinations(users, 2)
+    )[:5]
+    got = [
+        (round(np.sqrt(d2) / 10000.0, 4), a, b) for d2, a, b in brute
+    ]
+    want = list(zip(out["distance"], out["user_a"], out["user_b"]))
+    assert [(pytest.approx(d), a, b) for d, a, b in got] == want
+
+    plan = plans.simple_plan(ts_similarity_topk(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "bkt" in plan  # candidate equi-join on the norm bucket

@@ -78,7 +78,8 @@ def test_no_accidental_cross_products(spark):
         ("window_trailing_distinct_types", 1),
         ("agg_arg_extremes", 1),
         ("try_arithmetic_semantics", 1),
-        ("histogram_equidepth_prices", 1),
+        # two-phase ntile: range shuffle + final 8-bucket agg
+        ("histogram_equidepth_prices", 2),
         # weekly rollup + tiny window / two-level median
         ("weekly_growth_rate", 2),
         ("agg_mad_user_value", 2),
@@ -211,3 +212,26 @@ def test_surrogate_keys_never_single_partition_the_table(spark):
         for r in surrogate_keys_documents(spark, SF_DIR).collect()
     }
     assert a == b
+
+
+WEAK_LIST_FIXED = [
+    # round-1 verdict's single-partition-window scale-killers, re-planned
+    # onto the two-phase offset pattern (operators/ordered.py)
+    "histogram_equidepth_prices",
+    "customer_rfm_segments",
+    "abc_part_classification",
+    "pareto_revenue_concentration",
+    "gini_revenue_inequality",
+    "vocab_growth_curve",
+    "sessions_peak_concurrency",
+    "surrogate_keys_documents",
+    "text_unigram_logprob",
+]
+
+
+@pytest.mark.parametrize("name", WEAK_LIST_FIXED)
+def test_no_single_partition_window(spark, name):
+    """The whole dataset must never funnel through one window task; the
+    only unpartitioned window allowed is the two-phase offsets window
+    over <= n_ranges rows (ordered by __tp_pid)."""
+    plans.assert_no_single_partition_window(_df(spark, name))
