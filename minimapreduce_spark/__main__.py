@@ -23,6 +23,7 @@ from __future__ import annotations
 import argparse
 import glob
 import os
+import re
 import sys
 
 from minimapreduce_spark import mrapps
@@ -37,7 +38,58 @@ APPS = {
     "wc": (mrapps.wc_map, mrapps.wc_reduce),
     "indexer": (mrapps.indexer_map, mrapps.indexer_reduce),
     "nocrash": (mrapps.crash_map, mrapps.crash_reduce),
+    "crash": (mrapps.crash_chaos_map, mrapps.crash_chaos_reduce),
 }
+
+
+def load_app(spec: str) -> tuple:
+    """Resolve an app spec to (mapf, reducef).
+
+    Mirrors the reference's runtime plugin contract — ``mrworker wc.so``
+    loads an arbitrary user .so exporting ``Map`` and ``Reduce``
+    (main/mrworker.go:36-55, mrsequential.go:93-110). Accepted forms:
+
+    - a builtin name: ``wc`` | ``indexer`` | ``nocrash`` | ``crash``
+    - ``path/to/module.py`` — loads the file, uses its ``Map``/``Reduce``
+      (the exact names the Go plugin must export)
+    - ``path/to/module.py:my_map:my_reduce`` — explicit function names
+
+    The loaded module is registered with cloudpickle by value, so the
+    user functions ship inside the task closures and executors never
+    need the file on their filesystem — the same property the reference
+    gets from workers dlopen-ing a shared .so path.
+    """
+    if spec in APPS:
+        return APPS[spec]
+    parts = spec.split(":")
+    path, fn_names = parts[0], parts[1:]
+    if not path.endswith(".py"):
+        raise SystemExit(
+            f"unknown app {spec!r}: not a builtin ({', '.join(sorted(APPS))}) "
+            "and not a path/to/module.py[:mapf[:reducef]] spec"
+        )
+    if not os.path.exists(path):
+        raise SystemExit(f"user app module not found: {path}")
+    if len(fn_names) == 0:
+        fn_names = ["Map", "Reduce"]  # the Go plugin's exported names
+    if len(fn_names) != 2:
+        raise SystemExit(f"app spec needs 0 or 2 function names, got {spec!r}")
+
+    import importlib.util
+
+    mod_name = "_mr_user_app_" + re.sub(r"\W", "_", os.path.basename(path)[:-3])
+    ispec = importlib.util.spec_from_file_location(mod_name, path)
+    mod = importlib.util.module_from_spec(ispec)
+    sys.modules[mod_name] = mod
+    ispec.loader.exec_module(mod)
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(mod)
+    try:
+        return getattr(mod, fn_names[0]), getattr(mod, fn_names[1])
+    except AttributeError as e:
+        raise SystemExit(f"user app {path} is missing a function: {e}")
 
 
 def _read_files(patterns: list[str]) -> list[tuple[str, str]]:
@@ -58,10 +110,21 @@ def _read_files(patterns: list[str]) -> list[tuple[str, str]]:
 
 def main(argv: list[str] | None = None, spark=None) -> int:
     ap = argparse.ArgumentParser(prog="python -m minimapreduce_spark", description=__doc__)
-    ap.add_argument("app", choices=sorted(APPS))
+    ap.add_argument(
+        "app",
+        help=f"builtin app ({', '.join(sorted(APPS))}) or a user plugin "
+        "path/to/module.py[:mapf[:reducef]] (defaults: Map, Reduce — "
+        "the reference's exported plugin names)",
+    )
     ap.add_argument("out_dir")
     ap.add_argument("inputs", nargs="+", help="input text files or globs")
     ap.add_argument("--n-reduce", type=int, default=DEFAULT_N_REDUCE)
+    ap.add_argument(
+        "--master",
+        default=None,
+        help="Spark master override, e.g. local[4] or local[4,10] "
+        "(N threads, maxFailures — the crash-recovery envelope)",
+    )
     ap.add_argument(
         "--sequential",
         action="store_true",
@@ -75,7 +138,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "lines = byte-scalable splits for large inputs",
     )
     args = ap.parse_args(argv)
-    mapf, reducef = APPS[args.app]
+    mapf, reducef = load_app(args.app)
 
     if args.sequential:
         rows = run_job_sequential(_read_files(args.inputs), mapf, reducef)
@@ -88,7 +151,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if spark is None:
         from minimapreduce_spark.session import get_spark
 
-        spark = get_spark(app_name=f"mr-{args.app}")
+        spark = get_spark(app_name=f"mr-{os.path.basename(args.app)}", master=args.master)
     source: object
     if args.source_mode == "whole_files":
         # materialize the file list driver-side so globs behave like the

@@ -54,9 +54,15 @@ def _source_rdd(spark: SparkSession, source, source_mode: str):
     if isinstance(source, str):
         if source_mode == "whole_files":
             return sc.wholeTextFiles(source)
-        # line mode: one record per line, name = synthetic "path:partition"
-        text = spark.read.text(source)
-        return text.rdd.map(lambda row: ("line", row[0]))
+        # line mode: one record per line. The reference ALWAYS hands mapf
+        # the real input filename (mr/worker.go:68); input_file_name()
+        # preserves that contract for line-split records too (the URI
+        # scheme prefix is stripped so names match the whole-file mode).
+        text = spark.read.text(source).select(
+            F.regexp_replace(F.input_file_name(), r"^file:/*", "/").alias("name"),
+            F.col("value"),
+        )
+        return text.rdd.map(tuple)
     if isinstance(source, DataFrame):
         c0, c1 = source.columns[:2]
         return source.select(

@@ -49,3 +49,41 @@ def crash_map(name: str, contents: str) -> list[tuple[str, str]]:
 def crash_reduce(key: str, values: list[str]) -> str:
     """mrapps/crash.go:46-55 — sorted, space-joined values."""
     return " ".join(sorted(values))
+
+
+def _maybe_crash() -> None:
+    """mrapps/crash.go:20-32 — with p≈1/3 kill the worker process
+    outright, with p≈1/3 stall it (the straggler case); otherwise run
+    normally. ``os._exit`` (not an exception) reproduces the plugin's
+    ``os.Exit(1)``: the Python worker dies and Spark's task-retry
+    machinery — the engine feature under test — must recover.
+
+    Env knobs keep the e2e test inside a CI budget without changing the
+    semantics: MR_CRASH_MAX_SLEEP caps the stall (reference: 10 s),
+    MR_CRASH_DISABLE turns the chaos off (making crash ≡ nocrash, which
+    is also the reference's relationship between the two plugins).
+    """
+    import os
+    import random
+    import time
+
+    if os.environ.get("MR_CRASH_DISABLE"):
+        return
+    r = random.randint(0, 999)
+    if r < 330:
+        os._exit(1)
+    elif r < 660:
+        max_s = float(os.environ.get("MR_CRASH_MAX_SLEEP", "10"))
+        time.sleep(random.random() * max_s)
+
+
+def crash_chaos_map(name: str, contents: str) -> list[tuple[str, str]]:
+    """mrapps/crash.go:34-44 — maybeCrash() then the nocrash emission."""
+    _maybe_crash()
+    return crash_map(name, contents)
+
+
+def crash_chaos_reduce(key: str, values: list[str]) -> str:
+    """mrapps/crash.go:46-55 — maybeCrash() then sorted space-join."""
+    _maybe_crash()
+    return crash_reduce(key, values)
