@@ -5,12 +5,15 @@ processed by Arrow-batched ``mapInPandas`` operators — the pattern for
 decode / feature-extract / resize / frame-sample stages at 100 TB
 (bytes never leave the executor; Python sees pandas batches via Arrow).
 
-The container has no image/audio libraries, so the real decoders are
-stubbed behind ``NotImplementedError`` (clearly marked); the pipeline
-itself — schema, batching, partitioning, UDF signatures — is real and
-oracle-checked: ``multimodal_features`` derives its features from the
-binary payload deterministically, so plain SQL over the source text can
-verify the Spark-side byte plumbing end to end.
+Two lanes are decoded FOR REAL with no third-party codecs:
+``multimodal_wav_decode`` synthesizes genuine RIFF/WAVE containers and
+parses them back with stdlib ``wave``; ``multimodal_ppm_decode`` does
+the same with binary PPM (P6) images through a comment-tolerant header
+parser. Only compressed formats (JPEG/PNG — PIL/libjpeg absent from
+this container) remain stubbed, in ``decode_image``, with the stub
+clearly marked. Every stage's payloads are synthesized
+deterministically from document text, so plain SQL over the source can
+verify the full encode→decode byte plumbing end to end.
 """
 
 from __future__ import annotations
@@ -46,13 +49,67 @@ def binary_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> object:
-    """STUB — real decoder needs PIL/libjpeg, absent from this
-    container. The mapInPandas stage below is the real plumbing; swap
-    this function for the genuine decode on a cluster with codecs."""
+    """STUB for COMPRESSED formats — JPEG/PNG need PIL/libjpeg, absent
+    from this container. Uncompressed formats are decoded for real:
+    see ``decode_ppm`` (P6 images) and ``decode_wav`` (RIFF/WAVE audio,
+    stdlib ``wave``) below — both run inside the same mapInPandas
+    plumbing a compressed decode would."""
     raise NotImplementedError(
-        "image decode requires PIL/pillow (not installed); "
-        "use extract_features' deterministic byte features instead"
+        "compressed image decode requires PIL/pillow (not installed); "
+        "PPM/WAV payloads decode for real via decode_ppm / decode_wav"
     )
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL audio decode (no stub): parse a RIFF/WAVE container with
+    the stdlib ``wave`` module and return typed metadata + the exact
+    integer energy of the 8-bit PCM samples."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        frames = w.readframes(w.getnframes())
+        return {
+            "n_channels": w.getnchannels(),
+            "sample_width": w.getsampwidth(),
+            "frame_rate": w.getframerate(),
+            "n_frames": w.getnframes(),
+            "energy": sum(b * b for b in frames),
+        }
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """REAL image decode (no stub): parse the binary PPM (P6) format —
+    magic, whitespace/comment-tolerant header, maxval, then raw RGB
+    bytes — and return dimensions + an exact pixel checksum."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header tokens: magic, width, height, maxval; '#' starts a comment
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        start = i
+        while i < len(payload) and not payload[i : i + 1].isspace():
+            i += 1
+        tokens.append(payload[start:i])
+    i += 1  # single whitespace after maxval, then raw pixel data
+    width, height, maxval = (int(t) for t in tokens)
+    pixels = payload[i : i + width * height * 3]
+    if len(pixels) != width * height * 3:
+        raise ValueError("truncated PPM pixel data")
+    return {
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "n_pixel_bytes": len(pixels),
+        "pixel_checksum": sum(pixels) % 1000000007,
+    }
 
 
 def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -246,3 +303,158 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_self_by_value()
     return binary_table(spark, sf_dir).mapInPandas(audio_windows, schema=AUDIO_SCHEMA)
+
+
+WAV_RATE = 8000
+WAV_SCHEMA = (
+    "doc_id bigint, n_channels bigint, sample_width bigint, frame_rate bigint, "
+    "n_frames bigint, duration_ms bigint, energy bigint"
+)
+PPM_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, maxval bigint, "
+    "n_pixel_bytes bigint, pixel_checksum bigint"
+)
+
+
+def encode_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas ingest stage: synthesize a REAL RIFF/WAVE container
+    per document (8-bit mono PCM at WAV_RATE, samples = the text's
+    bytes) — deterministic, so SQL over the source text can predict
+    what a genuine decoder must read back."""
+    import io
+    import wave
+
+    for pdf in batches:
+        payloads = []
+        for text in pdf["text"]:
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(1)
+                w.setframerate(WAV_RATE)
+                w.writeframes(text.encode("utf-8"))
+            payloads.append(buf.getvalue())
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def wav_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas decode stage: REAL wave parse (decode_wav) of each
+    binary payload → typed audio metadata + exact sample energy."""
+    for pdf in batches:
+        rows = [decode_wav(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_channels": [r["n_channels"] for r in rows],
+                "sample_width": [r["sample_width"] for r in rows],
+                "frame_rate": [r["frame_rate"] for r in rows],
+                "n_frames": [r["n_frames"] for r in rows],
+                "duration_ms": [r["n_frames"] * 1000 // WAV_RATE for r in rows],
+                "energy": [r["energy"] for r in rows],
+            }
+        )
+
+
+def encode_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas ingest stage: synthesize a REAL binary PPM (P6) per
+    document — width/height derived from the text length, a header
+    comment line (exercising the parser's comment handling), and solid
+    RGB fill = the first byte of the text."""
+    for pdf in batches:
+        payloads = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            n = len(text)
+            w, h = 1 + n % 64, 1 + n % 32
+            fill = ord(text[0])
+            header = f"P6\n# doc {doc_id}\n{w} {h}\n255\n".encode()
+            payloads.append(header + bytes([fill]) * (w * h * 3))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def ppm_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas decode stage: REAL P6 parse (decode_ppm) → width,
+    height, maxval, pixel stats."""
+    for pdf in batches:
+        rows = [decode_ppm(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": [r["width"] for r in rows],
+                "height": [r["height"] for r in rows],
+                "maxval": [r["maxval"] for r in rows],
+                "n_pixel_bytes": [r["n_pixel_bytes"] for r in rows],
+                "pixel_checksum": [r["pixel_checksum"] for r in rows],
+            }
+        )
+
+
+@register(
+    "multimodal_wav_decode",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(1 AS BIGINT)    AS n_channels,
+           CAST(1 AS BIGINT)    AS sample_width,
+           CAST({WAV_RATE} AS BIGINT) AS frame_rate,
+           CAST(length(text) AS BIGINT) AS n_frames,
+           CAST(length(text) * 1000 // {WAV_RATE} AS BIGINT) AS duration_ms,
+           CAST(list_sum(list_transform(string_split(text, ''),
+                c -> ascii(c) * ascii(c))) AS BIGINT) AS energy
+    FROM documents
+    """,
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio lane, no stubs: synthesize a genuine RIFF/WAVE file
+    per document, then decode it with the stdlib ``wave`` parser inside
+    a second Arrow-batched mapInPandas stage — channels, sample width,
+    frame rate, frame count, duration, and exact PCM energy all come
+    from the decoder reading the container's actual header and frames.
+    The oracle recomputes every field from the source text, so a header
+    or framing bug anywhere in encode→decode fails the hash.
+
+    Scale posture: two chained narrow mapInPandas stages — zero
+    shuffles; bytes stay on the executor, Python sees Arrow batches.
+    (Reference scope check: the reference has no media surface at all —
+    this is north-star LLM-pipeline coverage.)
+    """
+    from minimapreduce_spark._pickle import register_self_by_value
+
+    register_self_by_value()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wavs = docs.mapInPandas(encode_wav, schema="doc_id bigint, payload binary")
+    return wavs.mapInPandas(wav_features, schema=WAV_SCHEMA)
+
+
+@register(
+    "multimodal_ppm_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 + length(text) % 64 AS BIGINT) AS width,
+           CAST(1 + length(text) % 32 AS BIGINT) AS height,
+           CAST(255 AS BIGINT) AS maxval,
+           CAST((1 + length(text) % 64) * (1 + length(text) % 32) * 3 AS BIGINT)
+             AS n_pixel_bytes,
+           CAST((1 + length(text) % 64) * (1 + length(text) % 32) * 3
+                * ascii(substr(text, 1, 1)) % 1000000007 AS BIGINT)
+             AS pixel_checksum
+    FROM documents
+    """,
+)
+def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image lane, no stubs: synthesize a genuine binary PPM (P6)
+    per document — including a header comment the parser must skip —
+    then decode it with a real whitespace/comment-tolerant P6 parser in
+    a second mapInPandas stage. Width/height/maxval come from the
+    parsed header, the checksum from the raw pixel plane; the oracle
+    recomputes all of them from the source text.
+
+    Scale posture: two chained narrow mapInPandas stages, zero
+    shuffles; compressed formats (JPEG/PNG) would swap decode_ppm for a
+    codec call with identical plumbing (decode_image documents that
+    boundary).
+    """
+    from minimapreduce_spark._pickle import register_self_by_value
+
+    register_self_by_value()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ppms = docs.mapInPandas(encode_ppm, schema="doc_id bigint, payload binary")
+    return ppms.mapInPandas(ppm_features, schema=PPM_SCHEMA)

@@ -87,13 +87,13 @@ DRIVER_PRIORITY: list[str] = [
     "ann_ivf_topk",
     "ann_ivf_int8_topk",
     "multimodal_features",
-    "multimodal_audio_windows",
+    "multimodal_wav_decode",
+    "multimodal_ppm_decode",
     "agg_salted_skew",
     "zorder_tile_stats",
     "merge_upsert_customers",
     "pack_token_batches",
     "fuzzy_join_blocked",
-    "text_pii_scrub",
     "null_semantics_agg",
     "decimal_exact_revenue",
     "pagerank_nation_trade",

@@ -24,6 +24,8 @@ ORACLED = [
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_audio_windows",
+    "multimodal_wav_decode",
+    "multimodal_ppm_decode",
 ]
 
 
@@ -196,3 +198,43 @@ def test_canonical_by_quality_picks_best_member(spark):
         assert row["n_members"] == len(club)
         best = quality.loc[club].max()
         assert quality.loc[row["kept_doc_id"]] == best == row["kept_quality"]
+
+
+def test_wav_decoder_roundtrips_real_container():
+    """decode_wav must parse an actual RIFF/WAVE file (built with the
+    stdlib writer) — not pattern-match our own synthesis."""
+    import io
+    import wave
+
+    from minimapreduce_spark.operators.multimodal import decode_wav
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(1)
+        w.setframerate(44100)
+        w.writeframes(bytes([0, 255, 10, 20]))
+    got = decode_wav(buf.getvalue())
+    assert got == {
+        "n_channels": 2,
+        "sample_width": 1,
+        "frame_rate": 44100,
+        "n_frames": 2,  # 4 bytes / (2 ch × 1 byte)
+        "energy": 0 + 255 * 255 + 100 + 400,
+    }
+
+
+def test_ppm_decoder_handles_comments_and_truncation():
+    import pytest
+
+    from minimapreduce_spark.operators.multimodal import decode_ppm
+
+    good = b"P6\n# a comment\n2 3\n# another\n255\n" + bytes(range(18))
+    got = decode_ppm(good)
+    assert (got["width"], got["height"], got["maxval"]) == (2, 3, 255)
+    assert got["n_pixel_bytes"] == 18 and got["pixel_checksum"] == sum(range(18))
+
+    with pytest.raises(ValueError, match="not a P6"):
+        decode_ppm(b"P3\n1 1\n255\n000")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n2 2\n255\n\x00\x00")
