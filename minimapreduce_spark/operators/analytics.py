@@ -476,6 +476,7 @@ def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "histogram_equidepth_prices",
+    bench=True,
     oracle="""
     WITH b AS (
       SELECT o_totalprice,
@@ -2043,6 +2044,7 @@ def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "customer_rfm_segments",
+    bench=True,
     oracle="""
     WITH rfm AS (
       SELECT o_custkey,

@@ -209,6 +209,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q18_large_volume_orders",
+    bench=True,
     oracle="""
     SELECT c_custkey, c_name, o_orderkey, o_orderdate,
            round(o_totalprice, 2)  AS total_price,

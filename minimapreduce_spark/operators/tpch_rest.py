@@ -254,6 +254,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q9_product_type_profit",
+    bench=True,
     oracle="""
     SELECT nation, o_year,
            sum(CAST(round(amount * 10000) AS BIGINT)) / 10000.0 AS sum_profit
@@ -548,6 +549,7 @@ def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q21_suppliers_kept_waiting",
+    bench=True,
     oracle="""
     WITH li AS (
       SELECT l_orderkey, l_suppkey,
