@@ -184,22 +184,61 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_sketch")  # rows-only: sketch outputs are engine-specific
+@register(
+    "agg_approx_sketch",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           (abs(approx_count_distinct(l_orderkey)
+                - count(DISTINCT l_orderkey))
+              <= 0.05 * count(DISTINCT l_orderkey)) AS hll_within_5pct,
+           (approx_quantile(l_extendedprice, 0.5)
+              BETWEEN quantile_cont(l_extendedprice, 0.40)
+                  AND quantile_cont(l_extendedprice, 0.60)) AS p50_banded,
+           (approx_quantile(l_extendedprice, 0.95)
+              BETWEEN quantile_cont(l_extendedprice, 0.90)
+                  AND quantile_cont(l_extendedprice, 0.999)) AS p95_banded
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates for 100 TB interactive profiling:
     HyperLogLog++ distinct counts and quantile sketches over lineitem,
     grouped by return flag. Sketches are mergeable across partitions
     (constant memory per group, single shuffle of sketch bytes — never
-    the rows). Error bounds vs exact values are asserted in pytest;
-    the driver records a rows-only check since sketch estimates are
-    engine-specific by construction."""
+    the rows).
+
+    Sketch ESTIMATES are engine-specific by construction, so the
+    cross-engine oracle is BANDED: each engine checks its own sketch
+    against its own exact statistics and emits booleans (HLL within 5%
+    of the exact distinct count — rsd is 2% — and approx quantiles
+    inside generous exact-quantile bands), while the group keys, exact
+    row counts, and exact distinct counts hash-compare exactly. A
+    sketch regression on either engine flips a boolean and fails the
+    value hash; tighter error-bound assertions live in pytest."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_quantiles"
-        ),
+    agg = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_hll"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_ap50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("_ap95"),
+        F.expr("percentile(l_extendedprice, 0.40D)").alias("_e40"),
+        F.expr("percentile(l_extendedprice, 0.60D)").alias("_e60"),
+        F.expr("percentile(l_extendedprice, 0.90D)").alias("_e90"),
+        F.expr("percentile(l_extendedprice, 0.999D)").alias("_e999"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        "exact_orders",
+        (
+            F.abs(F.col("_hll") - F.col("exact_orders"))
+            <= 0.05 * F.col("exact_orders")
+        ).alias("hll_within_5pct"),
+        F.col("_ap50").between(F.col("_e40"), F.col("_e60")).alias("p50_banded"),
+        F.col("_ap95").between(F.col("_e90"), F.col("_e999")).alias("p95_banded"),
     )
 
 
