@@ -85,7 +85,10 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         vc.alias("vc"),
-        F.count("value").over(w).alias("n"),
+        # count(*) over the frame, NOT count(value): the oracle's
+        # count(*) counts NULL rows too, so the frame gate must as well
+        # or the two engines would pick different 7-row frames.
+        F.count(F.lit(1)).over(w).alias("n"),
         F.array_sort(F.collect_list(vc).over(w)).alias("frame"),
     ).where(F.col("n") == 7)
     med = F.element_at("frame", 4).cast("double")

@@ -412,10 +412,32 @@ def normalized_dim(col: Column, lo: Column, hi: Column, bits: int = ZORDER_BITS)
     is what ``write_zordered`` applies. For heavily skewed columns,
     substitute quantile-rank normalization — the interleave is
     unchanged.
+
+    EXACT floor division for 64-bit dimensions: with epoch-micros-scale
+    spans, pos × 65535 exceeds both 2^53 (double mantissa) and 2^63
+    (bigint), so the product runs in DECIMAL(38,0). Spark's decimal
+    division still rounds its quotient at scale ≥ 6 — enough to cross
+    an integer boundary when num ≈ k·span — so the candidate floor is
+    corrected with an exact decimal remainder check (off by at most one
+    by construction; one ±1 adjustment restores 0 ≤ r < span). Result
+    is bit-identical to the oracle's integer ``//`` over the full
+    bigint range.
     """
     span = F.greatest(hi.cast("bigint") - lo.cast("bigint"), F.lit(1))
     pos = col.cast("bigint") - lo.cast("bigint")
-    return (pos * ((1 << bits) - 1)) / span  # integer DIV applied by caller
+    dec = "decimal(38,0)"
+    numd = pos.cast(dec) * F.lit((1 << bits) - 1).cast(dec)
+    spand = span.cast(dec)
+    q0 = F.floor(numd / spand).cast(dec)
+    r = numd - q0 * spand
+    q = (
+        q0
+        + F.when(r < 0, F.lit(-1))
+        .when(r >= spand, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast(dec)
+    )
+    return q.cast("bigint")
 
 
 def normalized_dim_sql(col: str, lo: str, hi: str, bits: int = ZORDER_BITS) -> str:

@@ -8,6 +8,7 @@ enforcement, and scale-relevant options live here.
 from __future__ import annotations
 
 import math
+import re
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -137,19 +138,39 @@ def compact_small_files(
 
 def publish_atomic(df, final_dir: str, fmt: str = "parquet") -> None:
     """All-or-nothing batch publish: write to a staging sibling, then
-    rename into place — readers of ``final_dir`` see the old complete
-    dataset or the new complete dataset, never a half-written mix.
+    rename into place — a reader that has already resolved ``final_dir``
+    sees the old complete dataset or the new complete dataset, never a
+    half-written mix.
 
     Spark's own output committer makes ONE write atomic per directory,
     but overwrite-in-place still exposes a window where the old data is
-    deleted and the new not yet committed; staging + rename closes it
-    on any filesystem with atomic directory rename (HDFS, POSIX — on
-    object stores substitute the table format's metadata commit, which
-    is this same idea one level down). The previous version is left as
-    ``<final>.old`` for one-step rollback.
+    deleted and the new not yet committed; staging + rename closes it.
+    Precisely: the swap is two renames (final→old, staging→final), so
+    there IS a brief window where ``final_dir`` does not exist and a
+    brand-new open() fails with ENOENT — a visible-but-safe outcome
+    (retry), never a partial dataset. A crash inside that window leaves
+    no live ``final_dir``; recovery = rename ``<final>.old`` or
+    ``<final>.staging`` back by hand. A single-syscall directory
+    EXCHANGE (renameat2 RENAME_EXCHANGE) would close even that window
+    but has no portable Python surface. On object stores substitute the
+    table format's metadata commit, which is this same idea one level
+    down. The previous version is left as ``<final>.old`` for one-step
+    rollback.
+
+    Local-filesystem only BY CONSTRUCTION: the swap uses os.rename, so
+    a non-local URI (hdfs://, s3a://) is rejected up front rather than
+    written via Spark and then mangled by local-path syscalls.
     """
     import os
     import shutil
+
+    if re.match(r"^[a-z][a-z0-9+.-]*://", final_dir) or final_dir.startswith("file:"):
+        raise ValueError(
+            f"publish_atomic swaps directories with os.rename and only "
+            f"supports local filesystem paths, got {final_dir!r}; on "
+            f"HDFS/object stores use the storage layer's own atomic "
+            f"rename/commit instead"
+        )
 
     staging = final_dir.rstrip("/") + ".staging"
     backup = final_dir.rstrip("/") + ".old"

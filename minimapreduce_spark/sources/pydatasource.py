@@ -112,8 +112,12 @@ def pysource_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     -- The driver contract fixes the correctness scale at sf0.01, and
     -- oracle SQL runs verbatim (no parameter substitution), so this is
-    -- the one oracle that must name the path literally.
-    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+    -- the one oracle that must name the path literally. The scale_dir
+    -- column guards the hardcoding: if the Spark side ever runs at a
+    -- different sf_dir, every row hash-mismatches on the directory name
+    -- instead of silently comparing against the wrong fixture.
+    SELECT regexp_extract(filename, '([^/]+)/[^/]+$', 1) AS scale_dir,
+           regexp_extract(filename, '([^/]+)$', 1) AS file_name,
            CAST(size AS BIGINT) AS n_bytes
     FROM read_blob('/root/testdata/sf0.01/*.parquet')
     """,
@@ -135,6 +139,7 @@ def binaryfile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.format("binaryFile")
         .load(f"{sf_dir}/*.parquet")
         .select(
+            F.regexp_extract(F.col("path"), r"([^/]+)/[^/]+$", 1).alias("scale_dir"),
             F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("file_name"),
             F.col("length").cast("bigint").alias("n_bytes"),
         )

@@ -272,3 +272,14 @@ def test_csv_malformed_rows_permissive_vs_failfast(spark, tmp_path):
     except Exception as exc:  # Py4JJavaError or PySparkException by version
         assert not isinstance(exc, AssertionError)
         assert "FAILFAST" in str(exc) or "MALFORMED" in str(exc)
+
+
+def test_publish_atomic_rejects_remote_uris(spark):
+    import pytest
+
+    from minimapreduce_spark.sources.formats import publish_atomic
+
+    df = spark.range(1)
+    for uri in ("hdfs://nn/data/t", "s3a://bucket/t", "file:///tmp/t"):
+        with pytest.raises(ValueError, match="local filesystem"):
+            publish_atomic(df, uri)

@@ -120,3 +120,25 @@ def test_zorder_col_is_monotone_in_tiles(spark):
     zs = {(r["x"], r["y"]): r["z"] for r in out}
     assert sorted(zs.values()) == list(range(16))  # bijective on the grid
     assert zs[(0, 0)] == 0 and zs[(1, 0)] == 2 and zs[(0, 1)] == 1 and zs[(3, 3)] == 15
+
+
+def test_normalized_dim_exact_beyond_double_range(spark):
+    """pos × 65535 above 2^53 must still floor-divide exactly (decimal
+    path): epoch-micros-scale spans diverge under double arithmetic."""
+    import pyspark.sql.functions as F
+
+    from minimapreduce_spark.operators.scale import normalized_dim
+
+    lo, hi = 0, 1_700_000_000_000_000  # ~54 years of epoch micros
+    vals = [0, 1, hi // 3, hi // 3 + 1, hi - 1, hi, 123_456_789_012_345]
+    df = spark.createDataFrame([(v,) for v in vals], "v: long")
+    got = {
+        r.v: r.n
+        for r in df.select(
+            "v",
+            normalized_dim(F.col("v"), F.lit(lo), F.lit(hi)).alias("n"),
+        ).collect()
+    }
+    span = hi - lo
+    for v in vals:
+        assert got[v] == (v * 65535) // span, (v, got[v], (v * 65535) // span)
