@@ -523,3 +523,156 @@ def ann_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rn") <= IVF_TOP_K)
     )
+
+
+KMEANS_K = 4
+KMEANS_ITERS = 2
+KMEANS_SCALE = 10000  # fixed-point 1e-4 grid for exact cross-engine math
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd iterations as plain SQL (DuckDB oracle twin)."""
+    d2 = (
+        "list_sum(list_transform(generate_series(1, 64),"
+        " i -> (eq[i] - ce[i]) * (eq[i] - ce[i])))"
+    )
+    assign = """
+    a{n} AS (
+      SELECT vec_id, eq, cid, d2 FROM (
+        SELECT e.vec_id, e.eq, c.cid, {d2} AS d2,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2}, c.cid) AS rn
+        FROM eq e CROSS JOIN c{m} c
+      ) WHERE rn = 1
+    )"""
+    update = """
+    c{n} AS (
+      SELECT cid, list(mu ORDER BY pos) AS ce FROM (
+        SELECT cid, pos, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS mu
+        FROM (
+          SELECT a.cid, u.pos, a.eq[u.pos] AS v
+          FROM a{n} a CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) u
+        )
+        GROUP BY cid, pos
+      ) GROUP BY cid
+    )"""
+    parts = [
+        f"""
+    eq AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT)) AS eq
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS cid, eq AS ce
+      FROM eq WHERE vec_id < {KMEANS_K}
+    )"""
+    ]
+    for it in range(KMEANS_ITERS):
+        parts.append(assign.format(n=it + 1, m=it, d2=d2))
+        parts.append(update.format(n=it + 1))
+    final = f"""
+    SELECT cid AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(d2) AS BIGINT)  AS inertia_q,
+           CAST(min(vec_id) AS BIGINT) AS min_member
+    FROM a{KMEANS_ITERS} GROUP BY cid
+    """
+    return "WITH " + ",".join(parts) + final
+
+
+def _km_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * KMEANS_SCALE).cast("bigint"),
+        ).alias("eq"),
+    )
+
+
+def _km_assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the K centroids, exact
+    integer squared distance, deterministic (d2, cid) argmin."""
+    d2 = F.aggregate(
+        F.zip_with("eq", "ce", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = points.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "eq", "cid", d2.alias("d2")
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct("d2", "cid", "eq")).alias("b")
+    )
+    return best.select(
+        "vec_id", F.col("b.eq").alias("eq"), F.col("b.cid").alias("cid"),
+        F.col("b.d2").alias("d2"),
+    )
+
+
+def _km_update(assigned: DataFrame) -> DataFrame:
+    """Centroid update on the same 1e-4 grid: per-dimension exact
+    integer mean via floor(sum/count) — identical on both engines, so
+    the next iteration's distances are bit-identical too."""
+    dims = assigned.select(
+        "cid", F.posexplode("eq").alias("pos", "v")
+    ).groupBy("cid", "pos").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    # |s| ≤ 2000 members × 5e4 grid ≈ 1e8 — double-exact, plain floor OK
+    mu = F.floor(F.col("s").cast("double") / F.col("n")).cast("bigint")
+    return (
+        dims.select("cid", "pos", mu.alias("mu"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                lambda x: x["mu"],
+            ).alias("ce")
+        )
+    )
+
+
+@register("embedding_kmeans_lloyd", oracle=_kmeans_oracle())
+def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering of the embedding corpus — Lloyd's algorithm,
+    K=4, two unrolled iterations, deterministic seeding (the first K
+    vectors by vec_id) — the curation primitive behind diversity
+    sampling, topic bucketing, and domain mixing of training corpora.
+
+    Exactness discipline: vectors quantize onto a 1e-4 integer grid up
+    front; distances are exact BIGINT sums; the argmin tie-breaks on
+    (d2, cid); centroid updates floor exact per-dimension integer means
+    back onto the same grid. Every arithmetic step is integer-identical
+    cross-engine, so the full iterate→assign→update chain — unrolled as
+    plain SQL in the oracle — hash-matches, not just approximately
+    agrees. Output: per-cluster size, exact quantized inertia, and the
+    minimum member id (a canonical representative).
+
+    Scale posture: each iteration is one broadcast of K×64 ints + one
+    (cid, pos)-keyed hash agg — embeddings are never shuffled; the
+    iteration count is fixed (production would loop to convergence via
+    the same stages, a driver-side loop over narrow jobs). K-means at
+    100 TB is exactly this shape in Spark MLlib too; here it is pure
+    DataFrame ops with an oracle.
+    """
+    pts = _km_quantized(spark, sf_dir)
+    seeds = (
+        pts.where(F.col("vec_id") < KMEANS_K)
+        .select(F.col("vec_id").alias("seed_id"), F.col("eq").alias("ce"))
+    )
+    from minimapreduce_spark.operators.ordered import with_global_row_number
+
+    cents = with_global_row_number(
+        seeds, [F.asc("seed_id")], out="cid"
+    ).select("cid", "ce")
+    assigned = None
+    for _ in range(KMEANS_ITERS):
+        assigned = _km_assign(pts, cents)
+        cents = _km_update(assigned)
+    return assigned.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("d2").alias("inertia_q"),
+        F.min("vec_id").alias("min_member"),
+    )
