@@ -2117,6 +2117,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = with_global_row_number(
         ranked, [F.desc("monetary_c"), F.asc("o_custkey")], out="rn_m"
     )
+    # scalar N = customer count — aggregate the ROLLUP, not orders again
     n = rfm.agg(F.count(F.lit(1)).alias("_n"))
     scored = with_scalars(ranked, n).select(
         ntile_expr(F.col("rn_r"), F.col("_n"), 5).alias("r_score"),

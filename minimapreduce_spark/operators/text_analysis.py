@@ -868,3 +868,53 @@ def corpus_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang", F.concat(F.lpad(F.col("n").cast("string"), 12, "0"), F.col("lang"))
         ).alias("top_lang"),
     )
+
+
+@register(
+    "text_ttr_hapax",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+                                        w -> w <> '')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, word, count(*) AS c FROM toks GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT)     AS n_tokens,
+           CAST(count(*) AS BIGINT)   AS n_types,
+           round(CAST(count(*) AS DOUBLE) / sum(c), 4) AS ttr,
+           round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4)       AS hapax_frac
+    FROM wc GROUP BY doc_id
+    """,
+)
+def text_ttr_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity profile per document: type-token ratio and
+    hapax-legomenon fraction (share of word types occurring exactly
+    once) — the cheap vocabulary-richness signals quality filters use
+    to separate natural prose from templated or keyword-stuffed text
+    (low TTR → heavy repetition; very high TTR + low hapax → word-salad
+    generators).
+
+    Both ratios are exact integer counts divided once — one identical
+    double op per row, no float accumulation.
+
+    Scale posture: one (doc, word)-keyed hash agg with map-side partial
+    counts, then a per-doc rollup that reuses the same doc_id
+    partitioning. No corpus-wide state.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("word"))
+    wc = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    return wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("c"), 4).alias("ttr"),
+        F.round(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("hapax_frac"),
+    )
