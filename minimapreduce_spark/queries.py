@@ -27,6 +27,7 @@ _OPERATOR_MODULES = [
     "minimapreduce_spark.streaming.windows",
     "minimapreduce_spark.streaming.dedup_join",
     "minimapreduce_spark.streaming.stateful",
+    "minimapreduce_spark.streaming.upsert",
     "minimapreduce_spark.functions.udfs",
     "minimapreduce_spark.sources.pydatasource",
 ]

@@ -63,6 +63,41 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sdf
 
 
+def events_stream_sharded(
+    spark: SparkSession, sf_dir: str, n_shards: int = 4
+) -> DataFrame:
+    """``events_stream`` variant that replays through MULTIPLE
+    micro-batches: the table is staged once as ``n_shards`` parquet
+    files and the file source is capped at one file per trigger, so an
+    availableNow drain runs ``n_shards`` real batches — exercising
+    cross-batch state (upsert merges, stateful aggs) instead of one
+    degenerate batch. Production streams get this for free from
+    continuous file/Kafka arrival."""
+    from pyspark.sql.types import LongType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = table_path(sf_dir, "events")
+    key = os.path.abspath(path).strip(os.sep).replace(os.sep, "_")
+    d = os.path.join(
+        tempfile.gettempdir(), "minimapreduce_stream_sharded", f"{key}_{n_shards}"
+    )
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        spark.read.parquet(path).repartition(n_shards).write.mode(
+            "overwrite"
+        ).parquet(d)
+    schema = spark.read.parquet(d).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    if isinstance(schema["ts"].dataType, LongType):
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    return sdf
+
+
 def run_to_memory(sdf: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Drain a streaming DataFrame into a memory sink and return it.
 

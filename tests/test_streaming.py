@@ -144,3 +144,48 @@ def test_append_mode_withholds_open_windows(spark, duck):
 
     cutoff = pd.Timestamp(mx) - pd.Timedelta("30 minutes")
     assert (pd.to_datetime(out["hour_start"]) + pd.Timedelta("1 hour") <= cutoff).all()
+
+
+def test_stream_upsert_matches_oracle_and_is_stable(spark, duck):
+    """The foreachBatch MERGE replay equals the batch latest-per-key
+    query, and a full re-run (fresh checkpoint + state dirs) converges
+    to the identical state — the idempotence that makes the sink
+    exactly-once under batch replay."""
+    from tests.conftest import run_and_compare
+
+    run_and_compare(spark, duck, "stream_upsert_latest_state")
+
+    from minimapreduce_spark import queries as q
+    from tests.conftest import SF_DIR
+
+    a = sorted(
+        map(tuple, q.queries()["stream_upsert_latest_state"](spark, SF_DIR).collect())
+    )
+    b = sorted(
+        map(tuple, q.queries()["stream_upsert_latest_state"](spark, SF_DIR).collect())
+    )
+    assert a == b and len(a) > 0
+
+
+def test_sharded_stream_runs_multiple_batches(spark):
+    """maxFilesPerTrigger=1 over a 4-shard staging dir must produce 4
+    micro-batches in an availableNow drain."""
+    import pyspark.sql.functions as F
+
+    from minimapreduce_spark.streaming.source import events_stream_sharded
+    from tests.conftest import SF_DIR
+
+    sdf = events_stream_sharded(spark, SF_DIR, n_shards=4)
+    batches = []
+    q = (
+        sdf.writeStream.foreachBatch(
+            lambda bdf, bid: batches.append((bid, bdf.count()))
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(batches) == 4, batches
+    assert sum(n for _, n in batches) == spark.read.parquet(
+        f"{SF_DIR}/events.parquet"
+    ).count()
