@@ -29,6 +29,17 @@ CANDIDATES = [
     "window_rolling_median",
     "agg_mad_user_value",
     "ols_slope_value_vs_time",
+    # two-phase ordered pattern (operators/ordered.py): the range-offset
+    # construction must give the SAME total order at any width
+    "histogram_equidepth_prices",
+    "customer_rfm_segments",
+    "abc_part_classification",
+    "vocab_growth_curve",
+    "sessions_peak_concurrency",
+    "surrogate_keys_documents",
+    # iterative clustering + streaming merge
+    "embedding_kmeans_lloyd",
+    "stream_upsert_latest_state",
 ]
 
 
