@@ -676,3 +676,109 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d2").alias("inertia_q"),
         F.min("vec_id").alias("min_member"),
     )
+
+
+IVF_NPROBE = 2
+
+
+@register(
+    "ann_ivf_nprobe_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+    dims AS (
+      SELECT label, generate_subscripts(emb, 1) AS dim, unnest(emb) AS v FROM e
+    ),
+    cent AS (
+      SELECT label, list(av ORDER BY dim) AS centroid
+      FROM (SELECT label, dim, avg(v) AS av FROM dims GROUP BY label, dim)
+      GROUP BY label
+    ),
+    q AS (SELECT vec_id AS q_vec_id, emb AS qe FROM e WHERE vec_id < {N_QUERIES}),
+    assign AS (
+      SELECT q_vec_id, qe, label,
+             row_number() OVER (
+               PARTITION BY q_vec_id
+               ORDER BY round(list_cosine_similarity(qe, centroid), 6) DESC, label
+             ) AS crn
+      FROM q, cent
+    ),
+    routed AS (SELECT q_vec_id, qe, label FROM assign WHERE crn <= {IVF_NPROBE}),
+    sims AS (
+      SELECT r.q_vec_id, e.vec_id,
+             round(list_cosine_similarity(r.qe, e.emb), 6) AS cosine_sim
+      FROM routed r JOIN e ON e.label = r.label AND e.vec_id <> r.q_vec_id
+    ),
+    ranked AS (
+      SELECT q_vec_id, vec_id, cosine_sim,
+             row_number() OVER (
+               PARTITION BY q_vec_id ORDER BY cosine_sim DESC, vec_id
+             ) AS rn
+      FROM sims
+    )
+    SELECT q_vec_id, vec_id AS neighbor_id, cosine_sim, rn
+    FROM ranked WHERE rn <= {IVF_TOP_K}
+    """,
+)
+def ann_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with nprobe=2 — the standard recall/cost dial: route
+    each query to its TWO nearest centroids and scan both partitions.
+    Cost doubles (2/n_partitions of the corpus), recall rises strictly
+    vs nprobe=1 because every nprobe=1 candidate is still scanned (the
+    monotonicity pytest pins this). Same exact-rerank discipline:
+    6-dp-rounded cosine, vec_id tie-break.
+
+    Scale posture: identical to ann_ivf_topk — a broadcast of K
+    centroids, candidate scan bounded by nprobe/n_partitions, per-query
+    top-k window over the candidate rows only.
+    """
+    emb = _emb(spark, sf_dir)
+    cent = (
+        emb.select("label", F.posexplode("emb").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg("v").alias("av"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "av"))), lambda s: s["av"]
+            ).alias("centroid")
+        )
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("emb").alias("q_emb")
+    )
+    assign_w = W.partitionBy("q_vec_id").orderBy(F.desc("c_sim"), F.asc("label"))
+    routed = (
+        q.join(F.broadcast(cent))
+        .select(
+            "q_vec_id",
+            "q_emb",
+            "label",
+            F.round(cosine(F.col("q_emb"), F.col("centroid")), 6).alias("c_sim"),
+        )
+        .select(
+            "q_vec_id",
+            "q_emb",
+            F.col("label").alias("q_label"),
+            F.row_number().over(assign_w).alias("crn"),
+        )
+        .where(F.col("crn") <= IVF_NPROBE)
+        .drop("crn")
+    )
+    sims = (
+        emb.join(
+            F.broadcast(routed),
+            (F.col("label") == F.col("q_label"))
+            & (F.col("vec_id") != F.col("q_vec_id")),
+        )
+        .select(
+            "q_vec_id",
+            "vec_id",
+            F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("q_vec_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        sims.select("q_vec_id", F.col("vec_id").alias("neighbor_id"), "cosine_sim",
+                    F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= IVF_TOP_K)
+    )

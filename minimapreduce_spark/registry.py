@@ -59,7 +59,6 @@ DRIVER_PRIORITY: list[str] = [
     "q9_product_type_profit",
     "events_sessionization",
     "events_asof_join",
-    "events_retention_cohorts",
     "histogram_equidepth_prices",
     "customer_rfm_segments",
     "abc_part_classification",
@@ -99,6 +98,7 @@ DRIVER_PRIORITY: list[str] = [
     "pagerank_nation_trade",
     "stream_session_window",
     "stream_dedup_watermark",
+    "stream_upsert_latest_state",
     "stream_user_stats_stateful",
     "udaf_weighted_discount",
     "pysource_partitioned_scan",

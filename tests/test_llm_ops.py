@@ -238,3 +238,31 @@ def test_ppm_decoder_handles_comments_and_truncation():
         decode_ppm(b"P3\n1 1\n255\n000")
     with pytest.raises(ValueError, match="truncated"):
         decode_ppm(b"P6\n2 2\n255\n\x00\x00")
+
+
+def test_ivf_nprobe_recall_is_monotone(spark):
+    """nprobe=2 scans a superset of nprobe=1's candidates, so its
+    recall vs brute force must be at least as high — the dial the
+    operator exists to expose — and meaningfully above the nprobe=1
+    floor on this corpus."""
+    from minimapreduce_spark import queries as q
+
+    brute = {
+        (r.q_vec_id, r.neighbor_id)
+        for r in q.queries()["ann_cosine_topk"](spark, SF_DIR).collect()
+    }
+    p1 = {
+        (r.q_vec_id, r.neighbor_id)
+        for r in q.queries()["ann_ivf_topk"](spark, SF_DIR).collect()
+    }
+    p2 = {
+        (r.q_vec_id, r.neighbor_id)
+        for r in q.queries()["ann_ivf_nprobe_topk"](spark, SF_DIR).collect()
+    }
+    r1 = len(p1 & brute) / len(p1)
+    r2 = len(p2 & brute) / len(p2)
+    assert r2 >= r1, (r1, r2)
+    assert r2 >= 0.4, f"nprobe=2 recall collapsed: {r2:.2f}"
+    # (note: per-element monotonicity does NOT hold — a second-partition
+    # candidate can displace an nprobe=1 hit from the top-5 cut; only
+    # the candidate SET is a superset, hence the recall comparison)
