@@ -235,3 +235,25 @@ def test_no_single_partition_window(spark, name):
     only unpartitioned window allowed is the two-phase offsets window
     over <= n_ranges rows (ordered by __tp_pid)."""
     plans.assert_no_single_partition_window(_df(spark, name))
+
+
+def test_multimodal_decode_chains_are_shuffle_free(spark):
+    """encode→decode mapInPandas chains are narrow end to end — zero
+    shuffle exchanges; payload bytes never cross the network."""
+    for name in ("multimodal_wav_decode", "multimodal_ppm_decode"):
+        n = plans.count_exchanges(_df(spark, name))
+        assert n == 0, f"{name}: {n} exchanges in a narrow pipeline"
+
+
+def test_new_round2_shuffle_budgets(spark):
+    """Pin shuffle counts of the round-2 operators: 2 Lloyd iterations
+    = (assign-agg + update-agg) × 2 + seed/final rollups ≤ 6; TTR = the
+    (doc,word) agg + doc rollup; nprobe IVF = centroid build + routed
+    window + top-k window."""
+    for name, budget in (
+        ("embedding_kmeans_lloyd", 6),
+        ("text_ttr_hapax", 2),
+        ("ann_ivf_nprobe_topk", 4),
+    ):
+        n = plans.count_exchanges(_df(spark, name))
+        assert n <= budget, f"{name}: {n} shuffles > budget {budget}"
