@@ -425,19 +425,28 @@ def normalized_dim(col: Column, lo: Column, hi: Column, bits: int = ZORDER_BITS)
     """
     span = F.greatest(hi.cast("bigint") - lo.cast("bigint"), F.lit(1))
     pos = col.cast("bigint") - lo.cast("bigint")
+    mask = (1 << bits) - 1
+
+    # Fast path — span ≤ 2^31: pos·mask ≤ 2^47 is double-exact and the
+    # quotient's distance to the next integer (≥ 1/span ≥ 2^-31) dwarfs
+    # its ulp (~2^-36 at q≈65535), so floor(double) IS the exact floor.
+    fast = F.floor(
+        (pos * mask).cast("double") / span.cast("double")
+    ).cast("bigint")
+
     dec = "decimal(38,0)"
-    numd = pos.cast(dec) * F.lit((1 << bits) - 1).cast(dec)
+    numd = pos.cast(dec) * F.lit(mask).cast(dec)
     spand = span.cast(dec)
     q0 = F.floor(numd / spand).cast(dec)
     r = numd - q0 * spand
-    q = (
+    slow = (
         q0
         + F.when(r < 0, F.lit(-1))
         .when(r >= spand, F.lit(1))
         .otherwise(F.lit(0))
         .cast(dec)
-    )
-    return q.cast("bigint")
+    ).cast("bigint")
+    return F.when(span <= F.lit(1 << 31), fast).otherwise(slow)
 
 
 def normalized_dim_sql(col: str, lo: str, hi: str, bits: int = ZORDER_BITS) -> str:
