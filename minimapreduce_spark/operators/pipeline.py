@@ -1136,3 +1136,117 @@ def tier_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_tier", "to_tier")
         .agg(F.count("*").alias("n_customers"))
     )
+
+
+N_SHARDS_EXPORT = 8
+MIX_TEMP_NUM, MIX_TEMP_DEN = 7, 10  # temperature 0.7 as an exact rational
+
+
+@register(
+    "assign_training_shards",
+    oracle=f"""
+    WITH sharded AS (
+      SELECT doc_id, source,
+             length(text) AS n_bytes,
+             len(list_filter(regexp_split_to_array(text, ' '), w -> w <> ''))
+               AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                  % {N_SHARDS_EXPORT} AS shard_id
+      FROM documents
+    )
+    SELECT shard_id,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_bytes) AS BIGINT)  AS total_bytes,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM sharded GROUP BY shard_id
+    """,
+)
+def assign_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic export sharding: every document lands in one of
+    N_SHARDS_EXPORT shards by content-key hash (first 4 md5 hex chars
+    mod N) — stable under any partitioning, cluster size, or re-run,
+    which is what makes training-data exports reproducible. Output is
+    the shard manifest (docs, tokens, bytes, source spread) a writer
+    job would use to size and balance its output files.
+
+    Scale posture: hash assignment is a pure projection (no shuffle);
+    the manifest is one hash agg on a tiny key domain. The actual
+    export would be ``df.write.partitionBy("shard_id")`` — hive layout
+    with per-shard pruning (pytest-covered in the sources suite).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % N_SHARDS_EXPORT
+    )
+    tokens = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    sharded = docs.select(
+        "doc_id",
+        "source",
+        F.length("text").alias("n_bytes"),
+        tokens.alias("n_tokens"),
+        shard.alias("shard_id"),
+    )
+    return sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "source_mixture_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source,
+             CAST(sum(len(list_filter(regexp_split_to_array(text, ' '),
+                                      w -> w <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    pow AS (
+      SELECT source, n_tokens,
+             CAST(round(power(CAST(n_tokens AS DOUBLE),
+                              {MIX_TEMP_NUM}.0 / {MIX_TEMP_DEN}) * 1000000)
+                  AS BIGINT) AS w_fp
+      FROM tok
+    )
+    SELECT source, n_tokens,
+           round(w_fp / 1000000.0, 4) AS raw_weight,
+           round(CAST(w_fp AS DOUBLE) / (SELECT sum(w_fp) FROM pow), 6)
+             AS mixture_weight
+    FROM pow
+    """,
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing weights — the data-mixing
+    primitive of LLM pretraining: sampling weight ∝ tokens^T (T = 0.7),
+    which up-weights small high-value sources relative to raw
+    proportional sampling. The power term is quantized to BIGINT
+    millionths BEFORE normalization, so the weight ratios are exact
+    integer arithmetic on both engines and only the two final
+    divisions are (identical) double expressions.
+
+    Scale posture: one hash agg to the |sources| rollup, one broadcast
+    scalar for the normalizer. Nothing touches row-level data twice.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    tokens = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    tok = docs.groupBy("source").agg(
+        F.sum(tokens).cast("bigint").alias("n_tokens")
+    )
+    w_fp = F.round(
+        F.pow(F.col("n_tokens").cast("double"), MIX_TEMP_NUM / MIX_TEMP_DEN)
+        * 1000000
+    ).cast("bigint")
+    powd = tok.select("source", "n_tokens", w_fp.alias("w_fp"))
+    total = powd.agg(F.sum("w_fp").alias("_tw"))
+    return powd.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_tokens",
+        F.round(F.col("w_fp") / 1000000.0, 4).alias("raw_weight"),
+        F.round(F.col("w_fp").cast("double") / F.col("_tw"), 6).alias(
+            "mixture_weight"
+        ),
+    )
