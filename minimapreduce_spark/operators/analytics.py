@@ -965,10 +965,13 @@ def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counted = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    # TakeOrdered top-10 first (parallel per-partition heaps), THEN the
+    # 10-row rank window — a global row_number over every distinct path
+    # would pull the whole rollup through one partition.
+    top = counted.orderBy(F.desc("n_sessions"), F.asc("path")).limit(10)
     wr = W.orderBy(F.desc("n_sessions"), F.asc("path"))
-    return (
-        counted.select("path", "n_sessions", F.row_number().over(wr).alias("rnk"))
-        .where(F.col("rnk") <= 10)
+    return top.select(
+        "path", "n_sessions", F.row_number().over(wr).alias("rnk")
     )
 
 

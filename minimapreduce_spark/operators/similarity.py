@@ -105,12 +105,13 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_cosine_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k, Arrow/numpy path: the query matrix is
     collected (bounded — the query set is small by contract at any
-    corpus scale) and closed over by a mapInPandas stage that scores
-    each Arrow batch with one BLAS matmul (batch × queries). Same
-    answer as ann_cosine_topk; this is the shape to prefer when the
-    vector math outgrows codegen'd folds (high dims, many queries) —
-    per-batch matmul amortizes the Python boundary to one call per
-    ~10k rows."""
+    corpus scale) and shipped as an EXPLICIT SparkContext broadcast:
+    the matrix serializes once per executor instead of once per task
+    closure, and the mapInPandas stage scores each Arrow batch with one
+    BLAS matmul (batch × queries). Same answer as ann_cosine_topk; this
+    is the shape to prefer when the vector math outgrows codegen'd
+    folds (high dims, many queries) — per-batch matmul amortizes the
+    Python boundary to one call per ~10k rows."""
     import numpy as np
 
     emb = _emb(spark, sf_dir)
@@ -119,9 +120,12 @@ def ann_cosine_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     Q = np.stack([np.asarray(r.emb, dtype=np.float64) for r in q_rows])
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(
+        (q_ids, Q / np.linalg.norm(Q, axis=1, keepdims=True))
+    )
 
     def score(batches):
+        q_ids, Qn = bc.value
         for pdf in batches:
             E = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
             En = E / np.linalg.norm(E, axis=1, keepdims=True)

@@ -753,10 +753,12 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+    # TakeOrdered top-10 first, THEN the 10-row rank window — never a
+    # global row_number over the full qualifying-bigram table.
+    top = scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(10)
     wr = W.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
-    return (
-        scored.select("w1", "w2", "c12", "pmi", F.row_number().over(wr).alias("rnk"))
-        .where(F.col("rnk") <= 10)
+    return top.select(
+        "w1", "w2", "c12", "pmi", F.row_number().over(wr).alias("rnk")
     )
 
 
