@@ -143,3 +143,78 @@ def test_two_phase_running_sum_equals_cumsum(spark, sizes, capacity, n_parts):
     want = pd.Series(sizes).cumsum()
     for i in range(len(sizes)):
         assert got[i] == want.iloc[i]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(st.integers(-1000, 1000), min_size=0, max_size=60),
+    n_ranges=st.integers(1, 6),
+)
+def test_two_phase_running_sum_property(spark, vals, n_ranges):
+    """with_global_running_sum over arbitrary ints at arbitrary range
+    fan-out equals the sequential fold (id tie-break = total order)."""
+    from minimapreduce_spark.operators.ordered import with_global_running_sum
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id: long, v: long"
+    )
+    got = {
+        r.id: r.cum
+        for r in with_global_running_sum(
+            df, [F.asc("id")], F.col("v"), out="cum", n_ranges=n_ranges
+        ).collect()
+    }
+    acc, want = 0, {}
+    for i, v in enumerate(vals):
+        acc += v
+        want[i] = acc
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(st.integers(0, 5), min_size=1, max_size=50),
+    k=st.integers(1, 7),
+)
+def test_two_phase_ntile_property(spark, keys, k):
+    """Arithmetic NTILE over a two-phase rank equals the SQL NTILE
+    semantics (first n%k buckets one row bigger), on duplicate-heavy
+    keys with an id tie-break."""
+    from minimapreduce_spark.operators.ordered import (
+        ntile_expr,
+        with_global_row_number,
+        with_scalars,
+    )
+
+    df = spark.createDataFrame(
+        [(i, key) for i, key in enumerate(keys)], "id: long, key: long"
+    )
+    rn = with_global_row_number(
+        df, [F.asc("key"), F.asc("id")], out="rn", n_ranges=3
+    )
+    cnt = df.agg(F.count(F.lit(1)).alias("_n"))
+    got = {
+        r.id: r.nt
+        for r in with_scalars(rn, cnt)
+        .select("id", ntile_expr(F.col("rn"), F.col("_n"), k).alias("nt"))
+        .collect()
+    }
+    n = len(keys)
+    order = sorted(range(n), key=lambda i: (keys[i], i))
+    q, r = divmod(n, k)
+    want = {}
+    pos = 0
+    for bucket in range(1, k + 1):
+        size = q + (1 if bucket <= r else 0)
+        for _ in range(size):
+            want[order[pos]] = bucket
+            pos += 1
+    assert got == want
