@@ -34,17 +34,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-# Range-partition fan-out for phase 1. At 100 TB this is sized to the
-# cluster (e.g. 2-4x executor cores); the offset table stays tiny either
-# way because it is one row per RANGE, not per data row.
-DEFAULT_RANGES = 8
+# Range-partition fan-out for phase 1: None → the session's
+# spark.sql.shuffle.partitions, so the ranked stage parallelizes like
+# every other shuffle instead of capping at a constant (at 100 TB an
+# 8-way ceiling here would be the new bottleneck). The offset table
+# stays tiny either way: one row per RANGE, not per data row.
+DEFAULT_RANGES = None
 
 _PID = "__tp_pid"
 _LOCAL = "__tp_local"
 _OFF = "__tp_off"
 
 
-def _staged(df: DataFrame, order_cols: list[Column], n_ranges: int) -> DataFrame:
+def _staged(df: DataFrame, order_cols: list[Column], n_ranges: int | None) -> DataFrame:
+    if n_ranges is None:
+        n_ranges = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
     parted = df.repartitionByRange(n_ranges, *order_cols).sortWithinPartitions(
         *order_cols
     )
@@ -67,7 +73,7 @@ def with_global_row_number(
     df: DataFrame,
     order_cols: list[Column],
     out: str = "rn",
-    n_ranges: int = DEFAULT_RANGES,
+    n_ranges: int | None = DEFAULT_RANGES,
 ) -> DataFrame:
     """df + a column ``out`` = 1-based global row number in the total
     order of ``order_cols``, computed without any single-partition pass
@@ -92,7 +98,7 @@ def with_global_running_sum(
     order_cols: list[Column],
     value: Column,
     out: str = "cum",
-    n_ranges: int = DEFAULT_RANGES,
+    n_ranges: int | None = DEFAULT_RANGES,
 ) -> DataFrame:
     """df + a column ``out`` = running sum of ``value`` over the total
     order of ``order_cols`` (frame: unbounded preceding .. current row),
