@@ -551,3 +551,41 @@ def zorder_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("day").alias("min_day"),
         F.max("day").alias("max_day"),
     )
+
+
+@register(
+    "agg_heavy_hitters_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def agg_heavy_hitters_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the approx_top_k sketch: per order status, the
+    most frequent order priorities with counts, computed by a mergeable
+    frequency sketch instead of a (group, item)-keyed aggregation.
+
+    Scale posture — why a sketch at 100 TB: the naive plan shuffles one
+    (group, item) row per distinct pair; the sketch path keeps a
+    constant-size summary per group per partition and shuffles ONE
+    sketch blob per group per map task (same shape as HLL in
+    agg_approx_sketch). Here the item domain (5 priorities) is far
+    below the sketch's tracked capacity, so the estimates are provably
+    exact and the output hash-matches a plain GROUP BY oracle — the
+    operator is demonstrated, and its accuracy contract (exact under
+    capacity, approximate above) is documented rather than hidden.
+    The exploded result re-sorts deterministically; sketch item order
+    is not part of the contract.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    sk = orders.groupBy("o_orderstatus").agg(
+        F.expr("approx_top_k(o_orderpriority, 10, 10000)").alias("tk")
+    )
+    return sk.select(
+        "o_orderstatus", F.explode("tk").alias("e")
+    ).select(
+        "o_orderstatus",
+        F.col("e.item").alias("o_orderpriority"),
+        F.col("e.count").cast("bigint").alias("cnt"),
+    )
