@@ -638,7 +638,7 @@ def _km_update(assigned: DataFrame) -> DataFrame:
     )
 
 
-@register("embedding_kmeans_lloyd", oracle=_kmeans_oracle())
+@register("embedding_kmeans_lloyd", oracle=_kmeans_oracle(), bench=True)
 def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means clustering of the embedding corpus — Lloyd's algorithm,
     K=4, two unrolled iterations, deterministic seeding (the first K
