@@ -171,11 +171,12 @@ def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decimal_exact_revenue",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
                     * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
-                AS DOUBLE)                                        AS revenue,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           count(*)                                               AS n_rows
+                AS DECIMAL(30,4)) AS VARCHAR)                     AS revenue,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                AS DECIMAL(30,2)) AS VARCHAR)                     AS sum_qty,
+           count(*)                                              AS n_rows
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
     """,
@@ -186,15 +187,19 @@ def decimal_exact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiply exactly (scale 8), and sum without floating error in ANY
     aggregation order, which is the property that makes decimal the
     100 TB accounting type (no scaled-integer workaround needed). The
-    single terminal CAST to DOUBLE is the only inexact step and is
-    identical in both engines."""
+    result surfaces as the decimal's exact string form — a terminal
+    CAST to DOUBLE would reintroduce a last-ulp that diverges between
+    engines once sums pass ~2^45 (observed in the 10× scale-up run)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = F.col("l_extendedprice").cast("decimal(18,4)")
     d = F.col("l_discount").cast("decimal(18,4)")
     one = F.lit(1).cast("decimal(18,4)")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(p * (one - d)).cast("double").alias("revenue"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(p * (one - d)).cast("decimal(30,4)").cast("string").alias("revenue"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(30,2)")
+        .cast("string")
+        .alias("sum_qty"),
         F.count("*").alias("n_rows"),
     )
 
