@@ -267,6 +267,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMB_DUP_THRESHOLD = 0.45  # fixture embeddings are random-ish; max pair cosine ≈ 0.51
+EMB_PAIR_BLOCKS = 8
 
 
 @register(
@@ -285,28 +286,55 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: all (vec_a < vec_b) with
     cosine ≥ threshold, exact.
 
-    The pair generation is a broadcast nested-loop self-join — every
-    corpus partition scores its vectors against the broadcast copy, so
-    the corpus itself never shuffles and the cosine runs as a codegen'd
-    zip_with/aggregate fold (no Python). Exact all-pairs is the
-    correctness baseline; at 100 TB candidate generation must come from
+    Pair generation is the BLOCKED all-pairs self-join (the triangle
+    block grid): vectors hash into B blocks, each vector replicates to
+    its B partner block-pairs, and pairs meet in an ordinary shuffle
+    equi-join on the (lo, hi) block-pair key — same-block pairs are
+    kept only at the canonical (b, b) cell so nothing double-counts.
+    Compute is still inherently O(n²) (that is what "exact all-pairs
+    at a loose threshold" means), but it is distributed across
+    B(B+1)/2 join cells with ×B replication and NO corpus-sized
+    broadcast — the memory profile that actually survives a corpus
+    scale-up. The cosine runs as a codegen'd zip_with/aggregate fold
+    (no Python).
+
+    At 100 TB candidate generation must instead come from
     ``embedding_lsh_candidates`` (random-hyperplane signatures, banded
     like MinHash — recall measured in pytest on planted near-dups) or
     an IVF partitioning as in ``ann_ivf_topk``, with this same exact
-    cosine as the verification step over candidates only.
+    cosine as the verification step over candidates only; a lossless
+    metric-pruning shortcut (ts_similarity_topk's norm pivot) exists
+    only for tight thresholds, not this fixture's loose 0.45.
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     from minimapreduce_spark.operators.similarity import cosine
 
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
+    B = EMB_PAIR_BLOCKS
+    rep = (
+        emb.withColumn("b", F.pmod("vec_id", F.lit(B)))
+        .withColumn("j", F.explode(F.array(*[F.lit(i) for i in range(B)])))
+        .withColumn("k1", F.least("b", "j"))
+        .withColumn("k2", F.greatest("b", "j"))
+    )
+    left = rep.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"),
+        F.col("b").alias("ba"), "k1", "k2",
+    )
+    right = rep.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"),
+        F.col("b").alias("bb"), "k1", "k2",
+    )
+    pairs = left.join(right, ["k1", "k2"]).where(
+        (F.col("vec_a") < F.col("vec_b"))
+        & ((F.col("ba") != F.col("bb")) | (F.col("k1") == F.col("k2")))
+    )
     return (
-        emb.join(F.broadcast(b), F.col("vec_id") < F.col("vec_b"))
-        .select(
-            F.col("vec_id").alias("vec_a"),
+        pairs.select(
+            "vec_a",
             "vec_b",
-            F.round(cosine(F.col("emb"), F.col("emb_b")), 6).alias("cosine_sim"),
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= EMB_DUP_THRESHOLD)
     )
