@@ -1250,3 +1250,72 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mixture_weight"
         ),
     )
+
+
+@register(
+    "curriculum_quality_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), w -> w <> '') AS ws,
+             length(text) AS n_chars_txt,
+             length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_clean
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, len(ws) AS n_tokens,
+             round(0.5 * least(len(ws) / 100.0, 1.0)
+                   + 0.3 * (1.0 - len(list_filter(ws, w -> w IN ('the','a','and','of','to','in'))) * 1.0 / len(ws))
+                   + 0.2 * (len(list_distinct(ws)) * 1.0 / len(ws)), 6) AS quality
+      FROM toks WHERE len(ws) > 0
+    ),
+    bucketed AS (
+      SELECT doc_id, n_tokens, quality,
+             ntile(10) OVER (ORDER BY quality, doc_id) AS bucket
+      FROM scored
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           round(min(quality), 6)        AS q_lo,
+           round(max(quality), 6)        AS q_hi,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def curriculum_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning deciles: documents ranked by the engine's
+    quality score and cut into 10 equal-count buckets (easy→hard
+    schedule input), with per-bucket quality range and token budget —
+    what a curriculum sampler consumes to schedule training phases.
+
+    The decile is the two-phase exact NTILE (operators/ordered.py) over
+    (quality, doc_id) — the quality score is rounded to 6 dp on both
+    engines BEFORE ranking, so bucket edges cannot wobble on float
+    noise, and no single-partition window exists at any corpus size.
+
+    Scale posture: score = pure projection; rank = one range shuffle +
+    broadcast offsets; rollup = 10-group agg.
+    """
+    from minimapreduce_spark.operators.ordered import (
+        ntile_expr,
+        with_global_row_number,
+        with_scalars,
+    )
+    from minimapreduce_spark.operators.text_analysis import text_quality_score
+
+    scored = text_quality_score(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality"
+    )
+    rn = with_global_row_number(
+        scored, [F.asc("quality"), F.asc("doc_id")], out="rn"
+    )
+    n = scored.agg(F.count(F.lit(1)).alias("_n"))
+    b = with_scalars(rn, n).select(
+        "n_tokens", "quality", ntile_expr(F.col("rn"), F.col("_n"), 10).alias("bucket")
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("quality"), 6).alias("q_lo"),
+        F.round(F.max("quality"), 6).alias("q_hi"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )

@@ -669,3 +669,37 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "join_shuffle_hash_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_shuffle_hash_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact join pinned to the SHUFFLE_HASH strategy — the third
+    join algorithm in the engine's toolbox (broadcast for dims, SMJ for
+    sorted/huge-both-sides, shuffled-hash when one side fits a task's
+    memory but is too big to broadcast). Skipping SMJ's sorts saves two
+    O(n log n) passes when the build side hashes comfortably — the
+    right call for a mid-sized orders side against a huge lineitem at
+    100 TB (and what AQE's OptimizeShuffledHashJoin picks by local size
+    at runtime). Plan pinned by tests/test_plans.py; values equal the
+    plain join oracle.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+    return j.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )

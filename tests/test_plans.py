@@ -257,3 +257,10 @@ def test_new_round2_shuffle_budgets(spark):
     ):
         n = plans.count_exchanges(_df(spark, name))
         assert n <= budget, f"{name}: {n} shuffles > budget {budget}"
+
+
+def test_shuffle_hash_join_strategy_pinned(spark):
+    """join_shuffle_hash_revenue must actually use ShuffledHashJoin —
+    the hint exists to demonstrate the third join strategy."""
+    plan = plans.simple_plan(_df(spark, "join_shuffle_hash_revenue"))
+    assert "ShuffledHashJoin" in plan
