@@ -969,10 +969,12 @@ def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 10-row rank window — a global row_number over every distinct path
     # would pull the whole rollup through one partition.
     top = counted.orderBy(F.desc("n_sessions"), F.asc("path")).limit(10)
-    wr = W.orderBy(F.desc("n_sessions"), F.asc("path"))
-    return top.select(
-        "path", "n_sessions", F.row_number().over(wr).alias("rnk")
-    )
+    from minimapreduce_spark.operators.ordered import with_bounded_rank
+
+    # 10 rows post-limit
+    return with_bounded_rank(
+        top, F.desc("n_sessions"), F.asc("path"), out="rnk"
+    ).select("path", "n_sessions", "rnk")
 
 
 @register(
@@ -1258,12 +1260,14 @@ def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4. exact distances on candidates only, parallel top-5
     dists = cands.select("user_a", "user_b", sq(F.col("va"), F.col("vb")).alias("d2"))
     top = dists.orderBy("d2", "user_a", "user_b").limit(5)
-    wr = W.orderBy("d2", "user_a", "user_b")  # 5 rows post-limit
-    return top.select(
+    from minimapreduce_spark.operators.ordered import with_bounded_rank
+
+    # 5 rows post-limit
+    return with_bounded_rank(top, "d2", "user_a", "user_b", out="rnk").select(
         "user_a",
         "user_b",
         F.round(F.sqrt(F.col("d2").cast("double")) / 10000.0, 4).alias("distance"),
-        F.row_number().over(wr).alias("rnk"),
+        "rnk",
     )
 
 

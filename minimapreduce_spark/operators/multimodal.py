@@ -316,6 +316,19 @@ PPM_SCHEMA = (
 )
 
 
+def _require_ascii(text: str) -> None:
+    """The synthetic-media lanes (and their oracles) equate characters
+    with bytes — ``length(text)`` vs ``text.encode()``, ``ascii(c)`` per
+    char vs per byte — which only holds for non-empty ASCII documents.
+    Enforce that contract loudly instead of crashing with an opaque
+    IndexError (empty text) or silently hash-mismatching (multibyte)."""
+    if not text or not text.isascii():
+        raise ValueError(
+            "synthetic media lanes require non-empty ASCII documents "
+            "(the encode→decode oracles equate characters with bytes)"
+        )
+
+
 def encode_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas ingest stage: synthesize a REAL RIFF/WAVE container
     per document (8-bit mono PCM at WAV_RATE, samples = the text's
@@ -327,6 +340,7 @@ def encode_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         payloads = []
         for text in pdf["text"]:
+            _require_ascii(text)
             buf = io.BytesIO()
             with wave.open(buf, "wb") as w:
                 w.setnchannels(1)
@@ -363,6 +377,7 @@ def encode_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         payloads = []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            _require_ascii(text)
             n = len(text)
             w, h = 1 + n % 64, 1 + n % 32
             fill = ord(text[0])

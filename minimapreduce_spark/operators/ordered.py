@@ -46,6 +46,30 @@ _LOCAL = "__tp_local"
 _OFF = "__tp_off"
 
 
+def bounded_ordered(df: DataFrame, *order_cols: Column | str):
+    """(coalesce(1) df, WindowSpec) for a PROVABLY BOUNDED input (a
+    post-``limit`` top-k frame, a per-range offset table, a K-row seed
+    list). The window partitions by ``spark_partition_id()``, which
+    after ``coalesce(1)`` is the constant 0 — same single-task
+    evaluation an unpartitioned window would do (fine for ≤ a few dozen
+    rows), but the partition spec is non-empty AND non-foldable
+    (a literal key gets constant-folded out of the spec), so WindowExec
+    never logs "No Partition Defined" and a real data-scale
+    unpartitioned window can't hide among benign ones. Never use this
+    on data-scale inputs: that is what the two-phase helpers are for."""
+    return df.coalesce(1), W.partitionBy(F.spark_partition_id()).orderBy(*order_cols)
+
+
+def with_bounded_rank(
+    df: DataFrame, *order_cols: Column | str, out: str = "rnk"
+) -> DataFrame:
+    """df + 1-based rank column over a provably bounded input — see
+    ``bounded_ordered`` for why this shape (and not a bare
+    ``W.orderBy``) is used."""
+    one, w = bounded_ordered(df, *order_cols)
+    return one.withColumn(out, F.row_number().over(w))
+
+
 def _staged(df: DataFrame, order_cols: list[Column], n_ranges: int | None) -> DataFrame:
     if n_ranges is None:
         n_ranges = int(
@@ -63,9 +87,10 @@ def _offsets(staged: DataFrame, local_total: Column) -> DataFrame:
     the partition count, not the data — which is what makes the whole
     construction scale-safe."""
     counts = staged.groupBy(_PID).agg(local_total.alias("_n"))
-    w = W.orderBy(_PID).rowsBetween(W.unboundedPreceding, -1)
-    return counts.select(
-        _PID, F.coalesce(F.sum("_n").over(w), F.lit(0)).alias(_OFF)
+    one, w = bounded_ordered(counts, _PID)
+    wf = w.rowsBetween(W.unboundedPreceding, -1)
+    return one.select(
+        _PID, F.coalesce(F.sum("_n").over(wf), F.lit(0)).alias(_OFF)
     )
 
 
@@ -139,8 +164,12 @@ def ntile_expr(rn: Column, n: Column, k: int) -> Column:
     q = (n / k).cast("bigint")
     r = n - q * k
     big = (q + 1) * r  # rows covered by the ceil-sized buckets
+    # greatest(q, 1): when n < k, q = 0 and every row satisfies
+    # rn <= big, so the otherwise-branch is dead — but its divisor must
+    # still be total so correctness never depends on lazy branch
+    # evaluation (ANSI mode / future refactors).
     return (
         F.when(rn <= big, ((rn - 1) / (q + 1)).cast("bigint") + 1)
-        .otherwise(r + ((rn - big - 1) / q).cast("bigint") + 1)
+        .otherwise(r + ((rn - big - 1) / F.greatest(q, F.lit(1))).cast("bigint") + 1)
         .cast("int")
     )

@@ -921,11 +921,14 @@ def pack_token_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("local_cum"),
     )
+    from minimapreduce_spark.operators.ordered import bounded_ordered
+
     totals = staged.groupBy("pid").agg(F.sum("n_tokens").alias("n"))
-    offsets = totals.select(
+    one, wb = bounded_ordered(totals, "pid")
+    offsets = one.select(
         "pid",
         F.sum("n")
-        .over(W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1))
+        .over(wb.rowsBetween(W.unboundedPreceding, -1))
         .alias("offset"),
     ).fillna({"offset": 0})
     c = staged.join(F.broadcast(offsets), "pid").select(
@@ -1226,7 +1229,13 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     proportional sampling. The power term is quantized to BIGINT
     millionths BEFORE normalization, so the weight ratios are exact
     integer arithmetic on both engines and only the two final
-    divisions are (identical) double expressions.
+    divisions are (identical) double expressions. Residual risk: the
+    quantization itself is round(pow(n, 0.7) * 1e6), and pow() is libm,
+    not IEEE-exact — if the two engines' pow() ever disagree in the
+    last ulp AND that ulp lands a product exactly on a .5 rounding
+    boundary, w_fp flips by 1 and the hash fails. That is a
+    cross-engine tolerance property of the oracle protocol, not
+    exactness-by-construction like the integer operators.
 
     Scale posture: one hash agg to the |sources| rollup, one broadcast
     scalar for the normalizer. Nothing touches row-level data twice.

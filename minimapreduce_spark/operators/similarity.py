@@ -666,11 +666,14 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts.where(F.col("vec_id") < KMEANS_K)
         .select(F.col("vec_id").alias("seed_id"), F.col("eq").alias("ce"))
     )
-    from minimapreduce_spark.operators.ordered import with_global_row_number
+    # The seed table is ≤ K rows by construction — a bounded rank
+    # window beats the two-phase helper here (no range shuffle, no
+    # checkpoint, and no log-noise from the helper's offset pass).
+    from minimapreduce_spark.operators.ordered import with_bounded_rank
 
-    cents = with_global_row_number(
-        seeds, [F.asc("seed_id")], out="cid"
-    ).select("cid", "ce")
+    cents = with_bounded_rank(seeds, "seed_id", out="_rn").select(
+        F.col("_rn").cast("bigint").alias("cid"), "ce"
+    )
     assigned = None
     for _ in range(KMEANS_ITERS):
         assigned = _km_assign(pts, cents)

@@ -756,10 +756,12 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TakeOrdered top-10 first, THEN the 10-row rank window — never a
     # global row_number over the full qualifying-bigram table.
     top = scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(10)
-    wr = W.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
-    return top.select(
-        "w1", "w2", "c12", "pmi", F.row_number().over(wr).alias("rnk")
-    )
+    from minimapreduce_spark.operators.ordered import with_bounded_rank
+
+    # 10 rows post-limit
+    return with_bounded_rank(
+        top, F.desc("pmi"), F.asc("w1"), F.asc("w2"), out="rnk"
+    ).select("w1", "w2", "c12", "pmi", "rnk")
 
 
 @register(

@@ -77,7 +77,14 @@ def events_stream_sharded(
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = table_path(sf_dir, "events")
-    key = os.path.abspath(path).strip(os.sep).replace(os.sep, "_")
+    # The staging key includes the source's (mtime_ns, size) so a
+    # regenerated fixture at the same path can never silently replay
+    # stale shards from a previous run.
+    st = os.stat(path)
+    key = (
+        f"{os.path.abspath(path).strip(os.sep).replace(os.sep, '_')}"
+        f"_{st.st_mtime_ns}_{st.st_size}"
+    )
     d = os.path.join(
         tempfile.gettempdir(), "minimapreduce_stream_sharded", f"{key}_{n_shards}"
     )
