@@ -392,6 +392,135 @@ def embedding_lsh_candidates(
     )
 
 
+EMB_LSH_PLANES = 64
+EMB_LSH_BANDS = 8  # 8 bands × 8 sign bits
+EMB_LSH_THRESHOLD = 0.30
+_EMB_LSH_Q = 1 << 20  # quantization grid: floor(v · 2^20) — exact on both engines
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (
+      SELECT vec_id, dd.d AS d,
+             CAST(floor(emb[dd.d] * {_EMB_LSH_Q}) AS BIGINT) AS vq
+      FROM e, (SELECT unnest(generate_series(1, 64)) AS d) dd
+    ),
+    w AS (
+      SELECT pp.p AS p, dd.d AS d,
+             (('0x' || substr(md5('lshW:' || pp.p || ':' || dd.d), 1, 15))::BIGINT
+              % 2097152) - 1048576 AS w
+      FROM (SELECT unnest(generate_series(0, {EMB_LSH_PLANES - 1})) AS p) pp,
+           (SELECT unnest(generate_series(1, 64)) AS d) dd
+    ),
+    dots AS (
+      SELECT q.vec_id, w.p, sum(q.vq * w.w) AS dot
+      FROM q JOIN w ON q.d = w.d GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT vec_id, p // 8 AS band,
+             sum(CASE WHEN dot >= 0 THEN 1 << (p % 8) ELSE 0 END) AS band_val
+      FROM dots GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+    )
+    SELECT cand.vec_a, cand.vec_b,
+           round(list_cosine_similarity(ea.emb, eb.emb), 6) AS cosine_sim
+    FROM cand
+    JOIN e ea ON ea.vec_id = cand.vec_a
+    JOIN e eb ON eb.vec_id = cand.vec_b
+    WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= {EMB_LSH_THRESHOLD}
+    """,
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH — the 100 TB
+    scale path ``dedup_embedding_cosine`` documents: candidate
+    generation is LINEAR in corpus size (each vector computes a 64-bit
+    sign signature against 64 fixed hyperplanes, split into 8 bands of
+    8 bits; vectors sharing any band bucket meet in an equi-join), and
+    only candidates pay the exact-cosine verification. Nothing is
+    pairwise over the corpus.
+
+    Exactness discipline (what lets an approximate index hash-match a
+    SQL oracle): the signature is computed in integer arithmetic —
+    embeddings quantize to floor(v·2^20) and the plane weights are
+    md5-prefix integers in [-2^20, 2^20) derived from ('lshW:p:d'), so
+    the dot-product signs are order-independent exact BIGINT sums that
+    both engines reproduce bit-for-bit (a float dot's sign could flip
+    cross-engine near zero). The verify step then scores the ORIGINAL
+    double vectors with the same rounded cosine the exact baseline
+    uses. Recall of the banding at high cosine is pinned by the
+    planted-near-dup pytest on ``embedding_lsh_candidates``; this
+    registered query is the candidates→verify composition at the
+    fixture's loose threshold (0.30).
+
+    Plan shape at scale: posexplode to (vec_id, d, vq) → broadcast join
+    the 64×64 plane table → two hash aggs (per-plane dot, per-band
+    sig) → band-bucket equi-join → verify join back to the vectors. All
+    shuffles key on vec_id/band hashes; the plane table is the only
+    broadcast (32 KB).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    from minimapreduce_spark.operators.similarity import cosine
+
+    dim = 64
+    planes = spark.range(EMB_LSH_PLANES).select(F.col("id").cast("int").alias("p"))
+    dims = spark.range(1, dim + 1).select(F.col("id").cast("int").alias("d"))
+    wkey = F.concat_ws(
+        "", F.lit("lshW:"), F.col("p").cast("string"), F.lit(":"), F.col("d").cast("string")
+    )
+    wval = (
+        F.conv(F.substring(F.md5(wkey), 1, 15), 16, 10).cast("bigint") % F.lit(2097152)
+    ) - F.lit(1048576)
+    weights = planes.crossJoin(dims).select("p", "d", wval.alias("w"))
+
+    comps = emb.select("vec_id", F.posexplode("emb").alias("pos", "v")).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("int").alias("d"),
+        F.floor(F.col("v") * _EMB_LSH_Q).cast("bigint").alias("vq"),
+    )
+    dots = (
+        comps.join(F.broadcast(weights), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("vq") * F.col("w")).alias("dot"))
+    )
+    bands = dots.groupBy(
+        "vec_id", F.floor(F.col("p") / F.lit(8)).cast("bigint").alias("band")
+    ).agg(
+        F.sum(
+            F.when(F.col("dot") >= 0, F.expr("shiftleft(1, p % 8)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("band_val")
+    )
+    left = bands.select(F.col("vec_id").alias("vec_a"), "band", "band_val")
+    right = bands.select(F.col("vec_id").alias("vec_b"), "band", "band_val")
+    cand = (
+        left.join(right, ["band", "band_val"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= EMB_LSH_THRESHOLD)
+    )
+
+
 @register(
     "dedup_simhash",
     oracle=f"""

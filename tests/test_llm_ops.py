@@ -17,6 +17,7 @@ ORACLED = [
     "dedup_ngram_jaccard",
     "dedup_minhash",
     "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
     "dedup_clusters",
     "ann_cosine_topk",
     "ann_ivf_topk",
@@ -26,6 +27,7 @@ ORACLED = [
     "multimodal_audio_windows",
     "multimodal_wav_decode",
     "multimodal_ppm_decode",
+    "multimodal_png_decode",
 ]
 
 
@@ -106,6 +108,25 @@ def test_embedding_lsh_recall_on_planted_near_dups(spark):
     # random Gaussian pairs are near-orthogonal: an 8-bit band matches
     # with p = 2^-8, so the candidate set should stay far below all-pairs
     assert len(cand) < (2 * n) * (2 * n - 1) / 2 * 0.5, "LSH pruned almost nothing"
+
+
+def test_embedding_lsh_query_consistent_with_exact_baseline(spark):
+    """The registered LSH query must be sound vs the exact all-pairs
+    baseline: every verified pair's cosine is ≥ its own 0.30 threshold,
+    and every LSH pair that clears the exact query's 0.45 threshold
+    appears in the exact result (LSH verification can't invent pairs)."""
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.operators.dedup import EMB_DUP_THRESHOLD
+
+    lsh = q.queries()["dedup_embedding_lsh"](spark, SF_DIR).collect()
+    assert len(lsh) > 0
+    assert all(r.cosine_sim >= 0.30 for r in lsh)
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in q.queries()["dedup_embedding_cosine"](spark, SF_DIR).collect()
+    }
+    high = {(r.vec_a, r.vec_b) for r in lsh if r.cosine_sim >= EMB_DUP_THRESHOLD}
+    assert high <= exact
 
 
 def test_multimodal_decode_stub_raises():
@@ -238,6 +259,102 @@ def test_ppm_decoder_handles_comments_and_truncation():
         decode_ppm(b"P3\n1 1\n255\n000")
     with pytest.raises(ValueError, match="truncated"):
         decode_ppm(b"P6\n2 2\n255\n\x00\x00")
+
+
+def _png(width, height, rows_with_filters, bit_depth=8, color_type=2):
+    """Hand-build a PNG from (filter_type, filtered_bytes) scanlines —
+    independent of the package's encoder, so the decoder is tested
+    against the spec, not against our own synthesis."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(bytes([f]) + bytes(r) for f, r in rows_with_filters)
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decoder_reverses_all_filters():
+    """One 2-pixel-wide RGB image per filter type, with hand-computed
+    expected reconstructions — including Average (3) and Paeth (4),
+    which the synthesis lane never emits."""
+    from minimapreduce_spark.operators.multimodal import decode_png
+
+    # row0 None: raw = 10 20 30 | 40 50 60
+    # row1 Sub:  filt = 1 2 3 | 5 5 5  -> raw = 1 2 3 | 6 7 8
+    # row2 Up:   filt = 1 1 1 | 1 1 1  -> raw = 2 3 4 | 7 8 9
+    # row3 Average: filt = 10 10 10 | 4 4 4, prev = 2 3 4 7 8 9
+    #   i<3 (left=0): 10+(0+2)//2 10+(0+3)//2 10+(0+4)//2 = 11 11 12
+    #   i>=3: 4+(11+7)//2 4+(11+8)//2 4+(12+9)//2 = 13 13 14
+    # row4 Paeth: filt = 1 1 1 | 1 1 1, prev = 11 11 12 13 13 14
+    #   i<3: a=0,c=0 -> pred=b(up)=11 11 12 -> 12 12 13
+    #   i>=3: a=12 12 13, b=13 13 14, c=11 11 12; p=a+b-c=14 14 15
+    #      pa=2, pb=1, pc=3 -> pred=b -> 14 14 15
+    png = _png(
+        2,
+        5,
+        [
+            (0, [10, 20, 30, 40, 50, 60]),
+            (1, [1, 2, 3, 5, 5, 5]),
+            (2, [1, 1, 1, 1, 1, 1]),
+            (3, [10, 10, 10, 4, 4, 4]),
+            (4, [1, 1, 1, 1, 1, 1]),
+        ],
+    )
+    got = decode_png(png)
+    assert (got["width"], got["height"]) == (2, 5)
+    expect = (
+        [10, 20, 30, 40, 50, 60]
+        + [1, 2, 3, 6, 7, 8]
+        + [2, 3, 4, 7, 8, 9]
+        + [11, 11, 12, 13, 13, 14]
+        + [12, 12, 13, 14, 14, 15]
+    )
+    assert got["n_pixel_bytes"] == len(expect)
+    assert got["pixel_checksum"] == sum(expect) % 1000000007
+
+
+def test_png_decoder_rejects_corruption():
+    from minimapreduce_spark.operators.multimodal import decode_png
+
+    good = _png(1, 1, [(0, [1, 2, 3])])
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JUNK" + good)
+    bad_crc = bytearray(good)
+    bad_crc[-5] ^= 0xFF  # flip a bit inside IEND's CRC
+    with pytest.raises(ValueError, match="bad CRC"):
+        decode_png(bytes(bad_crc))
+    import struct
+    import zlib
+
+    # truncated inflate stream: declare 2 rows but provide 1
+    with pytest.raises(ValueError, match="does not match"):
+        decode_png(_png(1, 2, [(0, [1, 2, 3])]))
+
+
+def test_media_lanes_enforce_ascii_contract():
+    import pandas as pd
+    import pytest
+
+    from minimapreduce_spark.operators.multimodal import encode_png, encode_ppm
+
+    for enc in (encode_png, encode_ppm):
+        with pytest.raises(ValueError, match="non-empty ASCII"):
+            list(enc(iter([pd.DataFrame({"doc_id": [1], "text": [""]})])))
+        with pytest.raises(ValueError, match="non-empty ASCII"):
+            list(enc(iter([pd.DataFrame({"doc_id": [1], "text": ["héllo"]})])))
 
 
 def test_ivf_nprobe_recall_is_monotone(spark):
