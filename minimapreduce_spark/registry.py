@@ -51,57 +51,76 @@ def register(name: str, oracle: str | None = None, bench: bool = False) -> Calla
 # TPC-H, leaving dedup/ANN/streaming/events/multimodal driver-unchecked).
 # Order here = dict order of queries()/oracles(); the remainder follows in
 # module registration order. tests/test_driver_contract.py pins coverage.
+#
+# ROUND-3 ROTATION (round-2 verdict item 1): rounds 1-2 hard-verified the
+# same ~50 queries twice while 116 had only pytest coverage. This window
+# leads with 43 never-driver-checked queries plus 7 canaries — the verdict's
+# named three (wordcount, mr_wordcount, q1_pricing_summary) and four more
+# forced by the every-module-sampled invariant (tpch_more, graph,
+# streaming.stateful, streaming.upsert have no never-checked queries left).
 DRIVER_PRIORITY: list[str] = [
+    # canaries (driver-verified in r01/r02; anchor cross-round comparability)
     "wordcount",
     "mr_wordcount",
     "q1_pricing_summary",
     "q6_forecast_revenue",
-    "q9_product_type_profit",
-    "events_sessionization",
-    "events_asof_join",
-    "histogram_equidepth_prices",
-    "customer_rfm_segments",
-    "abc_part_classification",
-    "pareto_revenue_concentration",
-    "gini_revenue_inequality",
-    "vocab_growth_curve",
-    "sessions_peak_concurrency",
-    "ts_similarity_topk",
-    "events_markov_transitions",
-    "basket_part_pairs",
-    "graph_triangle_count",
-    "text_tfidf_top_terms",
-    "text_unigram_logprob",
-    "doc_pair_cosine_tfidf",
-    "text_bm25_topk",
-    "text_quality_score",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    "contamination_test_train",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_ivf_int8_topk",
-    "multimodal_features",
-    "multimodal_wav_decode",
-    "multimodal_ppm_decode",
-    "agg_salted_skew",
-    "zorder_tile_stats",
-    "merge_upsert_customers",
-    "pack_token_batches",
-    "fuzzy_join_blocked",
-    "null_semantics_agg",
-    "decimal_exact_revenue",
     "pagerank_nation_trade",
-    "stream_session_window",
-    "stream_dedup_watermark",
-    "stream_upsert_latest_state",
     "stream_user_stats_stateful",
-    "udaf_weighted_discount",
-    "pysource_partitioned_scan",
+    "stream_upsert_latest_state",
+    # never-driver-checked: relational / TPC-H tail / scale
+    "join_shuffle_hash_revenue",
+    "q20_excess_share_suppliers",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
+    "agg_grouping_sets",
+    "agg_approx_sketch",
+    "join_bloom_pruned_revenue",
+    "agg_heavy_hitters_priority",
+    # semantics corners
+    "try_arithmetic_semantics",
+    "sort_nulls_ordering",
+    "union_schema_evolution",
+    # events / time series
+    "events_tumbling_hourly",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    # sequence analytics
+    "window_rolling_median",
+    "surrogate_keys_documents",
+    "session_top_paths",
+    "weighted_median_price",
+    # text analysis
+    "text_langid",
+    "token_count_stats",
+    "doc_fingerprint",
+    "text_collocations_pmi",
+    "text_ttr_hapax",
+    # dedup (incl. this round's scalable embedding path)
+    "dedup_embedding_lsh",
+    "dedup_canonical_by_quality",
+    "dedup_span_repeats",
+    # similarity / clustering
+    "embedding_kmeans_lloyd",
+    "ann_ivf_nprobe_topk",
+    "embedding_quantize_int8",
+    # multimodal (incl. this round's PNG codec lane)
+    "multimodal_png_decode",
+    "multimodal_resize",
+    "multimodal_audio_windows",
+    # pipeline / dataset management
+    "assign_training_shards",
+    "source_mixture_weights",
+    "curriculum_quality_buckets",
+    "scd2_asof_lookup",
+    "gdpr_erase_cascade",
+    # UDF surface
+    "udf_vectorized_sigmoid",
+    "udtf_split_sentences",
+    "cogroup_customer_activity",
+    # sources + streaming
+    "binaryfile_manifest",
+    "stream_view_purchase_join",
+    "stream_tumbling_hourly",
 ]
 
 

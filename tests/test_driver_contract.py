@@ -54,10 +54,22 @@ def test_entry_and_python_closures_from_foreign_cwd():
     )
 
 
+CANARIES = {
+    # the round-2 verdict's named three
+    "wordcount", "mr_wordcount", "q1_pricing_summary",
+    # forced by the every-module-sampled invariant: these modules have
+    # no never-driver-checked queries left after rounds 1-2
+    "q6_forecast_revenue",          # operators.tpch_more
+    "pagerank_nation_trade",        # operators.graph
+    "stream_user_stats_stateful",   # streaming.stateful
+    "stream_upsert_latest_state",   # streaming.upsert
+}
+
+
 def test_driver_priority_tier_samples_every_family():
     """The driver verifies the first 50 registrations: they must exist,
-    lead the queries() dict, sample every operator module, carry oracles,
-    and include the round-1 verdict's named must-verify set."""
+    lead the queries() dict, sample every operator module, and carry
+    oracles."""
     from minimapreduce_spark import queries as _q
     from minimapreduce_spark.registry import DRIVER_PRIORITY, REGISTRY
 
@@ -73,16 +85,23 @@ def test_driver_priority_tier_samples_every_family():
 
     assert all(REGISTRY[n].oracle for n in names[:50])
 
-    must_verify = {
-        "dedup_minhash", "dedup_simhash", "ann_ivf_topk",
-        "events_sessionization", "stream_session_window",
-        "multimodal_features", "text_tfidf_top_terms",
-        "merge_upsert_customers", "pack_token_batches", "fuzzy_join_blocked",
-        # round-1 weak list: re-planned queries must be driver-verified
-        "histogram_equidepth_prices", "customer_rfm_segments",
-        "abc_part_classification", "pareto_revenue_concentration",
-        "gini_revenue_inequality", "vocab_growth_curve",
-        "sessions_peak_concurrency", "text_unigram_logprob",
-        "ts_similarity_topk",
-    }
-    assert must_verify <= set(names[:50])
+
+def test_driver_priority_rotated_from_prior_rounds():
+    """Round-3 rotation (round-2 verdict item 1): the driver window must
+    be disjoint from what CORRECTNESS_r01/r02 already hard-verified,
+    except for the named canaries — so round 3's driver run extends
+    hard-verified coverage instead of re-proving the same 50."""
+    import json
+
+    from minimapreduce_spark.registry import DRIVER_PRIORITY
+
+    checked = set()
+    for f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        path = os.path.join(REPO, f)
+        if os.path.exists(path):
+            checked |= set(json.load(open(path)))
+    overlap = set(DRIVER_PRIORITY) & checked
+    assert overlap == CANARIES, (
+        f"unexpected repeats: {sorted(overlap - CANARIES)}; "
+        f"missing canaries: {sorted(CANARIES - overlap)}"
+    )
