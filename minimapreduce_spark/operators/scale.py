@@ -449,6 +449,67 @@ def normalized_dim(col: Column, lo: Column, hi: Column, bits: int = ZORDER_BITS)
     return F.when(span <= F.lit(1 << 31), fast).otherwise(slow)
 
 
+def collect_minmax_bounds(df: DataFrame, x: str, y: str) -> tuple[int, int, int, int]:
+    """Driver-side (xlo, xhi, ylo, yhi) of two columns — ONE row from a
+    full min/max aggregate, the analysis phase every lakehouse OPTIMIZE
+    ZORDER runs before rewriting files. Collecting it (instead of
+    broadcasting a 1-row frame into the main plan) lets the caller pick
+    the exact normalization arithmetic in Python while the spans are
+    known scalars — see ``normalized_dim_lit`` for why that halves the
+    per-row cost. Bounded by contract: always exactly one row, four
+    ints. Empty input degenerates to a [0, 0] span."""
+    row = df.agg(
+        F.min(x).alias("xlo"), F.max(x).alias("xhi"),
+        F.min(y).alias("ylo"), F.max(y).alias("yhi"),
+    ).head()
+    return tuple(0 if v is None else int(v) for v in row)  # type: ignore[return-value]
+
+
+def normalized_dim_lit(col: Column, lo: int, hi: int, bits: int = ZORDER_BITS) -> Column:
+    """``normalized_dim`` with SCALAR bounds: rescale ``col`` from
+    [lo, hi] onto [0, 2^bits) by exact floor division, the arithmetic
+    path chosen at PLAN TIME from the known span.
+
+    Why this exists (round-2 bench regression, zorder_tile_stats +14%):
+    the column-bounds version must carry BOTH the double fast path and
+    the decimal exact path under a per-row ``When`` — and whole-stage
+    codegen's subexpression elimination hoists the shared subtrees out
+    of the branches and evaluates them EAGERLY, so every row paid the
+    decimal(38,0) division even when the 2^31 gate chose the double
+    path. With the span known driver-side the choice happens once,
+    here, in Python:
+
+    - span·mask < 2^62 — pos·mask fits a long exactly; one double
+      division proposes the quotient and an exact long remainder check
+      corrects ±1 (the proposal is off by < 1: pos ≤ span bounds the
+      quotient by mask, so the relative double error never reaches an
+      integer boundary uncorrected). All-long per-row cost, no decimal
+      anywhere in the plan.
+    - larger spans (epoch-micros scale) — the same corrected floor in
+      decimal(38,0), now unconditionally, because it is genuinely
+      needed. Bit-identical to the oracle's integer ``//`` either way.
+    """
+    span = max(hi - lo, 1)
+    mask = (1 << bits) - 1
+    pos = col.cast("bigint") - F.lit(lo).cast("bigint")
+    if span * mask < (1 << 62):
+        a = pos * F.lit(mask)
+        qd = F.floor(a.cast("double") / F.lit(float(span))).cast("bigint")
+        r = a - qd * F.lit(span)
+        return qd + (
+            F.when(r < 0, F.lit(-1)).when(r >= F.lit(span), F.lit(1)).otherwise(F.lit(0))
+        )
+    dec = "decimal(38,0)"
+    numd = pos.cast(dec) * F.lit(mask).cast(dec)
+    spand = F.lit(span).cast(dec)
+    q0 = F.floor(numd / spand).cast(dec)
+    r = numd - q0 * spand
+    return (
+        q0
+        + F.when(r < 0, F.lit(-1)).when(r >= spand, F.lit(1)).otherwise(F.lit(0)).cast(dec)
+    ).cast("bigint")
+
+
 def normalized_dim_sql(col: str, lo: str, hi: str, bits: int = ZORDER_BITS) -> str:
     return (
         f"((CAST({col} AS BIGINT) - CAST({lo} AS BIGINT)) * {(1 << bits) - 1})"
@@ -470,18 +531,14 @@ def write_zordered(
     any box predicate. This is the standard lakehouse OPTIMIZE ZORDER
     layout, built from plain repartitionByRange + sortWithinPartitions.
     """
-    bounds = df.agg(
-        F.min(x).alias("_xlo"), F.max(x).alias("_xhi"),
-        F.min(y).alias("_ylo"), F.max(y).alias("_yhi"),
-    )
-    xn = F.floor(normalized_dim(F.col(x), F.col("_xlo"), F.col("_xhi"), bits)).cast("int")
-    yn = F.floor(normalized_dim(F.col(y), F.col("_ylo"), F.col("_yhi"), bits)).cast("int")
+    xlo, xhi, ylo, yhi = collect_minmax_bounds(df, x, y)
+    xn = normalized_dim_lit(F.col(x), xlo, xhi, bits).cast("int")
+    yn = normalized_dim_lit(F.col(y), ylo, yhi, bits).cast("int")
     (
-        df.crossJoin(F.broadcast(bounds))
-        .withColumn("_z", zorder_col(xn, yn, bits))
+        df.withColumn("_z", zorder_col(xn, yn, bits))
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
-        .drop("_z", "_xlo", "_xhi", "_ylo", "_yhi")
+        .drop("_z")
         .write.mode("overwrite")
         .parquet(path)
     )
@@ -525,23 +582,22 @@ def zorder_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     column prune files.
 
     The interleave is 64 shift/and/or terms of exact integer column
-    arithmetic — fully codegen'd, bit-identical cross-engine, one
-    broadcast of the 1-row bounds + one hash-agg shuffle on tile id.
+    arithmetic — fully codegen'd, bit-identical cross-engine. The 1-row
+    bounds aggregate is collected driver-side (the OPTIMIZE-ZORDER
+    analysis phase) so the normalization arithmetic is chosen from the
+    known span at plan time — see ``normalized_dim_lit`` for the
+    round-2 regression this removes; the data path is one scan + one
+    hash-agg shuffle on tile id.
     """
     orders = load_table(spark, sf_dir, "orders")
     day = F.datediff(
         F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
     )
     d = orders.select("o_custkey", day.alias("day"))
-    b = d.agg(
-        F.min("o_custkey").alias("_xlo"), F.max("o_custkey").alias("_xhi"),
-        F.min("day").alias("_ylo"), F.max("day").alias("_yhi"),
-    )
-    xn = F.floor(
-        normalized_dim(F.col("o_custkey"), F.col("_xlo"), F.col("_xhi"))
-    ).cast("int")
-    yn = F.floor(normalized_dim(F.col("day"), F.col("_ylo"), F.col("_yhi"))).cast("int")
-    z = d.crossJoin(F.broadcast(b)).select(
+    xlo, xhi, ylo, yhi = collect_minmax_bounds(d, "o_custkey", "day")
+    xn = normalized_dim_lit(F.col("o_custkey"), xlo, xhi).cast("int")
+    yn = normalized_dim_lit(F.col("day"), ylo, yhi).cast("int")
+    z = d.select(
         "o_custkey", "day", F.shiftright(zorder_col(xn, yn), 26).alias("tile")
     )
     return z.groupBy("tile").agg(

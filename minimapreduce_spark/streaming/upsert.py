@@ -61,6 +61,7 @@ def _latest_per_user(df: DataFrame) -> DataFrame:
       FROM events
     ) WHERE rn = 1
     """,
+    bench=True,  # times the full 4-micro-batch CDC MERGE replay
 )
 def stream_upsert_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuously-merged serving table: for every user, the latest

@@ -77,6 +77,7 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sessions
     GROUP BY user_id, sid
     """,
+    bench=True,  # micro-batch overhead regressions must show in BENCH
 )
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native ``session_window`` (30 min gap) per user — Spark merges
