@@ -2553,3 +2553,98 @@ def customer_360_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").cast("bigint").alias("total_events"),
         )
     )
+
+
+PSI_BINS = 10
+
+
+@register(
+    "psi_value_drift",
+    oracle=f"""
+    WITH e AS (
+      SELECT epoch_us(ts) AS tus, CAST(round(value * 10000) AS BIGINT) AS vc
+      FROM events
+    ),
+    s AS (
+      SELECT min(tus) AS tmin, max(tus) AS tmax,
+             min(vc) AS vmin, max(vc) AS vmax
+      FROM e
+    ),
+    binned AS (
+      SELECT (e.vc - s.vmin) * {PSI_BINS} // (s.vmax - s.vmin + 1) AS bin,
+             CASE WHEN e.tus * 2 <= s.tmin + s.tmax THEN 1 ELSE 0 END AS early
+      FROM e, s
+    ),
+    counts AS (
+      SELECT b.bin,
+             CAST(coalesce(sum(early), 0) AS BIGINT)     AS n_early,
+             CAST(coalesce(sum(1 - early), 0) AS BIGINT) AS n_late
+      FROM (SELECT unnest(generate_series(0, {PSI_BINS - 1})) AS bin) b
+      LEFT JOIN binned USING (bin)
+      GROUP BY b.bin
+    ),
+    tot AS (SELECT sum(n_early) AS ne, sum(n_late) AS nl FROM counts)
+    SELECT CAST(counts.bin AS BIGINT) AS bin, n_early, n_late,
+           round(((n_early + 1.0) / (tot.ne + {PSI_BINS})
+                  - (n_late + 1.0) / (tot.nl + {PSI_BINS}))
+                 * ln(((n_early + 1.0) / (tot.ne + {PSI_BINS}))
+                      / ((n_late + 1.0) / (tot.nl + {PSI_BINS}))), 6) AS psi_term
+    FROM counts, tot
+    """,
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event-value distribution,
+    early half vs late half of the stream — the standard drift monitor
+    between a training window and a serving window (PSI > 0.2 = act).
+    Output: one row per fixed-width value bin with early/late counts
+    and the additive PSI term (Laplace-smoothed so empty bins are
+    defined); Σ psi_term is the index.
+
+    Exactness: values quantize to 1e-4 fixed point; bin edges and the
+    time split are pure integer arithmetic over driver-free 1-row
+    scalars (epoch-micros midpoint as t·2 ≤ tmin+tmax — no halving, no
+    rounding question); the single ln() differs at most in the last
+    ulp, absorbed by the 6-dp round. Empty bins are generated by a
+    {PSI_BINS}-row range outer join so the histogram shape is total.
+
+    Scale posture: one scan → 1-row bounds agg (broadcast back) → one
+    {PSI_BINS}-group hash agg; the bin frame and totals are
+    constant-size broadcasts. Linear at any event volume.
+    """
+    from minimapreduce_spark.operators.ordered import with_scalars
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        F.round(F.col("value") * 10000).cast("bigint").alias("vc"),
+    )
+    s = ev.agg(
+        F.min("tus").alias("_tmin"), F.max("tus").alias("_tmax"),
+        F.min("vc").alias("_vmin"), F.max("vc").alias("_vmax"),
+    )
+    e = with_scalars(ev, s)
+    bin_col = (
+        (F.col("vc") - F.col("_vmin")) * PSI_BINS / (F.col("_vmax") - F.col("_vmin") + 1)
+    ).cast("bigint")
+    early = (F.col("tus") * 2 <= F.col("_tmin") + F.col("_tmax")).cast("int")
+    binned = e.select(bin_col.alias("bin"), early.alias("early"))
+    counted = binned.groupBy("bin").agg(
+        F.sum("early").alias("ne_raw"), F.sum(1 - F.col("early")).alias("nl_raw")
+    )
+    bins = spark.range(PSI_BINS).select(F.col("id").alias("bin"))
+    counts = (
+        bins.join(counted, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("ne_raw", F.lit(0)).cast("bigint").alias("n_early"),
+            F.coalesce("nl_raw", F.lit(0)).cast("bigint").alias("n_late"),
+        )
+    )
+    tot = counts.agg(F.sum("n_early").alias("_ne"), F.sum("n_late").alias("_nl"))
+    p = (F.col("n_early") + 1.0) / (F.col("_ne") + PSI_BINS)
+    q = (F.col("n_late") + 1.0) / (F.col("_nl") + PSI_BINS)
+    return with_scalars(counts, tot).select(
+        F.col("bin").cast("bigint").alias("bin"),
+        "n_early",
+        "n_late",
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )

@@ -1328,3 +1328,70 @@ def curriculum_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("quality"), 6).alias("q_hi"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+QUOTA_K = 50  # kept documents per source
+QUOTA_SALTS = 8  # phase-1 fan-out inside each source
+
+
+@register(
+    "per_source_quota_sample",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             round(0.5 * least(len(ws) / 100.0, 1.0)
+                   + 0.3 * (1.0 - len(list_filter(ws, w -> w IN ('the','a','and','of','to','in'))) * 1.0 / len(ws))
+                   + 0.2 * (len(list_distinct(ws)) * 1.0 / len(ws)), 6) AS quality
+      FROM toks WHERE len(ws) > 0
+    ),
+    ranked AS (
+      SELECT doc_id, source, quality,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, source, quality, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {QUOTA_K}
+    """,
+)
+def per_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality quota — the head-heavy-source downsampler of
+    corpus curation: keep only the top {QUOTA_K} documents of each
+    source by quality score, so one crawl dump can't drown the mixture.
+
+    The scale problem this solves PROPERLY: the textbook
+    ``row_number() OVER (PARTITION BY source ...)`` puts one source =
+    one task — a 10 TB crawl source becomes a straggler that OOMs.
+    This plan is the two-phase salted grouped top-k: phase 1 ranks
+    within (source, doc_id % {QUOTA_SALTS}) — bounded partitions — and
+    keeps each salt's top {QUOTA_K}; phase 2 ranks the surviving
+    ≤ {QUOTA_SALTS}·{QUOTA_K} rows per source. The union of per-salt
+    top-k provably contains the global per-source top-k, so the result
+    is exactly the single-window answer the oracle computes — at any
+    source skew.
+
+    Quality is the engine's text_quality_score, rounded to 6 dp before
+    ranking on both engines so edges can't wobble on float noise;
+    ties break on doc_id.
+    """
+    from minimapreduce_spark.operators.text_analysis import text_quality_score
+
+    scored = text_quality_score(spark, sf_dir).select("doc_id", "source", "quality")
+    salt = F.pmod("doc_id", F.lit(QUOTA_SALTS))
+    w1 = W.partitionBy("source", "salt").orderBy(F.desc("quality"), F.asc("doc_id"))
+    phase1 = (
+        scored.withColumn("salt", salt)
+        .withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= QUOTA_K)
+    )
+    w2 = W.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        phase1.select("doc_id", "source", "quality")
+        .withColumn("rnk", F.row_number().over(w2))
+        .where(F.col("rnk") <= QUOTA_K)
+    )

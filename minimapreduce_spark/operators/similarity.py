@@ -789,3 +789,133 @@ def ann_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.row_number().over(w).alias("rn"))
         .where(F.col("rn") <= IVF_TOP_K)
     )
+
+
+PCA_OUT_SCALE = 1_000_000  # direction reported in integer millionths
+
+
+def _pca_oracle() -> str:
+    """Unrolled SQL twin of the two exact power-iteration steps —
+    HUGEINT where the Spark side runs decimal(38,0)."""
+    return f"""
+    WITH eq AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT)) AS eq
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT vec_id, d.d AS pos, eq[d.d] AS x
+      FROM eq, (SELECT unnest(generate_series(1, 64)) AS d) d
+    ),
+    s1 AS (SELECT vec_id, sum(x) AS s FROM comp GROUP BY vec_id),
+    u1 AS (
+      SELECT pos, sum(comp.x * s1.s) AS u
+      FROM comp JOIN s1 USING (vec_id) GROUP BY pos
+    ),
+    s2 AS (
+      SELECT vec_id, sum(comp.x * u1.u) AS s
+      FROM comp JOIN u1 USING (pos) GROUP BY vec_id
+    ),
+    u2 AS (
+      SELECT pos, sum(CAST(comp.x AS HUGEINT) * CAST(s2.s AS HUGEINT)) AS u
+      FROM comp JOIN s2 USING (vec_id) GROUP BY pos
+    ),
+    norm AS (
+      SELECT m, sgn FROM (
+        SELECT max(abs(u)) OVER () AS m,
+               CASE WHEN u >= 0 THEN 1 ELSE -1 END AS sgn,
+               row_number() OVER (ORDER BY abs(u) DESC, pos) AS rn
+        FROM u2
+      ) WHERE rn = 1
+    )
+    SELECT CAST(u2.pos AS BIGINT) AS dim,
+           CAST(CASE WHEN norm.sgn * u2.u >= 0 THEN 1 ELSE -1 END
+                * ((abs(u2.u) * {PCA_OUT_SCALE}) // norm.m) AS BIGINT) AS dir_fp
+    FROM u2, norm
+    """
+
+
+@register("embedding_pca_power_iteration", oracle=_pca_oracle())
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO exact power-iteration steps toward the dominant eigenvector
+    of the (uncentered) embedding Gram matrix — the spectral primitive
+    behind embedding whitening, anisotropy diagnosis, and ABTT-style
+    postprocessing of a corpus's vector space. What is verified here is
+    the ITERATION, exactly: on this fixture's near-flat spectrum
+    (λ₁/λ₂ ≈ 1.07) two steps are nowhere near converged — as any
+    fixed-step run on such data would be — and production loops these
+    same stages (convergence rate (λ₂/λ₁)^k); the pytest cross-checks
+    the two steps against an independent float64 computation of G²·1
+    instead of pretending they reach the eigenvector.
+
+    Exactness discipline (how an eigensolver hash-matches SQL): vectors
+    quantize to the 1e-4 integer grid; v₀ = all-ones; every matvec
+    u = Σᵢ xᵢ(xᵢ·v) is an exact integer sum — int64 through the first
+    step by the algebraic bound |u₁| ≤ N·X·64·X < 2^43, decimal(38,0)
+    (HUGEINT in the oracle) for the second where per-row terms reach
+    ~10²². No normalization happens BETWEEN steps — the rescale to
+    integer millionths (canonically sign-oriented by the dominant
+    component, floor-corrected against decimal quotient rounding)
+    happens once at the end, so there is no float anywhere.
+
+    Scale posture: each step is one fold per row + a posexplode to 64
+    (pos, partial) rows + a 64-group hash agg, with the 64-int iterate
+    re-attached via broadcast — embeddings never shuffle, exactly the
+    iterated broadcast-matvec shape MLlib's SVD uses. Iteration count
+    is fixed (2); production loops the same stages to convergence.
+    """
+    pts = _km_quantized(spark, sf_dir)
+    comp = pts.select("vec_id", F.posexplode("eq").alias("pos0", "x")).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"), "x"
+    )
+    s1 = pts.select(
+        "vec_id",
+        F.aggregate("eq", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("s"),
+    )
+    u1 = (
+        comp.join(s1, "vec_id")
+        .groupBy("pos")
+        .agg(F.sum(F.col("x") * F.col("s")).alias("u"))
+    )
+    s2 = (
+        comp.join(F.broadcast(u1), "pos")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("x") * F.col("u")).alias("s"))
+    )
+    dec = "decimal(38,0)"
+    u2 = (
+        comp.join(s2, "vec_id")
+        .groupBy("pos")
+        .agg(F.sum(F.col("x").cast(dec) * F.col("s").cast(dec)).alias("u"))
+    )
+    norm = u2.agg(
+        F.max(F.abs("u")).alias("m"),
+        # sign of the dominant component, lowest pos on ties: min struct
+        # over (-|u|, pos) picks max |u| first, then smallest pos
+        F.min(F.struct((-F.abs(F.col("u"))).alias("na"), F.col("pos").alias("p"),
+                       F.signum("u").cast("int").alias("sg"))).alias("b"),
+    ).select("m", F.when(F.col("b.sg") >= 0, F.lit(1)).otherwise(F.lit(-1)).alias("sgn"))
+    # magnitude division with corrected decimal floor (normalized_dim's
+    # discipline — decimal quotients round at scale >= 6, so propose +
+    # fix ±1), then apply the sign explicitly: integer '//' semantics
+    # for negatives differ cross-engine (floor vs truncate), so neither
+    # side ever divides a negative number.
+    a = F.abs(F.col("u")) * F.lit(PCA_OUT_SCALE).cast(dec)
+    q0 = F.floor(a / F.col("m")).cast(dec)
+    r = a - q0 * F.col("m").cast(dec)
+    q = (
+        q0
+        + F.when(r < 0, F.lit(-1))
+        .when(r >= F.col("m").cast(dec), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast(dec)
+    )
+    signed = F.when(F.col("sgn").cast(dec) * F.col("u") >= 0, q).otherwise(-q)
+    return (
+        u2.crossJoin(F.broadcast(norm))
+        .select(
+            F.col("pos").cast("bigint").alias("dim"),
+            signed.cast("bigint").alias("dir_fp"),
+        )
+    )

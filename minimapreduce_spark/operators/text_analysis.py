@@ -922,3 +922,161 @@ def text_ttr_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("hapax_frac"),
     )
+
+
+BIGRAM_LAMBDA_NUM, BIGRAM_LAMBDA_DEN = 7, 10  # interpolation λ = 0.7
+
+
+@register(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    uni AS (
+      SELECT word, count(*) AS c1, sum(count(*)) OVER () AS total
+      FROM (SELECT unnest(ws) AS word FROM toks) GROUP BY word
+    ),
+    bg AS (
+      SELECT doc_id, ws[i.i] AS w1, ws[i.i + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) i
+    ),
+    bgc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2)
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-ln(
+             {BIGRAM_LAMBDA_NUM}.0 / {BIGRAM_LAMBDA_DEN} * bgc.c12 / u1.c1
+             + (1.0 - {BIGRAM_LAMBDA_NUM}.0 / {BIGRAM_LAMBDA_DEN}) * u2.c1
+               / CAST(u2.total AS DOUBLE))), 4) AS avg_neg_logprob
+    FROM bg
+    JOIN bgc ON bgc.w1 = bg.w1 AND bgc.w2 = bg.w2
+    JOIN uni u1 ON u1.word = bg.w1
+    JOIN uni u2 ON u2.word = bg.w2
+    GROUP BY bg.doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram language-model scoring: per-document mean
+    negative log probability under the corpus's own bigram model with
+    unigram back-off, p(w2|w1) = λ·c(w1,w2)/c(w1) + (1-λ)·c(w2)/N,
+    λ = 0.7 — the step up from ``text_unigram_logprob`` that catches
+    scrambled/gibberish word ORDER, which a unigram model scores
+    identically to natural text. (A corpus whose documents are
+    word-permutations of each other — exactly what shuffling-based
+    data poisoning or naive word-dedup produces — separates cleanly
+    here and not at all under unigrams.)
+
+    Plan: bigrams are built per row with a higher-order transform over
+    the token array (no positional self-join); the model tables are
+    word- and bigram-keyed hash aggs; scoring joins shuffle on those
+    same keys — no broadcast hint, since a 100 TB corpus's bigram
+    vocabulary dwarfs driver memory and whether to broadcast is AQE's
+    runtime call. Probability terms are exact int/int divisions; only
+    ln() differs at the last ulp, absorbed by the 4-dp round of the
+    per-doc mean (the unigram query's proven discipline).
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    uni = (
+        toks.select(F.explode("ws").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c1"))
+    )
+    total = uni.agg(F.sum("c1").alias("total"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))")
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    lam = F.lit(BIGRAM_LAMBDA_NUM / BIGRAM_LAMBDA_DEN)
+    u1 = uni.select(F.col("word").alias("w1"), F.col("c1").alias("c1_w1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("c1").alias("c1_w2"))
+    p = lam * F.col("c12") / F.col("c1_w1") + (F.lit(1.0) - lam) * F.col(
+        "c1_w2"
+    ) / F.col("total").cast("double")
+    return (
+        bg.join(bgc, ["w1", "w2"])
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 4).alias("avg_neg_logprob"),
+        )
+    )
+
+
+BOILER_NGRAM_K = 8  # word-window size
+BOILER_MIN_DOCS = 5  # recurring in ≥ this many distinct docs of a source
+
+
+@register(
+    "boilerplate_ngram_sources",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, source,
+             ('0x' || substr(md5(array_to_string(ws[i.i:i.i + {BOILER_NGRAM_K - 1}], ' ')),
+                             1, 15))::BIGINT AS g
+      FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - {BOILER_NGRAM_K - 1})) AS i) i
+    ),
+    counts AS (
+      SELECT source, g, count(*) AS n_docs FROM grams GROUP BY source, g
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_distinct_ngrams,
+           CAST(sum(CASE WHEN n_docs >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boilerplate_ngrams,
+           CAST(max(n_docs) AS BIGINT) AS max_doc_count
+    FROM counts GROUP BY source
+    """,
+)
+def boilerplate_ngram_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection, the C4/CCNet cleaning primitive: within
+    each source, find {BOILER_NGRAM_K}-word windows recurring across
+    many DISTINCT documents — headers, footers, navigation chrome,
+    license blurbs — and report per-source how much of the n-gram
+    space is boilerplate (the input a line/span-removal pass consumes).
+    ``dedup_span_repeats`` asks "which docs copy each other"; this
+    asks "which CONTENT recurs per source", the removal-side view.
+
+    Exactness: windows are hashed with the portable md5-prefix integer
+    (the simhash discipline) so the oracle reproduces buckets exactly;
+    counts are distinct-doc integers.
+
+    Scale posture: explode to (doc, gram-hash) → per-doc distinct →
+    (source, gram) hash agg → |sources|-row rollup. Shuffles key on
+    16-byte hashes, never window text; nothing is pairwise.
+    """
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    ws = F.split("text", " ")
+    k = BOILER_NGRAM_K
+    gram = F.when(
+        F.size(ws) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        docs.select("doc_id", "source", F.explode(gram).alias("gram"))
+        .select(
+            "doc_id",
+            "source",
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("bigint").alias("g"),
+        )
+        .distinct()
+    )
+    counts = grams.groupBy("source", "g").agg(F.count("*").alias("n_docs"))
+    return counts.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_distinct_ngrams"),
+        F.sum((F.col("n_docs") >= BOILER_MIN_DOCS).cast("int"))
+        .cast("bigint")
+        .alias("n_boilerplate_ngrams"),
+        F.max("n_docs").cast("bigint").alias("max_doc_count"),
+    )

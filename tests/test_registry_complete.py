@@ -15,15 +15,25 @@ ALL = sorted(q.REGISTRY)
 
 
 def test_registry_size_matches_coverage_ledger():
-    with open(os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")) as f:
-        text = f.read()
+    """COVERAGE.md's totals line AND SURVEY.md §8's current-total line
+    must both equal the registry — one source of truth, test-pinned
+    (round-2 verdict: the two files disagreed for a full round)."""
     import re
 
-    m = re.search(r"Totals: (\d+) registered queries", text)
+    root = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(root, "COVERAGE.md")) as f:
+        m = re.search(r"Totals: (\d+) registered queries", f.read())
     assert m, "COVERAGE.md totals line missing"
     assert int(m.group(1)) == len(ALL), (
         f"COVERAGE.md claims {m.group(1)} queries, registry has {len(ALL)} — "
         "update the ledger"
+    )
+    with open(os.path.join(root, "SURVEY.md")) as f:
+        m = re.search(r"Current registered total: (\d+) queries", f.read())
+    assert m, "SURVEY.md §8 current-total line missing"
+    assert int(m.group(1)) == len(ALL), (
+        f"SURVEY.md claims {m.group(1)} queries, registry has {len(ALL)} — "
+        "update §8"
     )
 
 

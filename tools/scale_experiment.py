@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Dedup/ANN scale-up experiment: build an N× dup-heavy corpus from
+sf0.1 and time + oracle-verify the dedup/similarity family on it.
+
+Round 2's 10× run (SCALING.md) was built ad hoc; this tool commits the
+methodology. Design choices that make the result mean something:
+
+- **Dup-group size stays fixed at 10** while the number of groups
+  scales N/10×. Candidate volume in a banded-LSH dedup legitimately
+  grows with (group size)² — scaling groups instead of group size
+  isolates the claim under test: at a fixed duplication rate, runtime
+  is ~linear in corpus size because candidates are bounded by true
+  duplicates, never corpus².
+- **Variants are shingle-disjoint**: each base doc yields
+  ceil(N/10) content variants (identity / reversed words / sorted /
+  sorted-desc), each duplicated 10×. Reversal and re-sorting destroy
+  5-gram shingles, so variants don't rejoin into bigger dup groups.
+  Embedding variants (negate / fixed dim-rolls) are likewise far apart
+  in cosine.
+- **Correctness travels with scale**: every query is also re-verified
+  against its DuckDB oracle on the scaled fixture — the same
+  rows+schema+value-hash gate the driver applies at sf0.01 — so "it
+  still runs fast" can't hide "it silently returns garbage at scale".
+
+Usage: python tools/scale_experiment.py [--mult 40] [--out /tmp/sf_scaled]
+Prints one JSON line per query and a final summary JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+COPIES = 10  # exact copies per content variant — fixed across scales
+
+# documents-/embeddings-only queries: the dedup/ANN/curation family
+QUERIES = [
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_embedding_lsh",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_ivf_nprobe_topk",
+    "embedding_kmeans_lloyd",
+    "contamination_test_train",
+]
+
+
+def build_fixture(mult: int, out_dir: str) -> None:
+    """documents: 5000 base docs × ceil(mult/10) shingle-disjoint
+    variants × 10 exact copies; embeddings: 2000 base vectors × the
+    same variant/copy grid. Key offsets keep ids unique; group
+    structure is (base, variant) — 10 members each."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    copies = min(mult, COPIES)  # mult=1 → a protocol-identical baseline replica
+    n_variants = (mult + copies - 1) // copies
+
+    docs = pq.read_table(os.path.join(BASE, "documents.parquet")).to_pandas()
+    out = []
+    for v in range(n_variants):
+        base = docs.copy()
+        if v % 4 == 1:
+            base["text"] = base["text"].map(lambda t: " ".join(reversed(t.split())))
+        elif v % 4 == 2:
+            base["text"] = base["text"].map(lambda t: " ".join(sorted(t.split())))
+        elif v % 4 == 3:
+            base["text"] = base["text"].map(
+                lambda t: " ".join(sorted(t.split(), reverse=True))
+            )
+        if v >= 4:
+            # further variants: deterministic per-variant token prefix on
+            # EVERY word — shifts every shingle, keeping variants disjoint
+            base["text"] = base["text"].map(
+                lambda t, v=v: " ".join(f"v{v}{w}" for w in t.split())
+            )
+        base["n_chars"] = base["text"].str.len()
+        for c in range(copies):
+            copy = base.copy()
+            copy["doc_id"] = copy["doc_id"] + (v * copies + c) * 1_000_000
+            out.append(copy)
+    pd.concat(out, ignore_index=True).to_parquet(
+        os.path.join(out_dir, "documents.parquet"), index=False
+    )
+
+    emb = pq.read_table(os.path.join(BASE, "embeddings.parquet")).to_pandas()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float32)
+    out_e = []
+    for v in range(n_variants):
+        m = mat.copy()
+        if v % 2 == 1:
+            m = -m  # cosine -1 from the original
+        m = np.roll(m, shift=(v // 2) * 7, axis=1)  # dim rotation: decorrelates
+        for c in range(copies):
+            copy = emb.copy()
+            copy["vec_id"] = copy["vec_id"] + (v * copies + c) * 1_000_000
+            copy["embedding"] = list(m)
+            out_e.append(copy)
+    pd.concat(out_e, ignore_index=True).to_parquet(
+        os.path.join(out_dir, "embeddings.parquet"), index=False
+    )
+
+
+def value_hash(pdf) -> str:
+    pdf = pdf[sorted(pdf.columns)]
+    return hashlib.sha256(
+        "\n".join(
+            sorted(",".join(repr(v) for v in r) for r in pdf.itertuples(index=False))
+        ).encode()
+    ).hexdigest()[:12]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=40)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--skip-oracle", action="store_true")
+    args = ap.parse_args()
+    out_dir = args.out or f"/tmp/sf_scaled_{args.mult}x"
+
+    if not args.skip_build:
+        t0 = time.perf_counter()
+        build_fixture(args.mult, out_dir)
+        print(
+            json.dumps({"step": "build", "sec": round(time.perf_counter() - t0, 1)}),
+            file=sys.stderr,
+        )
+
+    import duckdb
+
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-experiment")
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(out_dir, t + '.parquet')}'"
+        )
+
+    # unmeasured warmup: JVM + parquet footer + Arrow path one-time costs
+    q.REGISTRY["dedup_exact"].fn(spark, out_dir).count()
+
+    results = {}
+    total = 0.0
+    for name in QUERIES:
+        entry = q.REGISTRY[name]
+        t0 = time.perf_counter()
+        spdf = entry.fn(spark, out_dir).toPandas()
+        wall = time.perf_counter() - t0
+        total += wall
+        rec = {"query": name, "sec": round(wall, 2), "rows": len(spdf)}
+        if not args.skip_oracle and entry.oracle:
+            t1 = time.perf_counter()
+            opdf = con.execute(entry.oracle).df()
+            rec["oracle_sec"] = round(time.perf_counter() - t1, 2)
+            rec["match"] = bool(
+                len(spdf) == len(opdf)
+                and sorted(spdf.columns) == sorted(opdf.columns)
+                and value_hash(spdf) == value_hash(opdf)
+            )
+        results[name] = rec
+        print(json.dumps(rec), flush=True)
+
+    print(
+        json.dumps(
+            {
+                "mult": args.mult,
+                "total_spark_sec": round(total, 1),
+                "all_match": all(r.get("match", True) for r in results.values()),
+                "n_queries": len(results),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
