@@ -448,9 +448,7 @@ def _lsh_band_rows(batches):
         )
 
 
-@register(
-    "dedup_embedding_lsh",
-    oracle=f"""
+_EMB_LSH_ORACLE = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     q AS (
       SELECT vec_id, dd.d AS d,
@@ -484,7 +482,12 @@ def _lsh_band_rows(batches):
     JOIN e ea ON ea.vec_id = cand.vec_a
     JOIN e eb ON eb.vec_id = cand.vec_b
     WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= {EMB_LSH_THRESHOLD}
-    """,
+    """
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=_EMB_LSH_ORACLE,
     bench=True,  # the 100 TB embedding-dedup path is a headliner
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -547,6 +550,56 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cosine_sim") >= EMB_LSH_THRESHOLD)
     )
+
+
+_EMB_CLUSTER_ORACLE = (
+    """
+    WITH pairs_base AS ("""
+    + _EMB_LSH_ORACLE
+    + """
+    ),
+    undirected AS (
+      SELECT vec_a AS src, vec_b AS dst FROM pairs_base
+      UNION
+      SELECT vec_b, vec_a FROM pairs_base
+    ),
+    reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT src, dst FROM undirected
+        UNION
+        SELECT src, src FROM undirected
+        UNION
+        SELECT r.src, u.dst FROM r JOIN undirected u ON r.dst = u.src
+      )
+      SELECT * FROM r
+    )
+    SELECT src AS vec_id,
+           min(dst) AS cluster_id,
+           (src = min(dst)) AS is_canonical
+    FROM reach
+    GROUP BY src
+    """
+)
+
+
+@register("dedup_embedding_clusters", oracle=_EMB_CLUSTER_ORACLE)
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup decision: connected components over the
+    LSH-verified embedding near-dup pairs (``dedup_embedding_lsh``) —
+    every vector in a cosine-similar pair gets a cluster_id (min
+    reachable vec_id) and a canonical flag. The embedding-space twin of
+    ``dedup_clusters`` (which clusters lexical Jaccard pairs): lexical
+    CC catches copies and templates, semantic CC catches paraphrases
+    and re-encodings — a curation pipeline runs both and unions the
+    drop sets.
+
+    Same iterative min-label propagation (``min_label_components``) —
+    rounds = component diameter, labels/edges distributed throughout;
+    oracle = recursive-CTE closure over the identical (SQL-reproduced)
+    LSH pair set.
+    """
+    pairs = dedup_embedding_lsh(spark, sf_dir).select("vec_a", "vec_b")
+    return min_label_components(pairs, a="vec_a", b="vec_b", out_id="vec_id")
 
 
 @register(
@@ -711,18 +764,28 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup edges) and a canonical flag — the keep-one-per-cluster step
     that turns pairwise dedup output into an actual dedup decision.
 
-    Iterative min-label propagation: each round joins labels to the
-    undirected edge set, takes the min neighbor label per vertex, and
-    stops when no label changed. The driver loop carries only control
-    flow (a changed-count per round); labels and edges stay distributed
-    — the standard Spark pattern for iterative graph algorithms. Rounds
-    needed = graph diameter (near-dup clusters are near-cliques, so a
-    handful); a 50-round guard bounds pathological chains. The oracle is
-    a recursive-CTE transitive closure over the same pair set."""
+    Iterative min-label propagation (``min_label_components``): each
+    round joins labels to the undirected edge set, takes the min
+    neighbor label per vertex, and stops when no label changed. The
+    driver loop carries only control flow (a changed-count per round);
+    labels and edges stay distributed — the standard Spark pattern for
+    iterative graph algorithms. Rounds needed = graph diameter
+    (near-dup clusters are near-cliques, so a handful); a 50-round
+    guard bounds pathological chains. The oracle is a recursive-CTE
+    transitive closure over the same pair set."""
     pairs = jaccard_pairs(spark, sf_dir, NGRAM_THRESHOLD).select("doc_a", "doc_b")
-    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    return min_label_components(pairs, out_id="doc_id")
+
+
+def min_label_components(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", out_id: str = "doc_id"
+) -> DataFrame:
+    """Connected components of an undirected pair graph by iterative
+    min-label propagation — see ``dedup_clusters`` for the algorithm
+    discussion. Returns (out_id, cluster_id, is_canonical)."""
+    fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     edges = fwd.union(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
     ).persist()
     labels = (
         edges.select("src").distinct().select(F.col("src").alias("v"), F.col("src").alias("label"))
@@ -734,6 +797,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("e.src").alias("v"))
             .agg(F.min("l.label").alias("nbr_label"))
         )
+        # EAGER localCheckpoint, not persist: each round's plan embeds
+        # the previous round's labels TWICE (the join probe and the
+        # neighbor_min subtree), so an uncheckpointed lineage doubles
+        # per round — fine for the near-clique Jaccard graph (diameter
+        # ~2) but exponential analysis cost by round ~15 on chainier
+        # graphs (the embedding-LSH component graph). Checkpointing
+        # truncates the plan to the materialized RDD every round.
         new_labels = (
             labels.alias("cur")
             .join(neighbor_min.alias("nm"), F.col("cur.v") == F.col("nm.v"), "left")
@@ -743,7 +813,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cur.label"), F.coalesce("nm.nbr_label", F.col("cur.label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -756,7 +826,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     out = labels.select(
-        F.col("v").alias("doc_id"),
+        F.col("v").alias(out_id),
         F.col("label").alias("cluster_id"),
         (F.col("v") == F.col("label")).alias("is_canonical"),
     )

@@ -919,3 +919,61 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
             signed.cast("bigint").alias("dir_fp"),
         )
     )
+
+
+KNN_GRAPH_K = 5
+
+
+@register(
+    "ann_knn_graph_edges",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+    sims AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine_sim
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT vec_id, neighbor_id, cosine_sim,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY cosine_sim DESC, neighbor_id
+             ) AS rn
+      FROM sims
+    )
+    SELECT vec_id, neighbor_id, cosine_sim, rn
+    FROM ranked WHERE rn <= {KNN_GRAPH_K}
+    """,
+)
+def ann_knn_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide kNN GRAPH construction (every vector × its top-5
+    cosine neighbors within its IVF partition) — the edge list that
+    graph-based dedup, diversity sampling, and HNSW-style index builds
+    consume. Unlike ``ann_cosine_topk`` (20 external queries), every
+    corpus vector is a query here, so the all-pairs trap is corpus² —
+    the IVF routing (self-join ON label) bounds candidates to
+    Σ|partition|², the standard within-cell kNN of an IVF build.
+
+    Plan: one label-keyed self-join (both sides shuffle on label — AQE
+    handles cell skew), codegen'd cosine fold, per-vector rank window
+    (bounded by partition size). At 100 TB the label comes from the
+    coarse quantizer (embedding_kmeans_lloyd's assignment) instead of
+    the fixture's label column — same plan shape.
+    """
+    emb = _emb(spark, sf_dir)
+    a = emb.select("vec_id", "emb", "label")
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("nemb"), "label"
+    )
+    sims = (
+        a.join(b, "label")
+        .where(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(cosine(F.col("emb"), F.col("nemb")), 6).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return sims.select(
+        "vec_id", "neighbor_id", "cosine_sim", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= KNN_GRAPH_K)

@@ -1080,3 +1080,161 @@ def boilerplate_ngram_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_boilerplate_ngrams"),
         F.max("n_docs").cast("bigint").alias("max_doc_count"),
     )
+
+
+BPE_TOP_PAIRS = 20
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH wf AS (
+      SELECT word, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' GROUP BY word
+    ),
+    chars AS (SELECT word, freq, string_split(word, '') AS cs FROM wf),
+    pairs AS (
+      SELECT cs[i.i] AS c1, cs[i.i + 1] AS c2, sum(freq) AS weight
+      FROM chars, LATERAL (SELECT unnest(generate_series(1, len(cs) - 1)) AS i) i
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT c1, c2, CAST(weight AS BIGINT) AS weight,
+             row_number() OVER (ORDER BY weight DESC, c1, c2) AS rnk
+      FROM pairs
+    )
+    SELECT c1, c2, weight, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {BPE_TOP_PAIRS}
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One iteration of BPE tokenizer TRAINING: over the corpus's word
+    frequency table, count every adjacent character pair weighted by
+    word frequency and rank the top merge candidates — exactly the
+    statistic the BPE loop greedily merges each round. (Full training
+    is a driver loop re-running this stage on the re-segmented vocab;
+    one verified iteration is the honest distributed unit — the same
+    decomposition Sentencepiece's MR-style trainers use.)
+
+    Plan: the pair counting runs on the VOCABULARY (post word-count
+    agg), not the corpus — at 100 TB the vocab is millions of rows
+    while the corpus is trillions, so the expensive explode happens
+    after the first agg collapses the scale. Top-k is takeOrdered-first
+    (parallel partial top-k), then a bounded rank stamp.
+    """
+    from minimapreduce_spark.operators.ordered import with_bounded_rank
+
+    docs = _docs(spark, sf_dir)
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    # Spark's split(word, '') appends a trailing '' element (DuckDB's
+    # string_split does not) — filter it, and guard 1-char words, whose
+    # descending sequence(0, -1) would index out of bounds.
+    chars = wf.select(
+        "freq", F.filter(F.split("word", ""), lambda c: c != "").alias("cs")
+    ).where(F.size("cs") >= 2)
+    pairs = chars.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(cs) - 2), "
+                "i -> struct(cs[i] AS c1, cs[i + 1] AS c2))"
+            )
+        ).alias("p"),
+    ).groupBy("p.c1", "p.c2").agg(F.sum("freq").cast("bigint").alias("weight"))
+    top = pairs.orderBy(F.desc("weight"), F.asc("c1"), F.asc("c2")).limit(BPE_TOP_PAIRS)
+    return with_bounded_rank(
+        top, F.desc("weight"), F.asc("c1"), F.asc("c2"), out="rnk"
+    ).select("c1", "c2", "weight", "rnk")
+
+
+@register(
+    "token_histogram_zipf",
+    oracle="""
+    WITH wf AS (
+      SELECT word, count(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' GROUP BY word
+    ),
+    ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rnk FROM wf
+    ),
+    qs AS (
+      SELECT CAST(round(ln(rnk) * 1000000000) AS BIGINT) AS xq,
+             CAST(round(ln(cnt) * 1000000000) AS BIGINT) AS yq
+      FROM ranked
+    ),
+    sums AS (
+      SELECT count(*) AS n,
+             sum(CAST(xq AS HUGEINT)) AS sx, sum(CAST(yq AS HUGEINT)) AS sy,
+             sum(CAST(xq AS HUGEINT) * CAST(yq AS HUGEINT)) AS sxy,
+             sum(CAST(xq AS HUGEINT) * CAST(xq AS HUGEINT)) AS sxx
+      FROM qs
+    )
+    SELECT CAST(n AS BIGINT) AS n_vocab,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+           round((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / n / 1000000000, 6) AS zipf_intercept
+    FROM sums
+    """,
+)
+def token_histogram_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf diagnostics of the corpus vocabulary: OLS slope of
+    ln(frequency) against ln(rank) — natural corpora slope ≈ -1, and a
+    drifting slope is an early signal of template spam, dedup failures,
+    or synthetic contamination in a pretraining mix.
+
+    Exactness discipline for a REGRESSION to hash-match across engines:
+    each term's logs are quantized to integer nano-nats (the
+    events_user_entropy trick), so Σx, Σy, Σxy, Σx² are
+    order-independent exact integer sums (decimal(38,0) in Spark,
+    HUGEINT in DuckDB — Σxy reaches ~10²⁵); the two closed-form
+    divisions at the end are the only float ops, identical on both
+    sides. Rank comes from the two-phase global row_number — the
+    vocabulary is corpus-scale, so no single-partition window.
+    """
+    from minimapreduce_spark.operators.ordered import with_global_row_number
+
+    docs = _docs(spark, sf_dir)
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ranked = with_global_row_number(
+        wf, [F.desc("cnt"), F.asc("word")], out="rnk"
+    )
+    dec = "decimal(38,0)"
+    qs = ranked.select(
+        F.round(F.log("rnk") * 1e9).cast("bigint").cast(dec).alias("xq"),
+        F.round(F.log("cnt") * 1e9).cast("bigint").cast(dec).alias("yq"),
+    )
+    sums = qs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+    )
+    n = F.col("n").cast(dec)
+    slope_num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    slope_den = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = slope_num / slope_den
+    intercept = (
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n")
+        / 1e9
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_vocab"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    )

@@ -167,3 +167,106 @@ def test_boilerplate_detects_planted_recurring_ngrams(spark):
     assert target in rows
     assert rows[target].n_boilerplate_ngrams >= 1
     assert rows[target].max_doc_count >= BOILER_MIN_DOCS
+
+
+def test_bpe_candidates_ranked_and_consistent(spark):
+    """Merge candidates must be rank-consecutive, weight-sorted, and
+    single characters (first iteration = char-pair statistics)."""
+    from minimapreduce_spark.operators.text_analysis import BPE_TOP_PAIRS
+
+    rows = sorted(
+        q.REGISTRY["bpe_merge_candidates"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.rnk,
+    )
+    assert [r.rnk for r in rows] == list(range(1, BPE_TOP_PAIRS + 1))
+    weights = [r.weight for r in rows]
+    assert weights == sorted(weights, reverse=True)
+    assert all(len(r.c1) == 1 and len(r.c2) == 1 for r in rows)
+
+
+def test_bpe_counts_planted_dominant_pair(spark):
+    """A corpus dominated by one repeated word must rank that word's
+    leading char pair first, with weight = total word occurrences."""
+    import os
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [(i, "zq " * 50, "en", "synth", 150) for i in range(20)],
+        "doc_id: bigint, text: string, lang: string, source: string, n_chars: bigint",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        top = (
+            q.REGISTRY["bpe_merge_candidates"].fn(spark, d)
+            .orderBy("rnk")
+            .first()
+        )
+    assert (top.c1, top.c2) == ("z", "q")
+    assert top.weight == 20 * 50
+
+
+def test_zipf_slope_negative_and_near_minus_one_on_zipfian(spark):
+    """Fixture slope must be negative (frequencies decay with rank);
+    a planted perfectly-Zipfian corpus must fit slope ≈ -1."""
+    import os
+    import tempfile
+
+    row = q.REGISTRY["token_histogram_zipf"].fn(spark, SF_DIR).first()
+    assert row.zipf_slope < 0
+
+    # plant freq(rank r) = 3000 // r for 200 word types
+    words = []
+    for r in range(1, 201):
+        words += [f"w{r:03d}"] * (3000 // r)
+    text = " ".join(words)
+    docs = spark.createDataFrame(
+        [(0, text, "en", "synth", len(text))],
+        "doc_id: bigint, text: string, lang: string, source: string, n_chars: bigint",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        planted = q.REGISTRY["token_histogram_zipf"].fn(spark, d).first()
+    assert -1.1 < planted.zipf_slope < -0.9, planted.zipf_slope
+
+
+def test_knn_graph_edges_routed_within_label(spark):
+    """Every vector emits ≤ K edges; every edge stays inside the
+    vector's IVF cell (label); ranks are consecutive from 1."""
+    from collections import defaultdict
+
+    from minimapreduce_spark.operators.similarity import KNN_GRAPH_K
+
+    rows = q.REGISTRY["ann_knn_graph_edges"].fn(spark, SF_DIR).collect()
+    labels = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+    per_vec = defaultdict(list)
+    for r in rows:
+        per_vec[r.vec_id].append(r)
+        assert labels[r.vec_id] == labels[r.neighbor_id]
+    for vec, es in per_vec.items():
+        assert len(es) <= KNN_GRAPH_K
+        assert sorted(e.rn for e in es) == list(range(1, len(es) + 1))
+
+
+def test_embedding_clusters_consistent_with_lsh_pairs(spark):
+    """Both endpoints of every LSH-verified pair must share a cluster,
+    and each cluster id is its minimum member."""
+    from collections import defaultdict
+
+    labels = {
+        r.vec_id: r.cluster_id
+        for r in q.REGISTRY["dedup_embedding_clusters"].fn(spark, SF_DIR).collect()
+    }
+    pairs = q.REGISTRY["dedup_embedding_lsh"].fn(spark, SF_DIR).collect()
+    assert pairs
+    for p in pairs:
+        assert labels[p.vec_a] == labels[p.vec_b]
+    members = defaultdict(list)
+    for v, c in labels.items():
+        members[c].append(v)
+    for c, vs in members.items():
+        assert c == min(vs)

@@ -12,11 +12,17 @@ methodology. Design choices that make the result mean something:
   is ~linear in corpus size because candidates are bounded by true
   duplicates, never corpus².
 - **Variants are shingle-disjoint**: each base doc yields
-  ceil(N/10) content variants (identity / reversed words / sorted /
-  sorted-desc), each duplicated 10×. Reversal and re-sorting destroy
-  5-gram shingles, so variants don't rejoin into bigger dup groups.
-  Embedding variants (negate / fixed dim-rolls) are likewise far apart
-  in cosine.
+  ceil(N/10) content variants — identity plus per-variant word-prefix
+  rewrites (every word gets a `v<k>` prefix), each duplicated 10×.
+  Prefixing every word shifts every shingle, so variants neither
+  rejoin their base nor each other into bigger dup groups, AND
+  cross-doc shingle collisions within a variant mirror the base
+  corpus's natural overlap. (A first cut used sorted-word variants;
+  sorting collapses thousands of docs onto shared sorted runs, turning
+  the ngram inverted index's hot-shingle weakness into a corpus²
+  blowup — a fixture artifact, not the behavior under test.)
+  Embedding variants (negate / fixed dim-rolls) are far apart in
+  cosine.
 - **Correctness travels with scale**: every query is also re-verified
   against its DuckDB oracle on the scaled fixture — the same
   rows+schema+value-hash gate the driver applies at sf0.01 — so "it
@@ -73,17 +79,11 @@ def build_fixture(mult: int, out_dir: str) -> None:
     out = []
     for v in range(n_variants):
         base = docs.copy()
-        if v % 4 == 1:
-            base["text"] = base["text"].map(lambda t: " ".join(reversed(t.split())))
-        elif v % 4 == 2:
-            base["text"] = base["text"].map(lambda t: " ".join(sorted(t.split())))
-        elif v % 4 == 3:
-            base["text"] = base["text"].map(
-                lambda t: " ".join(sorted(t.split(), reverse=True))
-            )
-        if v >= 4:
-            # further variants: deterministic per-variant token prefix on
-            # EVERY word — shifts every shingle, keeping variants disjoint
+        if v > 0:
+            # deterministic per-variant token prefix on EVERY word —
+            # shifts every shingle, keeping variants disjoint from the
+            # base and from each other while preserving the base
+            # corpus's natural within-variant overlap structure
             base["text"] = base["text"].map(
                 lambda t, v=v: " ".join(f"v{v}{w}" for w in t.split())
             )
