@@ -40,6 +40,15 @@ CANDIDATES = [
     # iterative clustering + streaming merge
     "embedding_kmeans_lloyd",
     "stream_upsert_latest_state",
+    # round-3 additions: Arrow-batched signature stage (values must not
+    # depend on mapInPandas batch boundaries), salted grouped top-k,
+    # integer power iteration, quantized-log regression, CC over LSH
+    "dedup_embedding_lsh",
+    "per_source_quota_sample",
+    "embedding_pca_power_iteration",
+    "token_histogram_zipf",
+    "dedup_embedding_clusters",
+    "psi_value_drift",
 ]
 
 
