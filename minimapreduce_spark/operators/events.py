@@ -915,3 +915,108 @@ def events_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctx.select(
         "event_type", "bucket", "n_events", F.round(interp, 6).alias("value_interp")
     )
+
+
+SEQ_CONTEXT_K = 2  # context length; fixture sessions max out at 3 events
+
+
+@register(
+    "sessionized_training_examples",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts, event_type,
+             epoch(ts) - lag(epoch(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS gap
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(sum(CASE WHEN gap IS NULL OR gap > {SESSION_GAP_SECONDS} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM gaps
+    ),
+    seqs AS (
+      SELECT user_id, session_id,
+             list(event_type ORDER BY ts, event_id) AS types
+      FROM sessions GROUP BY user_id, session_id
+    ),
+    ex AS (
+      SELECT user_id, session_id,
+             CAST(i.i AS BIGINT) - 1 AS example_id,
+             types[i.i : i.i + {SEQ_CONTEXT_K - 1}] AS context,
+             types[i.i + {SEQ_CONTEXT_K}] AS target
+      FROM seqs,
+           LATERAL (SELECT unnest(generate_series(1, len(types) - {SEQ_CONTEXT_K})) AS i) i
+    )
+    SELECT user_id, session_id, example_id,
+           array_to_string(context, ' ') AS context,
+           target
+    FROM ex
+    """,
+)
+def sessionized_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-dataset construction — the exporter that turns raw
+    event logs into next-event-prediction training examples: within
+    each 30-minute session, every sliding window of SEQ_CONTEXT_K
+    event types becomes a (context, target) example (K=2 here — the
+    fixture's sessions max out at 3 events; production raises K). This is the
+    behavioral-LM analog of ``doc_chunks`` (which windows documents):
+    one row per example, rows-out > rows-in, ready for
+    ``assign_training_shards``-style export.
+
+    Determinism contract: the per-session sequence is
+    ``array_sort(collect_list(struct(ts, event_id, type)))`` — the
+    reference's own fix for non-deterministic reduce-value order
+    (mrapps/indexer.go:37; SURVEY §1) — so examples are identical under
+    any partitioning; the context is emitted as a space-joined string,
+    which both engines order identically.
+
+    Scale posture: one shuffle on user_id feeds the session windows and
+    the per-session collect; windowing is a per-row higher-order
+    transform over bounded session arrays (sessions are minutes long by
+    construction — the 30-min gap bounds them). No pairwise stage.
+    """
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ts_sec = F.col("ts").cast("timestamp").cast("double")
+    with_gap = ev.select(
+        "user_id", "event_id", "ts", "event_type",
+        (ts_sec - F.lag(ts_sec).over(w)).alias("gap"),
+    )
+    with_session = with_gap.select(
+        "user_id", "event_id", "ts", "event_type",
+        F.sum(
+            F.when(F.col("gap").isNull() | (F.col("gap") > SESSION_GAP_SECONDS), 1).otherwise(0)
+        )
+        .over(wrun)
+        .cast("bigint")
+        .alias("session_id"),
+    )
+    seqs = with_session.groupBy("user_id", "session_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ).alias("types")
+    )
+    k = SEQ_CONTEXT_K
+    ex = seqs.where(F.size("types") > k).select(
+        "user_id",
+        "session_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(types) - {k + 1}), "
+                f"i -> struct(CAST(i AS BIGINT) AS example_id, "
+                f"            array_join(slice(types, i + 1, {k}), ' ') AS context, "
+                f"            types[i + {k}] AS target))"
+            )
+        ).alias("e"),
+    )
+    return ex.select(
+        "user_id", "session_id", "e.example_id", "e.context", "e.target"
+    )

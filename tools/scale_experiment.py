@@ -54,12 +54,26 @@ QUERIES = [
     "dedup_simhash",
     "dedup_clusters",
     "dedup_embedding_lsh",
+    "dedup_embedding_clusters",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_ivf_nprobe_topk",
+    "ann_knn_graph_edges",
     "embedding_kmeans_lloyd",
+    "embedding_pca_power_iteration",
     "contamination_test_train",
 ]
+
+# Excluded past 10×: the full-Jaccard inverted-index pair (ngram and the
+# CC that consumes it) — the fixture's ~100-word synthetic vocabulary
+# makes 5-gram buckets pervasive (avg bucket ≈ 7 docs at sf0.1, ×10
+# copies at every scale step), so Σ bucket² reaches 66 BILLION joined
+# rows at 40×. That is the documented hot-shingle degradation the
+# operator's own docstring warns about (dedup.py module notes) — the
+# measured scale path is dedup_minhash, whose banding bounds candidates
+# by true near-dups, and it STAYS in the run. Same exclusion precedent
+# as the O(n²) dedup_embedding_cosine baseline in SCALING.md round 2.
+EXCLUDE_PAST_10X = {"dedup_ngram_jaccard", "dedup_clusters"}
 
 
 def build_fixture(mult: int, out_dir: str) -> None:
@@ -155,9 +169,15 @@ def main() -> None:
     # unmeasured warmup: JVM + parquet footer + Arrow path one-time costs
     q.REGISTRY["dedup_exact"].fn(spark, out_dir).count()
 
+    names = list(QUERIES)
+    if args.mult > 10:
+        for n in sorted(EXCLUDE_PAST_10X):
+            print(json.dumps({"query": n, "excluded": "hot-shingle full-Jaccard; see EXCLUDE_PAST_10X"}), flush=True)
+        names = [n for n in names if n not in EXCLUDE_PAST_10X]
+
     results = {}
     total = 0.0
-    for name in QUERIES:
+    for name in names:
         entry = q.REGISTRY[name]
         t0 = time.perf_counter()
         spdf = entry.fn(spark, out_dir).toPandas()
