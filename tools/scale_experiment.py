@@ -64,16 +64,26 @@ QUERIES = [
     "contamination_test_train",
 ]
 
-# Excluded past 10×: the full-Jaccard inverted-index pair (ngram and the
-# CC that consumes it) — the fixture's ~100-word synthetic vocabulary
-# makes 5-gram buckets pervasive (avg bucket ≈ 7 docs at sf0.1, ×10
-# copies at every scale step), so Σ bucket² reaches 66 BILLION joined
-# rows at 40×. That is the documented hot-shingle degradation the
-# operator's own docstring warns about (dedup.py module notes) — the
-# measured scale path is dedup_minhash, whose banding bounds candidates
-# by true near-dups, and it STAYS in the run. Same exclusion precedent
-# as the O(n²) dedup_embedding_cosine baseline in SCALING.md round 2.
-EXCLUDE_PAST_10X = {"dedup_ngram_jaccard", "dedup_clusters"}
+# Excluded past 10×:
+# - the full-Jaccard inverted-index pair (ngram and the CC that consumes
+#   it) — the fixture's ~100-word synthetic vocabulary makes 5-gram
+#   buckets pervasive (avg bucket ≈ 7 docs at sf0.1, ×10 copies at every
+#   scale step), so Σ bucket² reaches 66 BILLION joined rows at 40×.
+#   That is the documented hot-shingle degradation the operator's own
+#   docstring warns about (dedup.py module notes) — the measured scale
+#   path is dedup_minhash, which STAYS in the run. Same exclusion
+#   precedent as the O(n²) dedup_embedding_cosine baseline in round 2.
+# - ann_knn_graph_edges — its Σ|cell|² bound assumes IVF nlist grows
+#   with the corpus (real builds use nlist ∝ √N); the fixture's label
+#   column is FIXED at 10 cells, so cells grow linearly and the
+#   within-cell self-join becomes a fixture artifact past ~10×.
+EXCLUDE_PAST_10X = {"dedup_ngram_jaccard", "dedup_clusters", "ann_knn_graph_edges"}
+
+# Oracle skipped (timing + rows only) past 10×: dedup_minhash's DuckDB
+# oracle is the FULL exact-Jaccard join — the same 66e9-row computation
+# excluded above; the query itself still verifies its candidates with
+# exact Jaccard internally and was oracle-matched at 1× and 10×.
+ORACLE_SKIP_PAST_10X = {"dedup_minhash"}
 
 
 def build_fixture(mult: int, out_dir: str) -> None:
@@ -184,7 +194,9 @@ def main() -> None:
         wall = time.perf_counter() - t0
         total += wall
         rec = {"query": name, "sec": round(wall, 2), "rows": len(spdf)}
-        if not args.skip_oracle and entry.oracle:
+        if args.mult > 10 and name in ORACLE_SKIP_PAST_10X:
+            rec["oracle"] = "skipped: intractable single-node oracle; see ORACLE_SKIP_PAST_10X"
+        elif not args.skip_oracle and entry.oracle:
             t1 = time.perf_counter()
             opdf = con.execute(entry.oracle).df()
             rec["oracle_sec"] = round(time.perf_counter() - t1, 2)
