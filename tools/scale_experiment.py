@@ -107,9 +107,15 @@ def build_fixture(mult: int, out_dir: str) -> None:
             # deterministic per-variant token prefix on EVERY word —
             # shifts every shingle, keeping variants disjoint from the
             # base and from each other while preserving the base
-            # corpus's natural within-variant overlap structure
+            # corpus's natural within-variant overlap structure.
+            # LETTERS ONLY: the shingle tokenizer splits on
+            # [^A-Za-z]+, so a digit-bearing prefix like 'v1' would be
+            # split off and every prefixed variant would collapse into
+            # one token-identical group (caught in the 40× dry run:
+            # 1.65M cross-variant jaccard-1.0 pairs).
+            pre = "v" + chr(ord("a") + v)
             base["text"] = base["text"].map(
-                lambda t, v=v: " ".join(f"v{v}{w}" for w in t.split())
+                lambda t, pre=pre: " ".join(pre + w for w in t.split())
             )
         base["n_chars"] = base["text"].str.len()
         for c in range(copies):
