@@ -953,27 +953,61 @@ def ann_knn_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the IVF routing (self-join ON label) bounds candidates to
     Σ|partition|², the standard within-cell kNN of an IVF build.
 
-    Plan: one label-keyed self-join (both sides shuffle on label — AQE
-    handles cell skew), codegen'd cosine fold, per-vector rank window
-    (bounded by partition size). At 100 TB the label comes from the
-    coarse quantizer (embedding_kmeans_lloyd's assignment) instead of
-    the fixture's label column — same plan shape.
+    Plan: one shuffle groups each IVF cell onto an executor
+    (applyInPandas on label — the cell-fits-in-memory contract IS the
+    IVF design contract: nlist is chosen so cells are bounded), where
+    ONE BLAS matmul scores the whole cell and each vector keeps its
+    top-K plus a 2e-6 raw-cosine safety margin; the margin rows then
+    get the canonical JVM-side round(…, 6) and rank, so round-then-rank
+    ties break exactly as the oracle's (numpy must not rank raw floats
+    the oracle ranks rounded — the ann_cosine_topk_numpy discipline).
+    A first cut expressed the cell scoring as a per-pair zip_with/
+    aggregate fold: higher-order functions evaluate interpreted, and
+    40M cell-pairs at 10× took 11 minutes against the matmul's
+    seconds — vector math past a few million pairs belongs in Arrow
+    batches. At 100 TB the label comes from the coarse quantizer
+    (embedding_kmeans_lloyd's assignment) instead of the fixture's
+    label column — same plan shape.
     """
+    import numpy as np
+    import pandas as pd
+
+    from minimapreduce_spark._pickle import register_self_by_value
+
+    register_self_by_value()
     emb = _emb(spark, sf_dir)
-    a = emb.select("vec_id", "emb", "label")
-    b = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("nemb"), "label"
-    )
-    sims = (
-        a.join(b, "label")
-        .where(F.col("vec_id") != F.col("neighbor_id"))
-        .select(
-            "vec_id",
-            "neighbor_id",
-            F.round(cosine(F.col("emb"), F.col("nemb")), 6).alias("cosine_sim"),
+
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        E = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        S = En @ En.T
+        np.fill_diagonal(S, -np.inf)
+        n = len(ids)
+        k = min(KNN_GRAPH_K, n - 1)
+        if k <= 0:
+            return pd.DataFrame(
+                {"vec_id": [], "neighbor_id": [], "cosine_sim_raw": []}
+            ).astype({"vec_id": np.int64, "neighbor_id": np.int64, "cosine_sim_raw": np.float64})
+        kth = np.partition(S, n - 1 - k, axis=1)[:, n - 1 - k]
+        keep = S >= (kth - 2e-6)[:, None]  # top-k plus round-boundary margin
+        src, dst = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "vec_id": ids[src],
+                "neighbor_id": ids[dst],
+                "cosine_sim_raw": S[src, dst],
+            }
         )
+
+    sims = emb.select("vec_id", "emb", "label").groupBy("label").applyInPandas(
+        cell_topk, "vec_id long, neighbor_id long, cosine_sim_raw double"
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
-    return sims.select(
-        "vec_id", "neighbor_id", "cosine_sim", F.row_number().over(w).alias("rn")
-    ).where(F.col("rn") <= KNN_GRAPH_K)
+    return (
+        sims.select(
+            "vec_id", "neighbor_id", F.round("cosine_sim_raw", 6).alias("cosine_sim")
+        )
+        .select("vec_id", "neighbor_id", "cosine_sim", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= KNN_GRAPH_K)
+    )
