@@ -540,6 +540,15 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
+    # Explicit fan-out before the verify join: the candidate frame is
+    # BYTE-small (two longs per row), so AQE coalesces the distinct's
+    # output to ~1 partition — and then the verify join + per-pair
+    # cosine fold (the expensive part: each row pulls two 64-double
+    # vectors and folds them) inherits that single task. A user
+    # repartition is exempt from AQE coalescing, so the verify work
+    # spreads across the configured shuffle width at any scale.
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cand = cand.repartition(width, "vec_a")
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
