@@ -89,4 +89,6 @@ def test_embedding_variants_not_near_duplicates(fixture_20x):
         """
     ).fetchone()
     assert abs(cos_copy - 1.0) < 1e-9
-    assert cos_cross < 0.0  # v1 is the negated variant
+    # roll + sign-pattern variant: decorrelated, NOT a mirror image
+    # (an exact negation would zero per-label IVF centroids)
+    assert abs(cos_cross) < 0.5, cos_cross

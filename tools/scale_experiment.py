@@ -136,14 +136,31 @@ def build_fixture(mult: int, out_dir: str) -> None:
         os.path.join(out_dir, "documents.parquet"), index=False
     )
 
+    import hashlib
+
     emb = pq.read_table(os.path.join(BASE, "embeddings.parquet")).to_pandas()
     mat = np.stack(emb["embedding"].to_numpy()).astype(np.float32)
     out_e = []
     for v in range(n_variants):
         m = mat.copy()
-        if v % 2 == 1:
-            m = -m  # cosine -1 from the original
-        m = np.roll(m, shift=(v // 2) * 7, axis=1)  # dim rotation: decorrelates
+        if v > 0:
+            # per-variant dim roll + md5-derived sign pattern: variants
+            # decorrelate (near-orthogonal cosines) WITHOUT the exact
+            # cancellation a plain negation variant creates — negation
+            # put x and -x into the same IVF label cell and zeroed the
+            # per-label centroids, crashing cosine routing (caught in
+            # the 40× dry run as an ANSI DIVIDE_BY_ZERO).
+            m = np.roll(m, shift=v * 7, axis=1)
+            sgn = np.array(
+                [
+                    1.0
+                    if int(hashlib.md5(f"esgn:{v}:{d}".encode()).hexdigest()[:2], 16) < 128
+                    else -1.0
+                    for d in range(m.shape[1])
+                ],
+                dtype=np.float32,
+            )
+            m = m * sgn
         for c in range(copies):
             copy = emb.copy()
             copy["vec_id"] = copy["vec_id"] + (v * copies + c) * 1_000_000
