@@ -525,7 +525,6 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    from minimapreduce_spark.operators.similarity import cosine
 
     bands = fan_out(spark, emb).mapInPandas(
         _lsh_band_rows, schema="vec_id bigint, band bigint, band_val bigint"
@@ -540,22 +539,46 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
-    # Explicit fan-out before the verify join: the candidate frame is
-    # BYTE-small (two longs per row), so AQE coalesces the distinct's
-    # output to ~1 partition — and then the verify join + per-pair
-    # cosine fold (the expensive part: each row pulls two 64-double
-    # vectors and folds them) inherits that single task. A user
-    # repartition is exempt from AQE coalescing, so the verify work
-    # spreads across the configured shuffle width at any scale.
+    # Explicit round-robin fan-out before the verify join: the
+    # candidate frame is BYTE-small (two longs per row), so AQE
+    # coalesces the distinct's output to ~1 partition and everything
+    # downstream inherits it; a user repartition is exempt. (Keyed
+    # repartition on vec_a would re-concentrate hot vectors — the skew
+    # here is CPU per row, invisible to AQE's byte-based skew
+    # handling.)
     width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    cand = cand.repartition(width, "vec_a")
+    cand = cand.repartition(width)
+    joined = (
+        cand.join(ea, "vec_a").join(eb, "vec_b").select("vec_a", "vec_b", "emb_a", "emb_b")
+    )
+
+    # Vectorized verify: one einsum per Arrow batch instead of an
+    # interpreted zip_with/aggregate fold per pair (the fold was the
+    # 40× straggler's cost — millions of 64-dim folds in one task).
+    # Rounding happens JVM-side (HALF_UP, matching the oracle), the
+    # ann_cosine_topk_numpy discipline.
+    def pair_cosine(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["emb_a"].to_numpy())
+            B = np.stack(pdf["emb_b"].to_numpy())
+            raw = np.einsum("ij,ij->i", A, B) / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            )
+            yield pd.DataFrame(
+                {"vec_a": pdf["vec_a"], "vec_b": pdf["vec_b"], "raw": raw}
+            )
+
+    sims = joined.mapInPandas(
+        pair_cosine, "vec_a long, vec_b long, raw double"
+    )
     return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine_sim"),
+        sims.select(
+            "vec_a", "vec_b", F.round("raw", 6).alias("cosine_sim")
         )
         .where(F.col("cosine_sim") >= EMB_LSH_THRESHOLD)
     )
