@@ -2622,9 +2622,16 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vc").alias("_vmin"), F.max("vc").alias("_vmax"),
     )
     e = with_scalars(ev, s)
-    bin_col = (
-        (F.col("vc") - F.col("_vmin")) * PSI_BINS / (F.col("_vmax") - F.col("_vmin") + 1)
-    ).cast("bigint")
+    from minimapreduce_spark.operators.ordered import exact_floor_div
+
+    # exact integer floor matching the oracle's `//` even when the
+    # numerator nears 2^53 (round-3 ADVICE): propose-and-correct, not a
+    # truncated double quotient. Valid to 2^62 — far past any 1e-4
+    # fixed-point value span times 10 bins.
+    bin_col = exact_floor_div(
+        (F.col("vc") - F.col("_vmin")) * PSI_BINS,
+        F.col("_vmax") - F.col("_vmin") + 1,
+    )
     early = (F.col("tus") * 2 <= F.col("_tmin") + F.col("_tmax")).cast("int")
     binned = e.select(bin_col.alias("bin"), early.alias("early"))
     counted = binned.groupBy("bin").agg(

@@ -512,6 +512,19 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered query is the candidates→verify composition at the
     fixture's loose threshold (0.30).
 
+    Residual cross-engine risk (documented, per the
+    ``source_mixture_weights`` convention): only the SIGNATURE stage is
+    bit-for-bit. The verify cosine is a numpy einsum whose float
+    summation order can differ from DuckDB's list_cosine_similarity at
+    the last ulp, so a pair landing exactly on a 5e-7 boundary of the
+    6-dp round, or exactly at the 0.30 threshold, could in principle
+    flip membership cross-engine. A flip needs the raw score within a
+    few double ulps of a midpoint; the margin pytest in
+    tests/test_llm_ops.py asserts every at-or-near-threshold fixture
+    pair clears its nearest midpoint by >= 1e-13 (observed min
+    ~2.5e-11). Real corpora carry the same measure-zero risk as every
+    float-scored filter.
+
     Plan shape at scale: the signature stage is one narrow Arrow-
     batched mapInPandas pass (see ``_lsh_band_rows`` — a vectorized
     int64 matmul; no intermediate row explosion exists anywhere), so a
@@ -822,6 +835,7 @@ def min_label_components(
     labels = (
         edges.select("src").distinct().select(F.col("src").alias("v"), F.col("src").alias("label"))
     ).persist()
+    changed = 0
     for _ in range(50):
         neighbor_min = (
             edges.alias("e")
@@ -857,6 +871,17 @@ def min_label_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Exhausting the guard means labels did NOT converge — the
+        # output would be silently wrong (round-3 ADVICE: the helper
+        # now also serves chainier embedding-LSH component graphs, not
+        # just near-clique Jaccard ones). Fail loudly; a caller with a
+        # legitimately >50-diameter graph should raise the guard, not
+        # ship corrupt clusters.
+        raise RuntimeError(
+            f"min_label_components: {changed} labels still changing after "
+            "50 rounds — graph diameter exceeds the iteration guard"
+        )
     out = labels.select(
         F.col("v").alias(out_id),
         F.col("label").alias("cluster_id"),

@@ -154,6 +154,24 @@ def with_scalars(df: DataFrame, agg_df: DataFrame) -> DataFrame:
     return df.crossJoin(F.broadcast(agg_df))
 
 
+def exact_floor_div(num: Column, den: Column) -> Column:
+    """Exact integer ``num // den`` (den > 0) with COLUMN operands, via
+    the propose-and-correct floor discipline (see
+    ``scale.normalized_dim_lit`` for the plan-time-scalar variant): one
+    double division proposes the quotient, an exact long remainder
+    check corrects ±1. Valid while |num| < 2^62 — the double proposal
+    is then within 1 of the true floor, so the correction lands it
+    exactly; the result matches DuckDB's integer ``//`` bit-for-bit
+    where a bare ``(num / den).cast('bigint')`` can truncate a rounded
+    double quotient the other way once num approaches 2^53 (round-3
+    ADVICE on psi_value_drift)."""
+    qd = F.floor(num.cast("double") / den.cast("double")).cast("bigint")
+    r = num - qd * den
+    return qd + (
+        F.when(r < 0, F.lit(-1)).when(r >= den, F.lit(1)).otherwise(F.lit(0))
+    )
+
+
 def ntile_expr(rn: Column, n: Column, k: int) -> Column:
     """SQL NTILE(k) from a 1-based global row number ``rn`` and total
     row count ``n``: first n%k buckets hold ceil(n/k) rows, the rest

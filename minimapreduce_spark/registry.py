@@ -52,75 +52,101 @@ def register(name: str, oracle: str | None = None, bench: bool = False) -> Calla
 # Order here = dict order of queries()/oracles(); the remainder follows in
 # module registration order. tests/test_driver_contract.py pins coverage.
 #
-# ROUND-3 ROTATION (round-2 verdict item 1): rounds 1-2 hard-verified the
-# same ~50 queries twice while 116 had only pytest coverage. This window
-# leads with 43 never-driver-checked queries plus 7 canaries — the verdict's
-# named three (wordcount, mr_wordcount, q1_pricing_summary) and four more
-# forced by the every-module-sampled invariant (tpch_more, graph,
-# streaming.stateful, streaming.upsert have no never-checked queries left).
+# ROUND-4 ROTATION (round-3 verdict item 3): rounds 1-3 hard-verified 138
+# unique queries; 86 had only pytest coverage entering round 4. This window
+# leads with 40 never-driver-checked queries plus 10 canaries — the minimum
+# canary set, one per module whose queries are ALL already driver-verified
+# (the every-module-sampled invariant forces those ten repeats; the first
+# seven are also the cross-round comparability anchors from rounds 2-3).
+#
+# ROUND-5 REMAINDER (round-3 verdict item 7 — what the next rotation must
+# cover; 46 queries, none of them perpetual leftovers by design: the small
+# modules — udfs, dedup, multimodal, scale, similarity, drift, windows —
+# are fully driver-verified after this round):
+#   analytics (19): events_time_weighted_avg, events_variant_shred,
+#     extract_numbers_table, agg_mad_user_value, weekly_growth_rate,
+#     window_trailing_distinct_types, agg_arg_extremes, dim_date_generate,
+#     events_autocorrelation_lag1, hhi_supplier_concentration,
+#     customer_existence_flags, events_transition_dwell,
+#     category_share_drift, events_usage_heatmap, profile_qty_discount_grid,
+#     events_wau_daily, customer_reorder_intervals, basket_size_histogram,
+#     events_value_boxplot
+#   events (5): events_json_extract, events_sliding_1h_30m,
+#     events_resample_gapfill, events_rolling_zscore,
+#     events_attribution_first_touch
+#   pipeline (10): split_train_test, sample_stratified, text_pii_scrub,
+#     text_quality_repetition, dedup_keep_latest, percentile_quantity,
+#     histogram_order_prices, langid_confusion_matrix,
+#     snapshot_diff_customers, tier_migration_matrix
+#   semantics (6): datetime_arithmetic_showcase, array_set_ops,
+#     agg_grouping_id, agg_filter_clause, window_first_last_nth,
+#     page_orders_offset
+#   text_analysis (6): text_top_bigrams, text_sentiment_lexicon,
+#     phrase_search_positional, text_readability_flesch,
+#     corpus_source_profile, boilerplate_ngram_sources
 DRIVER_PRIORITY: list[str] = [
-    # canaries (driver-verified in r01/r02; anchor cross-round comparability)
-    "wordcount",
-    "mr_wordcount",
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "pagerank_nation_trade",
-    "stream_user_stats_stateful",
-    "stream_upsert_latest_state",
-    # never-driver-checked: relational / TPC-H tail / scale
-    "join_shuffle_hash_revenue",
-    "q20_excess_share_suppliers",
-    "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity",
-    "agg_grouping_sets",
-    "agg_approx_sketch",
-    "join_bloom_pruned_revenue",
-    "agg_heavy_hitters_priority",
+    # canaries — previously driver-verified; one per fully-verified module
+    "wordcount",                    # operators.text
+    "mr_wordcount",                 # operators.mr_compat
+    "q1_pricing_summary",           # operators.relational
+    "q6_forecast_revenue",          # operators.tpch_more
+    "pagerank_nation_trade",        # operators.graph
+    "stream_user_stats_stateful",   # streaming.stateful
+    "stream_upsert_latest_state",   # streaming.upsert
+    "q21_suppliers_kept_waiting",   # operators.tpch_rest
+    "stream_view_purchase_join",    # streaming.dedup_join
+    "binaryfile_manifest",          # sources.pydatasource
+    # never-driver-checked: UDF surface
+    "arrow_embedding_norms",
+    "user_longest_daily_streak",
+    # dedup (finishes the module)
+    "dedup_embedding_clusters",
+    "dedup_cluster_size_histogram",
+    # multimodal / scale (finish the modules)
+    "multimodal_frame_sample",
+    "join_salted_suppliers",
+    # similarity (finishes the module)
+    "ann_cosine_topk_numpy",
+    "embedding_label_centroids",
+    "embedding_pca_power_iteration",
+    "ann_knn_graph_edges",
+    # streaming drift + windows (finish the modules; incl. this round's
+    # ledgered stream_psi_drift — round-3 verdict item 1)
+    "stream_psi_drift",
+    "stream_sliding_1h_30m",
+    "stream_static_enrich",
+    "stream_tumbling_append_finalized",
     # semantics corners
-    "try_arithmetic_semantics",
-    "sort_nulls_ordering",
-    "union_schema_evolution",
+    "lateral_top2_orders",
+    "set_ops_multiset",
+    "map_agg_event_counts",
+    "explode_outer_semantics",
+    # analytics: statistics / drift / windows
+    "psi_value_drift",
+    "events_cusum_changepoint",
+    "ols_slope_value_vs_time",
+    "window_max_drawdown",
+    "chi2_lang_source",
+    "events_user_entropy",
+    "customer_360_overlap",
+    "window_cumulative_distinct_users",
     # events / time series
-    "events_tumbling_hourly",
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    # sequence analytics
-    "window_rolling_median",
-    "surrogate_keys_documents",
-    "session_top_paths",
-    "weighted_median_price",
-    # text analysis
-    "text_langid",
-    "token_count_stats",
-    "doc_fingerprint",
-    "text_collocations_pmi",
-    "text_ttr_hapax",
-    # dedup (incl. this round's scalable embedding path)
-    "dedup_embedding_lsh",
-    "dedup_canonical_by_quality",
-    "dedup_span_repeats",
-    # similarity / clustering
-    "embedding_kmeans_lloyd",
-    "ann_ivf_nprobe_topk",
-    "embedding_quantize_int8",
-    # multimodal (incl. this round's PNG codec lane)
-    "multimodal_png_decode",
-    "multimodal_resize",
-    "multimodal_audio_windows",
+    "events_range_join",
+    "events_resample_linear",
+    "cohort_ltv_matrix",
+    "sessionized_training_examples",
+    "events_attribution_last_touch",
     # pipeline / dataset management
-    "assign_training_shards",
-    "source_mixture_weights",
-    "curriculum_quality_buckets",
-    "scd2_asof_lookup",
-    "gdpr_erase_cascade",
-    # UDF surface
-    "udf_vectorized_sigmoid",
-    "udtf_split_sentences",
-    "cogroup_customer_activity",
-    # sources + streaming
-    "binaryfile_manifest",
-    "stream_view_purchase_join",
-    "stream_tumbling_hourly",
+    "per_source_quota_sample",
+    "dq_constraint_audit",
+    "incremental_rollup_merge",
+    "scd2_customer_tier_history",
+    "doc_chunks",
+    "sample_quality_weighted",
+    # text analysis / tokenizer training
+    "bpe_merge_candidates",
+    "token_histogram_zipf",
+    "text_bigram_logprob",
 ]
 
 

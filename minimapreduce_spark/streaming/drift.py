@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from minimapreduce_spark.catalog import load_table
+from minimapreduce_spark.operators.ordered import exact_floor_div
 from minimapreduce_spark.registry import register
 from minimapreduce_spark.streaming.source import events_stream_sharded, run_to_memory
 
@@ -90,9 +91,12 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("tus").alias("_tmin"), F.max("tus").alias("_tmax"),
         F.min("vc").alias("_vmin"), F.max("vc").alias("_vmax"),
     ).localCheckpoint(eager=True)
-    bin_of = lambda vc: (
-        (vc - F.col("_vmin")) * PSI_STREAM_BINS / (F.col("_vmax") - F.col("_vmin") + 1)
-    ).cast("bigint")
+    # exact integer floor matching the oracle's `//` (round-3 ADVICE):
+    # propose-and-correct, never a truncated double quotient.
+    bin_of = lambda vc: exact_floor_div(
+        (vc - F.col("_vmin")) * PSI_STREAM_BINS,
+        F.col("_vmax") - F.col("_vmin") + 1,
+    )
 
     ref = (
         ev.crossJoin(F.broadcast(s))

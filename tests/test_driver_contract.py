@@ -58,11 +58,14 @@ CANARIES = {
     # the round-2 verdict's named three
     "wordcount", "mr_wordcount", "q1_pricing_summary",
     # forced by the every-module-sampled invariant: these modules have
-    # no never-driver-checked queries left after rounds 1-2
+    # no never-driver-checked queries left after rounds 1-3
     "q6_forecast_revenue",          # operators.tpch_more
     "pagerank_nation_trade",        # operators.graph
     "stream_user_stats_stateful",   # streaming.stateful
     "stream_upsert_latest_state",   # streaming.upsert
+    "q21_suppliers_kept_waiting",   # operators.tpch_rest (verified r03)
+    "stream_view_purchase_join",    # streaming.dedup_join (verified r03)
+    "binaryfile_manifest",          # sources.pydatasource (verified r03)
 }
 
 
@@ -87,16 +90,16 @@ def test_driver_priority_tier_samples_every_family():
 
 
 def test_driver_priority_rotated_from_prior_rounds():
-    """Round-3 rotation (round-2 verdict item 1): the driver window must
-    be disjoint from what CORRECTNESS_r01/r02 already hard-verified,
-    except for the named canaries — so round 3's driver run extends
+    """Round-4 rotation (round-3 verdict item 3): the driver window must
+    be disjoint from what CORRECTNESS_r01-r03 already hard-verified,
+    except for the named canaries — so round 4's driver run extends
     hard-verified coverage instead of re-proving the same 50."""
     import json
 
     from minimapreduce_spark.registry import DRIVER_PRIORITY
 
     checked = set()
-    for f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+    for f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
         path = os.path.join(REPO, f)
         if os.path.exists(path):
             checked |= set(json.load(open(path)))

@@ -129,6 +129,36 @@ def test_embedding_lsh_query_consistent_with_exact_baseline(spark):
     assert high <= exact
 
 
+def test_embedding_lsh_scores_clear_rounding_boundaries():
+    """Pin the residual float risk dedup_embedding_lsh's docstring
+    documents: the verify cosine is engine-float (numpy einsum vs
+    DuckDB list_cosine_similarity), so a pair sitting exactly on a
+    6-dp rounding midpoint — or on the midpoint that decides the 0.30
+    threshold — could round differently across engines and flip an
+    output value or membership. A cross-engine flip needs the raw
+    score within a few double ulps (~1e-16 at these magnitudes) of a
+    midpoint; assert every fixture pair at or near the threshold
+    clears the nearest midpoint by >= 1e-13, three orders of magnitude
+    of headroom."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["embedding"])
+    # float64, mirroring the engine's cast("array<double>") before scoring
+    E = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    cos = En @ En.T
+    iu = np.triu_indices(len(E), k=1)
+    raw = cos[iu]
+    # pairs at/near the 0.30 threshold (superset of every verified
+    # output pair and of the membership-deciding boundary band)
+    near = raw[raw >= 0.2999]
+    assert len(near) > 0
+    # distance to the nearest 6-dp rounding midpoint, in raw units
+    margin = np.abs((near * 1e6) % 1.0 - 0.5) * 1e-6
+    assert margin.min() > 1e-13, f"pair within {margin.min():.2e} of a rounding midpoint"
+
+
 def test_multimodal_decode_stub_raises():
     from minimapreduce_spark.operators.multimodal import decode_image
 

@@ -35,6 +35,23 @@ def test_registry_size_matches_coverage_ledger():
         f"SURVEY.md claims {m.group(1)} queries, registry has {len(ALL)} — "
         "update §8"
     )
+    # round-3 verdict item 6: prose counts rot the same way the ledgers
+    # did (README said 223 for a round) — sweep every file that makes
+    # CURRENT-count claims. VERDICT.md (the judge's words) and SURVEY's
+    # historical round-delta sections legitimately carry old counts and
+    # are excluded.
+    for fname in ("README.md", "QUERIES.md"):
+        with open(os.path.join(root, fname)) as f:
+            text = f.read()
+        for m in re.finditer(r"(\d+) (?:registered )?queries", text):
+            n = int(m.group(1))
+            # only registry-sized numbers are registry count-claims
+            # (skip e.g. "50 queries" driver-window prose)
+            if n >= 100:
+                assert n == len(ALL), (
+                    f"{fname} says '{m.group(0)}' but registry has "
+                    f"{len(ALL)} — stale prose count"
+                )
 
 
 # Legitimately empty at the sf0.001 smoke scale (the oracle agrees —

@@ -189,3 +189,56 @@ def test_sharded_stream_runs_multiple_batches(spark):
     assert sum(n for _, n in batches) == spark.read.parquet(
         f"{SF_DIR}/events.parquet"
     ).count()
+
+
+def _write_psi_events(tmp_path, shifted: bool) -> str:
+    """Synthetic events table for the planted-drift test: early half
+    (the reference window) values are uniform over [0, 50); the late
+    half either repeats that distribution (shifted=False) or jumps to
+    [50, 100) (shifted=True) — a total distribution shift PSI must
+    flag."""
+    import numpy as np
+    import pandas as pd
+
+    n = 2000
+    rng = np.random.default_rng(7)
+    early = rng.uniform(0, 50, n // 2)
+    late = rng.uniform(50, 100, n // 2) if shifted else rng.uniform(0, 50, n // 2)
+    sf_dir = tmp_path / ("shifted" if shifted else "stable")
+    sf_dir.mkdir()
+    pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": pd.date_range("2025-01-01", periods=n, freq="min"),
+            "user_id": np.arange(n, dtype="int64") % 17,
+            "event_type": ["view"] * n,
+            "value": np.concatenate([early, late]),
+            "props": ["{}"] * n,
+        }
+    ).to_parquet(sf_dir / "events.parquet", index=False)
+    return str(sf_dir)
+
+
+def test_stream_psi_drift_detects_planted_shift(spark, tmp_path):
+    """Planted-drift gate for stream_psi_drift (round-3 verdict item 1):
+    a total shift of the live window's value distribution must push the
+    summed PSI far past the classic 0.2 'significant drift' alarm
+    threshold, while an identically-distributed live window must stay
+    well under it. (The reference histogram is history's first half by
+    time and 'live' is all of history, so the shifted fixture's live
+    window is half reference-range, half novel-range — still a massive
+    PSI.) Cross-engine exactness is the oracle sweep's job; this test
+    pins the SEMANTICS: PSI actually fires on drift."""
+    from minimapreduce_spark import queries as q
+
+    fn = q.queries()["stream_psi_drift"]
+
+    shifted = fn(spark, _write_psi_events(tmp_path, shifted=True)).collect()
+    psi_shifted = sum(r.psi_term for r in shifted)
+    # live mass moved into bins with ~zero reference mass: PSI explodes
+    assert psi_shifted > 0.2, f"PSI {psi_shifted:.4f} missed a planted total shift"
+
+    stable = fn(spark, _write_psi_events(tmp_path, shifted=False)).collect()
+    psi_stable = sum(r.psi_term for r in stable)
+    assert psi_stable < 0.05, f"PSI {psi_stable:.4f} false-alarmed on stable data"
+    assert len(shifted) == len(stable) == 10  # total histogram: all B bins present
