@@ -2087,12 +2087,19 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     three metrics are exact integers, so quintile edges are
     deterministic cross-engine. Each quintile score is reconstructed
     arithmetically (ordered.ntile_expr) from a two-phase global row
-    number on its axis — three range shuffles over the CUSTOMER rollup,
-    zero single-partition windows.
+    number on its axis — three range shuffles, zero single-partition
+    windows.
 
-    Scale posture: one custkey hash agg + three two-phase ranks over
-    the rollup + one tiny cell agg; the row count arrives as a
-    broadcast 1-row scalar.
+    Scale posture: one custkey hash agg (checkpointed once, so orders
+    is scanned once), then ONE two-phase rank over a stacked narrow
+    frame — the three axes union into 3N (custkey, axis, enc) rows
+    where ``enc`` is the metric negated where the axis sorts
+    descending, so one total order (axis, enc, custkey) ranks all
+    three axes at once in contiguous N-row blocks; per-axis rank =
+    global_rn − axis·N. That is one range shuffle + one checkpoint +
+    one offsets broadcast where the round-2/3 chained form paid three
+    of each over an ever-wider frame. Scores reassemble via one
+    custkey hash agg; the row count arrives as a broadcast scalar.
     """
     orders = load_table(spark, sf_dir, "orders")
     mx = orders.agg(F.max("o_orderdate").alias("mxd"))
@@ -2115,23 +2122,42 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_scalars,
     )
 
-    ranked = with_global_row_number(
-        rfm, [F.asc("recency_d"), F.asc("o_custkey")], out="rn_r"
-    )
-    ranked = with_global_row_number(
-        ranked, [F.desc("frequency"), F.asc("o_custkey")], out="rn_f"
-    )
-    ranked = with_global_row_number(
-        ranked, [F.desc("monetary_c"), F.asc("o_custkey")], out="rn_m"
-    )
+    # one orders scan: the rollup feeds the stacked frame + the count
+    rfm = rfm.localCheckpoint(eager=False)
     # scalar N = customer count — aggregate the ROLLUP, not orders again
     n = rfm.agg(F.count(F.lit(1)).alias("_n"))
-    scored = with_scalars(ranked, n).select(
-        ntile_expr(F.col("rn_r"), F.col("_n"), 5).alias("r_score"),
-        ntile_expr(F.col("rn_f"), F.col("_n"), 5).alias("f_score"),
-        ntile_expr(F.col("rn_m"), F.col("_n"), 5).alias("m_score"),
+
+    # enc: negate where the axis ranks descending, so ASC(enc) is the
+    # axis's quintile order everywhere and one total order serves all
+    axes = [
+        ("r_score", F.col("recency_d").cast("bigint")),
+        ("f_score", -F.col("frequency")),
+        ("m_score", -F.col("monetary_c")),
+    ]
+    stacked = None
+    for i, (_, enc) in enumerate(axes):
+        s = rfm.select(
+            "o_custkey", F.lit(i).alias("_ax"), enc.alias("_enc")
+        )
+        stacked = s if stacked is None else stacked.unionByName(s)
+    rk = with_global_row_number(
+        stacked, [F.asc("_ax"), F.asc("_enc"), F.asc("o_custkey")], out="_grn"
     )
-    return scored.groupBy("r_score", "f_score", "m_score").agg(
+    # axes are contiguous N-row blocks in the total order
+    sc = with_scalars(rk, n).select(
+        "o_custkey",
+        "_ax",
+        ntile_expr(F.col("_grn") - F.col("_ax") * F.col("_n"), F.col("_n"), 5).alias(
+            "_score"
+        ),
+    )
+    per_cust = sc.groupBy("o_custkey").agg(
+        *[
+            F.max(F.when(F.col("_ax") == i, F.col("_score"))).alias(axis)
+            for i, (axis, _) in enumerate(axes)
+        ]
+    )
+    return per_cust.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").cast("bigint").alias("n_customers")
     )
 
