@@ -398,57 +398,85 @@ EMB_LSH_THRESHOLD = 0.30
 _EMB_LSH_Q = 1 << 20  # quantization grid: floor(v · 2^20) — exact on both engines
 
 
-def _lsh_plane_weights() -> list[int]:
-    """The flat 64×64 hyperplane weight table, row-major by plane:
-    integers in [-2^20, 2^20) from the first 15 hex chars of
+def _lsh_plane_weights(planes: int = EMB_LSH_PLANES) -> list[int]:
+    """The flat ``planes``×64 hyperplane weight table, row-major by
+    plane: integers in [-2^20, 2^20) from the first 15 hex chars of
     md5('lshW:<plane>:<dim>') — the identical portable derivation the
     DuckDB oracle computes in SQL. Deterministic, no RNG state."""
     import hashlib
 
     flat = []
-    for p in range(EMB_LSH_PLANES):
+    for p in range(planes):
         for d in range(1, 65):
             h = int(hashlib.md5(f"lshW:{p}:{d}".encode()).hexdigest()[:15], 16)
             flat.append(h % 2097152 - 1048576)
     return flat
 
 
-def _lsh_band_rows(batches):
-    """mapInPandas signature stage: per Arrow batch, quantize the
-    vectors (floor(v·2^20), same IEEE floor Spark/DuckDB apply), take
-    all 64 hyperplane dot products as ONE exact int64 matmul, pack sign
-    bits into 8 band values — emitting (vec_id, band, band_val) rows.
+def make_lsh_band_rows(planes: int = EMB_LSH_PLANES, bands: int = EMB_LSH_BANDS):
+    """Build the mapInPandas signature stage for a (planes, bands)
+    regime: per Arrow batch, quantize the vectors (floor(v·2^20), same
+    IEEE floor Spark/DuckDB apply — float32 inputs are widened to
+    double first, exactly), take all plane dot products as ONE exact
+    int64 matmul, pack sign bits into per-band values — emitting
+    (vec_id, band, band_val) rows.
 
-    Why Python here: a 64-vector × 64-plane integer product is 4096
-    multiply-adds per row. Every JVM-side formulation measured worse —
-    posexplode + broadcast-join + re-agg materialized 4096 rows per
-    vector (2.9 s at sf0.1), interpreted higher-order folds over a
-    literal weight array were 15× worse than THAT — while one
-    vectorized BLAS-shaped matmul per Arrow batch is microseconds. All
-    arithmetic is int64-exact, so the output still hash-matches the
-    SQL oracle bit-for-bit."""
-    import numpy as np
-    import pandas as pd
+    The (planes, bands) knob is the precision/recall dial: r =
+    planes/bands bits per band means random vectors collide with
+    p = 2^-r per band — the candidate-volume exponent. The registered
+    query's 8×8-bit default favors recall at its loose 0.30 threshold;
+    a production near-dup regime (cosine ≥ 0.85) wants 16+-bit bands
+    so random collisions — and with them candidate volume — stay
+    linear in corpus size (see tools/scale_experiment.py's strict run).
 
-    W = np.array(_lsh_plane_weights(), dtype=np.int64).reshape(EMB_LSH_PLANES, 64)
-    r = EMB_LSH_PLANES // EMB_LSH_BANDS
-    bitw = 1 << np.arange(r, dtype=np.int64)
-    for pdf in batches:
-        if not len(pdf):
-            continue
-        V = np.floor(np.stack(pdf["emb"].to_numpy()) * _EMB_LSH_Q).astype(np.int64)
-        bits = (V @ W.T >= 0).astype(np.int64)  # (n, 64) sign bits
-        band_vals = (bits.reshape(len(V), EMB_LSH_BANDS, r) * bitw).sum(axis=2)
-        yield pd.DataFrame(
-            {
-                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), EMB_LSH_BANDS),
-                "band": np.tile(np.arange(EMB_LSH_BANDS, dtype=np.int64), len(V)),
-                "band_val": band_vals.reshape(-1),
-            }
-        )
+    Why Python here: a 64-vector × ``planes``-plane integer product is
+    thousands of multiply-adds per row. Every JVM-side formulation
+    measured worse — posexplode + broadcast-join + re-agg materialized
+    4096 rows per vector (2.9 s at sf0.1), interpreted higher-order
+    folds over a literal weight array were 15× worse than THAT — while
+    one vectorized BLAS-shaped matmul per Arrow batch is microseconds.
+    All arithmetic is int64-exact, so the output still hash-matches
+    the SQL oracle bit-for-bit."""
+    r = planes // bands
+
+    def _rows(batches):
+        import numpy as np
+        import pandas as pd
+
+        W = np.array(_lsh_plane_weights(planes), dtype=np.int64).reshape(planes, 64)
+        bitw = 1 << np.arange(r, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.floor(
+                np.stack(pdf["emb"].to_numpy()).astype(np.float64) * _EMB_LSH_Q
+            ).astype(np.int64)
+            bits = (V @ W.T >= 0).astype(np.int64)  # (n, planes) sign bits
+            band_vals = (bits.reshape(len(V), bands, r) * bitw).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int64), len(V)),
+                    "band_val": band_vals.reshape(-1),
+                }
+            )
+
+    return _rows
 
 
-_EMB_LSH_ORACLE = f"""
+_lsh_band_rows = make_lsh_band_rows()  # the registered query's default regime
+
+
+def emb_lsh_oracle(
+    planes: int = EMB_LSH_PLANES,
+    bands: int = EMB_LSH_BANDS,
+    threshold: float = EMB_LSH_THRESHOLD,
+) -> str:
+    """The full LSH-dedup DuckDB oracle for a (planes, bands,
+    threshold) regime — signature derivation, band equi-join candidate
+    generation, and exact-cosine verification, all in SQL."""
+    r = planes // bands
+    return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     q AS (
       SELECT vec_id, dd.d AS d,
@@ -459,7 +487,7 @@ _EMB_LSH_ORACLE = f"""
       SELECT pp.p AS p, dd.d AS d,
              (('0x' || substr(md5('lshW:' || pp.p || ':' || dd.d), 1, 15))::BIGINT
               % 2097152) - 1048576 AS w
-      FROM (SELECT unnest(generate_series(0, {EMB_LSH_PLANES - 1})) AS p) pp,
+      FROM (SELECT unnest(generate_series(0, {planes - 1})) AS p) pp,
            (SELECT unnest(generate_series(1, 64)) AS d) dd
     ),
     dots AS (
@@ -467,8 +495,8 @@ _EMB_LSH_ORACLE = f"""
       FROM q JOIN w ON q.d = w.d GROUP BY 1, 2
     ),
     bands AS (
-      SELECT vec_id, p // 8 AS band,
-             sum(CASE WHEN dot >= 0 THEN 1 << (p % 8) ELSE 0 END) AS band_val
+      SELECT vec_id, p // {r} AS band,
+             sum(CASE WHEN dot >= 0 THEN 1 << (p % {r}) ELSE 0 END) AS band_val
       FROM dots GROUP BY 1, 2
     ),
     cand AS (
@@ -481,8 +509,135 @@ _EMB_LSH_ORACLE = f"""
     FROM cand
     JOIN e ea ON ea.vec_id = cand.vec_a
     JOIN e eb ON eb.vec_id = cand.vec_b
-    WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= {EMB_LSH_THRESHOLD}
+    WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= {threshold}
     """
+
+
+_EMB_LSH_ORACLE = emb_lsh_oracle()
+
+
+def embedding_lsh_verified_pairs(
+    spark: SparkSession,
+    emb: DataFrame,
+    planes: int = EMB_LSH_PLANES,
+    bands: int = EMB_LSH_BANDS,
+    threshold: float = EMB_LSH_THRESHOLD,
+) -> DataFrame:
+    """LSH-banded embedding near-dup pairs over ``emb`` (vec_id, emb:
+    array<float|double>) for an arbitrary (planes, bands, threshold)
+    regime — the engine behind ``dedup_embedding_lsh`` and the scale
+    tool's strict-regime run. Returns (vec_a, vec_b, cosine_sim).
+
+    CONTENT-GROUP verify (the 40x profile's fix): byte-identical
+    vectors — the dominant duplicate shape in a dup-heavy corpus —
+    first collapse via one groupBy on the vector itself (min vec_id =
+    representative). Banding, the candidate equi-join, and the
+    exact-cosine verify then run over DISTINCT CONTENTS only; verified
+    content pairs expand back to id pairs through two narrow
+    (rep, vec_id) joins, and within-group pairs (cosine of a vector
+    with its own copy) enter the same verify lane as one (rep, rep)
+    self-pair each. Work in the expensive stages is therefore
+    O(distinct-content candidates), not O(id-pair candidates): at the
+    40x dup-heavy fixture that is a 58x verify-input reduction
+    (117.5M id-candidate pairs -> ~2M content pairs) while outputs
+    stay bit-identical — members of a content group are byte-equal, so
+    every expanded pair's cosine equals the representative pair's.
+
+    The group-member list is one array per distinct content, bounded
+    by the duplication multiplicity of that content — the same bound
+    ``dedup_exact``'s groupBy carries; a content duplicated billions
+    of times would need the explode-side join variant instead.
+    """
+    groups = (
+        fan_out(spark, emb)
+        .groupBy("emb")
+        .agg(
+            F.min("vec_id").alias("rep"),
+            F.sort_array(F.collect_list("vec_id")).alias("members"),
+        )
+        .localCheckpoint(eager=False)  # feeds bands, verify joins, expansion
+    )
+    rep_emb = groups.select(F.col("rep").alias("vec_id"), "emb")
+
+    band_rows = rep_emb.mapInPandas(
+        make_lsh_band_rows(planes, bands),
+        schema="vec_id bigint, band bigint, band_val bigint",
+    )
+    left = band_rows.select(F.col("vec_id").alias("rep_a"), "band", "band_val")
+    right = band_rows.select(F.col("vec_id").alias("rep_b"), "band", "band_val")
+    cand = (
+        left.join(right, ["band", "band_val"])
+        .where(F.col("rep_a") < F.col("rep_b"))
+        .select("rep_a", "rep_b")
+        .distinct()
+    )
+    # contents with >1 member verify once against themselves: the
+    # within-group pairs are oracle candidates (identical signatures
+    # always collide) and their cosine is the self-pair's
+    self_pairs = groups.where(F.size("members") >= 2).select(
+        F.col("rep").alias("rep_a"), F.col("rep").alias("rep_b")
+    )
+    pairs = cand.unionByName(self_pairs)
+    # Explicit round-robin fan-out before the verify join: the
+    # candidate frame is BYTE-small (two longs per row), so AQE
+    # coalesces the distinct's output to ~1 partition and everything
+    # downstream inherits it; a user repartition is exempt. (Keyed
+    # repartition on rep_a would re-concentrate hot vectors — the skew
+    # here is CPU per row, invisible to AQE's byte-based skew
+    # handling.)
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    pairs = pairs.repartition(width)
+    ea = rep_emb.select(F.col("vec_id").alias("rep_a"), F.col("emb").alias("emb_a"))
+    eb = rep_emb.select(F.col("vec_id").alias("rep_b"), F.col("emb").alias("emb_b"))
+    joined = (
+        pairs.join(ea, "rep_a").join(eb, "rep_b").select("rep_a", "rep_b", "emb_a", "emb_b")
+    )
+
+    # Vectorized verify: one einsum per Arrow batch instead of an
+    # interpreted zip_with/aggregate fold per pair (the fold was the
+    # 40x straggler's cost — millions of 64-dim folds in one task).
+    # float32 inputs widen to float64 HERE (exact), so the shuffle that
+    # feeds this stage moves half the bytes the double-cast plan did.
+    # Rounding happens JVM-side (HALF_UP, matching the oracle), the
+    # ann_cosine_topk_numpy discipline.
+    def pair_cosine(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["emb_a"].to_numpy()).astype(np.float64)
+            B = np.stack(pdf["emb_b"].to_numpy()).astype(np.float64)
+            raw = np.einsum("ij,ij->i", A, B) / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            )
+            yield pd.DataFrame(
+                {"rep_a": pdf["rep_a"], "rep_b": pdf["rep_b"], "raw": raw}
+            )
+
+    sims = joined.mapInPandas(pair_cosine, "rep_a long, rep_b long, raw double")
+    content_hits = sims.select(
+        "rep_a", "rep_b", F.round("raw", 6).alias("cosine_sim")
+    ).where(F.col("cosine_sim") >= threshold)
+
+    mem = groups.select("rep", F.explode("members").alias("vid"))
+    return (
+        content_hits.join(
+            mem.select(F.col("rep").alias("rep_a"), F.col("vid").alias("ida")), "rep_a"
+        )
+        .join(
+            mem.select(F.col("rep").alias("rep_b"), F.col("vid").alias("idb")), "rep_b"
+        )
+        # cross-content pairs expand to every member combo exactly once;
+        # self-pairs need the i<j filter or each combo lands twice
+        .where((F.col("rep_a") != F.col("rep_b")) | (F.col("ida") < F.col("idb")))
+        .select(
+            F.least("ida", "idb").alias("vec_a"),
+            F.greatest("ida", "idb").alias("vec_b"),
+            "cosine_sim",
+        )
+    )
 
 
 @register(
@@ -492,12 +647,15 @@ _EMB_LSH_ORACLE = f"""
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH — the 100 TB
-    scale path ``dedup_embedding_cosine`` documents: candidate
-    generation is LINEAR in corpus size (each vector computes a 64-bit
-    sign signature against 64 fixed hyperplanes, split into 8 bands of
-    8 bits; vectors sharing any band bucket meet in an equi-join), and
-    only candidates pay the exact-cosine verification. Nothing is
-    pairwise over the corpus.
+    scale path ``dedup_embedding_cosine`` documents: byte-identical
+    copies collapse in one content groupBy, candidate generation over
+    the distinct contents is LINEAR in their count (each vector
+    computes a 64-bit sign signature against 64 fixed hyperplanes,
+    split into 8 bands of 8 bits; vectors sharing any band bucket meet
+    in an equi-join), and only content-level candidates pay the
+    exact-cosine verification (see ``embedding_lsh_verified_pairs``
+    for the full plan-shape discussion). Nothing is pairwise over the
+    corpus.
 
     Exactness discipline (what lets an approximate index hash-match a
     SQL oracle): the signature is computed in integer arithmetic —
@@ -505,12 +663,13 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-prefix integers in [-2^20, 2^20) derived from ('lshW:p:d'), so
     the dot-product signs are order-independent exact BIGINT sums that
     both engines reproduce bit-for-bit (a float dot's sign could flip
-    cross-engine near zero). The verify step then scores the ORIGINAL
-    double vectors with the same rounded cosine the exact baseline
-    uses. Recall of the banding at high cosine is pinned by the
-    planted-near-dup pytest on ``embedding_lsh_candidates``; this
-    registered query is the candidates→verify composition at the
-    fixture's loose threshold (0.30).
+    cross-engine near zero). The verify step then scores the original
+    vectors (widened float32->float64, exact) with the same rounded
+    cosine the exact baseline uses. Recall of the banding at high
+    cosine is pinned by the planted-near-dup pytest on
+    ``embedding_lsh_candidates``; this registered query is the
+    candidates->verify composition at the fixture's loose threshold
+    (0.30).
 
     Residual cross-engine risk (documented, per the
     ``source_mixture_weights`` convention): only the SIGNATURE stage is
@@ -524,77 +683,14 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair clears its nearest midpoint by >= 1e-13 (observed min
     ~2.5e-11). Real corpora carry the same measure-zero risk as every
     float-scored filter.
-
-    Plan shape at scale: the signature stage is one narrow Arrow-
-    batched mapInPandas pass (see ``_lsh_band_rows`` — a vectorized
-    int64 matmul; no intermediate row explosion exists anywhere), so a
-    corpus of N vectors sends exactly N×8 (vec_id, band, band_val)
-    rows into the band-bucket equi-join; the verify join reads the
-    vectors once more. No corpus-sized broadcast, no pairwise stage.
     """
     from minimapreduce_spark._pickle import register_self_by_value
 
     register_self_by_value()
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        "vec_id", F.col("embedding").alias("emb")
     )
-
-    bands = fan_out(spark, emb).mapInPandas(
-        _lsh_band_rows, schema="vec_id bigint, band bigint, band_val bigint"
-    )
-    left = bands.select(F.col("vec_id").alias("vec_a"), "band", "band_val")
-    right = bands.select(F.col("vec_id").alias("vec_b"), "band", "band_val")
-    cand = (
-        left.join(right, ["band", "band_val"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
-    # Explicit round-robin fan-out before the verify join: the
-    # candidate frame is BYTE-small (two longs per row), so AQE
-    # coalesces the distinct's output to ~1 partition and everything
-    # downstream inherits it; a user repartition is exempt. (Keyed
-    # repartition on vec_a would re-concentrate hot vectors — the skew
-    # here is CPU per row, invisible to AQE's byte-based skew
-    # handling.)
-    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    cand = cand.repartition(width)
-    joined = (
-        cand.join(ea, "vec_a").join(eb, "vec_b").select("vec_a", "vec_b", "emb_a", "emb_b")
-    )
-
-    # Vectorized verify: one einsum per Arrow batch instead of an
-    # interpreted zip_with/aggregate fold per pair (the fold was the
-    # 40× straggler's cost — millions of 64-dim folds in one task).
-    # Rounding happens JVM-side (HALF_UP, matching the oracle), the
-    # ann_cosine_topk_numpy discipline.
-    def pair_cosine(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.stack(pdf["emb_a"].to_numpy())
-            B = np.stack(pdf["emb_b"].to_numpy())
-            raw = np.einsum("ij,ij->i", A, B) / (
-                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-            )
-            yield pd.DataFrame(
-                {"vec_a": pdf["vec_a"], "vec_b": pdf["vec_b"], "raw": raw}
-            )
-
-    sims = joined.mapInPandas(
-        pair_cosine, "vec_a long, vec_b long, raw double"
-    )
-    return (
-        sims.select(
-            "vec_a", "vec_b", F.round("raw", 6).alias("cosine_sim")
-        )
-        .where(F.col("cosine_sim") >= EMB_LSH_THRESHOLD)
-    )
+    return embedding_lsh_verified_pairs(spark, emb)
 
 
 _EMB_CLUSTER_ORACLE = (

@@ -218,6 +218,46 @@ def main() -> None:
             print(json.dumps({"query": n, "excluded": "hot-shingle full-Jaccard; see EXCLUDE_PAST_10X"}), flush=True)
         names = [n for n in names if n not in EXCLUDE_PAST_10X]
 
+    # STRICT-REGIME LSH dedup (round-3 verdict item 4): the registered
+    # query's 8×8-bit/0.30 regime makes TRUE pairs quadratic on this
+    # fixture (~0.8% of ALL pairs qualify by geometry), so its wall can
+    # never demonstrate linearity. The production near-dup regime —
+    # 16-bit bands (random collisions p=2^-16 per band) at cosine ≥
+    # 0.85 — has true pairs exactly ∝ corpus here (the fixed-size copy
+    # groups), so THIS run is the candidate-boundedness measurement:
+    # wall must track corpus, and verified pairs must equal
+    # n_groups × C(copies, 2). Oracle-checked via the same
+    # parameterized SQL (emb_lsh_oracle) at every multiplier.
+    import pyspark.sql.functions as F
+
+    from minimapreduce_spark.catalog import load_table
+    from minimapreduce_spark.operators.dedup import (
+        embedding_lsh_verified_pairs,
+        emb_lsh_oracle,
+    )
+
+    emb = load_table(spark, out_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    t0 = time.perf_counter()
+    strict_pdf = embedding_lsh_verified_pairs(
+        spark, emb, planes=64, bands=4, threshold=0.85
+    ).toPandas()
+    rec = {
+        "query": "dedup_embedding_lsh_strict[4x16bit,0.85]",
+        "sec": round(time.perf_counter() - t0, 2),
+        "rows": len(strict_pdf),
+    }
+    if not args.skip_oracle:
+        t1 = time.perf_counter()
+        opdf = con.execute(emb_lsh_oracle(64, 4, 0.85)).df()
+        rec["oracle_sec"] = round(time.perf_counter() - t1, 2)
+        rec["match"] = bool(
+            len(strict_pdf) == len(opdf)
+            and value_hash(strict_pdf) == value_hash(opdf)
+        )
+    print(json.dumps(rec), flush=True)
+
     results = {}
     total = 0.0
     for name in names:
