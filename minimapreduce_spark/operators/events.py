@@ -289,7 +289,9 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS bucket,
-             count(*) AS n, round(avg(value), 6) AS av
+             count(*) AS n,
+             round(sum(CAST(round(value * 10000) AS BIGINT))
+                   / (10000.0 * count(*)), 6) AS av
       FROM events GROUP BY 1, 2
     ),
     bounds AS (
@@ -327,11 +329,25 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence() — O(keys × buckets) rows, never a driver-side loop. The
     left join and LOCF window both shuffle on event_type only. At 100 TB
     the dense frame is bounded by keys × time-range, independent of the
-    raw event count."""
+    raw event count.
+
+    Exactness: the hourly average quantizes to 1e-4 fixed point first —
+    an order-independent BIGINT sum divided once — because a raw
+    avg(value) over doubles is summation-order-dependent and the 6-dp
+    round flipped on one bucket at the 40× relational fixture (caught
+    by tools/scale_experiment.py --family relational; both engines now
+    divide the same two exact integers, which is bit-deterministic)."""
     ev = _events(spark, sf_dir)
     hourly = (
         ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
-        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("av"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.round(F.col("value") * 10000).cast("bigint"))
+                / (F.lit(10000.0) * F.count("*")),
+                6,
+            ).alias("av"),
+        )
     )
     bounds = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),

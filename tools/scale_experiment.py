@@ -171,6 +171,125 @@ def build_fixture(mult: int, out_dir: str) -> None:
     )
 
 
+# Relational/events 40× run (round-3 verdict item 5): the bench
+# headliners beyond dedup/ANN, re-timed and re-oracle-verified at the
+# scaled fixture. documents-family text queries are NOT in this list —
+# plain replication turns hot terms into bucket² artifacts (the same
+# fixture failure mode the dedup builder's shingle-disjoint variants
+# exist to avoid); their scale evidence comes from the dedup run above.
+RELATIONAL_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q18_large_volume_orders",
+    "q21_suppliers_kept_waiting",
+    "window_topk_per_customer",
+    "basket_part_pairs",
+    "histogram_equidepth_prices",
+    "customer_rfm_segments",
+    "merge_upsert_customers",
+    "events_tumbling_hourly",
+    "events_sessionization",
+    "events_resample_gapfill",
+    "events_markov_transitions",
+]
+
+RELATIONAL_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def build_relational_fixture(mult: int, out_dir: str) -> None:
+    """Fact-side replication with key offsets, dims shared — the
+    round-2 10× recipe, committed: orders/lineitem replicate with
+    orderkey += i·10^7 (FK-coherent per replica), events with
+    event_id += i·10^6; region/nation/customer/supplier/part are
+    copied unscaled (they are dims — broadcast candidates at any SF);
+    documents/embeddings copied unscaled (their scale evidence comes
+    from the dup-heavy dedup fixture, where variants are constructed
+    to avoid replication artifacts). Replicas share timestamps and
+    custkeys on purpose: per-key fan-out × mult and heavy ts ties are
+    exactly the stress the two-phase/window re-plans must survive."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "documents", "embeddings"):
+        pq.write_table(
+            pq.read_table(os.path.join(BASE, f"{t}.parquet")),
+            os.path.join(out_dir, f"{t}.parquet"),
+        )
+    for t, keys, off in (
+        ("orders", ("o_orderkey",), 10_000_000),
+        ("lineitem", ("l_orderkey",), 10_000_000),
+        ("events", ("event_id",), 1_000_000),
+    ):
+        base = pq.read_table(os.path.join(BASE, f"{t}.parquet")).to_pandas()
+        out = []
+        for i in range(mult):
+            c = base.copy()
+            for k in keys:
+                c[k] = c[k] + i * off
+            out.append(c)
+        pd.concat(out, ignore_index=True).to_parquet(
+            os.path.join(out_dir, f"{t}.parquet"), index=False
+        )
+
+
+def run_relational(args, out_dir: str) -> None:
+    import duckdb
+
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.session import get_spark
+
+    if not args.skip_build:
+        t0 = time.perf_counter()
+        build_relational_fixture(args.mult, out_dir)
+        print(json.dumps({"step": "build-relational",
+                          "sec": round(time.perf_counter() - t0, 1)}), file=sys.stderr)
+
+    spark = get_spark(app_name="scale-relational")
+    con = duckdb.connect()
+    for t in RELATIONAL_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(out_dir, t + '.parquet')}'"
+        )
+    q.REGISTRY["q6_forecast_revenue"].fn(spark, out_dir).count()  # warmup
+
+    results = {}
+    total = 0.0
+    for name in RELATIONAL_QUERIES:
+        entry = q.REGISTRY[name]
+        t0 = time.perf_counter()
+        spdf = entry.fn(spark, out_dir).toPandas()
+        wall = time.perf_counter() - t0
+        total += wall
+        rec = {"query": name, "sec": round(wall, 2), "rows": len(spdf)}
+        if not args.skip_oracle and entry.oracle:
+            t1 = time.perf_counter()
+            opdf = con.execute(entry.oracle).df()
+            rec["oracle_sec"] = round(time.perf_counter() - t1, 2)
+            rec["match"] = bool(
+                len(spdf) == len(opdf)
+                and sorted(spdf.columns) == sorted(opdf.columns)
+                and value_hash(spdf) == value_hash(opdf)
+            )
+        results[name] = rec
+        print(json.dumps(rec), flush=True)
+    print(json.dumps({
+        "mult": args.mult,
+        "family": "relational",
+        "total_spark_sec": round(total, 1),
+        "all_match": all(r.get("match", True) for r in results.values()),
+        "n_queries": len(results),
+    }))
+
+
 def value_hash(pdf) -> str:
     pdf = pdf[sorted(pdf.columns)]
     return hashlib.sha256(
@@ -186,7 +305,17 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--skip-build", action="store_true")
     ap.add_argument("--skip-oracle", action="store_true")
+    ap.add_argument(
+        "--family",
+        choices=["dedup", "relational"],
+        default="dedup",
+        help="dedup = dup-heavy documents/embeddings fixture (default); "
+        "relational = fact-replicated star schema + events",
+    )
     args = ap.parse_args()
+    if args.family == "relational":
+        run_relational(args, args.out or f"/tmp/sf_rel_{args.mult}x")
+        return
     out_dir = args.out or f"/tmp/sf_scaled_{args.mult}x"
 
     if not args.skip_build:
