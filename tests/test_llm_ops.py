@@ -28,6 +28,7 @@ ORACLED = [
     "multimodal_wav_decode",
     "multimodal_ppm_decode",
     "multimodal_png_decode",
+    "multimodal_jpeg_decode",
 ]
 
 
@@ -159,11 +160,63 @@ def test_embedding_lsh_scores_clear_rounding_boundaries():
     assert margin.min() > 1e-13, f"pair within {margin.min():.2e} of a rounding midpoint"
 
 
-def test_multimodal_decode_stub_raises():
-    from minimapreduce_spark.operators.multimodal import decode_image
+def test_decode_image_dispatches_by_magic_bytes():
+    """decode_image (the former JPEG stub) now dispatches every
+    container to a real decoder; junk still fails loudly."""
+    from minimapreduce_spark.operators.multimodal import (
+        decode_image,
+        encode_jpeg_payload,
+    )
 
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff")
+    out = decode_image(encode_jpeg_payload("dispatch me"))
+    assert out["n_components"] == 1 and out["pixel_checksum"] > 0
+    with pytest.raises(ValueError, match="unrecognized"):
+        decode_image(b"JUNKJUNKJUNK")
+
+
+def test_jpeg_roundtrip_is_exact():
+    """The baseline JFIF codec round-trips exactly: solid 8x8 blocks +
+    a flat quant table make the lossy pipeline lossless, so the decoded
+    checksum must equal the closed-form sum over the block grid — any
+    bug in Huffman category extension (negative DC diffs!), byte
+    stuffing, zigzag, or IDCT normalization breaks this."""
+    from minimapreduce_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_payload,
+    )
+
+    for text in ["a", "Hello world, this is a test document!", "x" * 97]:
+        n, fill = len(text), ord(text[0])
+        wb, hb = 1 + n % 6, 1 + n % 4
+        got = decode_jpeg(encode_jpeg_payload(text))
+        assert got["width"] == 8 * wb and got["height"] == 8 * hb
+        assert got["n_blocks"] == wb * hb
+        want = sum(
+            64 * ((fill + 7 * y + 3 * x) % 256)
+            for y in range(hb)
+            for x in range(wb)
+        ) % 1000000007
+        assert got["pixel_checksum"] == want, text
+
+
+def test_jpeg_decoder_rejects_corruption():
+    from minimapreduce_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_payload,
+    )
+
+    good = encode_jpeg_payload("corruption probe text")
+    with pytest.raises(ValueError, match="missing SOI"):
+        decode_jpeg(b"XX" + good)
+    # flip the SOF0 marker to SOF2: progressive must be refused, not
+    # silently mis-decoded
+    import struct
+
+    bad = bytearray(good)
+    sof_at = bytes(bad).index(b"\xff\xc0")
+    bad[sof_at + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(bad))
 
 
 def test_multimodal_binary_schema(spark):
