@@ -103,3 +103,41 @@ def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
         F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
     )
+
+
+@register(
+    "stream_exactly_once_ingest",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_c_sum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_exactly_once_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingestion from an AT-LEAST-ONCE source: the staged
+    replay redelivers every 13th event into EVERY micro-batch (consumer
+    retry/failover, see ``events_stream_redelivered``), and streaming
+    ``dropDuplicates`` on the idempotency key collapses the copies
+    across batches — so the drained sink equals the clean batch table,
+    which is exactly what the oracle checks (a consumer that merely
+    counted rows would overcount by the planted redelivery volume).
+
+    State posture: the dedup ledger holds one entry per event_id — the
+    unavoidable price of exactly-once over a keyless-commit source; a
+    source whose redelivery horizon is time-bounded can swap in
+    ``dropDuplicatesWithinWatermark`` (see ``stream_dedup_watermark``)
+    to evict ledger entries as the watermark passes. Sums are 1e-4
+    fixed-point BIGINTs per the repo's exactness discipline."""
+    from minimapreduce_spark.streaming.source import events_stream_redelivered
+
+    sdf = events_stream_redelivered(spark, sf_dir)
+    deduped = sdf.dropDuplicates(["event_id"]).select(
+        "event_id", "event_type", "value"
+    )
+    drained = run_to_memory(deduped, "stream_exactly_once_ingest", "append")
+    return drained.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("value_c_sum"),
+    )

@@ -105,6 +105,54 @@ def events_stream_sharded(
     return sdf
 
 
+def events_stream_redelivered(
+    spark: SparkSession, sf_dir: str, n_shards: int = 4, redeliver_mod: int = 13
+) -> DataFrame:
+    """``events_stream_sharded`` variant that simulates AT-LEAST-ONCE
+    delivery: rows hash into ``n_shards`` single-file micro-batches as
+    usual, but every row with ``event_id % redeliver_mod == 0`` is
+    written into EVERY shard — the redelivery a real queue produces on
+    consumer retry/failover. A downstream exactly-once consumer must
+    collapse those copies on the idempotency key; anything that merely
+    counts rows overcounts by exactly the planted redelivery volume
+    (which tests/test_streaming.py asserts is nonzero)."""
+    from pyspark.sql.types import LongType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = table_path(sf_dir, "events")
+    st = os.stat(path)
+    key = (
+        f"{os.path.abspath(path).strip(os.sep).replace(os.sep, '_')}"
+        f"_{st.st_mtime_ns}_{st.st_size}"
+    )
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "minimapreduce_stream_redelivered",
+        f"{key}_{n_shards}_{redeliver_mod}",
+    )
+    if not os.path.exists(os.path.join(d, "_DONE")):
+        base = spark.read.parquet(path)
+        for i in range(n_shards):
+            shard = base.where(
+                (F.col("event_id") % n_shards == i)
+                | (F.col("event_id") % redeliver_mod == 0)
+            )
+            shard.coalesce(1).write.mode("append").parquet(d)
+        with open(os.path.join(d, "_DONE"), "w") as f:
+            f.write("ok")
+    schema = spark.read.parquet(d).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    if isinstance(schema["ts"].dataType, LongType):
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    return sdf
+
+
 def run_to_memory(sdf: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Drain a streaming DataFrame into a memory sink and return it.
 
