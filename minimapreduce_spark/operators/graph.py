@@ -145,3 +145,110 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return r.select(F.col("n_name").alias("nation"), F.col("r").alias("rank_e12"))
+
+
+_TRIANGLE_DEG_ORACLE = """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v FROM und
+      ) GROUP BY node
+    ),
+    oriented AS (
+      SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS src,
+             CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS dst
+      FROM und JOIN deg du ON du.node = und.u JOIN deg dv ON dv.node = und.v
+    ),
+    tri AS (
+      SELECT ab.src AS x, ab.dst AS y, bc.dst AS z
+      FROM oriented ab
+      JOIN oriented bc ON bc.src = ab.dst
+      JOIN oriented ac ON ac.src = ab.src AND ac.dst = bc.dst
+    ),
+    per_node AS (
+      SELECT node, count(*) AS t FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY node
+    )
+    SELECT CAST(node AS BIGINT) AS l_partkey,
+           CAST(t AS BIGINT) AS n_triangles
+    FROM per_node
+"""
+
+
+@register("graph_triangle_degree_oriented", oracle=_TRIANGLE_DEG_ORACLE)
+def graph_triangle_degree_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the co-purchase graph via
+    DEGREE-ORDERED orientation — the production-scale twin of
+    ``graph_triangle_count`` (analytics.py), whose id-ordered
+    orientation documents exactly this variant as the hub defense.
+
+    Why the orientation key matters at 100 TB: with edges oriented
+    lower-id -> higher-id, a hub vertex with degree d generates O(d²)
+    wedges whenever its id sorts low; orienting each edge from its
+    lower-(degree, id) endpoint caps every oriented out-degree at
+    O(sqrt(|E|)), so total wedge volume is O(|E|^1.5) on ANY graph —
+    the arboricity bound — instead of Sum d². Each triangle is still
+    generated exactly once (the orientation is acyclic: it follows a
+    total order on vertices).
+
+    Cross-engine determinism: pure counting, no floats; orientation
+    ties break on the part id, totally ordering every edge identically
+    on both engines. A consistency pytest checks Sum(n_triangles) =
+    3 x |triangles| from the id-oriented twin."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    und = (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("support_cnt"))
+        .where(F.col("support_cnt") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=False)  # degrees + orientation + 3 join sides
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    ab = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    bc = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    ac = oriented.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+    tri = ab.join(bc, "y").join(ac, ["x", "z"])
+    return (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("t"))
+        .select(
+            F.col("node").cast("bigint").alias("l_partkey"),
+            F.col("t").cast("bigint").alias("n_triangles"),
+        )
+    )

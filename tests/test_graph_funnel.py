@@ -83,3 +83,17 @@ def test_cohort_ltv_cumulative_is_monotone(spark):
         .first()[0]
     )
     assert abs(out["week_revenue"].sum() - total / 10000.0) < 1e-6
+
+
+def test_triangle_orientations_agree(spark):
+    """The degree-oriented triangle counter must count exactly the same
+    triangles as the id-oriented twin: every triangle contributes one
+    participation to each of its three vertices, so Σ n_triangles =
+    3 × |triangles| — any orientation bug (double-generated or lost
+    rotations) breaks the identity."""
+    from minimapreduce_spark import queries as q
+
+    per_node = q.queries()["graph_triangle_degree_oriented"](spark, SF_DIR).toPandas()
+    n_tri = q.queries()["graph_triangle_count"](spark, SF_DIR).count()
+    assert int(per_node["n_triangles"].sum()) == 3 * n_tri
+    assert n_tri > 0, "fixture has no triangles — test is vacuous"
