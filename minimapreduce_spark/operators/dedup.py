@@ -74,7 +74,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def shingle_hashes(
-    spark: SparkSession, sf_dir: str, k: int = SHINGLE_K, distinct: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = SHINGLE_K,
+    distinct: bool = True,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, h) pairs, h = 64-bit xxhash of the k-gram word shingle —
     distinct per doc by default.
@@ -88,8 +92,11 @@ def shingle_hashes(
     that materializes the shingle array twice to carry a size column.
     Consumers whose aggregate is duplicate-insensitive (min-hash) pass
     ``distinct=False`` and skip that corpus-wide exchange entirely.
+    Pass ``docs`` (doc_id, text) to shingle an alternate frame — e.g.
+    the content-group representatives of ``dedup_minhash``.
     """
-    docs = _docs(spark, sf_dir)
+    if docs is None:
+        docs = _docs(spark, sf_dir)
     ws = F.filter(F.split("text", r"[^A-Za-z]+"), lambda w: w != "")
     # Guard short docs: sequence(1, n) with n < 1 would generate a
     # DESCENDING sequence in Spark, fabricating bogus shingles.
@@ -228,13 +235,42 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the plain exact-Jaccard SQL: with these parameters a
     true pair at j ≥ 0.9 is missed with P ≈ 8e-4 (deterministic hashes,
     so verified-stable on the fixture data). This is the 100 TB dedup
-    path — no step is pairwise over the corpus."""
-    # One corpus scan for the whole query: the raw shingle base is
+    path — no step is pairwise over the corpus.
+
+    CONTENT-GROUP front end (the embedding-LSH fix, applied to text):
+    byte-identical documents — the dominant duplicate shape in a web
+    corpus — collapse via one groupBy on the text itself before any
+    shingling; the whole shingle → signature → band → verify pipeline
+    runs over DISTINCT CONTENTS only, and verified content pairs expand
+    back to doc pairs through narrow (rep, doc_id) joins. Within-group
+    pairs are emitted directly with jaccard = 1.0 and n_common = the
+    content's distinct-shingle count (exactly what the oracle computes
+    for a byte-identical pair; zero-shingle contents are excluded
+    because the oracle's shingle equi-join can never pair them).
+    Outputs are bit-identical to the ungrouped plan — group members are
+    byte-equal, so every expanded pair's (n_common, jaccard) equals its
+    representative pair's."""
+    groups = (
+        _docs(spark, sf_dir)
+        .groupBy("text")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .localCheckpoint(eager=False)  # feeds shingles + expansion
+    )
+    # fan_out: AQE coalesces the small post-groupBy output to ~1
+    # partition, which would serialize the expensive shingling stage
+    # onto one core (measured 5.5 s vs 1.0 s at sf0.1)
+    rep_docs = fan_out(spark, groups.select(F.col("rep").alias("doc_id"), "text"))
+    # One rep-corpus scan for the whole query: the raw shingle base is
     # checkpointed and feeds BOTH the signature aggregate (min() is
     # duplicate-insensitive, so no distinct needed) and, deduped, the
     # exact-Jaccard verification. The signature frame (docs × 32 longs)
     # is checkpointed too since the band self-join reads it twice.
-    base = shingle_hashes(spark, sf_dir, distinct=False).localCheckpoint(eager=False)
+    base = shingle_hashes(
+        spark, sf_dir, distinct=False, docs=rep_docs
+    ).localCheckpoint(eager=False)
     sigs = minhash_signatures(spark, sf_dir, shingles=base).localCheckpoint(eager=False)
     r = MINHASH_PERMS // MINHASH_BANDS
     bands = F.array(
@@ -257,12 +293,45 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return jaccard_pairs(
+    distinct_sh = base.distinct().localCheckpoint(eager=False)
+    rep_pairs = jaccard_pairs(
         spark,
         sf_dir,
         MINHASH_THRESHOLD,
         candidates=candidates,
-        shingles=base.distinct().localCheckpoint(eager=False),
+        shingles=distinct_sh,
+    )
+    # within-group pairs: byte-identical docs share every shingle, so
+    # n_common = the content's distinct-shingle count and jaccard = 1.0
+    # — provided the content HAS shingles (the oracle's shingle
+    # equi-join can never pair zero-shingle docs, however identical)
+    sizes = distinct_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    self_pairs = (
+        groups.where(F.size("members") >= 2)
+        .join(sizes, groups.rep == sizes.doc_id)
+        .select(
+            F.col("rep").alias("doc_a"),
+            F.col("rep").alias("doc_b"),
+            F.col("n").alias("n_common"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    content_hits = rep_pairs.unionByName(self_pairs)
+    mem = groups.select("rep", F.explode("members").alias("did"))
+    return (
+        content_hits.join(
+            mem.select(F.col("rep").alias("doc_a"), F.col("did").alias("ida")), "doc_a"
+        )
+        .join(
+            mem.select(F.col("rep").alias("doc_b"), F.col("did").alias("idb")), "doc_b"
+        )
+        .where((F.col("doc_a") != F.col("doc_b")) | (F.col("ida") < F.col("idb")))
+        .select(
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
+            "n_common",
+            "jaccard",
+        )
     )
 
 
@@ -557,6 +626,11 @@ def embedding_lsh_verified_pairs(
         )
         .localCheckpoint(eager=False)  # feeds bands, verify joins, expansion
     )
+    # (no fan_out here, unlike dedup_minhash's rep frame: the int64
+    # matmul signature stage is microseconds per vector, so the extra
+    # round-robin exchange costs more than the parallelism buys —
+    # measured 2.5 s vs 1.7 s at sf0.1; at real scale the vector bytes
+    # keep AQE from coalescing the group exchange to one partition)
     rep_emb = groups.select(F.col("rep").alias("vec_id"), "emb")
 
     band_rows = rep_emb.mapInPandas(
