@@ -162,6 +162,68 @@ def jaccard_pairs(
     )
 
 
+def doc_content_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(text, rep, members): one row per DISTINCT document content —
+    rep = min doc_id of the group, members = all doc_ids carrying that
+    exact text. The content-group front end shared by the text-dedup
+    family (see ``dedup_minhash``): byte-identical copies collapse here
+    so shingling/banding/verification run over distinct contents only.
+    Checkpointed — every caller reads it at least twice (pipeline +
+    expansion)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("text")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def expand_doc_pairs(content_hits: DataFrame, groups: DataFrame) -> DataFrame:
+    """Expand content-level pairs (doc_a, doc_b = rep ids, plus any
+    value columns) to member-level doc pairs through two narrow
+    (rep, doc_id) joins: cross-content pairs yield every member combo
+    exactly once, self-pairs (rep, rep) yield the within-group i<j
+    combos. Values carry over unchanged — members are byte-identical,
+    so every expanded pair's metrics equal its representative pair's."""
+    extra = [c for c in content_hits.columns if c not in ("doc_a", "doc_b")]
+    mem = groups.select("rep", F.explode("members").alias("did"))
+    return (
+        content_hits.join(
+            mem.select(F.col("rep").alias("doc_a"), F.col("did").alias("ida")), "doc_a"
+        )
+        .join(
+            mem.select(F.col("rep").alias("doc_b"), F.col("did").alias("idb")), "doc_b"
+        )
+        .where((F.col("doc_a") != F.col("doc_b")) | (F.col("ida") < F.col("idb")))
+        .select(
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
+            *extra,
+        )
+    )
+
+
+def jaccard_self_pairs(groups: DataFrame, distinct_sh: DataFrame) -> DataFrame:
+    """(rep, rep, n_common, jaccard=1.0) for every multi-member content
+    group whose content has at least one shingle — the oracle's exact
+    values for a byte-identical pair (its shingle equi-join can never
+    pair zero-shingle docs, however identical, so those are excluded)."""
+    sizes = distinct_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    return (
+        groups.where(F.size("members") >= 2)
+        .join(sizes, groups.rep == sizes.doc_id)
+        .select(
+            F.col("rep").alias("doc_a"),
+            F.col("rep").alias("doc_b"),
+            F.col("n").alias("n_common"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+
+
 @register(
     "dedup_exact",
     oracle="""
@@ -197,9 +259,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 5-gram Jaccard ≥ 0.8 via shingle
-    inverted-index self-join. Correct and simple; at 100 TB prefer
-    dedup_minhash (this one's join explodes on hot shingles)."""
-    return jaccard_pairs(spark, sf_dir, NGRAM_THRESHOLD)
+    inverted-index self-join over DISTINCT CONTENTS (the content-group
+    front end, see ``dedup_minhash``) — byte-identical copies never
+    enter the inverted index, which also shrinks every hot-shingle
+    bucket by the duplication factor (Σ bucket² drops quadratically in
+    it). Still: at 100 TB prefer dedup_minhash — the bucket bound here
+    is the shingle's document frequency, not the band's."""
+    groups = doc_content_groups(spark, sf_dir)
+    rep_docs = fan_out(spark, groups.select(F.col("rep").alias("doc_id"), "text"))
+    sh = shingle_hashes(spark, sf_dir, docs=rep_docs).localCheckpoint(eager=False)
+    rep_pairs = jaccard_pairs(spark, sf_dir, NGRAM_THRESHOLD, shingles=sh)
+    return expand_doc_pairs(
+        rep_pairs.unionByName(jaccard_self_pairs(groups, sh)), groups
+    )
 
 
 def minhash_signatures(
@@ -250,15 +322,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Outputs are bit-identical to the ungrouped plan — group members are
     byte-equal, so every expanded pair's (n_common, jaccard) equals its
     representative pair's."""
-    groups = (
-        _docs(spark, sf_dir)
-        .groupBy("text")
-        .agg(
-            F.min("doc_id").alias("rep"),
-            F.sort_array(F.collect_list("doc_id")).alias("members"),
-        )
-        .localCheckpoint(eager=False)  # feeds shingles + expansion
-    )
+    groups = doc_content_groups(spark, sf_dir)
     # fan_out: AQE coalesces the small post-groupBy output to ~1
     # partition, which would serialize the expensive shingling stage
     # onto one core (measured 5.5 s vs 1.0 s at sf0.1)
@@ -301,37 +365,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         candidates=candidates,
         shingles=distinct_sh,
     )
-    # within-group pairs: byte-identical docs share every shingle, so
-    # n_common = the content's distinct-shingle count and jaccard = 1.0
-    # — provided the content HAS shingles (the oracle's shingle
-    # equi-join can never pair zero-shingle docs, however identical)
-    sizes = distinct_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    self_pairs = (
-        groups.where(F.size("members") >= 2)
-        .join(sizes, groups.rep == sizes.doc_id)
-        .select(
-            F.col("rep").alias("doc_a"),
-            F.col("rep").alias("doc_b"),
-            F.col("n").alias("n_common"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
-    content_hits = rep_pairs.unionByName(self_pairs)
-    mem = groups.select("rep", F.explode("members").alias("did"))
-    return (
-        content_hits.join(
-            mem.select(F.col("rep").alias("doc_a"), F.col("did").alias("ida")), "doc_a"
-        )
-        .join(
-            mem.select(F.col("rep").alias("doc_b"), F.col("did").alias("idb")), "doc_b"
-        )
-        .where((F.col("doc_a") != F.col("doc_b")) | (F.col("ida") < F.col("idb")))
-        .select(
-            F.least("ida", "idb").alias("doc_a"),
-            F.greatest("ida", "idb").alias("doc_b"),
-            "n_common",
-            "jaccard",
-        )
+    return expand_doc_pairs(
+        rep_pairs.unionByName(jaccard_self_pairs(groups, distinct_sh)), groups
     )
 
 
@@ -987,9 +1022,46 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative graph algorithms. Rounds needed = graph diameter
     (near-dup clusters are near-cliques, so a handful); a 50-round
     guard bounds pathological chains. The oracle is a recursive-CTE
-    transitive closure over the same pair set."""
-    pairs = jaccard_pairs(spark, sf_dir, NGRAM_THRESHOLD).select("doc_a", "doc_b")
-    return min_label_components(pairs, out_id="doc_id")
+    transitive closure over the same pair set.
+
+    Content-group formulation (round 4): label propagation runs over
+    the DISTINCT-CONTENT pair graph only — byte-identical copies are a
+    clique by construction (jaccard 1.0 edges), so a whole copy group
+    collapses to its representative vertex and every member inherits
+    the rep's component label. That label IS the member-level min-label
+    answer: each group's rep is its min doc_id, so min-over-component
+    of reps equals min-over-component of all members. Multi-member
+    groups whose content never pairs across contents (but has >= 1
+    shingle — the oracle can't pair shingle-less docs) form their own
+    component."""
+    groups = doc_content_groups(spark, sf_dir)
+    rep_docs = fan_out(spark, groups.select(F.col("rep").alias("doc_id"), "text"))
+    sh = shingle_hashes(spark, sf_dir, docs=rep_docs).localCheckpoint(eager=False)
+    rep_pairs = jaccard_pairs(spark, sf_dir, NGRAM_THRESHOLD, shingles=sh).select(
+        "doc_a", "doc_b"
+    )
+    rep_cc = min_label_components(rep_pairs, out_id="rep").select(
+        "rep", "cluster_id"
+    )
+    # multi-member groups with no cross-content edge: their within-group
+    # jaccard-1.0 clique is still a component (iff the content shingles)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    iso = (
+        groups.where(F.size("members") >= 2)
+        .join(sizes, groups.rep == sizes.doc_id)
+        .join(rep_cc, "rep", "left_anti")
+        .select("rep", F.col("rep").alias("cluster_id"))
+    )
+    mem = groups.select("rep", F.explode("members").alias("doc_id"))
+    return (
+        rep_cc.unionByName(iso)
+        .join(mem, "rep")
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+    )
 
 
 def min_label_components(

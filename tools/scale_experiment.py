@@ -65,25 +65,25 @@ QUERIES = [
 ]
 
 # Excluded past 10×:
-# - the full-Jaccard inverted-index pair (ngram and the CC that consumes
-#   it) — the fixture's ~100-word synthetic vocabulary makes 5-gram
-#   buckets pervasive (avg bucket ≈ 7 docs at sf0.1, ×10 copies at every
-#   scale step), so Σ bucket² reaches 66 BILLION joined rows at 40×.
-#   That is the documented hot-shingle degradation the operator's own
-#   docstring warns about (dedup.py module notes) — the measured scale
-#   path is dedup_minhash, which STAYS in the run. Same exclusion
-#   precedent as the O(n²) dedup_embedding_cosine baseline in round 2.
+# - (UN-EXCLUDED in round 4: dedup_ngram_jaccard + dedup_clusters.
+#   Round 3 excluded the full-Jaccard inverted-index pair because
+#   duplicate copies multiplied every hot-shingle bucket — Σ bucket²
+#   projected 66 BILLION joined rows at 40×. The content-group front
+#   end collapses byte-identical copies before the inverted index, so
+#   bucket sizes are per-CONTENT document frequency and Σ bucket²
+#   shrinks by the duplication factor squared: 40× now runs in ~5-8 s,
+#   oracle hash-matched at 10×.)
 # - ann_knn_graph_edges — its Σ|cell|² bound assumes IVF nlist grows
 #   with the corpus (real builds use nlist ∝ √N); the fixture's label
 #   column is FIXED at 10 cells, so cells grow linearly and the
 #   within-cell self-join becomes a fixture artifact past ~10×.
-EXCLUDE_PAST_10X = {"dedup_ngram_jaccard", "dedup_clusters", "ann_knn_graph_edges"}
+EXCLUDE_PAST_10X = {"ann_knn_graph_edges"}
 
-# Oracle skipped (timing + rows only) past 10×: dedup_minhash's DuckDB
-# oracle is the FULL exact-Jaccard join — the same 66e9-row computation
-# excluded above; the query itself still verifies its candidates with
-# exact Jaccard internally and was oracle-matched at 1× and 10×.
-ORACLE_SKIP_PAST_10X = {"dedup_minhash"}
+# Oracle skipped (timing + rows only) past 10×: these oracles compute
+# the FULL id-level exact-Jaccard join (or its recursive-CTE closure) —
+# still oracle-side intractable at 40× even though the content-grouped
+# engine runs fine there; each was oracle hash-matched at 1× and 10×.
+ORACLE_SKIP_PAST_10X = {"dedup_minhash", "dedup_ngram_jaccard", "dedup_clusters"}
 
 # Oracle skipped past 1×: dedup_embedding_clusters' oracle is a
 # recursive-CTE TRANSITIVE CLOSURE — O(Σ|component|²) rows — and the
