@@ -626,6 +626,7 @@ def embedding_lsh_verified_pairs(
     planes: int = EMB_LSH_PLANES,
     bands: int = EMB_LSH_BANDS,
     threshold: float = EMB_LSH_THRESHOLD,
+    return_content_level: bool = False,
 ) -> DataFrame:
     """LSH-banded embedding near-dup pairs over ``emb`` (vec_id, emb:
     array<float|double>) for an arbitrary (planes, bands, threshold)
@@ -729,6 +730,12 @@ def embedding_lsh_verified_pairs(
     content_hits = sims.select(
         "rep_a", "rep_b", F.round("raw", 6).alias("cosine_sim")
     ).where(F.col("cosine_sim") >= threshold)
+    if return_content_level:
+        # (groups, content_hits) for consumers that work on the
+        # distinct-content graph directly (dedup_embedding_clusters):
+        # expanding a copy-group clique only to contract it again in
+        # label propagation would be pure waste
+        return groups, content_hits
 
     mem = groups.select("rep", F.explode("members").alias("vid"))
     return (
@@ -847,9 +854,51 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds = component diameter, labels/edges distributed throughout;
     oracle = recursive-CTE closure over the identical (SQL-reproduced)
     LSH pair set.
+
+    Round 4: propagation runs on the DISTINCT-CONTENT graph (the
+    ``dedup_clusters`` argument verbatim): a byte-identical copy group
+    is a cosine-1.0 clique, so it collapses to its representative
+    vertex and members inherit the rep's component label — which IS the
+    member-level min-label answer, each rep being its group's min
+    vec_id. Fewer vertices AND fewer rounds of the iterative loop pay
+    for every copy in the corpus.
     """
-    pairs = dedup_embedding_lsh(spark, sf_dir).select("vec_a", "vec_b")
-    return min_label_components(pairs, a="vec_a", b="vec_b", out_id="vec_id")
+    from minimapreduce_spark._pickle import register_self_by_value
+
+    register_self_by_value()
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    groups, hits = embedding_lsh_verified_pairs(
+        spark, emb, return_content_level=True
+    )
+    hits = hits.localCheckpoint(eager=False)  # cross-pairs + self-hit scan
+    rep_cc = min_label_components(
+        hits.where(F.col("rep_a") != F.col("rep_b")).select("rep_a", "rep_b"),
+        a="rep_a",
+        b="rep_b",
+        out_id="rep",
+    ).select("rep", "cluster_id")
+    # multi-member groups with no cross-content edge are still
+    # components iff their self-pair verified (cosine 1.0 ≥ threshold —
+    # true except for degenerate zero vectors, which the verify's NaN
+    # cosine correctly drops on both engines)
+    iso = (
+        hits.where(F.col("rep_a") == F.col("rep_b"))
+        .select(F.col("rep_a").alias("rep"))
+        .join(rep_cc, "rep", "left_anti")
+        .select("rep", F.col("rep").alias("cluster_id"))
+    )
+    mem = groups.select("rep", F.explode("members").alias("vec_id"))
+    return (
+        rep_cc.unionByName(iso)
+        .join(mem, "rep")
+        .select(
+            "vec_id",
+            "cluster_id",
+            (F.col("vec_id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+    )
 
 
 @register(
@@ -902,8 +951,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     band) then bit_count(XOR) verification. The token hash is the first
     15 hex chars of md5 — portable, so the oracle reproduces the
     fingerprints bit-for-bit in SQL. At scale every stage is a hash
-    shuffle on (doc_id|band) keys; nothing is pairwise over the corpus."""
-    docs = _docs(spark, sf_dir)
+    shuffle on (doc_id|band) keys; nothing is pairwise over the corpus.
+
+    Content-group front end (round 4, the dedup_minhash pattern):
+    fingerprints, banding, and Hamming verification run over DISTINCT
+    CONTENTS; verified content pairs expand back to doc pairs, and
+    multi-member groups emit their within-group pairs directly with
+    hamming = 0 (identical text → identical fingerprint; excluded only
+    when the content has no letter tokens, since the oracle derives no
+    fingerprint row for those)."""
+    groups = doc_content_groups(spark, sf_dir)
+    docs = fan_out(spark, groups.select(F.col("rep").alias("doc_id"), "text"))
     ws = F.filter(F.split("text", r"[^A-Za-z]+"), lambda w: w != "")
     tokens = (
         docs.select("doc_id", F.explode(ws).alias("token"))
@@ -972,9 +1030,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return pairs.select(
+    rep_hits = pairs.select(
         "doc_a", "doc_b", hamming.cast("int").alias("hamming")
     ).where(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+    self_pairs = (
+        groups.where(F.size("members") >= 2)
+        .join(fp, groups.rep == fp.doc_id)  # content must have a fingerprint
+        .select(
+            F.col("rep").alias("doc_a"),
+            F.col("rep").alias("doc_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return expand_doc_pairs(rep_hits.unionByName(self_pairs), groups)
 
 
 _CLUSTER_ORACLE = (
