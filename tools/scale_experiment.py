@@ -344,7 +344,7 @@ def main() -> None:
     names = list(QUERIES)
     if args.mult > 10:
         for n in sorted(EXCLUDE_PAST_10X):
-            print(json.dumps({"query": n, "excluded": "hot-shingle full-Jaccard; see EXCLUDE_PAST_10X"}), flush=True)
+            print(json.dumps({"query": n, "excluded": "fixture artifact; see EXCLUDE_PAST_10X comment"}), flush=True)
         names = [n for n in names if n not in EXCLUDE_PAST_10X]
 
     # STRICT-REGIME LSH dedup (round-3 verdict item 4): the registered
