@@ -156,19 +156,28 @@ def with_scalars(df: DataFrame, agg_df: DataFrame) -> DataFrame:
 
 def exact_floor_div(num: Column, den: Column) -> Column:
     """Exact integer ``num // den`` (den > 0) with COLUMN operands, via
-    the propose-and-correct floor discipline (see
-    ``scale.normalized_dim_lit`` for the plan-time-scalar variant): one
-    double division proposes the quotient, an exact long remainder
-    check corrects ±1. Valid while |num| < 2^62 — the double proposal
-    is then within 1 of the true floor, so the correction lands it
-    exactly; the result matches DuckDB's integer ``//`` bit-for-bit
-    where a bare ``(num / den).cast('bigint')`` can truncate a rounded
-    double quotient the other way once num approaches 2^53 (round-3
-    ADVICE on psi_value_drift)."""
-    qd = F.floor(num.cast("double") / den.cast("double")).cast("bigint")
-    r = num - qd * den
-    return qd + (
-        F.when(r < 0, F.lit(-1)).when(r >= den, F.lit(1)).otherwise(F.lit(0))
+    a TWO-STAGE propose-and-correct floor (the plan-time-scalar variant
+    in ``scale.normalized_dim_lit`` gets away with one stage because it
+    proves its quotient small): stage 1's double division can miss by
+    up to ~2^11 when |num| nears 2^62 (double(num) itself rounds by up
+    to 2^9, and a large quotient adds |q|·2^-52), so the EXACT long
+    residual r1 = num − q1·den re-proposes a second quotient — now
+    |r1/den| ≲ 2^12, where the double proposal is within 1 — and one
+    final remainder check corrects ±1. Valid for |num| < 2^62 and
+    0 < den < 2^50 (keeps |r1| inside long); matches DuckDB's integer
+    ``//`` bit-for-bit where a bare ``(num / den).cast('bigint')``
+    truncates a rounded double quotient the wrong way past 2^53
+    (round-3 ADVICE on psi_value_drift). The single-stage version
+    shipped first and was wrong from quotients ≈ 2^53 up — caught by
+    the hypothesis property test sweeping the full contracted range."""
+    q1 = F.floor(num.cast("double") / den.cast("double")).cast("bigint")
+    r1 = num - q1 * den
+    q2 = F.floor(r1.cast("double") / den.cast("double")).cast("bigint")
+    r2 = r1 - q2 * den
+    return (
+        q1
+        + q2
+        + F.when(r2 < 0, F.lit(-1)).when(r2 >= den, F.lit(1)).otherwise(F.lit(0))
     )
 
 

@@ -218,3 +218,40 @@ def test_two_phase_ntile_property(spark, keys, k):
             want[order[pos]] = bucket
             pos += 1
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            # the whole contracted range (|num| < 2^62, den < 2^50),
+            # incl. the >= 2^53-quotient zone where the first shipped
+            # SINGLE-stage propose-and-correct was provably wrong (this
+            # test caught it) and a bare truncated double quotient
+            # diverges from integer floor
+            st.integers(-(1 << 62) + 1, (1 << 62) - 1),
+            st.integers(1, (1 << 50) - 1),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+)
+def test_exact_floor_div_matches_python_floor(spark, rows):
+    """ordered.exact_floor_div must equal Python's exact integer //
+    for every (num, den > 0) in its contracted range — the property
+    the PSI binning (and its DuckDB `//` oracle) rides on."""
+    from minimapreduce_spark.operators.ordered import exact_floor_div
+
+    df = spark.createDataFrame(rows, "num long, den long")
+    got = {
+        (r["num"], r["den"]): r["q"]
+        for r in df.select(
+            "num", "den", exact_floor_div(F.col("num"), F.col("den")).alias("q")
+        ).collect()
+    }
+    for num, den in rows:
+        assert got[(num, den)] == num // den, (num, den)
