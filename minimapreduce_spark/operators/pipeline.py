@@ -936,7 +936,14 @@ def pack_token_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (F.col("local_cum") + F.col("offset")).alias("cum"),
     )
-    batch = ((F.col("cum") - F.col("n_tokens")) / PACK_CAPACITY).cast("bigint")
+    # exact floor even when the corpus-wide cumulative token count
+    # passes 2^53 (oracle uses integer //; a truncated double quotient
+    # diverges there — same class as the round-3 PSI ADVICE)
+    from minimapreduce_spark.operators.ordered import exact_floor_div
+
+    batch = exact_floor_div(
+        F.col("cum") - F.col("n_tokens"), F.lit(PACK_CAPACITY).cast("bigint")
+    )
     return c.groupBy(batch.alias("batch_id")).agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
