@@ -49,6 +49,15 @@ CANDIDATES = [
     "token_histogram_zipf",
     "dedup_embedding_clusters",
     "psi_value_drift",
+    # round-4 additions: content-group expansion (values must not
+    # depend on which partition discovered a copy group), the chained
+    # mapInPandas JPEG codec lanes, degree-ordered triangle counting,
+    # streaming drift over the exact-floor binning
+    "dedup_minhash",
+    "dedup_simhash",
+    "graph_triangle_degree_oriented",
+    "multimodal_jpeg_decode",
+    "stream_psi_drift",
 ]
 
 
