@@ -185,7 +185,7 @@ _TRIANGLE_DEG_ORACLE = """
 """
 
 
-@register("graph_triangle_degree_oriented", oracle=_TRIANGLE_DEG_ORACLE)
+@register("graph_triangle_degree_oriented", oracle=_TRIANGLE_DEG_ORACLE, bench=True)
 def graph_triangle_degree_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-part triangle participation in the co-purchase graph via
     DEGREE-ORDERED orientation — the production-scale twin of

@@ -954,6 +954,7 @@ def jpeg_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @register(
     "multimodal_jpeg_decode",
+    bench=True,  # the compressed-codec lane: chained Arrow stages, zero shuffles
     oracle="""
     WITH d AS (
       SELECT doc_id,

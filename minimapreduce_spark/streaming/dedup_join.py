@@ -107,6 +107,7 @@ def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_exactly_once_ingest",
+    bench=True,  # exactly-once over at-least-once replay: cross-batch dedup state
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
