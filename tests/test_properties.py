@@ -255,3 +255,60 @@ def test_exact_floor_div_matches_python_floor(spark, rows):
     }
     for num, den in rows:
         assert got[(num, den)] == num // den, (num, den)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(1, 5), min_size=2, max_size=8),
+    edge_bits=st.integers(0, 2**28 - 1),
+)
+def test_expand_doc_pairs_equals_reference_enumeration(spark, sizes, edge_bits):
+    """The content-group expansion (dedup family) must equal brute
+    enumeration: for synthetic groups and an arbitrary subset of
+    content pairs (+ all multi-member self pairs), expand_doc_pairs
+    must produce exactly every cross-group member combo once and every
+    within-group i<j combo once, all oriented min<max, with the content
+    pair's value carried to each."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from minimapreduce_spark.operators.dedup import expand_doc_pairs
+
+    # deterministic member ids: group g gets ids [100g, 100g + size)
+    groups_py = {g: list(range(100 * g, 100 * g + n)) for g, n in enumerate(sizes)}
+    reps = {g: m[0] for g, m in groups_py.items()}
+    gids = sorted(groups_py)
+    cross = list(itertools.combinations(gids, 2))
+    chosen = [p for i, p in enumerate(cross) if (edge_bits >> i) & 1]
+    hits_py = [(reps[a], reps[b], float(10 * a + b)) for a, b in chosen]
+    hits_py += [(reps[g], reps[g], 1.0) for g in gids if len(groups_py[g]) >= 2]
+    if not hits_py:
+        return
+
+    groups_df = spark.createDataFrame(
+        [(str(g), reps[g], groups_py[g]) for g in gids],
+        "text string, rep long, members array<long>",
+    )
+    hits_df = spark.createDataFrame(hits_py, "doc_a long, doc_b long, v double")
+    got = {
+        (r["doc_a"], r["doc_b"], r["v"])
+        for r in expand_doc_pairs(hits_df, groups_df).collect()
+    }
+
+    want = set()
+    for ra, rb, v in hits_py:
+        ga = ra // 100
+        if ra == rb:
+            for i, j in itertools.combinations(groups_py[ga], 2):
+                want.add((i, j, v))
+        else:
+            gb = rb // 100
+            for i in groups_py[ga]:
+                for j in groups_py[gb]:
+                    want.add((min(i, j), max(i, j), v))
+    assert got == want
