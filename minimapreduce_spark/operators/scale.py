@@ -73,9 +73,12 @@ def salted_agg(
     "agg_salted_skew",
     oracle="""
     SELECT l_returnflag,
-           round(sum(l_quantity), 2)      AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(avg(l_discount), 6)      AS avg_disc,
+           round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 2)
+             AS sum_qty,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+             AS sum_base_price,
+           round(sum(CAST(round(l_discount * 10000) AS BIGINT))
+                 / (10000.0 * count(*)), 6) AS avg_disc,
            max(l_quantity)                AS max_qty,
            count(*)                       AS n_rows
     FROM lineitem
@@ -88,27 +91,39 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the PLAIN group-by: salting must be invisible in the
     result. avg is recombined exactly as sum-of-sums / sum-of-counts.
 
+    Exactness: sums run over fixed-point BIGINTs (cents / 1e-4 for the
+    discount) so partial order — which salting deliberately scrambles —
+    cannot move a rounded result; the round-4 40× run caught the raw
+    double version crossing a 6-dp boundary against DuckDB (the same
+    class as events_resample_gapfill's fix). Both engines then divide
+    the same two exact integers — bit-deterministic.
+
     (For built-in aggregates Spark's partial+final hash agg already
     spreads this load; the operator exists for aggregation pipelines —
     e.g. collect_list-based or applyInPandas UDAFs — where the partial
     step would otherwise concentrate a hot key on one task.)
     """
     li = load_table(spark, sf_dir, "lineitem")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("bigint")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_q = F.round(F.col("l_discount") * 10000).cast("bigint")
     return salted_agg(
         li,
         keys=["l_returnflag"],
         salt=salt_col(N_SALTS, "l_orderkey", "l_linenumber"),
         partials={
-            "p_sum_qty": F.sum("l_quantity"),
-            "p_sum_price": F.sum("l_extendedprice"),
-            "p_sum_disc": F.sum("l_discount"),
+            "p_sum_qty": F.sum(qty_c),
+            "p_sum_price": F.sum(price_c),
+            "p_sum_disc": F.sum(disc_q),
             "p_max_qty": F.max("l_quantity"),
             "p_n": F.count("*"),
         },
         finals={
-            "sum_qty": F.round(F.sum("p_sum_qty"), 2),
-            "sum_base_price": F.round(F.sum("p_sum_price"), 2),
-            "avg_disc": F.round(F.sum("p_sum_disc") / F.sum("p_n"), 6),
+            "sum_qty": F.round(F.sum("p_sum_qty") / 100.0, 2),
+            "sum_base_price": F.round(F.sum("p_sum_price") / 100.0, 2),
+            "avg_disc": F.round(
+                F.sum("p_sum_disc") / (F.lit(10000.0) * F.sum("p_n")), 6
+            ),
             "max_qty": F.max("p_max_qty"),
             "n_rows": F.sum("p_n"),
         },
