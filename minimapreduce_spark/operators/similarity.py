@@ -1011,3 +1011,223 @@ def ann_knn_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "neighbor_id", "cosine_sim", F.row_number().over(w).alias("rn"))
         .where(F.col("rn") <= KNN_GRAPH_K)
     )
+
+
+GREEDY_HOPS = 3
+
+_GREEDY_EDGES_CTE = f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+    sims AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine_sim
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    g AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT vec_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY cosine_sim DESC, neighbor_id
+               ) AS rn
+        FROM sims
+      ) WHERE rn <= {KNN_GRAPH_K}
+    ),
+    q AS (
+      SELECT vec_id AS qid, emb AS qe, label AS qlabel
+      FROM e WHERE vec_id < {N_QUERIES}
+    ),
+    s0 AS (
+      SELECT q.qid, ent.cur,
+             round(list_cosine_similarity(q.qe, ee.emb), 6) AS cur_cos
+      FROM q
+      JOIN (
+        SELECT q2.qid, min(e2.vec_id) AS cur
+        FROM q q2 JOIN e e2 ON e2.label = q2.qlabel AND e2.vec_id <> q2.qid
+        GROUP BY q2.qid
+      ) ent ON ent.qid = q.qid
+      JOIN e ee ON ee.vec_id = ent.cur
+    )"""
+
+
+def _greedy_hop_sql(i: int) -> str:
+    p, c = f"s{i - 1}", f"s{i}"
+    return f"""
+    b{i} AS (
+      SELECT qid, cand, cand_cos FROM (
+        SELECT {p}.qid, g.neighbor_id AS cand,
+               round(list_cosine_similarity(q.qe, ce.emb), 6) AS cand_cos,
+               row_number() OVER (
+                 PARTITION BY {p}.qid
+                 ORDER BY round(list_cosine_similarity(q.qe, ce.emb), 6) DESC,
+                          g.neighbor_id
+               ) AS rn
+        FROM {p}
+        JOIN q ON q.qid = {p}.qid
+        JOIN g ON g.vec_id = {p}.cur AND g.neighbor_id <> {p}.qid
+        JOIN e ce ON ce.vec_id = g.neighbor_id
+      ) WHERE rn = 1
+    ),
+    {c} AS (
+      SELECT {p}.qid,
+             CASE WHEN b{i}.cand IS NOT NULL AND (b{i}.cand_cos > {p}.cur_cos
+                    OR (b{i}.cand_cos = {p}.cur_cos AND b{i}.cand < {p}.cur))
+                  THEN b{i}.cand ELSE {p}.cur END AS cur,
+             CASE WHEN b{i}.cand IS NOT NULL AND (b{i}.cand_cos > {p}.cur_cos
+                    OR (b{i}.cand_cos = {p}.cur_cos AND b{i}.cand < {p}.cur))
+                  THEN b{i}.cand_cos ELSE {p}.cur_cos END AS cur_cos
+      FROM {p} LEFT JOIN b{i} USING (qid)
+    )"""
+
+
+_GREEDY_ORACLE = (
+    "WITH "
+    + _GREEDY_EDGES_CTE
+    + ","
+    + ",".join(_greedy_hop_sql(i) for i in range(1, GREEDY_HOPS + 1))
+    + f"""
+    SELECT qid AS q_vec_id, cur AS found_id, cur_cos AS cosine_sim
+    FROM s{GREEDY_HOPS}
+    """
+)
+
+
+def _fold_cosine(a, b):
+    """Cosine as sequential left-to-right folds — the SAME summation
+    order DuckDB's list_cosine_similarity applies, so the double result
+    is bit-identical cross-engine (unlike the einsum lanes, which
+    accept a documented ulp-boundary residual). Interpreted
+    higher-order functions are the slow path for millions of pairs
+    (similarity module notes) — here the walk scores <= queries x K
+    pairs per hop, where exactness is worth far more than vectorization.
+    """
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    )
+    return dot / (na * nb)
+
+
+@register("ann_graph_greedy_search", oracle=_GREEDY_ORACLE)
+def ann_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-routed GRAPH search — the ScaNN/HNSW-style serving pattern
+    the similarity family was missing: each query routes to its IVF
+    cell (at serving time, the coarse quantizer's assignment), enters
+    the cell's kNN graph (``ann_knn_graph_edges``) at a deterministic
+    entry vertex (the cell's min id), and walks greedily — hopping to
+    its best-scoring neighbor while that strictly improves — for
+    {GREEDY_HOPS} unrolled hops. Search cost is hops x K cosine
+    evaluations regardless of corpus size; the graph build was
+    corpus-linear.
+
+    A first cut entered the walk AT the query vertex itself (queries
+    are corpus members in this fixture) — the walk marched straight
+    back to cosine(q, q) = 1. The oracle faithfully replayed the same
+    degenerate walk and hash-MATCHED; the invariant pytest (found_id
+    may not be the query; multi-hop must beat the entry) is what
+    caught it. Candidates now exclude the query vertex on both
+    engines.
+
+    Determinism discipline: every comparison runs on round(cos, 6)
+    with a min-id tie-break (round-before-rank), the advance rule is a
+    strict ascent (cosine up, or id down at equal cosine — the walk
+    cannot cycle), and the cosine itself is evaluated as left-to-right
+    JVM folds with DuckDB's exact summation order — the whole walk,
+    argmax and all, is bit-reproducible cross-engine; the oracle
+    replays it as {GREEDY_HOPS} unrolled SQL hops over the identical
+    edge CTE.
+
+    Scale posture: per hop one broadcast-size state frame (one row per
+    query) joins the edge list on the current vertex and the embedding
+    table on the candidates — point lookups by join key, no scan is
+    ever corpus-wide; the iterative driver loop carries no data (the
+    pagerank pattern).
+    """
+    emb = _emb(spark, sf_dir)
+    edges = (
+        ann_knn_graph_edges(spark, sf_dir)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint(eager=False)  # one graph build serves all hops
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    # entry: the query's cell's min non-query... min vertex that is not
+    # the query itself — deterministic, needs no similarity computation
+    entry = (
+        q.join(
+            emb.select(F.col("vec_id").alias("cur"), F.col("label").alias("q_label")),
+            "q_label",
+        )
+        .where(F.col("cur") != F.col("q_vec_id"))
+        .groupBy("q_vec_id")
+        .agg(F.min("cur").alias("cur"))
+    )
+    cand_emb = emb.select(
+        F.col("vec_id").alias("cand"), F.col("emb").alias("cand_emb")
+    )
+    state = (
+        q.join(entry, "q_vec_id")
+        .join(cand_emb.withColumnRenamed("cand", "cur").withColumnRenamed("cand_emb", "cur_emb"), "cur")
+        .select(
+            "q_vec_id",
+            "q_emb",
+            "cur",
+            F.round(_fold_cosine(F.col("q_emb"), F.col("cur_emb")), 6).alias("cur_cos"),
+        )
+    )
+    for _ in range(GREEDY_HOPS):
+        scored = (
+            state.join(
+                edges.select(
+                    F.col("vec_id").alias("cur"), F.col("neighbor_id").alias("cand")
+                ),
+                "cur",
+            )
+            .where(F.col("cand") != F.col("q_vec_id"))
+            .join(cand_emb, "cand")
+            .select(
+                "q_vec_id",
+                "cand",
+                F.round(_fold_cosine(F.col("q_emb"), F.col("cand_emb")), 6).alias(
+                    "cand_cos"
+                ),
+            )
+        )
+        # deterministic argmax: max cosine, then min id — packed so one
+        # max struct comparison implements both
+        best = scored.groupBy("q_vec_id").agg(
+            F.max(F.struct(F.col("cand_cos"), (-F.col("cand")).alias("_negid"))).alias(
+                "b"
+            )
+        ).select(
+            "q_vec_id",
+            (-F.col("b._negid")).alias("cand"),
+            F.col("b.cand_cos").alias("cand_cos"),
+        )
+        adv = F.col("cand").isNotNull() & (
+            (F.col("cand_cos") > F.col("cur_cos"))
+            | ((F.col("cand_cos") == F.col("cur_cos")) & (F.col("cand") < F.col("cur")))
+        )
+        state = (
+            state.join(best, "q_vec_id", "left")
+            .select(
+                "q_vec_id",
+                "q_emb",
+                F.when(adv, F.col("cand")).otherwise(F.col("cur")).alias("cur"),
+                F.when(adv, F.col("cand_cos")).otherwise(F.col("cur_cos")).alias(
+                    "cur_cos"
+                ),
+            )
+            .localCheckpoint(eager=False)  # truncate the per-hop lineage
+        )
+    return state.select(
+        "q_vec_id",
+        F.col("cur").alias("found_id"),
+        F.col("cur_cos").alias("cosine_sim"),
+    )

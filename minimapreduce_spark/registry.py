@@ -84,9 +84,9 @@ def register(name: str, oracle: str | None = None, bench: bool = False) -> Calla
 #   text_analysis (6): text_top_bigrams, text_sentiment_lexicon,
 #     phrase_search_positional, text_readability_flesch,
 #     corpus_source_profile, boilerplate_ngram_sources
-#   registered AFTER the round-4 window was pinned (3):
+#   registered AFTER the round-4 window was pinned (4):
 #     multimodal_jpeg_decode, stream_exactly_once_ingest,
-#     graph_triangle_degree_oriented
+#     graph_triangle_degree_oriented, ann_graph_greedy_search
 DRIVER_PRIORITY: list[str] = [
     # canaries — previously driver-verified; one per fully-verified module
     "wordcount",                    # operators.text

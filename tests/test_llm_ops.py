@@ -29,6 +29,7 @@ ORACLED = [
     "multimodal_ppm_decode",
     "multimodal_png_decode",
     "multimodal_jpeg_decode",
+    "ann_graph_greedy_search",
 ]
 
 
@@ -466,3 +467,44 @@ def test_ivf_nprobe_recall_is_monotone(spark):
     # (note: per-element monotonicity does NOT hold — a second-partition
     # candidate can displace an nprobe=1 hit from the top-5 cut; only
     # the candidate SET is a superset, hence the recall comparison)
+
+
+def test_graph_greedy_search_semantics(spark):
+    """The IVF-routed greedy walk must be a genuine search, not a
+    degenerate one (the first cut marched back to cosine(q, q) = 1 and
+    still hash-matched its oracle, because the oracle replayed the same
+    broken walk — THIS test is the semantic gate): no query may find
+    itself, a healthy share of walks must improve past the entry
+    vertex, and the 3-hop walk must reach the exact in-cell top-1 for
+    a meaningful fraction of queries."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from minimapreduce_spark import queries as q
+
+    out = {
+        r.q_vec_id: (r.found_id, r.cosine_sim)
+        for r in q.queries()["ann_graph_greedy_search"](spark, SF_DIR).collect()
+    }
+    assert len(out) == 20
+    assert all(fid != qid for qid, (fid, _) in out.items()), "walk found the query itself"
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    E = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    ids = t["vec_id"].to_numpy()
+    labels = t["label"].to_numpy()
+    id2i = {v: i for i, v in enumerate(ids)}
+    hits = improved = 0
+    for qid, (fid, c) in out.items():
+        qi = id2i[qid]
+        cell = np.where((labels == labels[qi]) & (ids != qid))[0]
+        cos = np.round(En[cell] @ En[qi], 6)
+        best = cell[np.lexsort((ids[cell], -cos))][0]
+        hits += fid == ids[best]
+        entry = cell[np.argmin(ids[cell])]
+        improved += c > round(float(En[entry] @ En[qi]), 6)
+        # the reported cosine must be the real rounded cosine of the pair
+        assert abs(c - round(float(En[id2i[fid]] @ En[qi]), 6)) < 1e-9
+    assert improved >= 10, f"only {improved}/20 walks improved past the entry"
+    assert hits >= 5, f"greedy recall@1 collapsed: {hits}/20"
