@@ -880,9 +880,19 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_id="rep",
     ).select("rep", "cluster_id")
     # multi-member groups with no cross-content edge are still
-    # components iff their self-pair verified (cosine 1.0 ≥ threshold —
-    # true except for degenerate zero vectors, which the verify's NaN
-    # cosine correctly drops on both engines)
+    # components iff their self-pair verified (cosine 1.0 ≥ threshold).
+    # Degenerate zero-vector copy groups DROP on both engines, but not
+    # by the mechanism a reader might guess ("NaN fails the ≥"): Spark
+    # SQL and DuckDB both order NaN ABOVE every number, so a literal
+    # NaN score would be KEPT by `cosine >= threshold`. What actually
+    # happens: on the Spark side the verify's numpy 0/0 NaN becomes a
+    # NULL crossing the pandas→Arrow boundary in mapInPandas (pandas
+    # NaN encodes missing), and NULL >= t filters out; on the DuckDB
+    # side list_cosine_similarity(zero, zero) returns -1.0, not NaN,
+    # which fails the threshold numerically. Same outcome, different
+    # mechanisms — pinned by tests/test_llm_ops.py::
+    # test_zero_vector_copy_group_drops (round-4 ADVICE follow-up: the
+    # advisor's both-engines-keep reading assumed a surviving NaN).
     iso = (
         hits.where(F.col("rep_a") == F.col("rep_b"))
         .select(F.col("rep_a").alias("rep"))

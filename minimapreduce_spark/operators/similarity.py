@@ -1134,11 +1134,20 @@ def ann_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism discipline: every comparison runs on round(cos, 6)
     with a min-id tie-break (round-before-rank), the advance rule is a
     strict ascent (cosine up, or id down at equal cosine — the walk
-    cannot cycle), and the cosine itself is evaluated as left-to-right
-    JVM folds with DuckDB's exact summation order — the whole walk,
-    argmax and all, is bit-reproducible cross-engine; the oracle
-    replays it as {GREEDY_HOPS} unrolled SQL hops over the identical
-    edge CTE.
+    cannot cycle), and the WALK's cosine is evaluated as left-to-right
+    JVM folds with DuckDB's exact summation order — the walk arithmetic
+    (fold cosines, argmax, advance rule) is bit-reproducible
+    cross-engine; the oracle replays it as {GREEDY_HOPS} unrolled SQL
+    hops over the identical edge CTE. The EDGE SET the walk consumes is
+    not covered by that guarantee: ``ann_knn_graph_edges`` scores with
+    a numpy normalize-then-matmul rounded to 6 dp versus the oracle's
+    list_cosine_similarity — the same documented ulp-boundary residual
+    as the embedding-LSH verify lane, and a 6-dp boundary flip in edge
+    RANKING would cascade into the walk. The margin pytest in
+    tests/test_llm_ops.py (knn-edge twin of the LSH lane's)
+    asserts every fixture edge's raw score clears both the rounding
+    midpoint and its rank-deciding gap by orders of magnitude more
+    than a double ulp.
 
     Scale posture: per hop one broadcast-size state frame (one row per
     query) joins the edge list on the current vertex and the embedding

@@ -46,111 +46,87 @@ def register(name: str, oracle: str | None = None, bench: bool = False) -> Calla
 
 
 # Driver-priority tier: the correctness driver verifies the first N
-# registrations it sees, so the surface must lead with a sample of EVERY
-# operator family (round-1 verdict: the first 50 were all text/relational/
-# TPC-H, leaving dedup/ANN/streaming/events/multimodal driver-unchecked).
-# Order here = dict order of queries()/oracles(); the remainder follows in
-# module registration order. tests/test_driver_contract.py pins coverage.
+# registrations it sees, so the window is rotated each round to extend
+# cumulative hard-verified coverage (round-1 verdict: the first 50 were
+# all text/relational/TPC-H, leaving dedup/ANN/streaming/events/multimodal
+# driver-unchecked). Order here = dict order of queries()/oracles(); the
+# rest follows in module registration order. tests/test_driver_contract.py
+# pins the rotation discipline.
 #
-# ROUND-4 ROTATION (round-3 verdict item 3): rounds 1-3 hard-verified 138
-# unique queries; 86 had only pytest coverage entering round 4. This window
-# leads with 40 never-driver-checked queries plus 10 canaries — the minimum
-# canary set, one per module whose queries are ALL already driver-verified
-# (the every-module-sampled invariant forces those ten repeats; the first
-# seven are also the cross-round comparability anchors from rounds 2-3).
-#
-# ROUND-5 REMAINDER (round-3 verdict item 7 — what the next rotation must
-# cover; 46 queries, none of them perpetual leftovers by design: the small
-# modules — udfs, dedup, multimodal, scale, similarity, drift, windows —
-# are fully driver-verified after this round):
-#   analytics (19): events_time_weighted_avg, events_variant_shred,
-#     extract_numbers_table, agg_mad_user_value, weekly_growth_rate,
-#     window_trailing_distinct_types, agg_arg_extremes, dim_date_generate,
-#     events_autocorrelation_lag1, hhi_supplier_concentration,
-#     customer_existence_flags, events_transition_dwell,
-#     category_share_drift, events_usage_heatmap, profile_qty_discount_grid,
-#     events_wau_daily, customer_reorder_intervals, basket_size_histogram,
-#     events_value_boxplot
-#   events (5): events_json_extract, events_sliding_1h_30m,
-#     events_resample_gapfill, events_rolling_zscore,
-#     events_attribution_first_touch
-#   pipeline (10): split_train_test, sample_stratified, text_pii_scrub,
-#     text_quality_repetition, dedup_keep_latest, percentile_quantity,
-#     histogram_order_prices, langid_confusion_matrix,
-#     snapshot_diff_customers, tier_migration_matrix
-#   semantics (6): datetime_arithmetic_showcase, array_set_ops,
-#     agg_grouping_id, agg_filter_clause, window_first_last_nth,
-#     page_orders_offset
-#   text_analysis (6): text_top_bigrams, text_sentiment_lexicon,
-#     phrase_search_positional, text_readability_flesch,
-#     corpus_source_profile, boilerplate_ngram_sources
-#   registered AFTER the round-4 window was pinned (4):
-#     multimodal_jpeg_decode, stream_exactly_once_ingest,
-#     graph_triangle_degree_oriented, ann_graph_greedy_search
+# ROUND-5 ROTATION — THE CLOSING WINDOW (round-4 verdict item 1): rounds
+# 1-4 hard-verified 178 unique queries; exactly 50 remained never
+# driver-checked (the round-4 remainder enumeration plus the 4 queries
+# registered after the r04 window was pinned). This window IS that
+# remainder, verbatim — zero canary repeats, because 50 slots hold exactly
+# 50 queries. After this round every registered query (228/228) has been
+# hash-verified by the driver at least once; the prior every-module-sampled
+# invariant is replaced in test_driver_contract.py by its cumulative form
+# (window ∪ r01-r04 coverage == full registry).
 DRIVER_PRIORITY: list[str] = [
-    # canaries — previously driver-verified; one per fully-verified module
-    "wordcount",                    # operators.text
-    "mr_wordcount",                 # operators.mr_compat
-    "q1_pricing_summary",           # operators.relational
-    "q6_forecast_revenue",          # operators.tpch_more
-    "pagerank_nation_trade",        # operators.graph
-    "stream_user_stats_stateful",   # streaming.stateful
-    "stream_upsert_latest_state",   # streaming.upsert
-    "q21_suppliers_kept_waiting",   # operators.tpch_rest
-    "stream_view_purchase_join",    # streaming.dedup_join
-    "binaryfile_manifest",          # sources.pydatasource
-    # never-driver-checked: UDF surface
-    "arrow_embedding_norms",
-    "user_longest_daily_streak",
-    # dedup (finishes the module)
-    "dedup_embedding_clusters",
-    "dedup_cluster_size_histogram",
-    # multimodal / scale (finish the modules)
-    "multimodal_frame_sample",
-    "join_salted_suppliers",
-    # similarity (finishes the module)
-    "ann_cosine_topk_numpy",
-    "embedding_label_centroids",
-    "embedding_pca_power_iteration",
-    "ann_knn_graph_edges",
-    # streaming drift + windows (finish the modules; incl. this round's
-    # ledgered stream_psi_drift — round-3 verdict item 1)
-    "stream_psi_drift",
-    "stream_sliding_1h_30m",
-    "stream_static_enrich",
-    "stream_tumbling_append_finalized",
-    # semantics corners
-    "lateral_top2_orders",
-    "set_ops_multiset",
-    "map_agg_event_counts",
-    "explode_outer_semantics",
-    # analytics: statistics / drift / windows
-    "psi_value_drift",
-    "events_cusum_changepoint",
-    "ols_slope_value_vs_time",
-    "window_max_drawdown",
-    "chi2_lang_source",
-    "events_user_entropy",
-    "customer_360_overlap",
-    "window_cumulative_distinct_users",
-    # events / time series
-    "events_range_join",
-    "events_resample_linear",
-    "cohort_ltv_matrix",
-    "sessionized_training_examples",
-    "events_attribution_last_touch",
-    # pipeline / dataset management
-    "per_source_quota_sample",
-    "dq_constraint_audit",
-    "incremental_rollup_merge",
-    "scd2_customer_tier_history",
-    "doc_chunks",
-    "sample_quality_weighted",
-    # text analysis / tokenizer training
-    "bpe_merge_candidates",
-    "token_histogram_zipf",
-    "text_bigram_logprob",
+    # registered after the round-4 window was pinned (late ledger entries)
+    "multimodal_jpeg_decode",
+    "stream_exactly_once_ingest",
+    "graph_triangle_degree_oriented",
+    "ann_graph_greedy_search",
+    # events / time series (5)
+    "events_json_extract",
+    "events_sliding_1h_30m",
+    "events_resample_gapfill",
+    "events_rolling_zscore",
+    "events_attribution_first_touch",
+    # analytics (19)
+    "events_time_weighted_avg",
+    "events_variant_shred",
+    "extract_numbers_table",
+    "agg_mad_user_value",
+    "weekly_growth_rate",
+    "window_trailing_distinct_types",
+    "agg_arg_extremes",
+    "dim_date_generate",
+    "events_autocorrelation_lag1",
+    "hhi_supplier_concentration",
+    "customer_existence_flags",
+    "events_transition_dwell",
+    "category_share_drift",
+    "events_usage_heatmap",
+    "profile_qty_discount_grid",
+    "events_wau_daily",
+    "customer_reorder_intervals",
+    "basket_size_histogram",
+    "events_value_boxplot",
+    # pipeline / dataset management (10)
+    "split_train_test",
+    "sample_stratified",
+    "text_pii_scrub",
+    "text_quality_repetition",
+    "dedup_keep_latest",
+    "percentile_quantity",
+    "histogram_order_prices",
+    "langid_confusion_matrix",
+    "snapshot_diff_customers",
+    "tier_migration_matrix",
+    # semantics corners (6)
+    "datetime_arithmetic_showcase",
+    "array_set_ops",
+    "agg_grouping_id",
+    "agg_filter_clause",
+    "window_first_last_nth",
+    "page_orders_offset",
+    # text analysis (6)
+    "text_top_bigrams",
+    "text_sentiment_lexicon",
+    "phrase_search_positional",
+    "text_readability_flesch",
+    "corpus_source_profile",
+    "boilerplate_ngram_sources",
 ]
+
+# Queries registered AFTER the round-5 window above was pinned. Any new
+# registration (the surface is otherwise frozen — round-4 verdict item 2)
+# must be appended here in the same commit, so the rotation test can
+# distinguish "late, ledgered, pytest-oracle-verified" from "missed".
+LATE_REGISTERED: list[str] = []
+
 
 
 def _ordered_names() -> list[str]:

@@ -131,15 +131,29 @@ def events_stream_redelivered(
         f"{key}_{n_shards}_{redeliver_mod}",
     )
     if not os.path.exists(os.path.join(d, "_DONE")):
+        # Stage into a process-private temp dir and atomically rename into
+        # place: the shard loop appends n_shards times, so an interrupted
+        # build that a retry appended onto would silently duplicate rows
+        # beyond the planted redelivery. With rename(2) the final directory
+        # either exists complete (with _DONE) or not at all (round-4
+        # ADVICE; the sibling events_stream_sharded is immune because its
+        # build is a single overwrite write).
+        tmp = f"{d}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
         base = spark.read.parquet(path)
         for i in range(n_shards):
             shard = base.where(
                 (F.col("event_id") % n_shards == i)
                 | (F.col("event_id") % redeliver_mod == 0)
             )
-            shard.coalesce(1).write.mode("append").parquet(d)
-        with open(os.path.join(d, "_DONE"), "w") as f:
+            shard.coalesce(1).write.mode("append").parquet(tmp)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
             f.write("ok")
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            # a concurrent builder won the rename; its complete copy stands
+            shutil.rmtree(tmp, ignore_errors=True)
     schema = spark.read.parquet(d).schema
     sdf = (
         spark.readStream.schema(schema)

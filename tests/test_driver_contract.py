@@ -54,25 +54,24 @@ def test_entry_and_python_closures_from_foreign_cwd():
     )
 
 
-CANARIES = {
-    # the round-2 verdict's named three
-    "wordcount", "mr_wordcount", "q1_pricing_summary",
-    # forced by the every-module-sampled invariant: these modules have
-    # no never-driver-checked queries left after rounds 1-3
-    "q6_forecast_revenue",          # operators.tpch_more
-    "pagerank_nation_trade",        # operators.graph
-    "stream_user_stats_stateful",   # streaming.stateful
-    "stream_upsert_latest_state",   # streaming.upsert
-    "q21_suppliers_kept_waiting",   # operators.tpch_rest (verified r03)
-    "stream_view_purchase_join",    # streaming.dedup_join (verified r03)
-    "binaryfile_manifest",          # sources.pydatasource (verified r03)
-}
+def _prior_round_coverage() -> set[str]:
+    import json
+
+    checked: set[str] = set()
+    for r in (1, 2, 3, 4):
+        path = os.path.join(REPO, f"CORRECTNESS_r0{r}.json")
+        if os.path.exists(path):
+            checked |= set(json.load(open(path)))
+    return checked
 
 
-def test_driver_priority_tier_samples_every_family():
+def test_driver_priority_tier_leads_with_oracles():
     """The driver verifies the first 50 registrations: they must exist,
-    lead the queries() dict, sample every operator module, and carry
-    oracles."""
+    lead the queries() dict, and carry oracles. (The round-2-4
+    every-module-sampled invariant is superseded by the cumulative form
+    in test_driver_priority_closes_coverage: after round 5 every module
+    is fully driver-verified, so per-window module sampling would force
+    pointless canary repeats.)"""
     from minimapreduce_spark import queries as _q
     from minimapreduce_spark.registry import DRIVER_PRIORITY, REGISTRY
 
@@ -82,29 +81,27 @@ def test_driver_priority_tier_samples_every_family():
     assert names[:50] == DRIVER_PRIORITY
     assert set(names) == set(REGISTRY)
 
-    first50_mods = {REGISTRY[n].fn.__module__ for n in names[:50]}
-    all_mods = {REGISTRY[n].fn.__module__ for n in names}
-    assert first50_mods == all_mods, all_mods - first50_mods
-
     assert all(REGISTRY[n].oracle for n in names[:50])
 
 
-def test_driver_priority_rotated_from_prior_rounds():
-    """Round-4 rotation (round-3 verdict item 3): the driver window must
-    be disjoint from what CORRECTNESS_r01-r03 already hard-verified,
-    except for the named canaries — so round 4's driver run extends
-    hard-verified coverage instead of re-proving the same 50."""
-    import json
+def test_driver_priority_closes_coverage():
+    """Round-5 rotation (round-4 verdict item 1): the window must be the
+    EXACT never-driver-verified remainder — fully disjoint from rounds
+    1-4 (zero canaries: 50 slots hold exactly the 50-query remainder),
+    and window ∪ prior coverage must equal the full registry, so the
+    round-5 driver run takes cumulative hard-verified coverage to
+    228/228. Queries registered after this window was pinned must be
+    enumerated in LATE_REGISTERED in the same commit (and are the only
+    registrations allowed to escape the union check)."""
+    from minimapreduce_spark.registry import DRIVER_PRIORITY, LATE_REGISTERED, REGISTRY
 
-    from minimapreduce_spark.registry import DRIVER_PRIORITY
+    checked = _prior_round_coverage()
+    window = set(DRIVER_PRIORITY)
 
-    checked = set()
-    for f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
-        path = os.path.join(REPO, f)
-        if os.path.exists(path):
-            checked |= set(json.load(open(path)))
-    overlap = set(DRIVER_PRIORITY) & checked
-    assert overlap == CANARIES, (
-        f"unexpected repeats: {sorted(overlap - CANARIES)}; "
-        f"missing canaries: {sorted(CANARIES - overlap)}"
-    )
+    assert window & checked == set(), sorted(window & checked)
+    assert set(LATE_REGISTERED) <= set(REGISTRY), "LATE_REGISTERED names must be registered"
+    assert window & set(LATE_REGISTERED) == set()
+    missed = set(REGISTRY) - window - checked - set(LATE_REGISTERED)
+    assert missed == set(), f"registered but neither windowed, verified, nor ledgered late: {sorted(missed)}"
+    # late registrations still carry full pytest-oracle coverage
+    assert all(REGISTRY[n].oracle for n in LATE_REGISTERED)

@@ -161,6 +161,51 @@ def test_embedding_lsh_scores_clear_rounding_boundaries():
     assert margin.min() > 1e-13, f"pair within {margin.min():.2e} of a rounding midpoint"
 
 
+def test_zero_vector_copy_group_drops(spark):
+    """Pin the degenerate-zero-vector semantics the iso-component
+    comment in dedup_embedding_clusters documents (round-4 ADVICE
+    follow-up). Both engines drop a zero-vector copy group, but by
+    DIFFERENT mechanisms, neither of them "NaN fails the >=" (both
+    engines order NaN above every number, so a surviving NaN would be
+    KEPT): Spark's numpy 0/0 NaN becomes NULL across the pandas→Arrow
+    boundary in mapInPandas and NULL >= t filters out; DuckDB's
+    list_cosine_similarity(zero, zero) returns -1.0, which fails the
+    threshold numerically. This test pins all three facts so a change
+    in any engine's behavior (or a refactor away from mapInPandas)
+    resurfaces the question loudly."""
+    import duckdb
+
+    from minimapreduce_spark.operators.dedup import embedding_lsh_verified_pairs
+
+    dim = 64  # the band builder's plane weights are derived per fixture dim
+    e0, e1 = [0.0] * dim, [0.0] * dim
+    e0[0], e1[1] = 1.0, 1.0
+    rows = [
+        (10, [0.0] * dim),
+        (11, [0.0] * dim),  # byte-identical zero copy → one content group
+        (20, e0),
+        (21, e1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id: bigint, emb: array<double>")
+    groups, hits = embedding_lsh_verified_pairs(
+        spark, emb, return_content_level=True
+    )
+    # the zero pair collapsed into one content group with rep 10 ...
+    assert {(r.rep, tuple(r.members)) for r in groups.select("rep", "members").collect()} >= {
+        (10, (10, 11))
+    }
+    # ... but its NaN-scored self-pair did NOT survive the verify filter
+    assert hits.where("rep_a = rep_b").count() == 0
+    # mechanism, DuckDB side: zero-vector cosine is -1.0, not NaN
+    assert duckdb.sql(
+        "SELECT list_cosine_similarity([0.0,0.0], [0.0,0.0])"
+    ).fetchone()[0] == -1.0
+    # and the counterfactual both comments hinge on: a literal NaN WOULD
+    # be kept by >= on both engines (NaN orders above every number)
+    assert spark.sql("SELECT double('nan') >= 0.30 AS kept").first().kept is True
+    assert duckdb.sql("SELECT CAST('nan' AS DOUBLE) >= 0.30").fetchone()[0] is True
+
+
 def test_decode_image_dispatches_by_magic_bytes():
     """decode_image (the former JPEG stub) now dispatches every
     container to a real decoder; junk still fails loudly."""
@@ -508,3 +553,47 @@ def test_graph_greedy_search_semantics(spark):
         assert abs(c - round(float(En[id2i[fid]] @ En[qi]), 6)) < 1e-9
     assert improved >= 10, f"only {improved}/20 walks improved past the entry"
     assert hits >= 5, f"greedy recall@1 collapsed: {hits}/20"
+
+
+def test_knn_edge_scores_clear_rounding_boundaries():
+    """kNN-edge twin of test_embedding_lsh_scores_clear_rounding_
+    boundaries (round-4 ADVICE): ann_graph_greedy_search's walk
+    arithmetic is bit-reproducible cross-engine, but the EDGE SET it
+    consumes comes from ann_knn_graph_edges, whose within-cell cosine
+    is a numpy normalize-then-matmul rounded to 6 dp versus the
+    oracle's list_cosine_similarity — an ulp disagreement exactly on a
+    6-dp rounding midpoint could flip an edge's rounded score, reorder
+    the round-then-rank top-K, and cascade into the walk. A flip needs
+    the raw score within a few double ulps (~1e-16) of a midpoint;
+    assert EVERY within-cell pair in the fixture clears its nearest
+    midpoint by >= 1e-13. Also pin the top-K keep margin: the
+    applyInPandas stage keeps rows within 2e-6 of the k-th raw score
+    before the canonical JVM round+rank, so a raw score must not sit
+    within ulp of that cut either."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from minimapreduce_spark.operators.similarity import KNN_GRAPH_K
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    E = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    labels = t["label"].to_numpy()
+    worst_mid = np.inf
+    worst_cut = np.inf
+    for lab in np.unique(labels):
+        cell = np.where(labels == lab)[0]
+        S = En[cell] @ En[cell].T
+        np.fill_diagonal(S, -np.inf)
+        raw = S[np.isfinite(S)]
+        # distance to the nearest 6-dp rounding midpoint, raw units
+        worst_mid = min(worst_mid, float(np.abs((raw * 1e6) % 1.0 - 0.5).min() * 1e-6))
+        # distance of every raw score to each row's keep cut (kth - 2e-6)
+        n = len(cell)
+        k = min(KNN_GRAPH_K, n - 1)
+        if k > 0:
+            kth = np.partition(S, n - 1 - k, axis=1)[:, n - 1 - k]
+            d = np.abs(S - (kth - 2e-6)[:, None])
+            worst_cut = min(worst_cut, float(d[np.isfinite(S)].min()))
+    assert worst_mid > 1e-13, f"edge score within {worst_mid:.2e} of a rounding midpoint"
+    assert worst_cut > 1e-13, f"edge score within {worst_cut:.2e} of the top-K keep cut"

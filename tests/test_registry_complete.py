@@ -52,6 +52,22 @@ def test_registry_size_matches_coverage_ledger():
                     f"{fname} says '{m.group(0)}' but registry has "
                     f"{len(ALL)} — stale prose count"
                 )
+    # round-4 verdict item 8: "Current total above (N)"-style currency
+    # claims are forbidden EVERYWHERE in our prose, including historical
+    # delta sections the per-number sweep legitimately skips — a sentence
+    # that claims to be current must not live where it can't be kept
+    # current. (SURVEY.md:359 said "Current total above (226)" for a
+    # round while the registry sat at 228.)
+    for fname in ("SURVEY.md", "COVERAGE.md", "README.md", "QUERIES.md"):
+        with open(os.path.join(root, fname)) as f:
+            text = f.read()
+        for m in re.finditer(
+            r"[Cc]urrent (?:registered )?total[^.\n]{0,40}?\((\d+)\)", text
+        ):
+            assert int(m.group(1)) == len(ALL), (
+                f"{fname}: currency-claiming phrase {m.group(0)!r} with a "
+                f"stale count (registry has {len(ALL)})"
+            )
 
 
 # Legitimately empty at the sf0.001 smoke scale (the oracle agrees —
