@@ -31,7 +31,9 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from minimapreduce_spark.catalog import fan_out, load_table
+import os
+
+from minimapreduce_spark.catalog import fan_out, load_table, table_path
 from minimapreduce_spark.registry import register
 
 SHINGLE_K = 5
@@ -181,6 +183,66 @@ def doc_content_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUP_PROBE_CACHE: dict[tuple[str, int, int], bool] = {}
+DUP_GATE_RATIO = 0.01  # ≤1% duplicated rows → the collapse can't pay
+
+
+def corpus_effectively_dup_free(spark: SparkSession, sf_dir: str) -> bool:
+    """One-aggregate duplication probe gating the content-group front
+    end (round-4 verdict item 6): ``count(*) vs count(distinct
+    sha2(text))`` in a single hash-agg pass. When at most
+    ``DUP_GATE_RATIO`` (1%) of rows are byte-duplicates, the text-dedup
+    family skips the collapse/expand entirely — the ungrouped pipeline
+    is bit-identical at ANY duplication level (identical docs share
+    every shingle/fingerprint, so they meet in the same buckets and
+    verify at jaccard 1.0 / hamming 0 exactly as the oracle computes),
+    the content-group form is purely the optimization that deletes the
+    quadratic within-group candidate volume. On a dup-free corpus the
+    front end's fixed cost (one full-text groupBy + two expansion
+    joins) bought nothing — the measured +0.4-0.8 s per headliner at
+    sf0.1 in BENCH_r04 — while on the 40x dup-heavy fixture the probe
+    measures ~90% duplication and the collapse stays on (813 → 120 s
+    family-wide there).
+
+    The probe shuffles 64-char hashes, not document text (sha2 computes
+    map-side inside the partial agg), and the verdict is memoized per
+    (path, mtime, size) so repeated plan builds in one session pay it
+    once. Nulls hash to null, which count(distinct) skips — a null-text
+    corpus therefore reads as duplicated and conservatively keeps the
+    grouped path (groupBy treats all nulls as one group, matching)."""
+    path = os.path.abspath(table_path(sf_dir, "documents"))
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    if key not in _DUP_PROBE_CACHE:
+        n, nd = (
+            load_table(spark, sf_dir, "documents")
+            .agg(
+                F.count("*").alias("n"),
+                F.count_distinct(F.sha2("text", 256)).alias("nd"),
+            )
+            .first()
+        )
+        _DUP_PROBE_CACHE[key] = (n - nd) <= int(n * DUP_GATE_RATIO)
+    return _DUP_PROBE_CACHE[key]
+
+
+def content_group_frontend(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame | None]:
+    """(doc_frame, groups) for the text-dedup family, duplication-gated:
+    a dup-heavy corpus gets (distinct-content reps, groups) and callers
+    expand verified content pairs back to members; an effectively
+    dup-free one gets (all docs, None) and callers skip the collapse,
+    expansion, and self-pair lanes — same output either way (see
+    ``corpus_effectively_dup_free``). The returned doc frame is NOT yet
+    fanned out; callers apply ``fan_out`` where the expensive stage
+    needs it."""
+    if corpus_effectively_dup_free(spark, sf_dir):
+        return load_table(spark, sf_dir, "documents").select("doc_id", "text"), None
+    groups = doc_content_groups(spark, sf_dir)
+    return groups.select(F.col("rep").alias("doc_id"), "text"), groups
+
+
 def expand_doc_pairs(content_hits: DataFrame, groups: DataFrame) -> DataFrame:
     """Expand content-level pairs (doc_a, doc_b = rep ids, plus any
     value columns) to member-level doc pairs through two narrow
@@ -265,10 +327,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket by the duplication factor (Σ bucket² drops quadratically in
     it). Still: at 100 TB prefer dedup_minhash — the bucket bound here
     is the shingle's document frequency, not the band's."""
-    groups = doc_content_groups(spark, sf_dir)
-    rep_docs = fan_out(spark, groups.select(F.col("rep").alias("doc_id"), "text"))
+    doc_src, groups = content_group_frontend(spark, sf_dir)
+    rep_docs = fan_out(spark, doc_src)
     sh = shingle_hashes(spark, sf_dir, docs=rep_docs).localCheckpoint(eager=False)
     rep_pairs = jaccard_pairs(spark, sf_dir, NGRAM_THRESHOLD, shingles=sh)
+    if groups is None:  # duplication gate: pairs are already doc-level
+        return rep_pairs
     return expand_doc_pairs(
         rep_pairs.unionByName(jaccard_self_pairs(groups, sh)), groups
     )
@@ -309,8 +373,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     so verified-stable on the fixture data). This is the 100 TB dedup
     path — no step is pairwise over the corpus.
 
-    CONTENT-GROUP front end (the embedding-LSH fix, applied to text):
-    byte-identical documents — the dominant duplicate shape in a web
+    CONTENT-GROUP front end (the embedding-LSH fix, applied to text),
+    DUPLICATION-GATED (round 5): a one-aggregate probe measures the
+    corpus's byte-duplication rate and skips the collapse/expand
+    entirely when it is effectively dup-free — see
+    ``corpus_effectively_dup_free`` for why both plans are
+    bit-identical. When the corpus IS dup-heavy: byte-identical
+    documents — the dominant duplicate shape in a web
     corpus — collapse via one groupBy on the text itself before any
     shingling; the whole shingle → signature → band → verify pipeline
     runs over DISTINCT CONTENTS only, and verified content pairs expand
@@ -322,11 +391,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Outputs are bit-identical to the ungrouped plan — group members are
     byte-equal, so every expanded pair's (n_common, jaccard) equals its
     representative pair's."""
-    groups = doc_content_groups(spark, sf_dir)
+    doc_src, groups = content_group_frontend(spark, sf_dir)
     # fan_out: AQE coalesces the small post-groupBy output to ~1
     # partition, which would serialize the expensive shingling stage
     # onto one core (measured 5.5 s vs 1.0 s at sf0.1)
-    rep_docs = fan_out(spark, groups.select(F.col("rep").alias("doc_id"), "text"))
+    rep_docs = fan_out(spark, doc_src)
     # One rep-corpus scan for the whole query: the raw shingle base is
     # checkpointed and feeds BOTH the signature aggregate (min() is
     # duplicate-insensitive, so no distinct needed) and, deduped, the
@@ -365,6 +434,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         candidates=candidates,
         shingles=distinct_sh,
     )
+    if groups is None:  # duplication gate: pairs are already doc-level
+        return rep_pairs
     return expand_doc_pairs(
         rep_pairs.unionByName(jaccard_self_pairs(groups, distinct_sh)), groups
     )
@@ -653,21 +724,40 @@ def embedding_lsh_verified_pairs(
     ``dedup_exact``'s groupBy carries; a content duplicated billions
     of times would need the explode-side join variant instead.
     """
-    groups = (
-        fan_out(spark, emb)
-        .groupBy("emb")
-        .agg(
-            F.min("vec_id").alias("rep"),
-            F.sort_array(F.collect_list("vec_id")).alias("members"),
+    # Duplication gate (round-4 verdict item 6, embedding lane): probe
+    # count vs count(distinct hash(emb)) in one agg — on an effectively
+    # dup-free corpus skip the collapse + expansion entirely (the
+    # ungrouped plan is bit-identical at any dup level: identical
+    # vectors share signatures, meet in the bands, verify at cosine
+    # 1.0). A 64-bit hash collision only UNDERcounts distinct, which
+    # reads as more duplication and conservatively keeps the grouped
+    # path. Content-level consumers (return_content_level=True) always
+    # need real groups, so the gate applies to the pair lane only.
+    grouped = True
+    if not return_content_level:
+        n, nd = emb.agg(
+            F.count("*").alias("n"),
+            F.count_distinct(F.xxhash64("emb")).alias("nd"),
+        ).first()
+        grouped = (n - nd) > int(n * DUP_GATE_RATIO)
+    if grouped:
+        groups = (
+            fan_out(spark, emb)
+            .groupBy("emb")
+            .agg(
+                F.min("vec_id").alias("rep"),
+                F.sort_array(F.collect_list("vec_id")).alias("members"),
+            )
+            .localCheckpoint(eager=False)  # feeds bands, verify joins, expansion
         )
-        .localCheckpoint(eager=False)  # feeds bands, verify joins, expansion
-    )
-    # (no fan_out here, unlike dedup_minhash's rep frame: the int64
-    # matmul signature stage is microseconds per vector, so the extra
-    # round-robin exchange costs more than the parallelism buys —
-    # measured 2.5 s vs 1.7 s at sf0.1; at real scale the vector bytes
-    # keep AQE from coalescing the group exchange to one partition)
-    rep_emb = groups.select(F.col("rep").alias("vec_id"), "emb")
+        # (no fan_out here, unlike dedup_minhash's rep frame: the int64
+        # matmul signature stage is microseconds per vector, so the extra
+        # round-robin exchange costs more than the parallelism buys —
+        # measured 2.5 s vs 1.7 s at sf0.1; at real scale the vector bytes
+        # keep AQE from coalescing the group exchange to one partition)
+        rep_emb = groups.select(F.col("rep").alias("vec_id"), "emb")
+    else:
+        rep_emb = emb.select("vec_id", "emb")
 
     band_rows = rep_emb.mapInPandas(
         make_lsh_band_rows(planes, bands),
@@ -681,13 +771,16 @@ def embedding_lsh_verified_pairs(
         .select("rep_a", "rep_b")
         .distinct()
     )
-    # contents with >1 member verify once against themselves: the
-    # within-group pairs are oracle candidates (identical signatures
-    # always collide) and their cosine is the self-pair's
-    self_pairs = groups.where(F.size("members") >= 2).select(
-        F.col("rep").alias("rep_a"), F.col("rep").alias("rep_b")
-    )
-    pairs = cand.unionByName(self_pairs)
+    if grouped:
+        # contents with >1 member verify once against themselves: the
+        # within-group pairs are oracle candidates (identical signatures
+        # always collide) and their cosine is the self-pair's
+        self_pairs = groups.where(F.size("members") >= 2).select(
+            F.col("rep").alias("rep_a"), F.col("rep").alias("rep_b")
+        )
+        pairs = cand.unionByName(self_pairs)
+    else:
+        pairs = cand  # every vector its own rep: no self-pair lane
     # Explicit round-robin fan-out before the verify join: the
     # candidate frame is BYTE-small (two longs per row), so AQE
     # coalesces the distinct's output to ~1 partition and everything
@@ -736,6 +829,13 @@ def embedding_lsh_verified_pairs(
         # expanding a copy-group clique only to contract it again in
         # label propagation would be pure waste
         return groups, content_hits
+
+    if not grouped:  # duplication gate: reps ARE the vectors
+        return content_hits.select(
+            F.col("rep_a").alias("vec_a"),
+            F.col("rep_b").alias("vec_b"),
+            "cosine_sim",
+        )
 
     mem = groups.select("rep", F.explode("members").alias("vid"))
     return (
@@ -970,8 +1070,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = 0 (identical text → identical fingerprint; excluded only
     when the content has no letter tokens, since the oracle derives no
     fingerprint row for those)."""
-    groups = doc_content_groups(spark, sf_dir)
-    docs = fan_out(spark, groups.select(F.col("rep").alias("doc_id"), "text"))
+    doc_src, groups = content_group_frontend(spark, sf_dir)
+    docs = fan_out(spark, doc_src)
     ws = F.filter(F.split("text", r"[^A-Za-z]+"), lambda w: w != "")
     tokens = (
         docs.select("doc_id", F.explode(ws).alias("token"))
@@ -1043,6 +1143,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_hits = pairs.select(
         "doc_a", "doc_b", hamming.cast("int").alias("hamming")
     ).where(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+    if groups is None:  # duplication gate: pairs are already doc-level
+        return rep_hits
     self_pairs = (
         groups.where(F.size("members") >= 2)
         .join(fp, groups.rep == fp.doc_id)  # content must have a fingerprint
@@ -1112,8 +1214,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups whose content never pairs across contents (but has >= 1
     shingle — the oracle can't pair shingle-less docs) form their own
     component."""
-    groups = doc_content_groups(spark, sf_dir)
-    rep_docs = fan_out(spark, groups.select(F.col("rep").alias("doc_id"), "text"))
+    doc_src, groups = content_group_frontend(spark, sf_dir)
+    rep_docs = fan_out(spark, doc_src)
     sh = shingle_hashes(spark, sf_dir, docs=rep_docs).localCheckpoint(eager=False)
     rep_pairs = jaccard_pairs(spark, sf_dir, NGRAM_THRESHOLD, shingles=sh).select(
         "doc_a", "doc_b"
@@ -1121,6 +1223,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_cc = min_label_components(rep_pairs, out_id="rep").select(
         "rep", "cluster_id"
     )
+    if groups is None:  # duplication gate: vertices are already doc-level
+        return rep_cc.select(
+            F.col("rep").alias("doc_id"),
+            "cluster_id",
+            (F.col("rep") == F.col("cluster_id")).alias("is_canonical"),
+        )
     # multi-member groups with no cross-content edge: their within-group
     # jaccard-1.0 clique is still a component (iff the content shingles)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))

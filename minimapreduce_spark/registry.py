@@ -125,7 +125,12 @@ DRIVER_PRIORITY: list[str] = [
 # registration (the surface is otherwise frozen — round-4 verdict item 2)
 # must be appended here in the same commit, so the rotation test can
 # distinguish "late, ledgered, pytest-oracle-verified" from "missed".
-LATE_REGISTERED: list[str] = []
+LATE_REGISTERED: list[str] = [
+    # round-4 verdict item 7: the bounded-ledger exactly-once consumer
+    # (dropDuplicatesWithinWatermark over the time-sliced redelivered
+    # source) — landed ledger-complete with oracle + eviction pytest
+    "stream_exactly_once_watermarked",
+]
 
 
 

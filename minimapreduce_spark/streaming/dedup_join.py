@@ -142,3 +142,68 @@ def stream_exactly_once_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("value_c_sum"),
     )
+
+
+# watermark delay for the bounded-ledger consumer: must cover the
+# source's redelivery horizon (one slice of the 30-day fixture at 10
+# slices = 3 days) with margin, and nothing more — the delay IS the
+# state bound. dropDuplicatesWithinWatermark keeps a key until the
+# watermark passes event_time + delay, and the watermark itself lags
+# one micro-batch, so the live ledger window is ~(2*delay + slice) =
+# 11 of 30 days — the eviction the state-peak pytest asserts.
+EXACTLY_ONCE_WM_DELAY = "4 days"
+
+
+def exactly_once_watermarked_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming plan behind ``stream_exactly_once_watermarked``,
+    exposed unfinalized so the state-eviction pytest can drain it with
+    its own listener-equipped query and read stateOperators metrics."""
+    from minimapreduce_spark.streaming.source import (
+        events_stream_time_sliced_redelivered,
+    )
+
+    sdf = events_stream_time_sliced_redelivered(spark, sf_dir)
+    return (
+        sdf.withWatermark("ts", EXACTLY_ONCE_WM_DELAY)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type", "value")
+    )
+
+
+@register(
+    "stream_exactly_once_watermarked",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_c_sum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_exactly_once_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingestion with a BOUNDED dedup ledger (round-4
+    verdict item 7): the source replays time-sliced micro-batches whose
+    redelivery horizon is at most one slice width
+    (``events_stream_time_sliced_redelivered``), so
+    ``dropDuplicatesWithinWatermark`` holds state only for event_ids
+    inside the ``EXACTLY_ONCE_WM_DELAY`` watermark window and EVICTS a
+    key once the watermark passes event_time + delay — O(events-per-
+    horizon) state versus the full-ledger sibling
+    ``stream_exactly_once_ingest``'s O(stream). Correctness needs the
+    delay ≥ redelivery horizon (copies land while their key's state is
+    still live AND above the watermark, so nothing is late-dropped;
+    originals are never late because slices arrive in time order) —
+    then the drained sink equals the clean batch table, which is what
+    the oracle checks. The planted-redelivery pytest asserts both the
+    dedup (sink equals batch DISTINCT despite nonzero redelivery) and
+    the eviction (max stateOperators rows stays well under the stream's
+    distinct-key count)."""
+    drained = run_to_memory(
+        exactly_once_watermarked_plan(spark, sf_dir),
+        "stream_exactly_once_watermarked",
+        "append",
+    )
+    return drained.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("value_c_sum"),
+    )

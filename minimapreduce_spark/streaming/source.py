@@ -167,6 +167,89 @@ def events_stream_redelivered(
     return sdf
 
 
+def events_stream_time_sliced_redelivered(
+    spark: SparkSession, sf_dir: str, n_slices: int = 10, redeliver_mod: int = 13
+) -> DataFrame:
+    """AT-LEAST-ONCE replay with a TIME-BOUNDED redelivery horizon
+    (round-4 verdict item 7): events sort by event time into
+    ``n_slices`` contiguous time slices, one single-file micro-batch
+    each (strictly increasing file mtimes, so the file-stream source
+    replays them in time order), and every row with ``event_id %
+    redeliver_mod == 0`` in slice i is ALSO written into slice i+1 —
+    the redelivery a real queue produces on retry, but bounded: a copy
+    arrives at most one slice width (30/n_slices days of the fixture's
+    30-day span) after its original. That bound is
+    the contract that lets an exactly-once consumer hold dedup state
+    for only a watermark horizon (``dropDuplicatesWithinWatermark``)
+    instead of a forever-ledger — the state posture a 100 TB stream
+    needs (the hash-sharded sibling ``events_stream_redelivered``
+    models the UNBOUNDED-horizon source, which forces the full-ledger
+    consumer). Built with pyarrow (slices are verbatim row copies, the
+    parquet schema survives bit-for-bit) and staged atomically (temp
+    dir + rename) like the sibling."""
+    from pyspark.sql.types import LongType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = table_path(sf_dir, "events")
+    st = os.stat(path)
+    key = (
+        f"{os.path.abspath(path).strip(os.sep).replace(os.sep, '_')}"
+        f"_{st.st_mtime_ns}_{st.st_size}"
+    )
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "minimapreduce_stream_timesliced",
+        f"{key}_{n_slices}_{redeliver_mod}",
+    )
+    if not os.path.exists(os.path.join(d, "_DONE")):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        tmp = f"{d}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        t = pq.read_table(path)
+        t = t.take(
+            pc.sort_indices(
+                t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        ts = t["ts"].to_numpy().astype("int64")  # µs-or-ns ticks; units cancel
+        ids = t["event_id"].to_numpy()
+        span = max(int(ts[-1] - ts[0]), 1)
+        # integer slice index in [0, n_slices-1]; the max-ts row clamps
+        sl = np.minimum((ts - ts[0]) * n_slices // span, n_slices - 1)
+        for i in range(n_slices):
+            parts = [t.filter(pa.array(sl == i))]
+            if i > 0:
+                parts.append(
+                    t.filter(pa.array((sl == i - 1) & (ids % redeliver_mod == 0)))
+                )
+            f = os.path.join(tmp, f"slice{i:02d}.parquet")
+            pq.write_table(pa.concat_tables(parts), f)
+            # deterministic strictly-increasing mtimes = replay order
+            os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+        with open(os.path.join(tmp, "_DONE"), "w") as fh:
+            fh.write("ok")
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    schema = spark.read.parquet(os.path.join(d, "slice00.parquet")).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    if isinstance(schema["ts"].dataType, LongType):
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    return sdf
+
+
 def run_to_memory(sdf: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Drain a streaming DataFrame into a memory sink and return it.
 

@@ -270,3 +270,66 @@ def test_embedding_clusters_consistent_with_lsh_pairs(spark):
         members[c].append(v)
     for c, vs in members.items():
         assert c == min(vs)
+
+
+def _frames_equal(a, b) -> bool:
+    ca, cb = sorted(a.columns), sorted(b.columns)
+    if ca != cb or len(a) != len(b):
+        return False
+    ra = sorted(tuple(map(repr, r)) for r in a[ca].itertuples(index=False))
+    rb = sorted(tuple(map(repr, r)) for r in b[cb].itertuples(index=False))
+    return ra == rb
+
+
+def test_duplication_gate_paths_bit_identical(spark, tmp_path):
+    """The duplication gate (round-4 verdict item 6) may only ever pick
+    between two BIT-IDENTICAL plans: the content-grouped front end and
+    the ungrouped bypass must produce the same rows on a dup-free corpus
+    (where the gate bypasses) AND on a dup-heavy one (where it groups).
+    Forces each path by swinging DUP_GATE_RATIO, clearing the probe
+    memo between runs."""
+    import duckdb
+
+    from minimapreduce_spark.operators import dedup as dd
+
+    # dup-heavy twin of the sf0.001 corpus: every third doc duplicated
+    # twice under fresh ids (~40% duplicate rows, well past the gate)
+    dup_dir = str(tmp_path / "dup")
+    (tmp_path / "dup").mkdir()
+    duckdb.sql(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')
+          UNION ALL
+          SELECT doc_id + 100000, text, lang, source, n_chars
+          FROM read_parquet('{SF_DIR}/documents.parquet') WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 200000, text, lang, source, n_chars
+          FROM read_parquet('{SF_DIR}/documents.parquet') WHERE doc_id % 3 = 0
+        ) TO '{dup_dir}/documents.parquet' (FORMAT parquet)
+        """
+    )
+    # embeddings table unchanged (the text family never reads it, and
+    # dedup_embedding_lsh exercises its own gate on the dup-free frame)
+    import shutil
+
+    shutil.copy(f"{SF_DIR}/embeddings.parquet", f"{dup_dir}/embeddings.parquet")
+
+    try:
+        for name in ("dedup_minhash", "dedup_simhash", "dedup_embedding_lsh"):
+            for sf in (SF_DIR, dup_dir):
+                frames = []
+                for ratio in (1.0, -1.0):  # force bypass, force grouped
+                    dd.DUP_GATE_RATIO = ratio
+                    dd._DUP_PROBE_CACHE.clear()
+                    frames.append(q.REGISTRY[name].fn(spark, sf).toPandas())
+                assert _frames_equal(*frames), (name, sf)
+                assert len(frames[0]) > 0, (name, sf, "vacuous")
+            # and the dup-heavy corpus must actually trip the gate
+            dd.DUP_GATE_RATIO = 0.01
+            dd._DUP_PROBE_CACHE.clear()
+            assert not dd.corpus_effectively_dup_free(spark, dup_dir)
+            assert dd.corpus_effectively_dup_free(spark, SF_DIR)
+    finally:
+        dd.DUP_GATE_RATIO = 0.01
+        dd._DUP_PROBE_CACHE.clear()

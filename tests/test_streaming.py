@@ -276,3 +276,66 @@ def test_exactly_once_ingest_collapses_planted_redelivery(spark):
 
     out = q.queries()["stream_exactly_once_ingest"](spark, SF_DIR)
     assert out.agg(F.sum("n_events")).head()[0] == n_events
+
+
+def test_exactly_once_watermarked_dedups_and_evicts(spark):
+    """The bounded-ledger exactly-once variant (round-4 verdict item 7)
+    must do BOTH halves of its contract on the planted-redelivery
+    source: (1) dedup — the drained sink equals the clean batch table
+    despite a nonzero redelivery volume (asserted non-vacuous), and
+    (2) eviction — dropDuplicatesWithinWatermark's state ledger peaks
+    WELL under the stream's distinct-key count (the full-ledger sibling
+    stream_exactly_once_ingest would hold exactly n_events rows; a key
+    is evicted once the watermark passes event_time + the 4-day delay,
+    and the watermark lags one batch, so the live window is ~(2*4 + 3)
+    = 11 of 30 days ≈ 37% of keys at peak)."""
+    import pyspark.sql.functions as F
+
+    from minimapreduce_spark.streaming.dedup_join import (
+        exactly_once_watermarked_plan,
+    )
+    from minimapreduce_spark.streaming.source import (
+        events_stream_time_sliced_redelivered,
+    )
+
+    base = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_events = base.count()
+    n_redelivered = base.where(F.col("event_id") % 13 == 0).count()
+    assert n_redelivered > 0, "fixture planted no redelivery — test is vacuous"
+
+    # source half: the staged slices really do redeliver, bounded to one
+    # slice of lag (slices 1..5 each carry the previous slice's %13 rows)
+    raw = events_stream_time_sliced_redelivered(spark, SF_DIR)
+    raw_counts = []
+    qy = (
+        raw.writeStream.foreachBatch(lambda bdf, bid: raw_counts.append(bdf.count()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qy.awaitTermination()
+    assert len(raw_counts) == 10  # one micro-batch per time slice
+    assert sum(raw_counts) > n_events  # over-delivery is real
+    assert sum(raw_counts) <= n_events + n_redelivered  # and horizon-bounded
+
+    # consumer half: drain the watermarked plan with our own query so
+    # recentProgress exposes per-batch stateOperators metrics
+    rows = []
+    state_peaks = []
+    deduped = exactly_once_watermarked_plan(spark, SF_DIR)
+    qy = (
+        deduped.writeStream.foreachBatch(lambda bdf, bid: rows.append(bdf.count()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qy.awaitTermination()
+    for p in qy.recentProgress:
+        for so in p["stateOperators"]:
+            state_peaks.append(so["numRowsTotal"])
+    assert sum(rows) == n_events  # exactly-once: every event once
+    assert state_peaks, "no stateOperators metrics — eviction unasserted"
+    # eviction: peak ledger ≪ distinct keys (full ledger would be
+    # n_events; the ~11-of-30-day live window retains ~37% at peak)
+    assert max(state_peaks) < n_events // 2, (max(state_peaks), n_events)
+    # and the final batch's ledger is the smallest live window, not a
+    # monotone accumulation
+    assert state_peaks[-1] < max(state_peaks) or len(set(state_peaks)) == 1
