@@ -1190,23 +1190,45 @@ def ann_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_fold_cosine(F.col("q_emb"), F.col("cur_emb")), 6).alias("cur_cos"),
         )
     )
-    for _ in range(GREEDY_HOPS):
-        scored = (
-            state.join(
-                edges.select(
-                    F.col("vec_id").alias("cur"), F.col("neighbor_id").alias("cand")
-                ),
-                "cur",
-            )
-            .where(F.col("cand") != F.col("q_vec_id"))
-            .join(cand_emb, "cand")
-            .select(
-                "q_vec_id",
-                "cand",
-                F.round(_fold_cosine(F.col("q_emb"), F.col("cand_emb")), 6).alias(
-                    "cand_cos"
-                ),
-            )
+    state = _greedy_walk(state, edges, cand_emb, GREEDY_HOPS, exclude_query=True)
+    return state.select(
+        "q_vec_id",
+        F.col("cur").alias("found_id"),
+        F.col("cur_cos").alias("cosine_sim"),
+    )
+
+
+def _greedy_walk(
+    state: DataFrame,
+    edges: DataFrame,
+    cand_emb: DataFrame,
+    hops: int,
+    exclude_query: bool,
+) -> DataFrame:
+    """``hops`` unrolled greedy-ascent steps over ``edges``
+    (vec_id → neighbor_id), shared by the flat and hierarchical walks.
+    ``state`` carries (q_vec_id, q_emb, cur, cur_cos); the advance rule
+    is the strict ascent (cosine up, or id down at equal cosine) on
+    round(fold-cosine, 6) — the bit-reproducible walk arithmetic the
+    flat query documents. ``exclude_query`` drops the query vertex from
+    candidates (layer 0, where found_id must not be the query); the
+    coarse layer keeps it — landing on the query's own rep is ideal
+    routing, not degeneracy."""
+    for _ in range(hops):
+        scored = state.join(
+            edges.select(
+                F.col("vec_id").alias("cur"), F.col("neighbor_id").alias("cand")
+            ),
+            "cur",
+        )
+        if exclude_query:
+            scored = scored.where(F.col("cand") != F.col("q_vec_id"))
+        scored = scored.join(cand_emb, "cand").select(
+            "q_vec_id",
+            "cand",
+            F.round(_fold_cosine(F.col("q_emb"), F.col("cand_emb")), 6).alias(
+                "cand_cos"
+            ),
         )
         # deterministic argmax: max cosine, then min id — packed so one
         # max struct comparison implements both
@@ -1235,6 +1257,246 @@ def ann_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)  # truncate the per-hop lineage
         )
+    return state
+
+
+COARSE_K = 3  # coarse-layer kNN degree over the cell representatives
+COARSE_HOPS = 2  # unrolled greedy hops on the coarse layer
+
+
+def _coarse_hop_sql(i: int) -> str:
+    """Coarse-layer twin of ``_greedy_hop_sql``: same scoring
+    (round(cos, 6) DESC, min id) and the same strict-ascent advance
+    rule, over the rep graph ``rg`` — no query exclusion (landing on
+    the query's own rep is ideal routing)."""
+    p, c = f"t{i - 1}", f"t{i}"
+    return f"""
+    cb{i} AS (
+      SELECT qid, cand, cand_cos FROM (
+        SELECT {p}.qid, rg.nrep AS cand,
+               round(list_cosine_similarity(q.qe, ce.emb), 6) AS cand_cos,
+               row_number() OVER (
+                 PARTITION BY {p}.qid
+                 ORDER BY round(list_cosine_similarity(q.qe, ce.emb), 6) DESC,
+                          rg.nrep
+               ) AS rn
+        FROM {p}
+        JOIN q ON q.qid = {p}.qid
+        JOIN rg ON rg.rep = {p}.cur
+        JOIN e ce ON ce.vec_id = rg.nrep
+      ) WHERE rn = 1
+    ),
+    {c} AS (
+      SELECT {p}.qid,
+             CASE WHEN cb{i}.cand IS NOT NULL AND (cb{i}.cand_cos > {p}.cur_cos
+                    OR (cb{i}.cand_cos = {p}.cur_cos AND cb{i}.cand < {p}.cur))
+                  THEN cb{i}.cand ELSE {p}.cur END AS cur,
+             CASE WHEN cb{i}.cand IS NOT NULL AND (cb{i}.cand_cos > {p}.cur_cos
+                    OR (cb{i}.cand_cos = {p}.cur_cos AND cb{i}.cand < {p}.cur))
+                  THEN cb{i}.cand_cos ELSE {p}.cur_cos END AS cur_cos
+      FROM {p} LEFT JOIN cb{i} USING (qid)
+    )"""
+
+
+# e/sims/g/q are identical to the flat walk's CTE prefix; s0 differs —
+# the layer-0 entry comes from the cell the COARSE WALK discovered, not
+# the query's stored label
+_HIER_BASE_CTE = f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+    sims AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine_sim
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    g AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT vec_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY cosine_sim DESC, neighbor_id
+               ) AS rn
+        FROM sims
+      ) WHERE rn <= {KNN_GRAPH_K}
+    ),
+    q AS (
+      SELECT vec_id AS qid, emb AS qe, label AS qlabel
+      FROM e WHERE vec_id < {N_QUERIES}
+    ),
+    reps AS (SELECT label, min(vec_id) AS rep FROM e GROUP BY label),
+    re AS (
+      SELECT r.rep, r.label, e2.emb
+      FROM reps r JOIN e e2 ON e2.vec_id = r.rep
+    ),
+    rsims AS (
+      SELECT a.rep, b.rep AS nrep,
+             round(list_cosine_similarity(a.emb, b.emb), 6) AS cs
+      FROM re a JOIN re b ON a.rep <> b.rep
+    ),
+    rg AS (
+      SELECT rep, nrep FROM (
+        SELECT rep, nrep,
+               row_number() OVER (
+                 PARTITION BY rep ORDER BY cs DESC, nrep
+               ) AS rn
+        FROM rsims
+      ) WHERE rn <= {COARSE_K}
+    ),
+    gent AS (SELECT min(rep) AS rep0 FROM reps),
+    t0 AS (
+      SELECT q.qid, gent.rep0 AS cur,
+             round(list_cosine_similarity(q.qe, ee.emb), 6) AS cur_cos
+      FROM q CROSS JOIN gent JOIN e ee ON ee.vec_id = gent.rep0
+    )"""
+
+_HIER_DESCENT_CTE = f"""
+    dest AS (
+      SELECT t{COARSE_HOPS}.qid, r.label AS dlabel
+      FROM t{COARSE_HOPS} JOIN reps r ON r.rep = t{COARSE_HOPS}.cur
+    ),
+    s0 AS (
+      SELECT q.qid, ent.cur,
+             round(list_cosine_similarity(q.qe, ee.emb), 6) AS cur_cos
+      FROM q
+      JOIN (
+        SELECT d.qid, min(e2.vec_id) AS cur
+        FROM dest d JOIN e e2 ON e2.label = d.dlabel AND e2.vec_id <> d.qid
+        GROUP BY d.qid
+      ) ent ON ent.qid = q.qid
+      JOIN e ee ON ee.vec_id = ent.cur
+    )"""
+
+_HIER_ORACLE = (
+    "WITH "
+    + _HIER_BASE_CTE
+    + ","
+    + ",".join(_coarse_hop_sql(i) for i in range(1, COARSE_HOPS + 1))
+    + ","
+    + _HIER_DESCENT_CTE
+    + ","
+    + ",".join(_greedy_hop_sql(i) for i in range(1, GREEDY_HOPS + 1))
+    + f"""
+    SELECT qid AS q_vec_id, cur AS found_id, cur_cos AS cosine_sim
+    FROM s{GREEDY_HOPS}
+    """
+)
+
+
+@register("ann_graph_hierarchical_search", oracle=_HIER_ORACLE)
+def ann_graph_hierarchical_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-LAYER graph search — the actual HNSW entry shape (round-4
+    verdict stretch item 9), completing ``ann_graph_greedy_search``:
+    that flat walk routes each query by its STORED IVF label (known
+    because fixture queries are corpus members); a real serving query
+    arrives with no label, so the hierarchy DISCOVERS the cell. Layer 1
+    is a {COARSE_K}-NN graph over one representative per cell (the
+    cell's min vec_id — deterministic, no similarity computation to
+    pick it); every query enters at the globally-minimal rep and walks
+    {COARSE_HOPS} greedy hops. The reached rep's cell is the descent
+    target: layer 0 enters at that cell's min non-query vertex and
+    walks the per-cell kNN graph exactly as the flat query does
+    (shared ``_greedy_walk``; the coarse layer keeps the query vertex
+    as a valid rep — landing on it is ideal routing, and the layer-0
+    exclusion still guarantees found_id != query).
+
+    Cost: layer 1 is |cells| vertices — at 100 TB with nlist = sqrt(N)
+    cells the rep graph is millions of rows against billions of
+    vectors, broadcast-size; the walk still scores hops x degree
+    candidates per query at EACH layer, never a corpus scan. The
+    determinism discipline is the flat walk's, verbatim: every
+    comparison on round(cos, 6) with min-id (min-rep) tie-break,
+    strict-ascent advance at both layers, fold-cosine (DuckDB's exact
+    summation order) for every score the walk compares, and the oracle
+    replays both layers as unrolled SQL hops over identical CTEs. The
+    same edge-set caveat as the flat walk applies to layer 0 (the kNN
+    builder's documented ulp residual, margin-pinned in pytest);
+    layer-1 edges (rsims) are fold-exact on both engines.
+
+    The recall pytest asserts the hierarchy is no worse than the flat
+    walk against brute-force ground truth on the fixture — the routing
+    it discovers must match what the stored labels gave for free."""
+    emb = _emb(spark, sf_dir)
+    # ---- layer 1: rep per cell, COARSE_K-NN rep graph (fold-exact) ----
+    reps = emb.groupBy("label").agg(F.min("vec_id").alias("rep"))
+    re = reps.join(
+        emb.select(F.col("vec_id").alias("rep"), F.col("emb").alias("rep_emb")),
+        "rep",
+    ).localCheckpoint(eager=False)  # rep graph + entry + descent reuse it
+    rpairs = (
+        re.select("rep", "rep_emb")
+        .join(
+            re.select(
+                F.col("rep").alias("nrep"), F.col("rep_emb").alias("nemb")
+            ),
+            F.col("rep") != F.col("nrep"),
+        )
+        .select(
+            "rep",
+            "nrep",
+            F.round(_fold_cosine(F.col("rep_emb"), F.col("nemb")), 6).alias("cs"),
+        )
+    )
+    wr = W.partitionBy("rep").orderBy(F.desc("cs"), F.asc("nrep"))
+    rg = (
+        rpairs.select("rep", "nrep", F.row_number().over(wr).alias("rn"))
+        .where(F.col("rn") <= COARSE_K)
+        .select(
+            F.col("rep").alias("vec_id"), F.col("nrep").alias("neighbor_id")
+        )
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("emb").alias("q_emb")
+    )
+    cand_emb = emb.select(
+        F.col("vec_id").alias("cand"), F.col("emb").alias("cand_emb")
+    )
+    cur_emb = emb.select(F.col("vec_id").alias("cur"), F.col("emb").alias("cur_emb"))
+    # coarse entry: the globally-minimal rep, one broadcast row
+    rep0 = reps.agg(F.min("rep").alias("cur"))
+    tstate = (
+        q.crossJoin(F.broadcast(rep0))
+        .join(cur_emb, "cur")
+        .select(
+            "q_vec_id",
+            "q_emb",
+            "cur",
+            F.round(_fold_cosine(F.col("q_emb"), F.col("cur_emb")), 6).alias(
+                "cur_cos"
+            ),
+        )
+    )
+    tstate = _greedy_walk(tstate, rg, cand_emb, COARSE_HOPS, exclude_query=False)
+    # ---- descend: reached rep's cell; enter at its min non-query id ----
+    dest = tstate.join(
+        reps.select(F.col("rep").alias("cur"), F.col("label").alias("dlabel")),
+        "cur",
+    ).select("q_vec_id", "dlabel")
+    entry = (
+        dest.join(
+            emb.select(F.col("vec_id").alias("cur"), F.col("label").alias("dlabel")),
+            "dlabel",
+        )
+        .where(F.col("cur") != F.col("q_vec_id"))
+        .groupBy("q_vec_id")
+        .agg(F.min("cur").alias("cur"))
+    )
+    state = (
+        q.join(entry, "q_vec_id")
+        .join(cur_emb, "cur")
+        .select(
+            "q_vec_id",
+            "q_emb",
+            "cur",
+            F.round(_fold_cosine(F.col("q_emb"), F.col("cur_emb")), 6).alias(
+                "cur_cos"
+            ),
+        )
+    )
+    # ---- layer 0: the flat walk over the per-cell kNN graph ----
+    edges = (
+        ann_knn_graph_edges(spark, sf_dir)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    state = _greedy_walk(state, edges, cand_emb, GREEDY_HOPS, exclude_query=True)
     return state.select(
         "q_vec_id",
         F.col("cur").alias("found_id"),

@@ -130,6 +130,10 @@ LATE_REGISTERED: list[str] = [
     # (dropDuplicatesWithinWatermark over the time-sliced redelivered
     # source) — landed ledger-complete with oracle + eviction pytest
     "stream_exactly_once_watermarked",
+    # round-4 verdict stretch item 9: the 2-layer (HNSW-shape) graph
+    # search — coarse rep-graph walk discovers the cell, then the flat
+    # per-cell walk; oracle replays both layers as unrolled SQL hops
+    "ann_graph_hierarchical_search",
 ]
 
 

@@ -30,6 +30,7 @@ ORACLED = [
     "multimodal_png_decode",
     "multimodal_jpeg_decode",
     "ann_graph_greedy_search",
+    "ann_graph_hierarchical_search",
 ]
 
 
@@ -597,3 +598,48 @@ def test_knn_edge_scores_clear_rounding_boundaries():
             worst_cut = min(worst_cut, float(d[np.isfinite(S)].min()))
     assert worst_mid > 1e-13, f"edge score within {worst_mid:.2e} of a rounding midpoint"
     assert worst_cut > 1e-13, f"edge score within {worst_cut:.2e} of the top-K keep cut"
+
+
+def test_graph_hierarchical_search_semantics(spark):
+    """The 2-layer walk (coarse rep graph → descend → cell graph) must
+    be at least as good a search as the flat label-routed walk — on the
+    objective the walk optimizes (the found vertex's rounded cosine),
+    because top-1 identity recall is meaningless on this fixture: the
+    embeddings are near-random (best cosines ~0.2), so BOTH walks
+    plateau at local maxima far from the global argmax, and the global
+    argmax frequently lives outside the query's stored cell entirely.
+    What the hierarchy must demonstrate: it discovers routing WITHOUT
+    the stored label and that routing is no worse — and it may be
+    better, precisely when the coarse walk escapes to a cell whose rep
+    attracts the query more than its own (measured: it does, for half
+    the queries, and mean found cosine strictly improves)."""
+    from minimapreduce_spark import queries as q
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    flat = {
+        r.q_vec_id: (r.found_id, r.cosine_sim)
+        for r in q.queries()["ann_graph_greedy_search"](spark, SF_DIR).collect()
+    }
+    hier = {
+        r.q_vec_id: (r.found_id, r.cosine_sim)
+        for r in q.queries()["ann_graph_hierarchical_search"](spark, SF_DIR).collect()
+    }
+    assert len(hier) == 20 and set(hier) == set(flat)
+    assert all(fid != qid for qid, (fid, _) in hier.items()), "walk found the query itself"
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    E = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    id2i = {v: i for i, v in enumerate(t["vec_id"].to_numpy())}
+    # the reported cosine must be the real rounded cosine of the pair
+    for qid, (fid, c) in hier.items():
+        assert abs(c - round(float(En[id2i[fid]] @ En[id2i[qid]]), 6)) < 1e-9
+    # objective parity: the discovered routing is no worse than label
+    # routing in aggregate, and not worse for most queries individually
+    mean_flat = sum(c for _, c in flat.values()) / len(flat)
+    mean_hier = sum(c for _, c in hier.values()) / len(hier)
+    assert mean_hier >= mean_flat, (mean_hier, mean_flat)
+    at_least = sum(hier[qid][1] >= flat[qid][1] for qid in hier)
+    assert at_least >= 12, f"hierarchy beat/met flat on only {at_least}/20 queries"
