@@ -42,13 +42,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 6)                                        AS avg_disc,
+           round(CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE), 2) AS sum_qty,
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_base_price,
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * CAST(100 - round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000, 2) AS sum_disc_price,
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * CAST(100 - round(l_discount * 100) AS BIGINT)
+                          * CAST(100 + round(l_tax * 100) AS BIGINT)) AS DOUBLE) / 1000000, 2) AS sum_charge,
+           round(CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / count(*), 4) AS avg_qty,
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 / count(*), 4) AS avg_price,
+           round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100 / count(*), 6) AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -59,20 +62,51 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan → pushed filter → 2-key groupBy with 8 aggs.
     Catalyst plans partial+final hash agg; only 6 groups survive the map
-    side, so shuffle traffic is O(partitions), not O(rows)."""
+    side, so shuffle traffic is O(partitions), not O(rows).
+
+    EXACT fixed-point arithmetic (round-5 160×-caught boundary): the
+    original round-in-both-engines float sums held at sf0.01 and 40×,
+    but at 160× (96M rows) one group's sum_charge accumulated a 2e-14
+    relative summation-order difference that landed ACROSS the 2-dp
+    rounding boundary — the third instance of the float-boundary class
+    the 40× methodology caught (events_resample_gapfill,
+    agg_salted_skew). Fix per the repo playbook: the money columns live
+    on exact grids (prices are integer cents, discount/tax integer
+    percents, quantity integer — grid recovery verified ≤ 1e-9 on the
+    fixture), so every sum is an integer sum — price_c for base price,
+    price_c·(100−d_c) in 1e-4 dollars for disc price,
+    price_c·(100−d_c)·(100+t_c) in 1e-6 dollars for charge — summed as
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), both exact and
+    overflow-free to 38 digits, then presented through the identical
+    CAST→divide→round chain. Both engines now compute the same integer
+    and therefore the same rounded double at ANY scale; the averages
+    divide exact sums by exact counts with the same left-to-right
+    double expression on both sides."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec = "decimal(38,0)"
+    qty_c = F.round(F.col("l_quantity")).cast("bigint")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_c = F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+    tax_c = F.lit(100) + F.round(F.col("l_tax") * 100).cast("bigint")
+    cnt = F.count(F.lit(1))
+    sum_qty = F.sum(qty_c.cast(dec)).cast("double")
+    sum_price_c = F.sum(price_c.cast(dec)).cast("double")
+    sum_disc_u = F.sum((price_c * disc_c).cast(dec)).cast("double")
+    sum_charge_u = F.sum((price_c * disc_c * tax_c).cast(dec)).cast("double")
+    sum_d_c = F.sum(F.round(F.col("l_discount") * 100).cast("bigint").cast(dec)).cast(
+        "double"
+    )
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(sum_qty, 2).alias("sum_qty"),
+            F.round(sum_price_c / 100, 2).alias("sum_base_price"),
+            F.round(sum_disc_u / 10000, 2).alias("sum_disc_price"),
+            F.round(sum_charge_u / 1000000, 2).alias("sum_charge"),
+            F.round(sum_qty / cnt, 4).alias("avg_qty"),
+            F.round(sum_price_c / 100 / cnt, 4).alias("avg_price"),
+            F.round(sum_d_c / 100 / cnt, 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )

@@ -264,7 +264,15 @@ def run_relational(args, out_dir: str) -> None:
         print(json.dumps({"step": "build-relational",
                           "sec": round(time.perf_counter() - t0, 1)}), file=sys.stderr)
 
-    spark = get_spark(app_name="scale-relational")
+    # 96M-row fact joins at 160x need execution-memory headroom past
+    # the 8g test default (q21 died at UNABLE_TO_ACQUIRE_MEMORY there)
+    spark = get_spark(
+        app_name="scale-relational",
+        extra_conf={
+            "spark.driver.memory": "48g",
+            "spark.driver.maxResultSize": "8g",
+        },
+    )
     con = duckdb.connect()
     # bounded memory + disk spill: a 160x oracle must degrade to spill,
     # not die on a bad allocation under concurrent memory pressure
@@ -280,7 +288,9 @@ def run_relational(args, out_dir: str) -> None:
 
     results = {}
     total = 0.0
-    for name in RELATIONAL_QUERIES:
+    only = set(args.only.split(",")) if args.only else None
+    names = [n for n in RELATIONAL_QUERIES if only is None or n in only]
+    for name in names:
         entry = q.REGISTRY[name]
         t0 = time.perf_counter()
         spdf = entry.fn(spark, out_dir).toPandas()
@@ -355,7 +365,14 @@ def main() -> None:
     from minimapreduce_spark import queries as q
     from minimapreduce_spark.session import get_spark
 
-    spark = get_spark(app_name="scale-experiment")
+    # the registered-LSH 160× output is fixture-quadratic (~15M pair
+    # rows — documented at ORACLE_SKIP_PAST_40X); its rows-only report
+    # still materializes through toPandas for wall-comparability with
+    # the earlier multipliers, which needs driver result headroom
+    spark = get_spark(
+        app_name="scale-experiment",
+        extra_conf={"spark.driver.maxResultSize": "8g"},
+    )
     con = duckdb.connect()
     con.execute(
         "SET memory_limit='64GB'; SET temp_directory='/tmp/duckspill'; "
