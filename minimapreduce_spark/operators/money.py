@@ -1,0 +1,59 @@
+"""Exact money arithmetic on the data's native grids.
+
+The 160× octave (SCALING.md round 5) demonstrated that
+``round(sum(<money double>), 2)`` over O(fact-table) rows is a latent
+cross-engine bug for EVERY such aggregate, not a one-off: float
+summation-order noise grows with the sum's magnitude while the 2-dp
+rounding boundary stays fixed, so at ~1e11 sums (96M rows) the noise
+(~1e-2) reaches the boundary scale and a hash flip becomes a matter of
+when, not if — q1 flipped first. Averages and ratios stay safe (their
+RELATIVE noise ~1e-14 never nears the 1e-4/1e-6 boundaries), and
+small-group sums (per-order, per-customer, dimension-sized) stay safe
+by magnitude; the fix is needed exactly where a group aggregates an
+unbounded slice of the fact table.
+
+The money columns all live on exact decimal grids (verified ≤ 4e-9
+recovery on the fixtures): prices/totalprice/acctbal are integer
+cents, discount/tax are integer percents, quantity is integer. So any
+money sum can be an INTEGER sum: recover the grid units per row
+(``grid_c``), sum as DECIMAL(38,0) (Spark) / HUGEINT (DuckDB sums
+BIGINT wide automatically) — both exact and overflow-free far past
+100 TB volumes — and divide back to dollars only at presentation.
+Both engines then compute the identical integer, hence the identical
+rounded double, at ANY scale.
+
+Oracle-side mirrors (DuckDB SQL):
+  sum money       -> CAST(sum(CAST(round(col*100) AS BIGINT)) AS DOUBLE)/100
+  sum price*(1-d) -> CAST(sum(CAST(round(p*100) AS BIGINT)
+                              * CAST(100 - round(d*100) AS BIGINT)) AS DOUBLE)/10000
+  sum price*d     -> ... * CAST(round(d*100) AS BIGINT) ... /10000
+  window sums     -> same, with OVER (...) on the integer sum
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(38,0)"
+
+
+def grid_c(col: Column | str, scale: int = 100) -> Column:
+    """Recover a money/percent column's exact integer grid units."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * scale).cast("bigint")
+
+
+def exact_sum(unit_expr: Column, unit: int) -> Column:
+    """Exact Σ of an integer-grid expression, presented in dollars:
+    DECIMAL(38,0) accumulation (no overflow, no float noise), then one
+    deterministic cast→divide. Pair with ``F.round(..., 2)`` exactly as
+    the float version was."""
+    return F.sum(unit_expr.cast(DEC)).cast("double") / unit
+
+
+def exact_revenue_sum(
+    price: str = "l_extendedprice", disc: str = "l_discount"
+) -> Column:
+    """Σ price·(1−discount) on the cents×percent grid (1e-4 units)."""
+    return exact_sum(grid_c(price) * (F.lit(100) - grid_c(disc)), 10_000)

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from minimapreduce_spark.catalog import load_table
+from minimapreduce_spark.operators.money import exact_revenue_sum, exact_sum, grid_c
 from minimapreduce_spark.registry import register
 
 
@@ -154,7 +155,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * CAST(100 - round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue
     FROM customer
     JOIN orders   ON c_custkey   = o_custkey
     JOIN lineitem ON l_orderkey  = o_orderkey
@@ -189,7 +191,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        # exact grid sum (money.py): a per-nation revenue aggregates an
+        # O(fact) slice — the q1-class float-boundary risk at scale
+        .agg(F.round(exact_revenue_sum(), 2).alias("revenue"))
     )
 
 
@@ -342,7 +346,7 @@ def join_anti_no_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            count(DISTINCT o_custkey)       AS n_customers,
            count(*)                        AS n_orders,
-           round(sum(o_totalprice), 2)     AS total_price
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_price
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -356,7 +360,7 @@ def agg_distinct_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count_distinct("o_custkey").alias("n_customers"),
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(exact_sum(grid_c("o_totalprice"), 100), 2).alias("total_price"),
         )
     )
 
@@ -458,11 +462,11 @@ def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_spend",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
-           round(sum(o_totalprice) OVER (
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
              PARTITION BY o_custkey
              ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ), 2) AS running_spend
+           ) AS DOUBLE) / 100, 2) AS running_spend
     FROM orders
     """,
 )
@@ -478,7 +482,11 @@ def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        # exact cents running sum (money.py): bigint window accumulation
+        # can't pick up summation-order noise at any partition length
+        F.round(
+            F.sum(grid_c("o_totalprice")).over(w).cast("double") / 100, 2
+        ).alias("running_spend"),
     )
 
 
@@ -709,7 +717,8 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_shuffle_hash_revenue",
     oracle="""
     SELECT o_orderpriority,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * CAST(100 - round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue,
            count(*) AS n_items
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
@@ -732,8 +741,6 @@ def join_shuffle_hash_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     j = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
     return j.groupBy("o_orderpriority").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
+        F.round(exact_revenue_sum(), 2).alias("revenue"),
         F.count("*").alias("n_items"),
     )

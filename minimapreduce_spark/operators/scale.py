@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from minimapreduce_spark.catalog import load_table
+from minimapreduce_spark.operators.money import exact_revenue_sum, exact_sum, grid_c
 from minimapreduce_spark.registry import register
 
 N_SALTS = 16
@@ -134,7 +135,8 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_salted_suppliers",
     oracle="""
     SELECT s_suppkey, s_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * CAST(100 - round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue,
            count(*) AS n_items
     FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
     GROUP BY s_suppkey, s_name
@@ -162,9 +164,7 @@ def join_salted_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("s_suppkey", "s_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            F.round(exact_revenue_sum(), 2).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -174,7 +174,7 @@ def join_salted_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_grouping_sets",
     oracle="""
     SELECT o_orderpriority, o_orderstatus,
-           round(sum(o_totalprice), 2) AS total_price,
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_price,
            count(*) AS n_orders
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
@@ -193,7 +193,9 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus",
         )
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            # exact grid sum (money.py): the () grand-total set
+            # aggregates the whole fact table — maximal q1-class risk
+            F.round(exact_sum(grid_c("o_totalprice"), 100), 2).alias("total_price"),
             F.count("*").alias("n_orders"),
         )
     )

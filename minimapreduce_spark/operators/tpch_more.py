@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from minimapreduce_spark.catalog import load_table
+from minimapreduce_spark.operators.money import exact_revenue_sum, exact_sum, grid_c
 from minimapreduce_spark.registry import register
 
 
@@ -68,7 +69,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -91,7 +93,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.06)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        # exact grid sum (money.py): a single-group sum over the fact
+        # table is the maximal q1-class float-boundary exposure
+        F.round(
+            exact_sum(grid_c("l_extendedprice") * grid_c("l_discount"), 10_000), 2
+        ).alias("revenue"),
         F.count("*").alias("n_items"),
     )
 
@@ -252,7 +258,8 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * CAST(100 - round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
@@ -278,7 +285,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .where(cond)
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(exact_revenue_sum(), 2).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -318,10 +325,10 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_trailing_30d_spend",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
-           round(sum(o_totalprice) OVER (
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate
              RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
-           ), 2) AS trailing_30d_spend,
+           ) AS DOUBLE) / 100, 2) AS trailing_30d_spend,
            count(*) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate
              RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
@@ -343,7 +350,9 @@ def window_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d_spend"),
+        F.round(
+            F.sum(grid_c("o_totalprice")).over(w).cast("double") / 100, 2
+        ).alias("trailing_30d_spend"),
         F.count("*").over(w).alias("trailing_30d_orders"),
     )
 
@@ -352,9 +361,9 @@ def window_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_status_revenue",
     oracle="""
     SELECT o_orderpriority,
-           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS status_f,
-           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS status_o,
-           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2) AS status_p
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) / 100, 2) AS status_f,
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) / 100, 2) AS status_o,
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) / 100, 2) AS status_p
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -367,7 +376,7 @@ def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.round(F.sum("o_totalprice"), 2))
+        .agg(F.round(exact_sum(grid_c("o_totalprice"), 100), 2))
         .withColumnsRenamed({"F": "status_f", "O": "status_o", "P": "status_p"})
     )
 
@@ -377,9 +386,9 @@ def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH agg AS (
       SELECT l_returnflag,
-             round(sum(l_quantity), 2)      AS sum_qty,
-             round(sum(l_extendedprice), 2) AS sum_price,
-             round(sum(l_tax), 2)           AS sum_tax
+             round(CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE), 2) AS sum_qty,
+             round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_price,
+             round(CAST(sum(CAST(round(l_tax * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_tax
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, 'sum_qty'  AS metric, sum_qty   AS value FROM agg
@@ -397,9 +406,9 @@ def unpivot_returnflag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-            F.round(F.sum("l_tax"), 2).alias("sum_tax"),
+            F.round(exact_sum(grid_c("l_quantity", 1), 1), 2).alias("sum_qty"),
+            F.round(exact_sum(grid_c("l_extendedprice"), 100), 2).alias("sum_price"),
+            F.round(exact_sum(grid_c("l_tax"), 100), 2).alias("sum_tax"),
         )
     )
     return agg.unpivot(

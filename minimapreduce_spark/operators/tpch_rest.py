@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from minimapreduce_spark.catalog import load_table
+from minimapreduce_spark.operators.money import exact_sum, grid_c
 from minimapreduce_spark.registry import register
 
 
@@ -463,7 +464,7 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_quantity_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 / 7.0, 2) AS avg_yearly
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
     WHERE p_brand = 'Brand#11' AND p_type = 'SMALL'
@@ -494,7 +495,11 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         with_avg.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
         .where(F.col("l_quantity") < 0.5 * F.col("part_avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(exact_sum(grid_c("l_extendedprice"), 100) / 7.0, 2).alias(
+                "avg_yearly"
+            )
+        )
     )
 
 
