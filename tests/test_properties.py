@@ -312,3 +312,47 @@ def test_expand_doc_pairs_equals_reference_enumeration(spark, sizes, edge_bits):
                 for j in groups_py[gb]:
                     want.add((min(i, j), max(i, j), v))
     assert got == want
+
+
+def test_money_grid_sum_exact_where_float_sum_flips(spark, tmp_path):
+    """Pin the operators/money.py discipline with a PLANTED boundary
+    case: values on the 1e-3 grid whose true sum sits exactly ON a
+    2-dp rounding boundary (100.015), where float summation order
+    decides which side the rounded result lands on. The exact-grid
+    path must return the identical rounded value for EVERY Spark
+    partitioning AND from DuckDB's mirrored SQL (the integer sum is
+    order-free), and that value must be the true decimal answer —
+    which is precisely why the 12 fact-slice money sums were converted
+    (SCALING.md round 5 — q1's 160× flip)."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from minimapreduce_spark.operators.money import exact_sum, grid_c
+
+    # 10001 copies of 0.01 (binary double slightly ABOVE 0.01) plus one
+    # 0.005 (slightly BELOW): true sum = 100.015, exactly on the 2-dp
+    # boundary, with float noise of either sign within reach of it
+    vals = [0.01] * 10001 + [0.005]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    pq = str(tmp_path / "vals.parquet")
+    spark.createDataFrame(rows, "id long, v double").write.parquet(pq)
+
+    results = set()
+    for parts in (1, 3, 32):
+        df = spark.read.parquet(pq).repartition(parts)
+        got = df.agg(
+            F.round(exact_sum(grid_c("v", 1000), 1000), 2).alias("s")
+        ).head()[0]
+        results.add(got)
+    # order-free across partitionings, and equal to the true decimal
+    # answer: 100015 grid units / 1000 = 100.015 → HALF_UP → 100.02
+    assert results == {100.02}, results
+
+    oracle = duckdb.sql(
+        f"""
+        SELECT round(CAST(sum(CAST(round(v * 1000) AS BIGINT)) AS DOUBLE)
+                     / 1000, 2) AS s
+        FROM read_parquet('{pq}/*.parquet')
+        """
+    ).df()["s"][0]
+    assert oracle == 100.02, oracle
