@@ -368,10 +368,15 @@ def main() -> None:
     # the registered-LSH 160× output is fixture-quadratic (~15M pair
     # rows — documented at ORACLE_SKIP_PAST_40X); its rows-only report
     # still materializes through toPandas for wall-comparability with
-    # the earlier multipliers, which needs driver result headroom
+    # the earlier multipliers, which needs driver result headroom.
+    # driver.memory 48g matches the relational runner: the 640× corpus
+    # (3.2M docs) GC-thrashed the 8g test default mid-shuffle.
     spark = get_spark(
         app_name="scale-experiment",
-        extra_conf={"spark.driver.maxResultSize": "8g"},
+        extra_conf={
+            "spark.driver.memory": "48g",
+            "spark.driver.maxResultSize": "8g",
+        },
     )
     con = duckdb.connect()
     con.execute(
