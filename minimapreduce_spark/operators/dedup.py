@@ -19,10 +19,25 @@ Escalating strategies over ``documents`` (plus cluster resolution):
 
 Scale notes: the inverted-index self-join (ngram) degrades on hot
 shingles (a stopword 5-gram shared by millions of docs creates a
-quadratic bucket); MinHash-LSH bounds every bucket by construction
-(bands of the signature, not raw shingles) and is the one to run at
-100 TB. Both are expressed as pure DataFrame plans — shuffle keys are
+quadratic bucket); MinHash-LSH shrinks buckets by construction (bands
+of the signature, not raw shingles) and is the one to run at 100 TB.
+Both are expressed as pure DataFrame plans — shuffle keys are
 shingle/band hashes, all aggregates partial+final.
+
+Banding bounds RANDOM collisions, not SIMILAR-pair collisions: a band
+of r minhashes collides for an unrelated pair with p ≈ jaccard^r, so
+corpora with heavy ambient cross-document similarity still grow a
+quadratic-in-distinct-contents candidate tail (SCALING.md round-5
+640× probe: the ~100-word-type synthetic generator gives unrelated
+docs enough shared shingles that the tail dominated past 160× and the
+verify join developed hot-bucket stragglers). Production bounds for
+that regime, in order: widen bands (raise r — the strict 16-bit
+embedding regime is the worked example), cap per-bucket candidate
+contribution (df-cap the band buckets exactly like the shingle
+inverted index), and salt hot buckets across tasks. Real web text
+sits far below this fixture's ambient similarity, but a crawl of
+boilerplate-heavy pages can reproduce it — which is what
+`boilerplate_ngram_sources` measures.
 """
 
 from __future__ import annotations
