@@ -58,6 +58,16 @@ CANDIDATES = [
     "graph_triangle_degree_oriented",
     "multimodal_jpeg_decode",
     "stream_psi_drift",
+    # round-5 additions: the duplication-gated dedup front end (the
+    # probe's verdict and both plan paths must be width-independent),
+    # the watermark-bounded exactly-once drain, the 2-layer graph walk
+    # (argmax/advance at both layers must not depend on task layout),
+    # and an exact-grid money sum (DECIMAL accumulation is order-free
+    # by construction — this pins the claim end-to-end through q1)
+    "dedup_ngram_jaccard",
+    "stream_exactly_once_watermarked",
+    "ann_graph_hierarchical_search",
+    "q1_pricing_summary",
 ]
 
 
