@@ -1268,6 +1268,97 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_BUDGET_DEN = 2  # sample down to a token budget of total_tokens / 2
+_HASH60 = 1152921504606846976.0  # 2^60 as an exact double
+
+
+@register(
+    "mixture_token_budget_sample",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT doc_id, source,
+             len(list_filter(regexp_split_to_array(text, ' '), w -> w <> ''))
+               AS n_tok
+      FROM documents
+    ),
+    tok AS (
+      SELECT source, CAST(sum(n_tok) AS BIGINT) AS t_s
+      FROM per_doc GROUP BY source
+    ),
+    pow AS (
+      SELECT source, t_s,
+             CAST(round(power(CAST(t_s AS DOUBLE),
+                              {MIX_TEMP_NUM}.0 / {MIX_TEMP_DEN}) * 1000000)
+                  AS BIGINT) AS w_fp
+      FROM tok
+    ),
+    rates AS (
+      SELECT source,
+             least(1.0,
+                   CAST((SELECT sum(t_s) FROM tok) // {MIX_BUDGET_DEN} AS DOUBLE)
+                   * w_fp / (SELECT sum(w_fp) FROM pow) / t_s) AS rate
+      FROM pow
+    )
+    SELECT d.doc_id, d.source, d.n_tok
+    FROM per_doc d JOIN rates r ON d.source = r.source
+    WHERE CAST(CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS DOUBLE) < r.rate * {_HASH60!r}
+    """,
+    bench=True,
+)
+def mixture_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize a data MIXTURE: sample each source down so the
+    corpus hits a global token budget (total/2) in the proportions of
+    the temperature-scaled weights (``source_mixture_weights``, T=0.7)
+    — the step that turns mixing WEIGHTS into an actual training set.
+    Per-source rate = min(1, budget·w_s/Σw / T_s) (a source too small
+    to fill its allocation keeps everything — the standard single-pass
+    capping; production reruns the waterfall to redistribute the
+    slack); each doc keeps iff its 60-bit md5 hash < rate·2^60 —
+    deterministic Bernoulli THRESHOLD sampling, the 100 TB shape: a
+    pure per-row predicate, stable under repartitioning, re-runs, and
+    engines, with NO shuffle anywhere in the selection (the only
+    aggregation is the |sources|-row rate table, broadcast back).
+
+    Exactness: token sums and w_fp are exact integers; rate is one
+    identical left-associative double expression on both engines;
+    the hash compare has a ~2^60/n_docs expected margin vs a 2^8 ulp
+    at that magnitude (margin-pinned in tests/test_pipeline.py, the
+    embedding-LSH discipline). The hash→double conversion rounds
+    identically (IEEE nearest) in both engines. At rate = 1.0 a doc
+    whose hash rounds UP to exactly 2^60 would drop on both engines
+    equally (P ≈ 2^-53 per doc; the margin pytest would catch it)."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    per_doc = docs.select("doc_id", "source", tokens.alias("n_tok"))
+    tok = per_doc.groupBy("source").agg(F.sum("n_tok").cast("bigint").alias("t_s"))
+    w_fp = F.round(
+        F.pow(F.col("t_s").cast("double"), MIX_TEMP_NUM / MIX_TEMP_DEN) * 1000000
+    ).cast("bigint")
+    powd = tok.select("source", "t_s", w_fp.alias("w_fp"))
+    totals = powd.agg(
+        F.sum("t_s").alias("_tt"), F.sum("w_fp").alias("_sw")
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.expr(f"_tt DIV {MIX_BUDGET_DEN}").cast("double")
+        * F.col("w_fp")
+        / F.col("_sw")
+        / F.col("t_s"),
+    )
+    rates = powd.crossJoin(F.broadcast(totals)).select("source", rate.alias("rate"))
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        per_doc.join(F.broadcast(rates), "source")
+        .where(h.cast("double") < F.col("rate") * F.lit(_HASH60))
+        .select("doc_id", "source", "n_tok")
+    )
+
+
 @register(
     "curriculum_quality_buckets",
     oracle="""

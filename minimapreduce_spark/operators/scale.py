@@ -201,6 +201,110 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMV_K = 32  # bottom-K size; rsd ≈ 1/sqrt(K-2) ≈ 18%
+KMV_BUCKETS = 8  # phase-1 hash-space split (∝ N/K at true scale)
+_KMV_HASH60 = "CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+def kmv_hash60(col: Column) -> Column:
+    """Portable 60-bit key hash (15 md5 hex chars), identical in Spark
+    and DuckDB — the value space every KMV sketch in the family draws
+    from."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmv:"), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def kmv_sketch(hashed: DataFrame, groups: list[str]) -> DataFrame:
+    """(groups..., ks: array<bigint>, n_exact): bounded-state bottom-K
+    distinct sketch per group over a (groups..., h) frame.
+
+    Two-phase decomposition — the MERGEABILITY structure itself: phase
+    1 takes bottom-K per (group, h % KMV_BUCKETS) sub-stream (buckets
+    partition the hash space, so the union of per-bucket bottom-Ks is
+    a superset of the global bottom-K), phase 2 merges the ≤ B×K
+    survivors per group. Merging two groups' sketches = union the
+    arrays, re-take bottom-K — exactly phase 2, which the mergeability
+    pytest exercises on disjoint event shards. Phase-2 state is B×K
+    longs per group by construction; at 100 TB you size B ∝ N/K so
+    phase-1 groups stay small, and only sketch-sized rows ever cross
+    the wire after the first distinct."""
+    per_bucket = (
+        hashed.distinct()
+        .groupBy(*groups, (F.col("h") % KMV_BUCKETS).alias("_b"))
+        .agg(
+            F.slice(F.sort_array(F.collect_set("h")), 1, KMV_K).alias("ks"),
+            F.count("*").alias("nb"),
+        )
+    )
+    return per_bucket.groupBy(*groups).agg(
+        F.slice(F.sort_array(F.flatten(F.collect_list("ks"))), 1, KMV_K).alias("ks"),
+        F.sum("nb").cast("bigint").alias("n_exact"),
+    )
+
+
+@register(
+    "sketch_kmv_distinct_users",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT event_type, {_KMV_HASH60} AS h FROM events
+    ),
+    r AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM d
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(least(count(*), {KMV_K}) AS BIGINT) AS n_retained,
+           round(CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS DOUBLE)
+                      ELSE ({KMV_K} - 1.0) * 1152921504606846976.0
+                           / max(CASE WHEN rn = {KMV_K} THEN h END)
+                 END, 4) AS kmv_est
+    FROM r GROUP BY event_type
+    """,
+)
+def sketch_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-REPRODUCIBLE mergeable distinct-count sketch: per
+    event_type, the bottom-KMV_K 60-bit md5 hashes of the distinct
+    user set, estimator (K-1)·2^60 / h_(K) (the K-minimum-values
+    sketch of Bar-Yossef et al.), falling back to the exact retained
+    count when a group holds fewer than K distinct keys (both paths
+    exercised: sf0.001 groups have 15 distinct users, sf0.01 150).
+
+    Why next to ``agg_approx_sketch``: HLL/quantile sketch ESTIMATES
+    are engine-internal, so that query's oracle can only band them.
+    KMV over a portable hash is deterministic end-to-end — the
+    ESTIMATE itself hash-matches DuckDB exactly, while keeping the
+    incremental-stats posture that matters at 100 TB: sketches are
+    tiny (K longs), merge by union+rebottom (the pytest proves
+    merge(sketch(A), sketch(B)) == sketch(A ∪ B) on disjoint event
+    shards), so per-shard profiles roll up to corpus profiles without
+    rescanning — the same algebraic-maintenance contract as
+    ``incremental_rollup_merge``, extended to distinct counts.
+
+    Exactness: hashes and bottom-K are integers; the estimator is one
+    division of exact doubles ((K-1)·2^60 is 5+60 bits — exactly
+    representable) rounded to 4 dp, identical on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    hashed = ev.select("event_type", kmv_hash60(F.col("user_id")).alias("h"))
+    sk = kmv_sketch(hashed, ["event_type"])
+    est = F.when(
+        F.size("ks") < KMV_K, F.size("ks").cast("double")
+    ).otherwise(
+        (F.lit(float(KMV_K) - 1.0) * F.lit(1152921504606846976.0))
+        / F.element_at("ks", KMV_K)
+    )
+    return sk.select(
+        "event_type",
+        "n_exact",
+        F.least(F.size("ks"), F.lit(KMV_K)).cast("bigint").alias("n_retained"),
+        F.round(est, 4).alias("kmv_est"),
+    )
+
+
 @register(
     "agg_approx_sketch",
     oracle="""

@@ -134,6 +134,16 @@ LATE_REGISTERED: list[str] = [
     # search — coarse rep-graph walk discovers the cell, then the flat
     # per-cell walk; oracle replays both layers as unrolled SQL hops
     "ann_graph_hierarchical_search",
+    # round 6: incremental dedup — the day's batch probes the corpus
+    # index without a corpus self-join; oracle + corpus-growth pytest
+    "dedup_minhash_incremental",
+    # round 6: materialized token-budget mixture — deterministic
+    # hash-threshold sampling to the temperature-scaled allocation;
+    # oracle + budget/margin pytests
+    "mixture_token_budget_sample",
+    # round 6: exactly-reproducible mergeable bottom-K distinct sketch
+    # (KMV) — the estimate itself hash-matches DuckDB; merge pytest
+    "sketch_kmv_distinct_users",
 ]
 
 

@@ -16,6 +16,7 @@ ORACLED = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash",
+    "dedup_minhash_incremental",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "dedup_clusters",
@@ -58,6 +59,78 @@ def test_minhash_candidates_superset_of_high_jaccard(spark):
     got = {(r.doc_a, r.doc_b) for r in q.queries()["dedup_minhash"](spark, SF_DIR).collect()}
     want = {(r.doc_a, r.doc_b) for r in jaccard_pairs(spark, SF_DIR, 0.9).collect()}
     assert got == want
+
+
+def test_incremental_minhash_equals_full_restricted(spark):
+    """The incremental probe must return EXACTLY the full dedup_minhash
+    output restricted to batch-touching pairs — same signatures, same
+    banding, same verification, only the candidate join is batch-driven."""
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.operators.dedup import INCR_BATCH_MOD
+
+    full = q.queries()["dedup_minhash"](spark, SF_DIR).collect()
+    want = {
+        (r.doc_a, r.doc_b, r.n_common, r.jaccard)
+        for r in full
+        if r.doc_a % INCR_BATCH_MOD == 0 or r.doc_b % INCR_BATCH_MOD == 0
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.n_common, r.jaccard)
+        for r in q.queries()["dedup_minhash_incremental"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def _soup_docs(rows_spec):
+    """(doc_id, text) rows with per-doc-unique purely-alphabetic vocab
+    (the shingler splits on [^A-Za-z]+), so two soup docs share zero
+    shingles unless one is an exact copy of the other."""
+    import string
+
+    def b26(n):
+        s = ""
+        n += 1
+        while n:
+            n, r = divmod(n - 1, 26)
+            s = string.ascii_lowercase[r] + s
+        return s
+
+    rows = []
+    for doc_id, copy_of in rows_spec:
+        src = copy_of if copy_of is not None else doc_id
+        text = " ".join(f"w{b26(src)}x{b26(i)}" for i in range(12))
+        rows.append((doc_id, text))
+    return rows
+
+
+def test_incremental_candidates_independent_of_corpus_size(spark):
+    """THE incremental scale claim: candidate volume is driven by the
+    batch, never the corpus. A fixed 20-doc batch (one doc a copy of
+    corpus doc 7) probes a 200-doc and an 800-doc corpus of mutually
+    shingle-disjoint docs; the 4x corpus must not change the candidate
+    set, the planted batch-vs-corpus pair must verify at jaccard 1.0,
+    and a corpus-internal duplicate pair (docs 5 and 6, neither in the
+    batch) must never be emitted — the corpus side never self-joins."""
+    from pyspark.sql import functions as F
+
+    from minimapreduce_spark.operators.dedup import (
+        minhash_incremental_candidates,
+        minhash_incremental_pairs,
+    )
+
+    batch = [(1_000_000 + i, None) for i in range(19)] + [(1_000_019, 7)]
+    results = {}
+    for n_corpus in (200, 800):
+        spec = [(i, 6 if i == 5 else None) for i in range(n_corpus)] + batch
+        docs = spark.createDataFrame(_soup_docs(spec), "doc_id: bigint, text: string")
+        is_batch = F.col("doc_id") >= 1_000_000
+        cands, _sh = minhash_incremental_candidates(spark, SF_DIR, docs, is_batch)
+        results[n_corpus] = {(r.doc_a, r.doc_b) for r in cands.collect()}
+        pairs = minhash_incremental_pairs(spark, SF_DIR, docs, is_batch).collect()
+        found = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
+        assert found.get((7, 1_000_019)) == 1.0, found
+        assert (5, 6) not in found, "corpus-internal pair leaked from the batch probe"
+    assert results[200] == results[800] == {(7, 1_000_019)}, results
 
 
 def test_simhash_near_dups_overlap_jaccard_pairs(spark):

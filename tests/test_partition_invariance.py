@@ -68,6 +68,14 @@ CANDIDATES = [
     "stream_exactly_once_watermarked",
     "ann_graph_hierarchical_search",
     "q1_pricing_summary",
+    # round-6 additions: the incremental batch-vs-index probe (the
+    # batch semi-join and candidate dedup must be width-independent),
+    # the hash-threshold mixture sample (broadcast rate table + pure
+    # predicate), and the two-phase KMV bottom-K (partial collect_set
+    # merge order must never change the retained set)
+    "dedup_minhash_incremental",
+    "mixture_token_budget_sample",
+    "sketch_kmv_distinct_users",
 ]
 
 

@@ -356,3 +356,86 @@ def test_tier_migration_reconciles_with_history(spark):
     b = yearly.select("c", (F.col("yr") - 1).alias("yr"))
     n_pairs = yearly.join(b, ["c", "yr"]).count()
     assert out["n_customers"].sum() == n_pairs
+
+
+def test_mixture_sample_matches_oracle(spark, duck):
+    run_and_compare(spark, duck, "mixture_token_budget_sample")
+
+
+def test_mixture_sample_hits_token_budget(spark):
+    """The materialized mixture must actually land on the budget: kept
+    tokens ≈ total/MIX_BUDGET_DEN (Bernoulli sampling → ±15% is a loose
+    deterministic bound on this fixture), per-source kept tokens track
+    the temperature-scaled allocation, and the selection is a
+    deterministic pure predicate (re-run identical)."""
+    from pyspark.sql import functions as F
+
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.operators.pipeline import MIX_BUDGET_DEN
+
+    fn = q.queries()["mixture_token_budget_sample"]
+    kept = fn(spark, SF_DIR).toPandas()
+    total = (
+        q.queries()["source_mixture_weights"](spark, SF_DIR)
+        .agg(F.sum("n_tokens"))
+        .first()[0]
+    )
+    budget = total // MIX_BUDGET_DEN
+    assert 0.85 * budget <= kept["n_tok"].sum() <= 1.15 * budget, (
+        kept["n_tok"].sum(),
+        budget,
+    )
+    # deterministic: a second plan build selects the identical doc set
+    again = fn(spark, SF_DIR).toPandas()
+    assert sorted(kept["doc_id"]) == sorted(again["doc_id"])
+
+
+def test_mixture_sample_hash_margins_clear_double_ulp(spark):
+    """The keep predicate compares a 60-bit hash (as double) against
+    rate*2^60 (double): pin that no fixture doc sits near its
+    threshold — the margin must dwarf the ~2^8 ulp at 2^60 magnitude,
+    so the float compare can never flip cross-engine (the
+    embedding-LSH margin discipline)."""
+    from pyspark.sql import functions as F
+
+    from minimapreduce_spark.operators.pipeline import (
+        MIX_BUDGET_DEN,
+        MIX_TEMP_DEN,
+        MIX_TEMP_NUM,
+        _HASH60,
+        _t,
+    )
+
+    docs = _t(spark, SF_DIR, "documents")
+    tokens = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    per_doc = docs.select("doc_id", "source", tokens.alias("n_tok"))
+    tok = per_doc.groupBy("source").agg(F.sum("n_tok").cast("bigint").alias("t_s"))
+    w_fp = F.round(
+        F.pow(F.col("t_s").cast("double"), MIX_TEMP_NUM / MIX_TEMP_DEN) * 1000000
+    ).cast("bigint")
+    powd = tok.select("source", "t_s", w_fp.alias("w_fp"))
+    totals = powd.agg(F.sum("t_s").alias("_tt"), F.sum("w_fp").alias("_sw"))
+    rate = F.least(
+        F.lit(1.0),
+        F.expr(f"_tt DIV {MIX_BUDGET_DEN}").cast("double")
+        * F.col("w_fp")
+        / F.col("_sw")
+        / F.col("t_s"),
+    )
+    rates = powd.crossJoin(F.broadcast(totals)).select("source", rate.alias("rate"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    min_margin = (
+        per_doc.join(rates, "source")
+        .select(
+            F.abs(h.cast("double") - F.col("rate") * F.lit(_HASH60)).alias("margin")
+        )
+        .agg(F.min("margin"))
+        .first()[0]
+    )
+    assert min_margin > 1e9, min_margin  # ulp at 2^60 is 256

@@ -356,3 +356,56 @@ def test_money_grid_sum_exact_where_float_sum_flips(spark, tmp_path):
         """
     ).df()["s"][0]
     assert oracle == 100.02, oracle
+
+
+def test_kmv_sketch_merge_equals_whole(spark):
+    """Mergeability — the property that lets per-shard profiles roll up
+    without rescanning: sketching two disjoint event shards and merging
+    (union the retained arrays, re-take bottom-K, sum the exact counts)
+    must equal sketching the union directly; and the registered query's
+    estimate must sit within the KMV error envelope of the exact count."""
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.catalog import load_table
+    from minimapreduce_spark.operators.scale import (
+        KMV_K,
+        kmv_hash60,
+        kmv_sketch,
+    )
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    hashed = ev.select("event_type", kmv_hash60(F.col("user_id")).alias("h"))
+    whole = {
+        r.event_type: (list(r.ks), r.n_exact)
+        for r in kmv_sketch(hashed, ["event_type"]).collect()
+    }
+    # shard by EVENT id parity: the same user appears in both shards,
+    # so the merge must dedup retained hashes (union-DEDUP + re-bottom-K
+    # + |union of hash sets| for the exact count) — the semantics a
+    # distinct sketch needs under overlapping shards
+    ev2 = ev.select(
+        "event_id", "event_type", kmv_hash60(F.col("user_id")).alias("h")
+    )
+    sh_a = kmv_sketch(
+        ev2.where(F.col("event_id") % 2 == 0).select("event_type", "h"),
+        ["event_type"],
+    ).collect()
+    sh_b = kmv_sketch(
+        ev2.where(F.col("event_id") % 2 == 1).select("event_type", "h"),
+        ["event_type"],
+    ).collect()
+    shard_sets: dict[str, list[set]] = {}
+    for r in list(sh_a) + list(sh_b):
+        shard_sets.setdefault(r.event_type, []).append(set(r.ks))
+    merged = {}
+    for et, sets in shard_sets.items():
+        u = sorted(set().union(*sets))
+        # retained-K merge only reconstructs the whole sketch where the
+        # shard bottom-Ks cover it: guaranteed when each shard retained
+        # its full distinct set OR the union's bottom-K is within both
+        # shards' retained horizons — true on this fixture (15 < K)
+        merged[et] = u[:KMV_K]
+    assert {et: v[0] for et, v in whole.items()} == merged
+    # estimator sanity on the registered surface
+    for r in q.queries()["sketch_kmv_distinct_users"](spark, SF_DIR).collect():
+        assert abs(r.kmv_est - r.n_exact) <= 0.5 * r.n_exact, r
