@@ -54,12 +54,12 @@ def test_entry_and_python_closures_from_foreign_cwd():
     )
 
 
-def _prior_round_coverage() -> set[str]:
+def _round_coverage(rounds) -> set[str]:
     import json
 
     checked: set[str] = set()
-    for r in (1, 2, 3, 4):
-        path = os.path.join(REPO, f"CORRECTNESS_r0{r}.json")
+    for r in rounds:
+        path = os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json")
         if os.path.exists(path):
             checked |= set(json.load(open(path)))
     return checked
@@ -85,23 +85,46 @@ def test_driver_priority_tier_leads_with_oracles():
 
 
 def test_driver_priority_closes_coverage():
-    """Round-5 rotation (round-4 verdict item 1): the window must be the
-    EXACT never-driver-verified remainder — fully disjoint from rounds
-    1-4 (zero canaries: 50 slots hold exactly the 50-query remainder),
-    and window ∪ prior coverage must equal the full registry, so the
-    round-5 driver run takes cumulative hard-verified coverage to
-    228/228. Queries registered after this window was pinned must be
-    enumerated in LATE_REGISTERED in the same commit (and are the only
-    registrations allowed to escape the union check)."""
-    from minimapreduce_spark.registry import DRIVER_PRIORITY, LATE_REGISTERED, REGISTRY
+    """Round-6 rotation, robust to the missing round-5 artifact: the
+    round-5 driver run was staged over the exact 50-query remainder but
+    CORRECTNESS_r05.json never landed in the repo, so the round-6 window
+    leads with every post-r05 registration and re-covers the remainder
+    minus the five audited DROPPED_IF_R05_MISSING trivials. Pins:
 
-    checked = _prior_round_coverage()
+    - the window stays disjoint from the r01-r04 hard coverage (no
+      wasted slots on four-times-verified queries; overlap with r05,
+      if it surfaces, is deliberate canary re-verification);
+    - every registered query is windowed, previously verified, ledgered
+      late, or on the audited dropped list — nothing falls through;
+    - if CORRECTNESS_r05.json IS present, the dropped list must be
+      covered by it, i.e. cumulative coverage closes at the full
+      registry."""
+    from minimapreduce_spark.registry import (
+        DRIVER_PRIORITY,
+        DROPPED_IF_R05_MISSING,
+        LATE_REGISTERED,
+        REGISTRY,
+    )
+
+    checked_r14 = _round_coverage((1, 2, 3, 4))
+    r05 = _round_coverage((5,))
     window = set(DRIVER_PRIORITY)
 
-    assert window & checked == set(), sorted(window & checked)
+    assert window & checked_r14 == set(), sorted(window & checked_r14)
     assert set(LATE_REGISTERED) <= set(REGISTRY), "LATE_REGISTERED names must be registered"
     assert window & set(LATE_REGISTERED) == set()
-    missed = set(REGISTRY) - window - checked - set(LATE_REGISTERED)
-    assert missed == set(), f"registered but neither windowed, verified, nor ledgered late: {sorted(missed)}"
+    missed = (
+        set(REGISTRY) - window - checked_r14 - r05 - set(LATE_REGISTERED)
+    )
+    assert missed <= set(DROPPED_IF_R05_MISSING), (
+        f"registered but neither windowed, verified, ledgered late, nor on "
+        f"the audited dropped list: {sorted(missed - set(DROPPED_IF_R05_MISSING))}"
+    )
+    if r05:
+        assert set(DROPPED_IF_R05_MISSING) <= r05, (
+            "r05 artifact present but does not cover the dropped list — "
+            "cumulative closure claim is broken; re-window"
+        )
     # late registrations still carry full pytest-oracle coverage
     assert all(REGISTRY[n].oracle for n in LATE_REGISTERED)
+    assert all(REGISTRY[n].oracle for n in DROPPED_IF_R05_MISSING)
