@@ -495,13 +495,101 @@ def minhash_incremental_pairs(
     all-buckets frame); exact-Jaccard verification runs candidate-driven
     as in ``dedup_minhash``.
 
+    BATCH-SIDE content-group gate: a real arrival batch is often
+    dup-heavy (recrawls fetch the same page many times), and probing
+    with every copy multiplies candidate volume by the batch's
+    duplication factor. When a one-aggregate probe over the BATCH ONLY
+    measures > DUP_GATE_RATIO byte-duplication, identical batch
+    contents collapse to their min-id representative before the probe
+    and verified pairs expand back afterwards (the
+    ``content_group_frontend`` design, applied to the batch side only —
+    the corpus side is an already-deduped index by contract, so it
+    never needs collapsing, and at 100 TB one full-text groupBy over
+    the corpus would be exactly the cost this operator exists to
+    avoid). Both paths are bit-identical for the same reason the
+    full-dedup gate's are: byte-equal docs share every shingle, so a
+    representative's matches and scores ARE its members'. The gate
+    cuts candidate volume to ∝ DISTINCT batch contents; note that on
+    the 40× scale fixture, whose CORPUS is also ~90% duplicated —
+    out of this operator's contract — the wall stays ~20 s because
+    corpus-side copies inflate the index and every bucket 10×; a
+    corpus in that state needs the full ``dedup_minhash`` (whose
+    global collapse is exactly the index build this operator assumes
+    already happened). SCALING.md's incremental probe measures the
+    in-contract regime: candidates exactly constant under 16× corpus
+    growth.
+
     ``is_batch`` is a boolean Column over ``docs``'s columns; the
     registered query uses doc_id % INCR_BATCH_MOD == 0."""
-    candidates, distinct_sh = minhash_incremental_candidates(
-        spark, sf_dir, docs, is_batch
+    batch = docs.where(is_batch).select("doc_id", "text")
+    n, nd = batch.agg(
+        F.count("*").alias("n"),
+        F.count_distinct(F.sha2("text", 256)).alias("nd"),
+    ).first()
+    if (n - nd) <= int(n * DUP_GATE_RATIO):
+        candidates, distinct_sh = minhash_incremental_candidates(
+            spark, sf_dir, docs, is_batch
+        )
+        return jaccard_pairs(
+            spark, sf_dir, threshold, candidates=candidates, shingles=distinct_sh
+        )
+    groups = (
+        batch.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .localCheckpoint(eager=False)
     )
-    return jaccard_pairs(
+    # reps carry a real batch doc's (doc_id, text), so the caller's
+    # row-wise is_batch predicate still identifies them in the union
+    corpus = docs.where(~is_batch).select("doc_id", "text")
+    docs_rep = corpus.unionByName(groups.select(F.col("rep").alias("doc_id"), "text"))
+    candidates, distinct_sh = minhash_incremental_candidates(
+        spark, sf_dir, docs_rep, is_batch
+    )
+    rep_pairs = jaccard_pairs(
         spark, sf_dir, threshold, candidates=candidates, shingles=distinct_sh
+    )
+    # within-group pairs: the oracle's exact values for byte-identical
+    # docs (jaccard 1.0, n_common = the content's distinct-shingle
+    # count; zero-shingle contents excluded — its shingle equi-join
+    # can never pair them)
+    sizes = distinct_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    self_rep = (
+        groups.where(F.size("members") >= 2)
+        .join(sizes, groups.rep == sizes.doc_id)
+        .select(
+            F.col("rep").alias("doc_a"),
+            F.col("rep").alias("doc_b"),
+            F.col("n").alias("n_common"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    # expand batch-side reps to members; corpus ids pass through
+    # (LEFT join + coalesce — no corpus-sized identity frame needed)
+    mem = groups.select("rep", F.explode("members").alias("did"))
+    return (
+        rep_pairs.unionByName(self_rep)
+        .join(
+            mem.select(F.col("rep").alias("doc_a"), F.col("did").alias("_ida")),
+            "doc_a",
+            "left",
+        )
+        .withColumn("_ida", F.coalesce("_ida", "doc_a"))
+        .join(
+            mem.select(F.col("rep").alias("doc_b"), F.col("did").alias("_idb")),
+            "doc_b",
+            "left",
+        )
+        .withColumn("_idb", F.coalesce("_idb", "doc_b"))
+        .where((F.col("doc_a") != F.col("doc_b")) | (F.col("_ida") < F.col("_idb")))
+        .select(
+            F.least("_ida", "_idb").alias("doc_a"),
+            F.greatest("_ida", "_idb").alias("doc_b"),
+            "n_common",
+            "jaccard",
+        )
     )
 
 

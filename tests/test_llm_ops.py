@@ -133,6 +133,53 @@ def test_incremental_candidates_independent_of_corpus_size(spark):
     assert results[200] == results[800] == {(7, 1_000_019)}, results
 
 
+def test_incremental_batch_gate_paths_bit_identical(spark):
+    """The batch-side content-group gate (dup-heavy arrival batches —
+    the recrawl shape) must be a pure optimization: a 50%-duplicated
+    batch probed through the grouped path returns EXACTLY what the
+    ungrouped machinery (candidates + verify, no collapse) returns,
+    including within-batch copy pairs and batch-copy-vs-corpus pairs."""
+    from pyspark.sql import functions as F
+
+    from minimapreduce_spark.operators.dedup import (
+        MINHASH_THRESHOLD,
+        jaccard_pairs,
+        minhash_incremental_candidates,
+        minhash_incremental_pairs,
+    )
+
+    spec = [(i, None) for i in range(60)]
+    # batch: 10 fresh docs + 10 copies of batch doc 0 + 2 copies of
+    # corpus doc 7 → 55% duplicated, gate engages
+    batch = (
+        [(1_000_000 + i, None) for i in range(10)]
+        + [(1_000_100 + i, 1_000_000) for i in range(10)]
+        + [(1_000_200, 7), (1_000_201, 7)]
+    )
+    docs = spark.createDataFrame(
+        _soup_docs(spec + batch), "doc_id: bigint, text: string"
+    )
+    is_batch = F.col("doc_id") >= 1_000_000
+    gated = {
+        (r.doc_a, r.doc_b, r.n_common, r.jaccard)
+        for r in minhash_incremental_pairs(spark, SF_DIR, docs, is_batch).collect()
+    }
+    cands, sh = minhash_incremental_candidates(spark, SF_DIR, docs, is_batch)
+    plain = {
+        (r.doc_a, r.doc_b, r.n_common, r.jaccard)
+        for r in jaccard_pairs(
+            spark, SF_DIR, MINHASH_THRESHOLD, candidates=cands, shingles=sh
+        ).collect()
+    }
+    assert gated == plain
+    # the copy structure is actually found: corpus doc 7 pairs with
+    # both its batch copies, and the 11-member batch copy group yields
+    # all C(11,2) within-batch pairs
+    assert {(7, 1_000_200), (7, 1_000_201)} <= {(a, b) for a, b, *_ in gated}
+    within = [p for p in gated if p[0] >= 1_000_000 and p[1] >= 1_000_000]
+    assert len(within) == 55 + 1, len(within)  # C(11,2) + the 200/201 copy pair
+
+
 def test_simhash_near_dups_overlap_jaccard_pairs(spark):
     """SimHash (hamming ≤ 3) should rediscover the planted near-dups
     and assign identical fingerprints only to near-identical docs."""

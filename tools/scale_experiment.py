@@ -51,6 +51,7 @@ QUERIES = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash",
+    "dedup_minhash_incremental",
     "dedup_simhash",
     "dedup_clusters",
     "dedup_embedding_lsh",
@@ -62,6 +63,7 @@ QUERIES = [
     "embedding_kmeans_lloyd",
     "embedding_pca_power_iteration",
     "contamination_test_train",
+    "mixture_token_budget_sample",
 ]
 
 # Excluded past 10×:
@@ -83,7 +85,17 @@ EXCLUDE_PAST_10X = {"ann_knn_graph_edges"}
 # the FULL id-level exact-Jaccard join (or its recursive-CTE closure) —
 # still oracle-side intractable at 40× even though the content-grouped
 # engine runs fine there; each was oracle hash-matched at 1× and 10×.
-ORACLE_SKIP_PAST_10X = {"dedup_minhash", "dedup_ngram_jaccard", "dedup_clusters"}
+ORACLE_SKIP_PAST_10X = {
+    "dedup_minhash",
+    # same full exact-Jaccard SQL (DuckDB computes ALL pairs, then
+    # filters to batch-touching), so the oracle is intractable exactly
+    # where dedup_minhash's is; the Spark side stays measured, and the
+    # batch-cost-independence claim has its own probe
+    # (tools/incremental_scale_probe.py)
+    "dedup_minhash_incremental",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+}
 
 # Oracle skipped past 40×: the registered dedup_embedding_lsh's full
 # DuckDB oracle needed 644.5 s at 40× (hash-matched there — SCALING.md
@@ -206,6 +218,7 @@ RELATIONAL_QUERIES = [
     "events_sessionization",
     "events_resample_gapfill",
     "events_markov_transitions",
+    "sketch_kmv_distinct_users",
 ]
 
 RELATIONAL_TABLES = (
