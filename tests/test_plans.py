@@ -264,3 +264,28 @@ def test_shuffle_hash_join_strategy_pinned(spark):
     the hint exists to demonstrate the third join strategy."""
     plan = plans.simple_plan(_df(spark, "join_shuffle_hash_revenue"))
     assert "ShuffledHashJoin" in plan
+
+
+def test_incremental_dedup_plan_is_batch_driven(spark):
+    """The incremental probe's physical plan must carry the batch
+    restriction as a LeftSemi join feeding ONE side of the band
+    equi-join — the shape that keeps pairwise work ∝ batch. A plan
+    where both band-join inputs are the full bucket frame would be the
+    corpus self-join this operator exists to avoid (exactly one
+    semi-join, exactly one band equi-join over it)."""
+    df = _df(spark, "dedup_minhash_incremental")
+    p = plans.physical_plan(df)
+    assert "LeftSemi" in p, "batch semi-join missing from the plan"
+    plans.assert_no_broadcast_nested_loop(df)
+
+
+def test_mixture_sample_selection_is_shuffle_light(spark):
+    """The mixture sampler's selection is a pure per-row predicate
+    against a broadcast |sources|-row rate table: the only exchanges
+    allowed are the two tiny rate aggregations (per-source totals +
+    the 1-row normalizer). At 100 TB any fact-sized exchange here
+    would turn a map-only sampler into a shuffle job."""
+    df = _df(spark, "mixture_token_budget_sample")
+    n = plans.count_exchanges(df)
+    assert n <= 3, f"mixture sampler has {n} exchanges (budget 3: rate aggs only)"
+    plans.assert_broadcast_join(df, at_least=1)
