@@ -132,9 +132,11 @@ DRIVER_PRIORITY: list[str] = [
 # Queries registered AFTER the current (round-6) window was pinned. Any
 # new registration must be appended here in the same commit, so the
 # rotation test can distinguish "late, ledgered, pytest-oracle-verified"
-# from "missed". Empty right now: the five post-r05 registrations all
-# sit at the head of the round-6 window itself.
-LATE_REGISTERED: list[str] = []
+# from "missed". (The five post-r05 registrations sit at the head of the
+# round-6 window itself.)
+LATE_REGISTERED: list[str] = [
+    "ann_pq_adc_topk",  # round-6: PQ codebooks + ADC lookup-table scoring
+]
 
 # The five round-5-remainder queries this window drops to make room for
 # the post-r05 registrations. Each is trivial (pure

@@ -452,6 +452,69 @@ def test_int8_ivf_recall_vs_float_ivf(spark):
     assert recall >= 0.7, f"int8 recall@5 too low: {recall:.2f}"
 
 
+def test_pq_adc_recall_and_codebook_health(spark):
+    """PQ-ADC semantics beyond the hash match (a degenerate quantizer
+    could still hash-match a faithfully degenerate oracle):
+      - recall@5 vs the exact cosine top-5 clears a floor well above
+        chance (5/corpus ≈ 0.01). This fixture's near-isotropic
+        synthetic vectors are PQ's worst case — measured 0.36 with
+        M=8/K=32/2 Lloyd iters — so the floor is 0.15, not the ≥0.7 a
+        clustered corpus would support;
+      - no query finds itself;
+      - every vector gets exactly PQ_M codes and each subspace's codes
+        span >1 codebook entry (the quantizer actually distinguishes)."""
+    from minimapreduce_spark.operators.similarity import (
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+        _pq_assign,
+        _pq_subvectors,
+        _pq_update,
+        ann_cosine_topk,
+        ann_pq_adc_topk,
+    )
+
+    pq = ann_pq_adc_topk(spark, SF_DIR).toPandas()
+    assert (pq["q_vec_id"] != pq["neighbor_id"]).all(), "self-find"
+    bf = ann_cosine_topk(spark, SF_DIR).toPandas()
+    bf5 = bf[bf["rn"] <= 5]
+    recall_num = recall_den = 0
+    for qid, grp in bf5.groupby("q_vec_id"):
+        truth = set(grp["neighbor_id"])
+        got = set(pq[pq["q_vec_id"] == qid]["neighbor_id"])
+        recall_num += len(truth & got)
+        recall_den += len(truth)
+    recall = recall_num / recall_den
+    assert recall >= 0.15, f"PQ recall@5 below worst-case floor: {recall:.2f}"
+
+    # codebook health: re-run train+encode and inspect the codes
+    sub = _pq_subvectors(spark, SF_DIR)
+    import pyspark.sql.functions as F
+    from minimapreduce_spark.operators.ordered import with_bounded_rank
+    from minimapreduce_spark.operators.similarity import _km_quantized
+
+    seeds = (
+        _km_quantized(spark, SF_DIR)
+        .where(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("seed_id"))
+    )
+    seed_cids = with_bounded_rank(seeds, "seed_id", out="_rn").select(
+        F.col("seed_id").alias("vec_id"), F.col("_rn").cast("bigint").alias("cid")
+    )
+    cb = sub.join(F.broadcast(seed_cids), "vec_id").select(
+        "m", "cid", F.col("sq").alias("ce")
+    )
+    for _ in range(PQ_ITERS):
+        cb = _pq_update(_pq_assign(sub, cb, keep_sq=True))
+    codes = _pq_assign(sub, cb, keep_sq=False).toPandas()
+    per_vec = codes.groupby("vec_id").size()
+    assert (per_vec == PQ_M).all(), "a vector lost a subspace code"
+    spans = codes.groupby("m")["cid"].nunique()
+    assert len(spans) == PQ_M
+    assert (spans > 1).all(), "a subspace's codes collapsed to one entry"
+    assert codes["cid"].between(1, PQ_K).all()
+
+
 def test_canonical_by_quality_picks_best_member(spark):
     """The survivor of each cluster is a member with maximal quality
     among that cluster's members (doc_id breaks ties)."""

@@ -76,6 +76,9 @@ CANDIDATES = [
     "dedup_minhash_incremental",
     "mixture_token_budget_sample",
     "sketch_kmv_distinct_users",
+    # PQ-ADC: codebook training (argmin ties, floor means), encode, and
+    # the map-lookup fold must all be width-independent
+    "ann_pq_adc_topk",
 ]
 
 
