@@ -1730,6 +1730,10 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(PQ_ITERS):
         cb = _pq_update(_pq_assign(sub, cb, keep_sq=True))
+    # the trained codebook feeds THREE branches (encode, norm table,
+    # LUTs) — checkpoint it so the 2-iteration training chain computes
+    # once, not once per branch (the kNN-graph edges pattern)
+    cb = cb.localCheckpoint(eager=False)
     codes = _pq_assign(sub, cb, keep_sq=False)
     # one PQ_M-code array per vector, ordered by subspace, plus the
     # exact reconstructed norm² from the per-entry norm table

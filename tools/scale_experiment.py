@@ -226,6 +226,111 @@ RELATIONAL_TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
+# --family money: the exact-grid money-sum class one octave past 160×.
+# The relational builder concatenates whole replica frames in pandas —
+# fine at 160× (96M lineitem rows), hostile at 640× (384M). This family
+# builds ONLY the two fact tables those queries touch, streamed replica
+# by replica through a pyarrow ParquetWriter (constant memory), and
+# runs the lineitem-only money aggregates plus the KMV sketch: the
+# operators whose 100 TB claim is "bit-identical at ANY scale" (integer
+# grid sums; order-free bottom-K), where one more doubling-pair is the
+# whole point of the probe.
+MONEY_QUERIES = [
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "unpivot_returnflag_metrics",
+    "sketch_kmv_distinct_users",
+]
+
+MONEY_TABLES = ("lineitem", "events")
+
+
+def build_money_fixture(mult: int, out_dir: str) -> None:
+    """Streamed fact replication: each replica is the base table with
+    its key column offset (same recipe and offsets as the relational
+    builder, so the fixtures agree where they overlap), written as one
+    row group at a time — peak memory is one base-table copy."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t, key, off in (("lineitem", "l_orderkey", 10_000_000),
+                        ("events", "event_id", 1_000_000)):
+        base = pq.read_table(os.path.join(BASE, f"{t}.parquet"))
+        writer = pq.ParquetWriter(
+            os.path.join(out_dir, f"{t}.parquet"), base.schema
+        )
+        ki = base.schema.get_field_index(key)
+        for i in range(mult):
+            shifted = base.set_column(
+                ki, key, pc.add(base.column(key), i * off)
+            ) if i else base
+            writer.write_table(shifted)
+        writer.close()
+
+
+def run_money(args, out_dir: str) -> None:
+    import duckdb
+
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.session import get_spark
+
+    if not args.skip_build:
+        t0 = time.perf_counter()
+        build_money_fixture(args.mult, out_dir)
+        print(json.dumps({"step": "build-money",
+                          "sec": round(time.perf_counter() - t0, 1)}), file=sys.stderr)
+
+    spark = get_spark(
+        app_name="scale-money",
+        extra_conf={
+            "spark.driver.memory": "48g",
+            "spark.driver.maxResultSize": "8g",
+        },
+    )
+    con = duckdb.connect()
+    con.execute(
+        "SET memory_limit='64GB'; SET temp_directory='/tmp/duckspill'; "
+        "SET preserve_insertion_order=false;"
+    )
+    for t in MONEY_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(out_dir, t + '.parquet')}'"
+        )
+    q.REGISTRY["q6_forecast_revenue"].fn(spark, out_dir).count()  # warmup
+
+    results = {}
+    total = 0.0
+    only = set(args.only.split(",")) if args.only else None
+    for name in MONEY_QUERIES:
+        if only is not None and name not in only:
+            continue
+        entry = q.REGISTRY[name]
+        t0 = time.perf_counter()
+        spdf = entry.fn(spark, out_dir).toPandas()
+        wall = time.perf_counter() - t0
+        total += wall
+        rec = {"query": name, "sec": round(wall, 2), "rows": len(spdf)}
+        if not args.skip_oracle and entry.oracle:
+            t1 = time.perf_counter()
+            opdf = con.execute(entry.oracle).df()
+            rec["oracle_sec"] = round(time.perf_counter() - t1, 2)
+            rec["match"] = bool(
+                len(spdf) == len(opdf)
+                and sorted(spdf.columns) == sorted(opdf.columns)
+                and value_hash(spdf) == value_hash(opdf)
+            )
+        results[name] = rec
+        print(json.dumps(rec), flush=True)
+    print(json.dumps({
+        "mult": args.mult,
+        "family": "money",
+        "total_spark_sec": round(total, 1),
+        "all_match": all(r.get("match", True) for r in results.values()),
+        "n_queries": len(results),
+    }))
+
 
 def build_relational_fixture(mult: int, out_dir: str) -> None:
     """Fact-side replication with key offsets, dims shared — the
@@ -354,14 +459,18 @@ def main() -> None:
     )
     ap.add_argument(
         "--family",
-        choices=["dedup", "relational"],
+        choices=["dedup", "relational", "money"],
         default="dedup",
         help="dedup = dup-heavy documents/embeddings fixture (default); "
-        "relational = fact-replicated star schema + events",
+        "relational = fact-replicated star schema + events; "
+        "money = streamed lineitem+events only (640x-capable)",
     )
     args = ap.parse_args()
     if args.family == "relational":
         run_relational(args, args.out or f"/tmp/sf_rel_{args.mult}x")
+        return
+    if args.family == "money":
+        run_money(args, args.out or f"/tmp/sf_money_{args.mult}x")
         return
     out_dir = args.out or f"/tmp/sf_scaled_{args.mult}x"
 
