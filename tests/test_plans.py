@@ -289,3 +289,18 @@ def test_mixture_sample_selection_is_shuffle_light(spark):
     n = plans.count_exchanges(df)
     assert n <= 3, f"mixture sampler has {n} exchanges (budget 3: rate aggs only)"
     plans.assert_broadcast_join(df, at_least=1)
+
+
+def test_pq_adc_scoring_stage_is_broadcast_driven(spark):
+    """PQ-ADC: the codebook, norm table, and per-query LUT maps must
+    all reach their consumers as broadcasts (≥3 broadcast joins — the
+    corpus-scan side never shuffles to meet them), and the scoring
+    join against the 20 one-row-per-query LUT maps is the intended
+    BroadcastNestedLoopJoin, same as the brute-force baseline. The
+    exchanges that remain are the codebook-training aggregations
+    (bounded: M×K×dim rows) plus encode/top-k — a fact-sized exchange
+    budget, not a per-stage hunt."""
+    df = _df(spark, "ann_pq_adc_topk")
+    plan = plans.physical_plan(df)
+    assert plan.count("BroadcastExchange") >= 3, "codebook/LUT not broadcast"
+    plans.assert_broadcast_join(df, at_least=3)

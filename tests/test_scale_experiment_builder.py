@@ -92,3 +92,46 @@ def test_embedding_variants_not_near_duplicates(fixture_20x):
     # roll + sign-pattern variant: decorrelated, NOT a mirror image
     # (an exact negation would zero per-label IVF centroids)
     assert abs(cos_cross) < 0.5, cos_cross
+
+
+def test_money_builder_streams_exact_replicas(tmp_path):
+    """The money-family builder must produce exactly mult key-offset
+    replicas of each fact table with all non-key columns intact — the
+    property that makes the 640× oracle comparison mean "same data,
+    more of it". Checked at mult=3 on both tables: row counts, per-key
+    offset structure, and value-identity of a replica modulo its key."""
+    from tools.scale_experiment import BASE, MONEY_TABLES, build_money_fixture
+
+    out = str(tmp_path)
+    build_money_fixture(3, out)
+    con = duckdb.connect()
+    for t, key, off in (("lineitem", "l_orderkey", 10_000_000),
+                        ("events", "event_id", 1_000_000)):
+        assert t in MONEY_TABLES
+        (nb,) = con.execute(
+            f"SELECT count(*) FROM '{BASE}/{t}.parquet'"
+        ).fetchone()
+        (n,) = con.execute(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()
+        assert n == 3 * nb
+        # each replica occupies its own key stripe
+        stripes = con.execute(
+            f"SELECT {key} // {off} AS stripe, count(*) AS c "
+            f"FROM '{out}/{t}.parquet' GROUP BY 1 ORDER BY 1"
+        ).fetchall()
+        base_stripes = con.execute(
+            f"SELECT {key} // {off} AS stripe, count(*) AS c "
+            f"FROM '{BASE}/{t}.parquet' GROUP BY 1"
+        ).fetchall()
+        assert len(base_stripes) == 1 and base_stripes[0][0] == 0
+        assert [s for s, _ in stripes] == [0, 1, 2]
+        assert len({c for _, c in stripes}) == 1
+        # replica 2 is value-identical to the base once the key shifts back
+        (mismatch,) = con.execute(
+            f"""SELECT count(*) FROM (
+                  SELECT * EXCLUDE ({key}), {key} - 2*{off} AS k
+                  FROM '{out}/{t}.parquet' WHERE {key} >= 2*{off}
+                  EXCEPT
+                  SELECT * EXCLUDE ({key}), {key} AS k FROM '{BASE}/{t}.parquet'
+                )"""
+        ).fetchone()
+        assert mismatch == 0

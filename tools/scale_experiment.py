@@ -62,6 +62,7 @@ QUERIES = [
     "ann_knn_graph_edges",
     "embedding_kmeans_lloyd",
     "embedding_pca_power_iteration",
+    "ann_pq_adc_topk",
     "contamination_test_train",
     "mixture_token_budget_sample",
 ]
@@ -307,11 +308,20 @@ def run_money(args, out_dir: str) -> None:
         if only is not None and name not in only:
             continue
         entry = q.REGISTRY[name]
+        # time twice IN-PROCESS with fresh plans: this VM's page cache
+        # does not reliably retain the 6.9 GB 640x lineitem across
+        # processes, so a single-shot wall measures the virtual disk
+        # (observed 90-273 s for the same 8.5 s computation). The cold
+        # number carries the IO pull; the warm number is the engine.
+        t0 = time.perf_counter()
+        spdf = entry.fn(spark, out_dir).toPandas()
+        cold = time.perf_counter() - t0
         t0 = time.perf_counter()
         spdf = entry.fn(spark, out_dir).toPandas()
         wall = time.perf_counter() - t0
         total += wall
-        rec = {"query": name, "sec": round(wall, 2), "rows": len(spdf)}
+        rec = {"query": name, "sec": round(wall, 2),
+               "sec_cold": round(cold, 2), "rows": len(spdf)}
         if not args.skip_oracle and entry.oracle:
             t1 = time.perf_counter()
             opdf = con.execute(entry.oracle).df()
