@@ -76,38 +76,41 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     percents, quantity integer — grid recovery verified ≤ 1e-9 on the
     fixture), so every sum is an integer sum — price_c for base price,
     price_c·(100−d_c) in 1e-4 dollars for disc price,
-    price_c·(100−d_c)·(100+t_c) in 1e-6 dollars for charge — summed as
-    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), both exact and
-    overflow-free to 38 digits, then presented through the identical
+    price_c·(100−d_c)·(100+t_c) in 1e-6 dollars for charge — summed
+    exactly via the two-BIGINT int128 emulation (money.exact_sum;
+    HUGEINT on the DuckDB side), then presented through the identical
     CAST→divide→round chain. Both engines now compute the same integer
-    and therefore the same rounded double at ANY scale; the averages
-    divide exact sums by exact counts with the same left-to-right
-    double expression on both sides."""
+    and therefore the same rounded double at ANY scale (exact to
+    ~4.6e12 rows per group — see money.SPLIT); the averages divide
+    exact sums by exact counts with the same left-to-right double
+    expression on both sides."""
     li = _t(spark, sf_dir, "lineitem")
-    dec = "decimal(38,0)"
     qty_c = F.round(F.col("l_quantity")).cast("bigint")
     price_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
-    disc_c = F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+    d_c = F.round(F.col("l_discount") * 100).cast("bigint")
+    disc_c = F.lit(100) - d_c
     tax_c = F.lit(100) + F.round(F.col("l_tax") * 100).cast("bigint")
     cnt = F.count(F.lit(1))
-    sum_qty = F.sum(qty_c.cast(dec)).cast("double")
-    sum_price_c = F.sum(price_c.cast(dec)).cast("double")
-    sum_disc_u = F.sum((price_c * disc_c).cast(dec)).cast("double")
-    sum_charge_u = F.sum((price_c * disc_c * tax_c).cast(dec)).cast("double")
-    sum_d_c = F.sum(F.round(F.col("l_discount") * 100).cast("bigint").cast(dec)).cast(
-        "double"
-    )
+    # exact_sum = the two-BIGINT int128 emulation (operators/money.py):
+    # the direct DECIMAL(38,0) sums cost ~8 s/column at the 640× octave
+    # (boxed BigDecimal adds); the split reproduces the identical exact
+    # integer — same hash — at codegen'd BIGINT speed.
+    sum_qty = exact_sum(qty_c, 1)
+    sum_price = exact_sum(price_c, 100)
+    sum_disc = exact_sum(price_c * disc_c, 10_000)
+    sum_charge = exact_sum(price_c * disc_c * tax_c, 1_000_000)
+    sum_d = exact_sum(d_c, 100)
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(sum_qty, 2).alias("sum_qty"),
-            F.round(sum_price_c / 100, 2).alias("sum_base_price"),
-            F.round(sum_disc_u / 10000, 2).alias("sum_disc_price"),
-            F.round(sum_charge_u / 1000000, 2).alias("sum_charge"),
+            F.round(sum_price, 2).alias("sum_base_price"),
+            F.round(sum_disc, 2).alias("sum_disc_price"),
+            F.round(sum_charge, 2).alias("sum_charge"),
             F.round(sum_qty / cnt, 4).alias("avg_qty"),
-            F.round(sum_price_c / 100 / cnt, 4).alias("avg_price"),
-            F.round(sum_d_c / 100 / cnt, 6).alias("avg_disc"),
+            F.round(sum_price / cnt, 4).alias("avg_price"),
+            F.round(sum_d / cnt, 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )

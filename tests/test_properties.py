@@ -357,6 +357,25 @@ def test_money_grid_sum_exact_where_float_sum_flips(spark, tmp_path):
     ).df()["s"][0]
     assert oracle == 100.02, oracle
 
+    # signed values: the hi/lo split accumulation (money.SPLIT) must
+    # keep the identity e == hi·SPLIT + lo exact for negative grids too
+    # (profit-style sums go negative) — planted mix crossing zero, with
+    # magnitudes straddling the split base so hi is exercised
+    neg = [(i, v) for i, v in enumerate(
+        [-1234567.891] * 7 + [2345678.912] * 5 + [-0.005, 0.01]
+    )]
+    pq2 = str(tmp_path / "neg.parquet")
+    spark.createDataFrame(neg, "id long, v double").write.parquet(pq2)
+    got = set()
+    for parts in (1, 4):
+        df = spark.read.parquet(pq2).repartition(parts)
+        got.add(df.agg(
+            F.round(exact_sum(grid_c("v", 1000), 1000), 2).alias("s")
+        ).head()[0])
+    # exact grid total: 5·2345678912 − 7·1234567891 + 5 = 3086419328
+    # units → 3086419.328 → 3086419.33 at 2 dp (away from any boundary)
+    assert got == {3086419.33}, got
+
 
 def test_kmv_sketch_merge_equals_whole(spark):
     """Mergeability — the property that lets per-shard profiles roll up
