@@ -1631,22 +1631,66 @@ def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_assign(sub: DataFrame, cents: DataFrame, keep_sq: bool) -> DataFrame:
-    """Nearest codebook entry per (vec_id, m): broadcast the M×K
-    codebook, exact integer squared distance, (d2, cid) argmin."""
-    d2 = F.aggregate(
-        F.zip_with("sq", "ce", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    """Nearest codebook entry per (vec_id, m): exact integer squared
+    distance, (d2, cid) argmin.
+
+    The codebook is bounded by contract (M×K = 256 rows of PQ_SUB
+    ints), so it is collected and shipped as an explicit SparkContext
+    broadcast, and each Arrow batch scores against it with ONE int64
+    numpy matmul per subspace — the `ann_cosine_topk_numpy` /
+    kNN-builder pattern. A first cut did this as a broadcast join with
+    a zip_with d2 fold; at 40× (80k vectors) the 164M interpreted fold
+    evaluations per pass cost ~40 s each — the round-3 higher-order-
+    fold cliff, one module over. Exactness is unchanged: the expansion
+    ‖x−c‖² = x·x − 2x·c + c·c is exact in int64 (terms ≤ ~8e10), and
+    numpy's first-occurrence argmin over cid-ordered columns IS the
+    (d2, cid) tie-break."""
+    import numpy as np
+    import pandas as pd
+
+    by_m: dict[int, tuple] = {}
+    for row in cents.collect():  # bounded: M×K rows by contract
+        by_m.setdefault(int(row["m"]), []).append(
+            (int(row["cid"]), np.asarray(row["ce"], dtype=np.int64))
+        )
+    packed = {
+        m: (
+            np.array([cid for cid, _ in sorted(entries)], dtype=np.int64),
+            np.stack([ce for _, ce in sorted(entries)]),
+        )
+        for m, entries in by_m.items()
+    }
+    sc = sub.sparkSession.sparkContext
+    bc = sc.broadcast(packed)
+
+    out_schema = "vec_id bigint, m bigint, cid bigint" + (
+        ", sq array<bigint>" if keep_sq else ""
     )
-    scored = sub.join(F.broadcast(cents), "m").select(
-        "vec_id", "m", "sq", "cid", d2.alias("d2")
-    )
-    fields = ("d2", "cid", "sq") if keep_sq else ("d2", "cid")
-    best = scored.groupBy("vec_id", "m").agg(F.min(F.struct(*fields)).alias("b"))
-    cols = ["vec_id", "m", F.col("b.cid").alias("cid")]
-    if keep_sq:
-        cols.append(F.col("b.sq").alias("sq"))
-    return best.select(*cols)
+
+    def assign(batches):
+        cb = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["sq"].to_numpy()).astype(np.int64)
+            ms = pdf["m"].to_numpy()
+            cid_out = np.empty(len(pdf), dtype=np.int64)
+            for m in np.unique(ms):
+                cids, C = cb[int(m)]
+                mask = ms == m
+                Xm = X[mask]
+                d2 = (
+                    (Xm * Xm).sum(axis=1, keepdims=True)
+                    - 2 * (Xm @ C.T)
+                    + (C * C).sum(axis=1)[None, :]
+                )
+                cid_out[mask] = cids[d2.argmin(axis=1)]
+            cols = {"vec_id": pdf["vec_id"], "m": pdf["m"], "cid": cid_out}
+            if keep_sq:
+                cols["sq"] = pdf["sq"]
+            yield pd.DataFrame(cols)
+
+    return sub.mapInPandas(assign, out_schema)
 
 
 def _pq_update(assigned: DataFrame) -> DataFrame:
