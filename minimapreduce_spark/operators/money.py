@@ -16,11 +16,13 @@ The money columns all live on exact decimal grids (verified ≤ 4e-9
 recovery on the fixtures): prices/totalprice/acctbal are integer
 cents, discount/tax are integer percents, quantity is integer. So any
 money sum can be an INTEGER sum: recover the grid units per row
-(``grid_c``), sum as DECIMAL(38,0) (Spark) / HUGEINT (DuckDB sums
-BIGINT wide automatically) — both exact and overflow-free far past
-100 TB volumes — and divide back to dollars only at presentation.
-Both engines then compute the identical integer, hence the identical
-rounded double, at ANY scale.
+(``grid_c``), sum exactly — Spark side via the two-BIGINT hi/lo split
+in ``exact_sum`` (int128 emulation at codegen speed; exact to
+~4.6e12 rows per group, see ``SPLIT``, with the boxed DECIMAL(38,0)
+accumulation as the documented fallback past that), DuckDB side via
+its native-int128 HUGEINT — and divide back to dollars only at
+presentation. Both engines then compute the identical integer, hence
+the identical rounded double, at ANY scale inside that envelope.
 
 Oracle-side mirrors (DuckDB SQL):
   sum money       -> CAST(sum(CAST(round(col*100) AS BIGINT)) AS DOUBLE)/100

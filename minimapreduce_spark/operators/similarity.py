@@ -1648,6 +1648,10 @@ def _pq_assign(sub: DataFrame, cents: DataFrame, keep_sq: bool) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    from minimapreduce_spark._pickle import register_self_by_value
+
+    register_self_by_value()
+
     by_m: dict[int, tuple] = {}
     for row in cents.collect():  # bounded: M×K rows by contract
         by_m.setdefault(int(row["m"]), []).append(
@@ -1691,6 +1695,32 @@ def _pq_assign(sub: DataFrame, cents: DataFrame, keep_sq: bool) -> DataFrame:
             yield pd.DataFrame(cols)
 
     return sub.mapInPandas(assign, out_schema)
+
+
+def _pq_train(spark: SparkSession, sf_dir: str, sub: DataFrame) -> DataFrame:
+    """Train the per-subspace codebooks: deterministic seeding (first
+    PQ_K vectors' subvectors, cid = bounded rank — mirroring the
+    oracle's row_number ORDER BY vec_id), PQ_ITERS Lloyd refinements.
+    Shared by the query and the codebook-health pytest so the test can
+    never drift onto a stale training recipe. Returns the codebook
+    lineage-checkpointed: it feeds three downstream branches (encode,
+    norm table, LUTs), so the training chain must compute once."""
+    from minimapreduce_spark.operators.ordered import with_bounded_rank
+
+    seeds = (
+        _km_quantized(spark, sf_dir)
+        .where(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("seed_id"))
+    )
+    seed_cids = with_bounded_rank(seeds, "seed_id", out="_rn").select(
+        F.col("seed_id").alias("vec_id"), F.col("_rn").cast("bigint").alias("cid")
+    )
+    cb = sub.join(F.broadcast(seed_cids), "vec_id").select(
+        "m", "cid", F.col("sq").alias("ce")
+    )
+    for _ in range(PQ_ITERS):
+        cb = _pq_update(_pq_assign(sub, cb, keep_sq=True))
+    return cb.localCheckpoint(eager=False)
 
 
 def _pq_update(assigned: DataFrame) -> DataFrame:
@@ -1759,25 +1789,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes) are pinned alongside.
     """
     sub = _pq_subvectors(spark, sf_dir)
-    from minimapreduce_spark.operators.ordered import with_bounded_rank
-
-    seeds = (
-        _km_quantized(spark, sf_dir)
-        .where(F.col("vec_id") < PQ_K)
-        .select(F.col("vec_id").alias("seed_id"))
-    )
-    seed_cids = with_bounded_rank(seeds, "seed_id", out="_rn").select(
-        F.col("seed_id").alias("vec_id"), F.col("_rn").cast("bigint").alias("cid")
-    )
-    cb = sub.join(F.broadcast(seed_cids), "vec_id").select(
-        "m", "cid", F.col("sq").alias("ce")
-    )
-    for _ in range(PQ_ITERS):
-        cb = _pq_update(_pq_assign(sub, cb, keep_sq=True))
-    # the trained codebook feeds THREE branches (encode, norm table,
-    # LUTs) — checkpoint it so the 2-iteration training chain computes
-    # once, not once per branch (the kNN-graph edges pattern)
-    cb = cb.localCheckpoint(eager=False)
+    cb = _pq_train(spark, sf_dir, sub)
     codes = _pq_assign(sub, cb, keep_sq=False)
     # one PQ_M-code array per vector, ordered by subspace, plus the
     # exact reconstructed norm² from the per-entry norm table

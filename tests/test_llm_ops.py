@@ -464,12 +464,11 @@ def test_pq_adc_recall_and_codebook_health(spark):
       - every vector gets exactly PQ_M codes and each subspace's codes
         span >1 codebook entry (the quantizer actually distinguishes)."""
     from minimapreduce_spark.operators.similarity import (
-        PQ_ITERS,
         PQ_K,
         PQ_M,
         _pq_assign,
         _pq_subvectors,
-        _pq_update,
+        _pq_train,
         ann_cosine_topk,
         ann_pq_adc_topk,
     )
@@ -487,25 +486,10 @@ def test_pq_adc_recall_and_codebook_health(spark):
     recall = recall_num / recall_den
     assert recall >= 0.15, f"PQ recall@5 below worst-case floor: {recall:.2f}"
 
-    # codebook health: re-run train+encode and inspect the codes
+    # codebook health: re-run train+encode (the operator's OWN training
+    # helper, so this can never validate a stale recipe) and inspect
     sub = _pq_subvectors(spark, SF_DIR)
-    import pyspark.sql.functions as F
-    from minimapreduce_spark.operators.ordered import with_bounded_rank
-    from minimapreduce_spark.operators.similarity import _km_quantized
-
-    seeds = (
-        _km_quantized(spark, SF_DIR)
-        .where(F.col("vec_id") < PQ_K)
-        .select(F.col("vec_id").alias("seed_id"))
-    )
-    seed_cids = with_bounded_rank(seeds, "seed_id", out="_rn").select(
-        F.col("seed_id").alias("vec_id"), F.col("_rn").cast("bigint").alias("cid")
-    )
-    cb = sub.join(F.broadcast(seed_cids), "vec_id").select(
-        "m", "cid", F.col("sq").alias("ce")
-    )
-    for _ in range(PQ_ITERS):
-        cb = _pq_update(_pq_assign(sub, cb, keep_sq=True))
+    cb = _pq_train(spark, SF_DIR, sub)
     codes = _pq_assign(sub, cb, keep_sq=False).toPandas()
     per_vec = codes.groupby("vec_id").size()
     assert (per_vec == PQ_M).all(), "a vector lost a subspace code"

@@ -105,9 +105,7 @@ def test_money_builder_streams_exact_replicas(tmp_path):
     out = str(tmp_path)
     build_money_fixture(3, out)
     con = duckdb.connect()
-    for t, key, off in (("lineitem", "l_orderkey", 10_000_000),
-                        ("events", "event_id", 1_000_000)):
-        assert t in MONEY_TABLES
+    for t, key, off in MONEY_TABLES:
         (nb,) = con.execute(
             f"SELECT count(*) FROM '{BASE}/{t}.parquet'"
         ).fetchone()

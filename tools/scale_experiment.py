@@ -243,7 +243,13 @@ MONEY_QUERIES = [
     "sketch_kmv_distinct_users",
 ]
 
-MONEY_TABLES = ("lineitem", "events")
+# (table, key column, per-replica key offset) — ONE structure drives the
+# builder, the DuckDB view loop, and the builder test, so a new money
+# table cannot be built-and-timed while its oracle view is forgotten.
+MONEY_TABLES = (
+    ("lineitem", "l_orderkey", 10_000_000),
+    ("events", "event_id", 1_000_000),
+)
 
 
 def build_money_fixture(mult: int, out_dir: str) -> None:
@@ -251,13 +257,11 @@ def build_money_fixture(mult: int, out_dir: str) -> None:
     its key column offset (same recipe and offsets as the relational
     builder, so the fixtures agree where they overlap), written as one
     row group at a time — peak memory is one base-table copy."""
-    import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
-    for t, key, off in (("lineitem", "l_orderkey", 10_000_000),
-                        ("events", "event_id", 1_000_000)):
+    for t, key, off in MONEY_TABLES:
         base = pq.read_table(os.path.join(BASE, f"{t}.parquet"))
         writer = pq.ParquetWriter(
             os.path.join(out_dir, f"{t}.parquet"), base.schema
@@ -295,11 +299,13 @@ def run_money(args, out_dir: str) -> None:
         "SET memory_limit='64GB'; SET temp_directory='/tmp/duckspill'; "
         "SET preserve_insertion_order=false;"
     )
-    for t in MONEY_TABLES:
+    for t, _, _ in MONEY_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(out_dir, t + '.parquet')}'"
         )
-    q.REGISTRY["q6_forecast_revenue"].fn(spark, out_dir).count()  # warmup
+    # no warmup query: the paired timing below IS the warmup — a q6
+    # pre-scan here would warm the page cache and make sec_cold lie
+    # about carrying the fixture's IO pull.
 
     results = {}
     total = 0.0
