@@ -499,6 +499,49 @@ def test_pq_adc_recall_and_codebook_health(spark):
     assert codes["cid"].between(1, PQ_K).all()
 
 
+def test_pq_adc_finds_the_right_neighborhood_on_clustered_corpus(spark, tmp_path):
+    """Evidence for the 'fixture is PQ's worst case' claim, not just
+    assertion — tested at the granularity PQ actually promises. On a
+    PLANTED clustered corpus (500 vectors in 10 well-separated
+    ±1-pattern clusters with small jitter), exact-rank recall@5 is the
+    WRONG metric: quantization collapses same-cluster jitter onto
+    shared codes by design, so PQ cannot (and need not) resolve WHICH
+    five of a query's ~50 cosine≈0.997 cluster-mates rank first — that
+    is the float-refine stage's job. What PQ promises is the
+    NEIGHBORHOOD: essentially every retrieved neighbor must come from
+    the query's own cluster (cross-cluster cosine ≈ 0), where the
+    isotropic driver fixture gives codebooks no structure at all."""
+    import numpy as np
+    import pandas as pd
+
+    from minimapreduce_spark.operators.similarity import ann_pq_adc_topk
+
+    rng = np.random.RandomState(7)
+    centers = rng.choice([-1.0, 1.0], size=(10, 64))
+    vecs = []
+    for i in range(500):
+        c = centers[i % 10]
+        vecs.append(c + 0.05 * rng.randn(64))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(500, dtype=np.int64),
+            "embedding": [np.asarray(v, dtype=np.float32) for v in vecs],
+            "label": np.arange(500, dtype=np.int32) % 10,
+        }
+    )
+    d = tmp_path / "clustered"
+    d.mkdir()
+    pdf.to_parquet(str(d / "embeddings.parquet"), index=False)
+
+    pq = ann_pq_adc_topk(spark, str(d)).toPandas()
+    # query i belongs to cluster i % 10; so does neighbor n iff n ≡ i
+    same = (pq["q_vec_id"] % 10 == pq["neighbor_id"] % 10).mean()
+    assert same >= 0.95, f"cross-cluster retrievals: precision {same:.2f}"
+    # and the retrieved same-cluster mates are genuinely near: their
+    # pq_sim must sit in the intra-cluster band, far above cross-cluster
+    assert (pq["pq_sim"] > 0.5).all(), pq["pq_sim"].min()
+
+
 def test_canonical_by_quality_picks_best_member(spark):
     """The survivor of each cluster is a member with maximal quality
     among that cluster's members (doc_id breaks ties)."""
