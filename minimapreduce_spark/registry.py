@@ -58,16 +58,17 @@ def register(name: str, oracle: str | None = None, bench: bool = False) -> Calla
 # never-driver-verified remainder, but CORRECTNESS_r05.json never landed
 # in the repo (the round-5 driver artifacts were not committed), so this
 # window cannot assume that verification happened. It therefore leads
-# with the five queries registered since the r05 pin (229-233: the two
-# round-5 LATE_REGISTERED entries + the three round-6 capabilities) and
-# fills the remaining 45 slots with the round-5 remainder verbatim MINUS
-# five dropped trivial queries (enumerated in DROPPED_IF_R05_MISSING
-# below — each fully covered by the pytest oracle sweep and the
-# foreign-cwd full-registry drives). Outcomes: if r05 DID run, this
-# window re-verifies 45 broad canaries and closes the book at 233/233;
-# if it did not, cumulative coverage still reaches 228/233 with only the
-# five audited trivial queries outstanding. test_driver_contract.py pins
-# both cases.
+# with the six queries registered since the r05 pin (229-234: the two
+# round-5 LATE_REGISTERED entries + the four round-6 capabilities,
+# including ann_pq_adc_topk swapped in mid-round-6 before the driver
+# ran) and fills the remaining 44 slots with the round-5 remainder
+# verbatim MINUS six dropped trivial queries (enumerated in
+# DROPPED_IF_R05_MISSING below — each fully covered by the pytest
+# oracle sweep and the foreign-cwd full-registry drives). Outcomes: if
+# r05 DID run, this window re-verifies 44 broad canaries and closes the
+# book at 234/234; if it did not, cumulative coverage still reaches
+# 228/234 with only the six audited trivial queries outstanding.
+# test_driver_contract.py pins both cases.
 DRIVER_PRIORITY: list[str] = [
     # registered after the round-5 window was pinned
     "stream_exactly_once_watermarked",
@@ -75,6 +76,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_minhash_incremental",
     "mixture_token_budget_sample",
     "sketch_kmv_distinct_users",
+    "ann_pq_adc_topk",
     # round-5 remainder: the four queries registered after the r04 pin
     # (never verified in r01-r04 either)
     "multimodal_jpeg_decode",
@@ -110,7 +112,6 @@ DRIVER_PRIORITY: list[str] = [
     "text_pii_scrub",
     "text_quality_repetition",
     "dedup_keep_latest",
-    "percentile_quantity",
     "langid_confusion_matrix",
     "snapshot_diff_customers",
     "tier_migration_matrix",
@@ -132,25 +133,25 @@ DRIVER_PRIORITY: list[str] = [
 # Queries registered AFTER the current (round-6) window was pinned. Any
 # new registration must be appended here in the same commit, so the
 # rotation test can distinguish "late, ledgered, pytest-oracle-verified"
-# from "missed". (The five post-r05 registrations sit at the head of the
-# round-6 window itself.)
-LATE_REGISTERED: list[str] = [
-    "ann_pq_adc_topk",  # round-6: PQ codebooks + ADC lookup-table scoring
-]
+# from "missed". (The six post-r05 registrations — including
+# ann_pq_adc_topk, swapped into the window before the round-6 driver
+# ran — sit at the head of the round-6 window itself.)
+LATE_REGISTERED: list[str] = []
 
-# The five round-5-remainder queries this window drops to make room for
+# The six round-5-remainder queries this window drops to make room for
 # the post-r05 registrations. Each is trivial (pure
 # projection/aggregation shapes), pytest-oracle-verified every suite
 # run, and covered by the foreign-cwd full-registry drives recorded in
 # SURVEY/SCALING. If CORRECTNESS_r05.json surfaces, they were
-# driver-verified there and cumulative coverage is 233/233; if not,
-# they are the only five queries never driver-hash-verified.
+# driver-verified there and cumulative coverage is 234/234; if not,
+# they are the only six queries never driver-hash-verified.
 DROPPED_IF_R05_MISSING: list[str] = [
     "dim_date_generate",
     "customer_existence_flags",
     "basket_size_histogram",
     "histogram_order_prices",
     "page_orders_offset",
+    "percentile_quantity",
 ]
 
 
