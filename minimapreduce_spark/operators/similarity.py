@@ -1630,7 +1630,9 @@ def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_assign(sub: DataFrame, cents: DataFrame, keep_sq: bool) -> DataFrame:
+def _pq_assign(
+    sub: DataFrame, cents: DataFrame, keep_sq: bool, extra: tuple = ()
+) -> DataFrame:
     """Nearest codebook entry per (vec_id, m): exact integer squared
     distance, (d2, cid) argmin.
 
@@ -1670,6 +1672,8 @@ def _pq_assign(sub: DataFrame, cents: DataFrame, keep_sq: bool) -> DataFrame:
     out_schema = "vec_id bigint, m bigint, cid bigint" + (
         ", sq array<bigint>" if keep_sq else ""
     )
+    for name in extra:  # passthrough columns (e.g. the IVF cell id)
+        out_schema += f", {name} {dict(sub.dtypes)[name]}"
 
     def assign(batches):
         cb = bc.value
@@ -1692,6 +1696,8 @@ def _pq_assign(sub: DataFrame, cents: DataFrame, keep_sq: bool) -> DataFrame:
             cols = {"vec_id": pdf["vec_id"], "m": pdf["m"], "cid": cid_out}
             if keep_sq:
                 cols["sq"] = pdf["sq"]
+            for name in extra:
+                cols[name] = pdf[name]
             yield pd.DataFrame(cols)
 
     return sub.mapInPandas(assign, out_schema)
@@ -1873,6 +1879,389 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_vec_id",
             F.col("vec_id").alias("neighbor_id"),
             "pq_sim",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= IVF_TOP_K)
+    )
+
+
+def _ivfpq_oracle() -> str:
+    """Unrolled residual IVF-PQ as DuckDB SQL: grid-quantize → per-label
+    grid centroids (exact-floor means) → residuals → per-subspace
+    codebooks on residuals (seed + PQ_ITERS Lloyd refinements, the
+    _pq_oracle chain verbatim over residual subvectors) → encode →
+    cosine-route each query to one cell → ADC over cell members only,
+    with the exact decomposition dot(q, x̂) = dot(q, c_cell) + Σ_m
+    LUT_q(m, code_m) and ‖x̂‖² = ‖c‖² + 2·Σ_m c_m·ce + Σ_m ‖ce‖²."""
+    d2 = (
+        "list_sum(list_transform(generate_series(1, {n}),"
+        " i -> (s.sq[i] - c.ce[i]) * (s.sq[i] - c.ce[i])))"
+    ).format(n=PQ_SUB)
+    assign = f"""
+    a{{n}} AS (
+      SELECT vec_id, m, cid, sq FROM (
+        SELECT s.vec_id, s.m, c.cid, s.sq,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {d2}, c.cid) AS rn
+        FROM sub s JOIN c{{p}} c ON c.m = s.m
+      ) WHERE rn = 1
+    )"""
+    update = f"""
+    c{{n}} AS (
+      SELECT m, cid, list(mu ORDER BY pos) AS ce FROM (
+        SELECT a.m, a.cid, u.pos,
+               CAST(floor(CAST(sum(a.sq[u.pos]) AS DOUBLE) / count(*)) AS BIGINT) AS mu
+        FROM a{{n}} a CROSS JOIN (SELECT unnest(generate_series(1, {PQ_SUB})) AS pos) u
+        GROUP BY a.m, a.cid, u.pos
+      ) GROUP BY m, cid
+    )"""
+    dot64 = (
+        "CAST(list_sum(list_transform(generate_series(1, 64),"
+        " i -> {a}[i] * {b}[i])) AS BIGINT)"
+    )
+    parts = [f"""
+    eq AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT)) AS eq
+      FROM embeddings
+    ),
+    cg AS (
+      SELECT label, list(mu ORDER BY dim) AS cg FROM (
+        SELECT label, dim,
+               CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS mu
+        FROM (SELECT label, generate_subscripts(eq, 1) AS dim, unnest(eq) AS v
+              FROM eq)
+        GROUP BY label, dim
+      ) GROUP BY label
+    ),
+    res AS (
+      SELECT e.vec_id, e.label,
+             list_transform(generate_series(1, 64), i -> e.eq[i] - g.cg[i]) AS rq
+      FROM eq e JOIN cg g USING (label)
+    ),
+    sub AS (
+      SELECT vec_id, m, rq[m*{PQ_SUB}+1 : m*{PQ_SUB}+{PQ_SUB}] AS sq
+      FROM res CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)
+    ),
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS cid, vec_id
+      FROM eq WHERE vec_id < {PQ_K}
+    ),
+    c0 AS (SELECT s.m, d.cid, s.sq AS ce FROM sub s JOIN seeds d USING (vec_id))"""]
+    for it in range(PQ_ITERS):
+        parts.append(assign.format(n=it + 1, p=it))
+        parts.append(update.format(n=it + 1))
+    cb = f"c{PQ_ITERS}"
+    return "WITH " + ",".join(parts) + f""",
+    codes AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT s.vec_id, s.m, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {d2}, c.cid) AS rn
+        FROM sub s JOIN {cb} c ON c.m = s.m
+      ) WHERE rn = 1
+    ),
+    cn2 AS (
+      SELECT m, cid,
+             CAST(list_sum(list_transform(ce, x -> x * x)) AS BIGINT) AS n2
+      FROM {cb}
+    ),
+    csub AS (
+      SELECT label, m, cg[m*{PQ_SUB}+1 : m*{PQ_SUB}+{PQ_SUB}] AS csq
+      FROM cg CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)
+    ),
+    cdot AS (
+      SELECT s.label, s.m, c.cid,
+             CAST(list_sum(list_transform(generate_series(1, {PQ_SUB}),
+                                          i -> s.csq[i] * c.ce[i])) AS BIGINT) AS cd
+      FROM csub s JOIN {cb} c ON c.m = s.m
+    ),
+    celln2 AS (
+      SELECT label,
+             CAST(list_sum(list_transform(cg, x -> x * x)) AS BIGINT) AS cn2cell
+      FROM cg
+    ),
+    xn2 AS (
+      SELECT p.vec_id, p.label,
+             CAST(p.part + cl.cn2cell AS BIGINT) AS n2hat
+      FROM (
+        SELECT k.vec_id, e.label, sum(c.n2) + 2 * sum(d.cd) AS part
+        FROM codes k
+        JOIN eq e USING (vec_id)
+        JOIN cn2 c ON c.m = k.m AND c.cid = k.cid
+        JOIN cdot d ON d.label = e.label AND d.m = k.m AND d.cid = k.cid
+        GROUP BY k.vec_id, e.label
+      ) p JOIN celln2 cl ON cl.label = p.label
+    ),
+    q AS (SELECT vec_id AS q_vec_id, eq AS qe FROM eq WHERE vec_id < {N_QUERIES}),
+    qn2 AS (
+      SELECT q_vec_id,
+             CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS qn2
+      FROM q
+    ),
+    route AS (
+      SELECT q_vec_id, label FROM (
+        SELECT q.q_vec_id, g.label,
+               row_number() OVER (
+                 PARTITION BY q.q_vec_id
+                 ORDER BY round(CAST({dot64.format(a="q.qe", b="g.cg")} AS DOUBLE)
+                                / (sqrt(CAST(qn.qn2 AS DOUBLE))
+                                   * sqrt(CAST(cl.cn2cell AS DOUBLE))), 6) DESC,
+                          g.label
+               ) AS crn
+        FROM q, cg g, qn2 qn, celln2 cl
+        WHERE qn.q_vec_id = q.q_vec_id AND cl.label = g.label
+      ) WHERE crn = 1
+    ),
+    qsubs AS (
+      SELECT q_vec_id, m, qe[m*{PQ_SUB}+1 : m*{PQ_SUB}+{PQ_SUB}] AS qsq
+      FROM q CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)
+    ),
+    lut AS (
+      SELECT s.q_vec_id, s.m, c.cid,
+             CAST(list_sum(list_transform(generate_series(1, {PQ_SUB}),
+                                          i -> s.qsq[i] * c.ce[i])) AS BIGINT) AS dotq
+      FROM qsubs s JOIN {cb} c ON c.m = s.m
+    ),
+    qdotc AS (
+      SELECT r.q_vec_id, {dot64.format(a="q.qe", b="g.cg")} AS qc
+      FROM route r
+      JOIN q ON q.q_vec_id = r.q_vec_id
+      JOIN cg g ON g.label = r.label
+    ),
+    scores AS (
+      SELECT r.q_vec_id, k.vec_id, CAST(sum(l.dotq) AS BIGINT) AS rdot
+      FROM route r
+      JOIN eq e ON e.label = r.label AND e.vec_id <> r.q_vec_id
+      JOIN codes k ON k.vec_id = e.vec_id
+      JOIN lut l ON l.q_vec_id = r.q_vec_id AND l.m = k.m AND l.cid = k.cid
+      GROUP BY 1, 2
+    ),
+    sims AS (
+      SELECT s.q_vec_id, s.vec_id,
+             round(CAST(s.rdot + qc.qc AS DOUBLE)
+                   / (sqrt(CAST(qn.qn2 AS DOUBLE)) * sqrt(CAST(x.n2hat AS DOUBLE))),
+                   6) AS ivfpq_sim
+      FROM scores s
+      JOIN qdotc qc ON qc.q_vec_id = s.q_vec_id
+      JOIN qn2 qn ON qn.q_vec_id = s.q_vec_id
+      JOIN xn2 x ON x.vec_id = s.vec_id
+    ),
+    ranked AS (
+      SELECT q_vec_id, vec_id, ivfpq_sim,
+             row_number() OVER (PARTITION BY q_vec_id
+                                ORDER BY ivfpq_sim DESC, vec_id) AS rn
+      FROM sims
+    )
+    SELECT q_vec_id, vec_id AS neighbor_id, ivfpq_sim, rn
+    FROM ranked WHERE rn <= {IVF_TOP_K}
+    """
+
+
+@register("ann_ivfpq_topk", oracle=_ivfpq_oracle(), bench=True)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ — the composed FAISS-IVFPQ serving shape, and
+    the rung the ledger's ANN family was missing between
+    `ann_ivf_int8_topk` (cell pruning + scalar codes) and
+    `ann_pq_adc_topk` (flat PQ, whole-corpus scan): cell pruning AND
+    product-quantized codes, with the codebooks trained on RESIDUALS
+    (x − c_cell) so the quantizer spends its entries on within-cell
+    variation instead of re-encoding the cell mean — the reason real
+    IVFPQ indexes encode residuals (Jégou et al., PQ for nearest
+    neighbor search).
+
+    Every step stays integer-exact on the 1e-4 grid, so the full
+    centroid→residual→train→encode→route→ADC chain hash-matches the
+    unrolled SQL twin:
+      1. cell centroids: per-label exact-floor integer means of the
+         grid vectors (`embedding_kmeans_lloyd` discipline);
+      2. residuals r = eq − c_cell are exact integer arrays; per-
+         subspace codebooks train on them via the shared `_pq_train`
+         chain (deterministic seeds, PQ_ITERS exact-floor Lloyd
+         refinements, empty entries drop identically);
+      3. encode: `_pq_assign` (d2, cid)-argmin → PQ_M codes/vector;
+      4. reconstructed norm² decomposes exactly:
+         ‖x̂‖² = ‖c‖² + 2·Σ_m c_m·ce(m,code_m) + Σ_m ‖ce(m,code_m)‖² —
+         the cross term comes from a bounded (label × M × K) integer
+         table, so no per-vector arithmetic touches the vector;
+      5. routing: cosine(q, c_cell) on the grid (exact integer dot and
+         norms into one sqrt/divide, round-before-rank, label
+         tie-break), nprobe=1 — the dial is `ann_ivf_nprobe_topk`'s;
+      6. ADC on cell members only: dot(q, x̂) = dot(q, c_cell) +
+         Σ_m LUT_q(m, code_m), every term BIGINT; approximate cosine =
+         round(dot / (‖q‖·‖x̂‖), 6), top-5, (sim desc, vec_id) ties.
+
+    Scale posture: the corpus is touched by the one-time encode pass
+    and a scoring scan of ~1/|cells| of the rows (at 100 TB the code
+    column is persisted partitioned/bucketed by cell, so routing is
+    partition pruning — the scan never reads unrouted cells). Codebook,
+    norm, cross-term, and LUT tables are all bounded broadcasts
+    (M×K, label×M×K, N_QUERIES×M×K). The only corpus-order shuffle is
+    the per-query top-k window over cell members. Recall vs exact
+    cosine and vs flat PQ is pinned in pytest alongside
+    codebook-health and an exact numpy replay of the norm/dot
+    decomposition.
+    """
+    embq = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * KMEANS_SCALE).cast("bigint"),
+        ).alias("eq"),
+    )
+    # 1. per-label grid centroids: exact-floor integer means
+    cg = (
+        embq.select("label", F.posexplode("eq").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label", "pos",
+            F.floor(F.col("s").cast("double") / F.col("n")).cast("bigint").alias("mu"),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                lambda x: x["mu"],
+            ).alias("cg")
+        )
+        .localCheckpoint(eager=False)  # feeds residuals, cell tables, routing
+    )
+    # 2. residuals and their subvectors; codebooks via the shared chain
+    res = embq.join(F.broadcast(cg), "label").select(
+        "vec_id", "label",
+        F.zip_with("eq", "cg", lambda x, y: x - y).alias("rq"),
+    )
+    ms = spark.range(PQ_M).select(F.col("id").cast("bigint").alias("m"))
+    rsub = res.crossJoin(F.broadcast(ms)).select(
+        "vec_id", "label", "m",
+        F.expr(f"slice(rq, m * {PQ_SUB} + 1, {PQ_SUB})").alias("sq"),
+    )
+    cb = _pq_train(spark, sf_dir, rsub.drop("label"))
+    # 3. encode, with the cell id riding along (no corpus-side re-join)
+    codes = _pq_assign(rsub, cb, keep_sq=False, extra=("label",))
+    # 4. exact reconstructed norm², fused into ONE per-label broadcast
+    # map: val(label, m, cid) = ‖ce‖² + 2·c_m·ce, so per vector
+    # n2hat = ‖c‖² + Σ_m val[slot(m, code_m)]
+    fold_sum = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    arr_n2 = lambda col: fold_sum(F.transform(col, lambda x: x * x))  # noqa: E731
+    slot = F.col("m") * (PQ_K + 1) + F.col("cid")
+    csub = cg.crossJoin(F.broadcast(ms)).select(
+        "label", "m",
+        F.expr(f"slice(cg, m * {PQ_SUB} + 1, {PQ_SUB})").alias("csq"),
+    )
+    cells = (
+        csub.join(cb, "m")
+        .select(
+            "label",
+            slot.alias("slot"),
+            (
+                arr_n2("ce")
+                + 2 * fold_sum(F.zip_with("csq", "ce", lambda x, y: x * y))
+            ).alias("val"),
+        )
+        .groupBy("label")
+        .agg(F.map_from_entries(F.collect_list(F.struct("slot", "val"))).alias("vmap"))
+        .join(cg.select("label", arr_n2("cg").alias("cn2cell")), "label")
+    )
+    code_fold = lambda mapcol: F.aggregate(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, m: acc
+        + F.element_at(
+            F.col(mapcol),
+            m.cast("bigint") * (PQ_K + 1) + F.element_at("code", m + 1),
+        ),
+    )
+    code_arr = (
+        codes.groupBy("vec_id", "label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "cid"))),
+                lambda x: x["cid"],
+            ).alias("code")
+        )
+        .join(F.broadcast(cells), "label")
+        .select(
+            "vec_id", "label", "code",
+            (F.col("cn2cell") + code_fold("vmap")).alias("n2hat"),
+        )
+    )
+    # 5. routing: grid cosine to the nearest cell centroid; the routed
+    # row KEEPS the exact query·centroid dot (the ADC constant term)
+    q = embq.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("eq").alias("qe"),
+        arr_n2("eq").alias("qn2"),
+    )
+    assign_w = W.partitionBy("q_vec_id").orderBy(F.desc("c_sim"), F.asc("label"))
+    routed = (
+        q.crossJoin(F.broadcast(cg))
+        .join(F.broadcast(cg.select("label", arr_n2("cg").alias("cn2cell"))), "label")
+        .select(
+            "q_vec_id", "label", "qn2",
+            fold_sum(F.zip_with("qe", "cg", lambda x, y: x * y)).alias("qc"),
+            "cn2cell",
+        )
+        .select(
+            "q_vec_id", "label", "qn2", "qc",
+            F.round(
+                F.col("qc").cast("double")
+                / (F.sqrt(F.col("qn2").cast("double"))
+                   * F.sqrt(F.col("cn2cell").cast("double"))),
+                6,
+            ).alias("c_sim"),
+        )
+        .select(
+            "q_vec_id", "qn2", "qc",
+            F.col("label").alias("q_label"),
+            F.row_number().over(assign_w).alias("crn"),
+        )
+        .where(F.col("crn") == 1)
+        .drop("crn")
+    )
+    # 6. ADC: per-query LUT map + the kept query·centroid term
+    qsub = q.crossJoin(F.broadcast(ms)).select(
+        "q_vec_id", "m",
+        F.expr(f"slice(qe, m * {PQ_SUB} + 1, {PQ_SUB})").alias("qsq"),
+    )
+    lut = qsub.join(F.broadcast(cb), "m").select(
+        "q_vec_id",
+        slot.alias("slot"),
+        fold_sum(F.zip_with("qsq", "ce", lambda x, y: x * y)).alias("dotq"),
+    )
+    q_side = (
+        lut.groupBy("q_vec_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("slot", "dotq"))).alias("lut"))
+        .join(routed, "q_vec_id")
+    )
+    scored = (
+        code_arr.join(
+            F.broadcast(q_side),
+            (F.col("label") == F.col("q_label"))
+            & (F.col("vec_id") != F.col("q_vec_id")),
+        )
+        .select(
+            "q_vec_id",
+            "vec_id",
+            F.round(
+                (code_fold("lut") + F.col("qc")).cast("double")
+                / (F.sqrt(F.col("qn2").cast("double"))
+                   * F.sqrt(F.col("n2hat").cast("double"))),
+                6,
+            ).alias("ivfpq_sim"),
+        )
+    )
+    w = W.partitionBy("q_vec_id").orderBy(F.desc("ivfpq_sim"), F.asc("vec_id"))
+    return (
+        scored.select(
+            "q_vec_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "ivfpq_sim",
             F.row_number().over(w).alias("rn"),
         )
         .where(F.col("rn") <= IVF_TOP_K)

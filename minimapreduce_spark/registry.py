@@ -136,7 +136,10 @@ DRIVER_PRIORITY: list[str] = [
 # from "missed". (The six post-r05 registrations — including
 # ann_pq_adc_topk, swapped into the window before the round-6 driver
 # ran — sit at the head of the round-6 window itself.)
-LATE_REGISTERED: list[str] = []
+LATE_REGISTERED: list[str] = [
+    "ann_ivfpq_topk",  # round-6: residual IVF-PQ (cell pruning + PQ-ADC)
+    "quality_linear_probe",  # round-6: in-engine trained quality filter
+]
 
 # The six round-5-remainder queries this window drops to make room for
 # the post-r05 registrations. Each is trivial (pure

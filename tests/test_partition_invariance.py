@@ -79,6 +79,12 @@ CANDIDATES = [
     # PQ-ADC: codebook training (argmin ties, floor means), encode, and
     # the map-lookup fold must all be width-independent
     "ann_pq_adc_topk",
+    # residual IVF-PQ: adds per-cell floor-mean centroids, the residual
+    # train chain, routing ties, and the cross-term map to the above
+    "ann_ivfpq_topk",
+    # trained linear probe: the grid BIGINT moment sums are the entire
+    # order-freedom argument — weights must not depend on task layout
+    "quality_linear_probe",
 ]
 
 
