@@ -1655,6 +1655,10 @@ def quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("_nt") > 0)
         .drop("_nt")
+        # two consumers (moment agg + scoring scan) over an expensive
+        # regex tokenization; the checkpointed frame is doc_id + five
+        # numbers — far narrower than the corpus it derives from
+        .localCheckpoint(eager=False)
     )
     grid = float(PROBE_GRID)
     moms = [

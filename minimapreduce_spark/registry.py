@@ -139,6 +139,7 @@ DRIVER_PRIORITY: list[str] = [
 LATE_REGISTERED: list[str] = [
     "ann_ivfpq_topk",  # round-6: residual IVF-PQ (cell pruning + PQ-ADC)
     "quality_linear_probe",  # round-6: in-engine trained quality filter
+    "embedding_kcenter_coreset",  # round-6: greedy k-center diversity coreset
 ]
 
 # The six round-5-remainder queries this window drops to make room for

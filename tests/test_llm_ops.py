@@ -1086,3 +1086,46 @@ def test_quality_linear_probe_learns_and_solve_is_faithful(spark):
     # the right algebra (a transposed cofactor or sign slip shifts
     # scores by O(1))
     assert diff <= 1e-4, f"solve replay diverges: {diff}"
+
+
+def test_kcenter_coreset_invariants_and_planted_clusters(spark, tmp_path):
+    """Greedy k-center semantics beyond the hash match:
+      - the covering-radius sequence d2_sel is strictly decreasing
+        (each pick is the farthest remaining point, so the max-min
+        distance can only shrink) and sel_rank is exactly 1..k;
+      - on the planted 10-cluster corpus, k=10 selects EXACTLY one
+        center per cluster — the defining farthest-point property
+        (cross-cluster d² ≫ intra-cluster jitter, so the greedy
+        traversal must exhaust all clusters before doubling up)."""
+    import numpy as np
+    import pandas as pd
+
+    from minimapreduce_spark.operators.similarity import (
+        KC_K,
+        embedding_kcenter_coreset,
+        kcenter_select,
+    )
+
+    out = embedding_kcenter_coreset(spark, SF_DIR).toPandas().sort_values("sel_rank")
+    assert list(out["sel_rank"]) == list(range(1, KC_K + 1))
+    assert out["vec_id"].is_unique
+    radii = out["d2_sel"].dropna().to_numpy()
+    assert len(radii) == KC_K - 1
+    assert (np.diff(radii) < 0).all(), "covering radius must strictly shrink"
+
+    rng = np.random.RandomState(7)
+    centers = rng.choice([-1.0, 1.0], size=(10, 64))
+    vecs = [centers[i % 10] + 0.05 * rng.randn(64) for i in range(500)]
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(500, dtype=np.int64),
+            "embedding": [np.asarray(v, dtype=np.float32) for v in vecs],
+            "label": np.arange(500, dtype=np.int32) % 10,
+        }
+    )
+    d = tmp_path / "clustered_kcenter"
+    d.mkdir()
+    pdf.to_parquet(str(d / "embeddings.parquet"), index=False)
+    sel = kcenter_select(spark, str(d), 10).toPandas()
+    got_clusters = sorted(sel["vec_id"] % 10)
+    assert got_clusters == list(range(10)), f"cluster coverage: {got_clusters}"

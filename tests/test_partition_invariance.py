@@ -85,6 +85,9 @@ CANDIDATES = [
     # trained linear probe: the grid BIGINT moment sums are the entire
     # order-freedom argument — weights must not depend on task layout
     "quality_linear_probe",
+    # greedy k-center: TakeOrdered argmax + integer dmin updates across
+    # k driver-loop rounds must be independent of task layout
+    "embedding_kcenter_coreset",
 ]
 
 

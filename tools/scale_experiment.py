@@ -63,8 +63,11 @@ QUERIES = [
     "embedding_kmeans_lloyd",
     "embedding_pca_power_iteration",
     "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
     "contamination_test_train",
     "mixture_token_budget_sample",
+    "quality_linear_probe",
+    "embedding_kcenter_coreset",
 ]
 
 # Excluded past 10×:
