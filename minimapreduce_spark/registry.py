@@ -58,17 +58,17 @@ def register(name: str, oracle: str | None = None, bench: bool = False) -> Calla
 # never-driver-verified remainder, but CORRECTNESS_r05.json never landed
 # in the repo (the round-5 driver artifacts were not committed), so this
 # window cannot assume that verification happened. It therefore leads
-# with the six queries registered since the r05 pin (229-234: the two
-# round-5 LATE_REGISTERED entries + the four round-6 capabilities,
-# including ann_pq_adc_topk swapped in mid-round-6 before the driver
-# ran) and fills the remaining 44 slots with the round-5 remainder
-# verbatim MINUS six dropped trivial queries (enumerated in
-# DROPPED_IF_R05_MISSING below — each fully covered by the pytest
-# oracle sweep and the foreign-cwd full-registry drives). Outcomes: if
-# r05 DID run, this window re-verifies 44 broad canaries and closes the
-# book at 234/234; if it did not, cumulative coverage still reaches
-# 228/234 with only the six audited trivial queries outstanding.
-# test_driver_contract.py pins both cases.
+# with the nine queries registered since the r05 pin (229-237: the two
+# round-5 LATE_REGISTERED entries + the seven round-6 capabilities,
+# each swapped in mid-round-6 before the driver ran) and fills the
+# remaining 41 slots with the round-5 remainder verbatim MINUS nine
+# dropped trivial queries (enumerated in DROPPED_IF_R05_MISSING below —
+# each fully covered by the pytest oracle sweep and the foreign-cwd
+# full-registry drives). Outcomes: if r05 DID run, this window
+# re-verifies 41 broad canaries and closes the book at 237/237; if it
+# did not, cumulative coverage still reaches 228/237 with only the
+# nine audited trivial queries outstanding. test_driver_contract.py
+# pins both cases.
 DRIVER_PRIORITY: list[str] = [
     # registered after the round-5 window was pinned
     "stream_exactly_once_watermarked",
@@ -77,6 +77,9 @@ DRIVER_PRIORITY: list[str] = [
     "mixture_token_budget_sample",
     "sketch_kmv_distinct_users",
     "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
+    "quality_linear_probe",
+    "embedding_kcenter_coreset",
     # round-5 remainder: the four queries registered after the r04 pin
     # (never verified in r01-r04 either)
     "multimodal_jpeg_decode",
@@ -92,7 +95,6 @@ DRIVER_PRIORITY: list[str] = [
     # analytics (16 — round-5 remainder minus three dropped trivial)
     "events_time_weighted_avg",
     "events_variant_shred",
-    "extract_numbers_table",
     "agg_mad_user_value",
     "weekly_growth_rate",
     "window_trailing_distinct_types",
@@ -102,7 +104,6 @@ DRIVER_PRIORITY: list[str] = [
     "events_transition_dwell",
     "category_share_drift",
     "events_usage_heatmap",
-    "profile_qty_discount_grid",
     "events_wau_daily",
     "customer_reorder_intervals",
     "events_value_boxplot",
@@ -119,7 +120,6 @@ DRIVER_PRIORITY: list[str] = [
     "datetime_arithmetic_showcase",
     "array_set_ops",
     "agg_grouping_id",
-    "agg_filter_clause",
     "window_first_last_nth",
     # text analysis (6)
     "text_top_bigrams",
@@ -133,22 +133,19 @@ DRIVER_PRIORITY: list[str] = [
 # Queries registered AFTER the current (round-6) window was pinned. Any
 # new registration must be appended here in the same commit, so the
 # rotation test can distinguish "late, ledgered, pytest-oracle-verified"
-# from "missed". (The six post-r05 registrations — including
-# ann_pq_adc_topk, swapped into the window before the round-6 driver
-# ran — sit at the head of the round-6 window itself.)
-LATE_REGISTERED: list[str] = [
-    "ann_ivfpq_topk",  # round-6: residual IVF-PQ (cell pruning + PQ-ADC)
-    "quality_linear_probe",  # round-6: in-engine trained quality filter
-    "embedding_kcenter_coreset",  # round-6: greedy k-center diversity coreset
-]
+# from "missed". (All nine post-r05 registrations — 229-237, each
+# swapped into the window before the round-6 driver ran — sit at the
+# head of the round-6 window itself, so this list is empty.)
+LATE_REGISTERED: list[str] = []
 
-# The six round-5-remainder queries this window drops to make room for
-# the post-r05 registrations. Each is trivial (pure
+# The nine round-5-remainder queries this window drops to make room for
+# the post-r05 registrations (a flagship capability driver-verified
+# beats a trivial shape re-verified). Each is trivial (pure
 # projection/aggregation shapes), pytest-oracle-verified every suite
 # run, and covered by the foreign-cwd full-registry drives recorded in
 # SURVEY/SCALING. If CORRECTNESS_r05.json surfaces, they were
-# driver-verified there and cumulative coverage is 234/234; if not,
-# they are the only six queries never driver-hash-verified.
+# driver-verified there and cumulative coverage is 237/237; if not,
+# they are the only nine queries never driver-hash-verified.
 DROPPED_IF_R05_MISSING: list[str] = [
     "dim_date_generate",
     "customer_existence_flags",
@@ -156,6 +153,9 @@ DROPPED_IF_R05_MISSING: list[str] = [
     "histogram_order_prices",
     "page_orders_offset",
     "percentile_quantity",
+    "extract_numbers_table",
+    "profile_qty_discount_grid",
+    "agg_filter_clause",
 ]
 
 

@@ -89,7 +89,7 @@ def test_driver_priority_closes_coverage():
     round-5 driver run was staged over the exact 50-query remainder but
     CORRECTNESS_r05.json never landed in the repo, so the round-6 window
     leads with every post-r05 registration and re-covers the remainder
-    minus the five audited DROPPED_IF_R05_MISSING trivials. Pins:
+    minus the audited DROPPED_IF_R05_MISSING trivials. Pins:
 
     - the window stays disjoint from the r01-r04 hard coverage (no
       wasted slots on four-times-verified queries; overlap with r05,
