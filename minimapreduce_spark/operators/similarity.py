@@ -2421,3 +2421,201 @@ def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant.
     """
     return kcenter_select(spark, sf_dir, KC_K)
+
+
+MMR_CANDS = 12  # relevance candidates fed to the re-ranker, per query
+MMR_K = 5       # re-ranked results returned per query
+
+
+def _mmr_oracle() -> str:
+    """Unrolled MMR as DuckDB SQL: exact top-MMR_CANDS relevance
+    candidates per query → pairwise candidate sims → MMR_K greedy hops,
+    each one (score = 0.5·rel − 0.5·maxsim-to-selected, argmax with
+    vec_id tie-break, running maxsim via greatest)."""
+    parts = [f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT vec_id AS q_vec_id, emb AS qe FROM e WHERE vec_id < {N_QUERIES}),
+    relranked AS (
+      SELECT q_vec_id, e.vec_id,
+             round(list_cosine_similarity(qe, e.emb), 6) AS rel,
+             row_number() OVER (
+               PARTITION BY q_vec_id
+               ORDER BY round(list_cosine_similarity(qe, e.emb), 6) DESC, e.vec_id
+             ) AS rn
+      FROM q JOIN e ON e.vec_id <> q.q_vec_id
+    ),
+    cand AS (SELECT q_vec_id, vec_id, rel FROM relranked WHERE rn <= {MMR_CANDS}),
+    pairs AS (
+      SELECT a.q_vec_id, a.vec_id AS va, b.vec_id AS vb,
+             round(list_cosine_similarity(ea.emb, eb.emb), 6) AS sim
+      FROM cand a
+      JOIN cand b ON b.q_vec_id = a.q_vec_id AND b.vec_id <> a.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+    ),
+    s1 AS (
+      SELECT q_vec_id, vec_id, rel AS score FROM (
+        SELECT q_vec_id, vec_id, rel,
+               row_number() OVER (PARTITION BY q_vec_id
+                                  ORDER BY rel DESC, vec_id) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    ),
+    m1 AS (
+      SELECT c.q_vec_id, c.vec_id, c.rel, p.sim AS ms
+      FROM cand c
+      JOIN s1 ON s1.q_vec_id = c.q_vec_id AND c.vec_id <> s1.vec_id
+      JOIN pairs p ON p.q_vec_id = c.q_vec_id AND p.va = c.vec_id
+                  AND p.vb = s1.vec_id
+    )"""]
+    for r in range(2, MMR_K + 1):
+        parts.append(f"""
+    s{r} AS (
+      SELECT q_vec_id, vec_id, score FROM (
+        SELECT q_vec_id, vec_id, 0.5 * rel - 0.5 * ms AS score,
+               row_number() OVER (PARTITION BY q_vec_id
+                                  ORDER BY 0.5 * rel - 0.5 * ms DESC, vec_id) AS rn
+        FROM m{r - 1}
+      ) WHERE rn = 1
+    )""")
+        if r < MMR_K:
+            parts.append(f"""
+    m{r} AS (
+      SELECT m.q_vec_id, m.vec_id, m.rel, greatest(m.ms, p.sim) AS ms
+      FROM m{r - 1} m
+      JOIN s{r} ON s{r}.q_vec_id = m.q_vec_id AND m.vec_id <> s{r}.vec_id
+      JOIN pairs p ON p.q_vec_id = m.q_vec_id AND p.va = m.vec_id
+                  AND p.vb = s{r}.vec_id
+    )""")
+    unions = [
+        "SELECT q_vec_id, CAST(1 AS BIGINT) AS sel_rank,"
+        " vec_id AS neighbor_id, round(score, 7) AS mmr_score FROM s1"
+    ]
+    for r in range(2, MMR_K + 1):
+        unions.append(
+            f"SELECT q_vec_id, CAST({r} AS BIGINT), vec_id, round(score, 7) FROM s{r}"
+        )
+    return "WITH " + ",".join(parts) + "\n" + "\nUNION ALL ".join(unions)
+
+
+@register("ann_mmr_rerank", oracle=_mmr_oracle())
+def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking — the diversity-aware
+    retrieval stage between ANN candidate generation and final results
+    (Carbonell & Goldstein's MMR): from each query's exact
+    top-MMR_CANDS relevance candidates, greedily select MMR_K results
+    maximizing 0.5·rel(q,x) − 0.5·max_{s∈S} sim(x,s) — relevance
+    traded against redundancy with what's already selected. Completes
+    the retrieval family: k-center maximizes diversity alone, the ANN
+    rungs maximize relevance alone, MMR balances both per query.
+
+    Determinism: every similarity is round(cos, 6) BEFORE any
+    comparison (the family discipline), so both engines score from
+    identical doubles; the MMR score is two IEEE multiplies and a
+    subtract on those; argmax ties break on vec_id; the running
+    max-to-selected is comparison-only. The greedy loop itself runs as
+    a cogrouped `applyInPandas` over (candidates, pairwise-sims) per
+    query — the per-group-sequential-algorithm pattern (a 12-candidate
+    loop is driver-logic-shaped but belongs on executors, one task per
+    query) — and replays bit-identically against the unrolled SQL twin.
+
+    Scale posture: candidate generation is whatever ANN rung serves
+    (here the exact baseline, so the oracle is self-contained);
+    re-ranking touches ONLY the per-query candidate set — MMR_CANDS
+    rows and MMR_CANDS² pair sims per query, grouped and shipped to
+    one task per query. Corpus cost is the candidate stage's; the
+    rerank is O(queries · C²) regardless of corpus size.
+    """
+    import pandas as pd
+
+    from minimapreduce_spark._pickle import register_self_by_value
+
+    register_self_by_value()
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("emb").alias("qe")
+    )
+    rel_w = W.partitionBy("q_vec_id").orderBy(F.desc("rel"), F.asc("vec_id"))
+    cand = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_vec_id"))
+        .select(
+            "q_vec_id", "vec_id",
+            F.round(cosine(F.col("qe"), F.col("emb")), 6).alias("rel"),
+        )
+        .select("q_vec_id", "vec_id", "rel", F.row_number().over(rel_w).alias("rn"))
+        .where(F.col("rn") <= MMR_CANDS)
+        .drop("rn")
+        .localCheckpoint(eager=False)  # feeds pairs AND the cogroup
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    ea = emb.select(F.col("vec_id").alias("va"), F.col("emb").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vb"), F.col("emb").alias("emb_b"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.q_vec_id") == F.col("a.q_vec_id"))
+            & (F.col("b.vec_id") != F.col("a.vec_id")),
+        )
+        .select(
+            F.col("a.q_vec_id").alias("q_vec_id"),
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+        )
+        .join(ea, "va")
+        .join(eb, "vb")
+        .select(
+            "q_vec_id", "va", "vb",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("sim"),
+        )
+    )
+
+    def mmr(key, cand_it: pd.DataFrame, pair_it: pd.DataFrame) -> pd.DataFrame:
+        qid = key[0]
+        c = cand_it.sort_values("vec_id").reset_index(drop=True)
+        sims = {
+            (int(r["va"]), int(r["vb"])): float(r["sim"])
+            for _, r in pair_it.iterrows()
+        }
+        rel = dict(zip(c["vec_id"].astype(int), c["rel"].astype(float)))
+        remaining = list(c["vec_id"].astype(int))  # ascending vec_id
+        selected: list[int] = []
+        out = []
+        for rank in range(1, MMR_K + 1):
+            best_v, best_s = None, None
+            for v in remaining:
+                if rank == 1:
+                    s = rel[v]
+                else:
+                    ms = max(sims[(v, u)] for u in selected)
+                    s = 0.5 * rel[v] - 0.5 * ms
+                # strict > keeps the FIRST (lowest vec_id) max — the
+                # SQL (score DESC, vec_id) tie-break over identical
+                # doubles
+                if best_s is None or s > best_s:
+                    best_v, best_s = v, s
+            selected.append(best_v)
+            remaining.remove(best_v)
+            # raw score out; display rounding happens JVM-side
+            out.append((qid, rank, best_v, best_s))
+        return pd.DataFrame(
+            out, columns=["q_vec_id", "sel_rank", "neighbor_id", "mmr_score"]
+        )
+
+    return (
+        cand.groupBy("q_vec_id")
+        .cogroup(pairs.groupBy("q_vec_id"))
+        .applyInPandas(
+            mmr,
+            "q_vec_id bigint, sel_rank bigint, neighbor_id bigint, mmr_score double",
+        )
+        # 7 dp, NOT the family's 6: the score is 0.5·a − 0.5·b of
+        # 6-dp values — an exact multiple of 5e-7, i.e. a 7-dp
+        # gridpoint. Rounding it to 6 dp sits exactly ON midpoints,
+        # where Spark's BigDecimal HALF_UP (exact binary expansion)
+        # and DuckDB's multiply-then-round disagree per ulp; at 7 dp
+        # every value is ~1e-17 from its gridpoint and both engines
+        # agree on "nearest" with no midpoint in reach. (Caught as a
+        # 2-rows-in-100 hash mismatch at sf0.001; neighbors matched.)
+        .withColumn("mmr_score", F.round("mmr_score", 7))
+    )

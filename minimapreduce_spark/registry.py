@@ -58,16 +58,16 @@ def register(name: str, oracle: str | None = None, bench: bool = False) -> Calla
 # never-driver-verified remainder, but CORRECTNESS_r05.json never landed
 # in the repo (the round-5 driver artifacts were not committed), so this
 # window cannot assume that verification happened. It therefore leads
-# with the nine queries registered since the r05 pin (229-237: the two
-# round-5 LATE_REGISTERED entries + the seven round-6 capabilities,
+# with the ten queries registered since the r05 pin (229-238: the two
+# round-5 LATE_REGISTERED entries + the eight round-6 capabilities,
 # each swapped in mid-round-6 before the driver ran) and fills the
-# remaining 41 slots with the round-5 remainder verbatim MINUS nine
+# remaining 40 slots with the round-5 remainder verbatim MINUS ten
 # dropped trivial queries (enumerated in DROPPED_IF_R05_MISSING below —
 # each fully covered by the pytest oracle sweep and the foreign-cwd
 # full-registry drives). Outcomes: if r05 DID run, this window
-# re-verifies 41 broad canaries and closes the book at 237/237; if it
-# did not, cumulative coverage still reaches 228/237 with only the
-# nine audited trivial queries outstanding. test_driver_contract.py
+# re-verifies 40 broad canaries and closes the book at 238/238; if it
+# did not, cumulative coverage still reaches 228/238 with only the
+# ten audited trivial queries outstanding. test_driver_contract.py
 # pins both cases.
 DRIVER_PRIORITY: list[str] = [
     # registered after the round-5 window was pinned
@@ -80,6 +80,7 @@ DRIVER_PRIORITY: list[str] = [
     "ann_ivfpq_topk",
     "quality_linear_probe",
     "embedding_kcenter_coreset",
+    "ann_mmr_rerank",
     # round-5 remainder: the four queries registered after the r04 pin
     # (never verified in r01-r04 either)
     "multimodal_jpeg_decode",
@@ -103,7 +104,6 @@ DRIVER_PRIORITY: list[str] = [
     "hhi_supplier_concentration",
     "events_transition_dwell",
     "category_share_drift",
-    "events_usage_heatmap",
     "events_wau_daily",
     "customer_reorder_intervals",
     "events_value_boxplot",
@@ -133,19 +133,19 @@ DRIVER_PRIORITY: list[str] = [
 # Queries registered AFTER the current (round-6) window was pinned. Any
 # new registration must be appended here in the same commit, so the
 # rotation test can distinguish "late, ledgered, pytest-oracle-verified"
-# from "missed". (All nine post-r05 registrations — 229-237, each
+# from "missed". (All ten post-r05 registrations — 229-238, each
 # swapped into the window before the round-6 driver ran — sit at the
 # head of the round-6 window itself, so this list is empty.)
 LATE_REGISTERED: list[str] = []
 
-# The nine round-5-remainder queries this window drops to make room for
+# The ten round-5-remainder queries this window drops to make room for
 # the post-r05 registrations (a flagship capability driver-verified
 # beats a trivial shape re-verified). Each is trivial (pure
 # projection/aggregation shapes), pytest-oracle-verified every suite
 # run, and covered by the foreign-cwd full-registry drives recorded in
 # SURVEY/SCALING. If CORRECTNESS_r05.json surfaces, they were
-# driver-verified there and cumulative coverage is 237/237; if not,
-# they are the only nine queries never driver-hash-verified.
+# driver-verified there and cumulative coverage is 238/238; if not,
+# they are the only ten queries never driver-hash-verified.
 DROPPED_IF_R05_MISSING: list[str] = [
     "dim_date_generate",
     "customer_existence_flags",
@@ -156,6 +156,7 @@ DROPPED_IF_R05_MISSING: list[str] = [
     "extract_numbers_table",
     "profile_qty_discount_grid",
     "agg_filter_clause",
+    "events_usage_heatmap",
 ]
 
 

@@ -1129,3 +1129,69 @@ def test_kcenter_coreset_invariants_and_planted_clusters(spark, tmp_path):
     sel = kcenter_select(spark, str(d), 10).toPandas()
     got_clusters = sorted(sel["vec_id"] % 10)
     assert got_clusters == list(range(10)), f"cluster coverage: {got_clusters}"
+
+
+def test_mmr_rerank_reduces_redundancy(spark):
+    """MMR semantics beyond the hash match:
+      - sel_rank 1 is exactly the top relevance candidate (the greedy
+        seed is pure relevance);
+      - every selection comes from the top-MMR_CANDS relevance pool;
+      - the POINT of MMR: the mean pairwise cosine among the 5 selected
+        is <= the mean among the top-5-by-relevance for EVERY query,
+        and strictly lower in aggregate (measured 0.036 vs 0.096 on
+        this fixture — a 63% redundancy cut for the same pool)."""
+    import numpy as np
+    import pyarrow.parquet as pa
+
+    from minimapreduce_spark.operators.similarity import (
+        MMR_CANDS,
+        ann_cosine_topk,
+        ann_mmr_rerank,
+    )
+
+    mmr = ann_mmr_rerank(spark, SF_DIR).toPandas()
+    bf = ann_cosine_topk(spark, SF_DIR).toPandas()
+
+    top1 = bf[bf["rn"] == 1].set_index("q_vec_id")["neighbor_id"]
+    r1 = mmr[mmr["sel_rank"] == 1].set_index("q_vec_id")["neighbor_id"]
+    assert (top1.loc[r1.index] == r1).all(), "greedy seed must be pure relevance"
+
+    tbl = (
+        pa.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    E = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    idx = {int(v): i for i, v in enumerate(tbl["vec_id"])}
+    vids = tbl["vec_id"].to_numpy()
+
+    # selections must come from the top-MMR_CANDS relevance pool
+    # (numpy replay; a 1e-9 band absorbs the engines' 6-dp rounding at
+    # the pool's cut line)
+    for qid, grp in mmr.groupby("q_vec_id"):
+        cos = En[idx[qid]] @ En.T
+        cos[idx[qid]] = -2.0
+        cut = np.sort(cos)[::-1][MMR_CANDS - 1]
+        pool = set(vids[cos >= cut - 1e-9])
+        assert set(grp["neighbor_id"]) <= pool, qid
+
+    def mean_pairwise(ids):
+        V = En[[idx[i] for i in ids]]
+        S = V @ V.T
+        iu = np.triu_indices(len(ids), 1)
+        return S[iu].mean()
+
+    d_mmr, d_rel = [], []
+    for qid, grp in mmr.groupby("q_vec_id"):
+        d_mmr.append(mean_pairwise(list(grp["neighbor_id"])))
+        d_rel.append(
+            mean_pairwise(
+                list(bf[(bf["q_vec_id"] == qid) & (bf["rn"] <= 5)]["neighbor_id"])
+            )
+        )
+    assert all(m <= r + 1e-12 for m, r in zip(d_mmr, d_rel))
+    assert float(np.mean(d_mmr)) < float(np.mean(d_rel)) * 0.75, (
+        np.mean(d_mmr),
+        np.mean(d_rel),
+    )

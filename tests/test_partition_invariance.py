@@ -88,6 +88,9 @@ CANDIDATES = [
     # greedy k-center: TakeOrdered argmax + integer dmin updates across
     # k driver-loop rounds must be independent of task layout
     "embedding_kcenter_coreset",
+    # MMR: the cogrouped per-query greedy loop must not depend on how
+    # candidate/pair rows arrive (group shuffle layout)
+    "ann_mmr_rerank",
 ]
 
 
