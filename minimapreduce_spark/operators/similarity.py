@@ -2431,11 +2431,21 @@ def _mmr_oracle() -> str:
     """Unrolled MMR as DuckDB SQL: exact top-MMR_CANDS relevance
     candidates per query → pairwise candidate sims → MMR_K greedy hops,
     each one (score = 0.5·rel − 0.5·maxsim-to-selected, argmax with
-    vec_id tie-break, running maxsim via greatest)."""
+    vec_id tie-break, running maxsim via greatest).
+
+    Every multiply-referenced CTE is AS MATERIALIZED: DuckDB 1.0
+    inlines CTEs by default, so the m1→…→m{{K-1}} greedy chain (each
+    hop referencing both its predecessor and `pairs`) re-expands
+    `pairs`→`cand`→`relranked` EXPONENTIALLY in MMR_K — ~40
+    instantiations of the queries×corpus cosine join, each carrying
+    two 64-double lists per row. Invisible at sf0.01 (40k-row join);
+    at the 40× scale fixture it spilled >60 GB of DuckDB temp and ran
+    >15 min, vs 20 s materialized (same rows, same hash — a pure
+    planner hint)."""
     parts = [f"""
-    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-    q AS (SELECT vec_id AS q_vec_id, emb AS qe FROM e WHERE vec_id < {N_QUERIES}),
-    relranked AS (
+    e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS MATERIALIZED (SELECT vec_id AS q_vec_id, emb AS qe FROM e WHERE vec_id < {N_QUERIES}),
+    relranked AS MATERIALIZED (
       SELECT q_vec_id, e.vec_id,
              round(list_cosine_similarity(qe, e.emb), 6) AS rel,
              row_number() OVER (
@@ -2444,8 +2454,8 @@ def _mmr_oracle() -> str:
              ) AS rn
       FROM q JOIN e ON e.vec_id <> q.q_vec_id
     ),
-    cand AS (SELECT q_vec_id, vec_id, rel FROM relranked WHERE rn <= {MMR_CANDS}),
-    pairs AS (
+    cand AS MATERIALIZED (SELECT q_vec_id, vec_id, rel FROM relranked WHERE rn <= {MMR_CANDS}),
+    pairs AS MATERIALIZED (
       SELECT a.q_vec_id, a.vec_id AS va, b.vec_id AS vb,
              round(list_cosine_similarity(ea.emb, eb.emb), 6) AS sim
       FROM cand a
@@ -2453,7 +2463,7 @@ def _mmr_oracle() -> str:
       JOIN e ea ON ea.vec_id = a.vec_id
       JOIN e eb ON eb.vec_id = b.vec_id
     ),
-    s1 AS (
+    s1 AS MATERIALIZED (
       SELECT q_vec_id, vec_id, rel AS score FROM (
         SELECT q_vec_id, vec_id, rel,
                row_number() OVER (PARTITION BY q_vec_id
@@ -2461,7 +2471,7 @@ def _mmr_oracle() -> str:
         FROM cand
       ) WHERE rn = 1
     ),
-    m1 AS (
+    m1 AS MATERIALIZED (
       SELECT c.q_vec_id, c.vec_id, c.rel, p.sim AS ms
       FROM cand c
       JOIN s1 ON s1.q_vec_id = c.q_vec_id AND c.vec_id <> s1.vec_id
@@ -2470,7 +2480,7 @@ def _mmr_oracle() -> str:
     )"""]
     for r in range(2, MMR_K + 1):
         parts.append(f"""
-    s{r} AS (
+    s{r} AS MATERIALIZED (
       SELECT q_vec_id, vec_id, score FROM (
         SELECT q_vec_id, vec_id, 0.5 * rel - 0.5 * ms AS score,
                row_number() OVER (PARTITION BY q_vec_id
@@ -2480,7 +2490,7 @@ def _mmr_oracle() -> str:
     )""")
         if r < MMR_K:
             parts.append(f"""
-    m{r} AS (
+    m{r} AS MATERIALIZED (
       SELECT m.q_vec_id, m.vec_id, m.rel, greatest(m.ms, p.sim) AS ms
       FROM m{r - 1} m
       JOIN s{r} ON s{r}.q_vec_id = m.q_vec_id AND m.vec_id <> s{r}.vec_id

@@ -68,6 +68,7 @@ QUERIES = [
     "mixture_token_budget_sample",
     "quality_linear_probe",
     "embedding_kcenter_coreset",
+    "ann_mmr_rerank",
 ]
 
 # Excluded past 10×:
