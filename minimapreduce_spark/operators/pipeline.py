@@ -77,6 +77,70 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _leakage_split_oracle() -> str:
+    from minimapreduce_spark.operators.dedup import _CLUSTER_ORACLE
+
+    return (
+        """
+    WITH cc AS ("""
+        + _CLUSTER_ORACLE
+        + """
+    ),
+    g AS (
+      SELECT d.doc_id, d.lang, coalesce(cc.cluster_id, d.doc_id) AS group_id
+      FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+    )
+    SELECT doc_id, lang, group_id,
+           CASE WHEN substr(md5(CAST(group_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                WHEN substr(md5(CAST(group_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM g
+    """
+    )
+
+
+@register("split_leakage_safe", oracle=_leakage_split_oracle())
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: hash-split by NEAR-DUP
+    CLUSTER, not by document. `split_train_test` hashes each doc_id
+    independently, so the two sides of a near-duplicate pair land in
+    different splits ~1/3 of the time — the canonical eval-
+    contamination leak (a test doc whose near-copy was trained on).
+    Here every doc inherits its dedup cluster's id (`dedup_clusters`'
+    min-label connected component over the Jaccard ≥ 0.8 pair graph;
+    singletons fall back to their own doc_id via a left join), and the
+    80/10/10 hash CASE is applied to that group id — so a whole
+    near-dup cluster moves between splits as one unit, structurally:
+    split is a pure function of group_id. The planted-pair pytest
+    shows the capability is not vacuous (clusters exist whose members
+    the per-doc split DOES separate).
+
+    Scale posture: the split itself is the same zero-shuffle hash
+    projection as `split_train_test`; the cluster labels come from the
+    dedup pass a 100 TB pipeline has already run (content-grouped,
+    banded, candidate-bounded — see dedup.py), plus one shuffle join
+    docs⋈labels on doc_id. The left join keeps singleton docs (the
+    overwhelming majority) flowing through untouched — at cluster
+    scale the label side is only the docs that participate in some
+    near-dup component."""
+    from minimapreduce_spark.operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    labels = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    g = docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("group_id"),
+    )
+    h = _hash2(F.col("group_id"))
+    return g.select(
+        "doc_id",
+        "lang",
+        "group_id",
+        F.when(h < "cd", "train").when(h < "e6", "val").otherwise("test").alias("split"),
+    )
+
+
 @register(
     "sample_stratified",
     oracle="""

@@ -163,6 +163,59 @@ def ann_cosine_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_cell_sims(emb: DataFrame) -> DataFrame:
+    """(q_vec_id, vec_id, cosine_sim) restricted to each query's routed
+    IVF cell: per-label mean centroids, route each query to its single
+    nearest centroid, exact cosines within that cell only. The shared
+    candidate stage of ann_ivf_topk (top-K cut) and ann_ivf_mmr_rerank
+    (top-MMR_CANDS pool)."""
+    # centroids: posexplode → per-(label, dim) mean → rebuild ordered array
+    cent = (
+        emb.select("label", F.posexplode("emb").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg("v").alias("av"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "av"))), lambda s: s["av"]
+            ).alias("centroid")
+        )
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("emb").alias("q_emb")
+    )
+    assign_w = W.partitionBy("q_vec_id").orderBy(F.desc("c_sim"), F.asc("label"))
+    routed = (
+        q.join(F.broadcast(cent))
+        .select(
+            "q_vec_id",
+            "q_emb",
+            "label",
+            F.round(cosine(F.col("q_emb"), F.col("centroid")), 6).alias("c_sim"),
+        )
+        .select(
+            "q_vec_id",
+            "q_emb",
+            # rename: routed's label shares lineage with emb's → qualify
+            F.col("label").alias("q_label"),
+            F.row_number().over(assign_w).alias("crn"),
+        )
+        .where(F.col("crn") == 1)
+        .drop("crn")
+    )
+    return (
+        emb.join(
+            F.broadcast(routed),
+            (F.col("label") == F.col("q_label")) & (F.col("vec_id") != F.col("q_vec_id")),
+        )
+        .select(
+            "q_vec_id",
+            "vec_id",
+            F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cosine_sim"),
+        )
+    )
+
+
 @register(
     "ann_ivf_topk",
     oracle=f"""
@@ -207,52 +260,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition only. At scale the corpus is bucketed (or bucketBy-
     written) on the partition id, so a query touches 1/n_partitions of
     the data; recall vs brute force is checked in pytest."""
-    emb = _emb(spark, sf_dir)
-    # centroids: posexplode → per-(label, dim) mean → rebuild ordered array
-    cent = (
-        emb.select("label", F.posexplode("emb").alias("dim", "v"))
-        .groupBy("label", "dim")
-        .agg(F.avg("v").alias("av"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "av"))), lambda s: s["av"]
-            ).alias("centroid")
-        )
-    )
-    q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_vec_id"), F.col("emb").alias("q_emb")
-    )
-    assign_w = W.partitionBy("q_vec_id").orderBy(F.desc("c_sim"), F.asc("label"))
-    routed = (
-        q.join(F.broadcast(cent))
-        .select(
-            "q_vec_id",
-            "q_emb",
-            "label",
-            F.round(cosine(F.col("q_emb"), F.col("centroid")), 6).alias("c_sim"),
-        )
-        .select(
-            "q_vec_id",
-            "q_emb",
-            # rename: routed's label shares lineage with emb's → qualify
-            F.col("label").alias("q_label"),
-            F.row_number().over(assign_w).alias("crn"),
-        )
-        .where(F.col("crn") == 1)
-        .drop("crn")
-    )
-    sims = (
-        emb.join(
-            F.broadcast(routed),
-            (F.col("label") == F.col("q_label")) & (F.col("vec_id") != F.col("q_vec_id")),
-        )
-        .select(
-            "q_vec_id",
-            "vec_id",
-            F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cosine_sim"),
-        )
-    )
+    sims = _ivf_cell_sims(_emb(spark, sf_dir))
     w = W.partitionBy("q_vec_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
     return (
         sims.select("q_vec_id", F.col("vec_id").alias("neighbor_id"), "cosine_sim",
@@ -2427,22 +2435,13 @@ MMR_CANDS = 12  # relevance candidates fed to the re-ranker, per query
 MMR_K = 5       # re-ranked results returned per query
 
 
-def _mmr_oracle() -> str:
-    """Unrolled MMR as DuckDB SQL: exact top-MMR_CANDS relevance
-    candidates per query → pairwise candidate sims → MMR_K greedy hops,
-    each one (score = 0.5·rel − 0.5·maxsim-to-selected, argmax with
-    vec_id tie-break, running maxsim via greatest).
-
-    Every multiply-referenced CTE is AS MATERIALIZED: DuckDB 1.0
-    inlines CTEs by default, so the m1→…→m{{K-1}} greedy chain (each
-    hop referencing both its predecessor and `pairs`) re-expands
-    `pairs`→`cand`→`relranked` EXPONENTIALLY in MMR_K — ~40
-    instantiations of the queries×corpus cosine join, each carrying
-    two 64-double lists per row. Invisible at sf0.01 (40k-row join);
-    at the 40× scale fixture it spilled >60 GB of DuckDB temp and ran
-    >15 min, vs 20 s materialized (same rows, same hash — a pure
-    planner hint)."""
-    parts = [f"""
+# Candidate-stage CTE chains for the MMR oracle. Each must define
+# e(vec_id, emb[, …]) and end with cand(q_vec_id, vec_id, rel) = the
+# top-MMR_CANDS relevance pool per query; the shared greedy-hop suffix
+# (_mmr_oracle) is candidate-source-agnostic — exactly mirroring the
+# Spark side, where _mmr_greedy reranks whatever candidate frame the
+# serving rung produced.
+_MMR_BRUTE_CAND_SQL = f"""
     e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     q AS MATERIALIZED (SELECT vec_id AS q_vec_id, emb AS qe FROM e WHERE vec_id < {N_QUERIES}),
     relranked AS MATERIALIZED (
@@ -2454,7 +2453,61 @@ def _mmr_oracle() -> str:
              ) AS rn
       FROM q JOIN e ON e.vec_id <> q.q_vec_id
     ),
-    cand AS MATERIALIZED (SELECT q_vec_id, vec_id, rel FROM relranked WHERE rn <= {MMR_CANDS}),
+    cand AS MATERIALIZED (SELECT q_vec_id, vec_id, rel FROM relranked WHERE rn <= {MMR_CANDS})"""
+
+# IVF-routed candidates: the same centroid/routing SQL as
+# ann_ivf_topk's oracle (kept literal there — this copy adds the
+# MATERIALIZED hints the greedy suffix requires), with the relevance
+# pool cut at MMR_CANDS inside the routed cell only.
+_MMR_IVF_CAND_SQL = f"""
+    e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+    dims AS MATERIALIZED (
+      SELECT label, generate_subscripts(emb, 1) AS dim, unnest(emb) AS v FROM e
+    ),
+    cent AS MATERIALIZED (
+      SELECT label, list(av ORDER BY dim) AS centroid
+      FROM (SELECT label, dim, avg(v) AS av FROM dims GROUP BY label, dim)
+      GROUP BY label
+    ),
+    q AS MATERIALIZED (SELECT vec_id AS q_vec_id, emb AS qe FROM e WHERE vec_id < {N_QUERIES}),
+    assign AS MATERIALIZED (
+      SELECT q_vec_id, qe, label,
+             row_number() OVER (
+               PARTITION BY q_vec_id
+               ORDER BY round(list_cosine_similarity(qe, centroid), 6) DESC, label
+             ) AS crn
+      FROM q, cent
+    ),
+    routed AS MATERIALIZED (SELECT q_vec_id, qe, label FROM assign WHERE crn = 1),
+    relranked AS MATERIALIZED (
+      SELECT r.q_vec_id, e.vec_id,
+             round(list_cosine_similarity(r.qe, e.emb), 6) AS rel,
+             row_number() OVER (
+               PARTITION BY r.q_vec_id
+               ORDER BY round(list_cosine_similarity(r.qe, e.emb), 6) DESC, e.vec_id
+             ) AS rn
+      FROM routed r JOIN e ON e.label = r.label AND e.vec_id <> r.q_vec_id
+    ),
+    cand AS MATERIALIZED (SELECT q_vec_id, vec_id, rel FROM relranked WHERE rn <= {MMR_CANDS})"""
+
+
+def _mmr_oracle(cand_sql: str = _MMR_BRUTE_CAND_SQL) -> str:
+    """Unrolled MMR as DuckDB SQL over the given candidate CTE chain:
+    top-MMR_CANDS relevance candidates per query → pairwise candidate
+    sims → MMR_K greedy hops, each one (score = 0.5·rel −
+    0.5·maxsim-to-selected, argmax with vec_id tie-break, running
+    maxsim via greatest).
+
+    Every multiply-referenced CTE is AS MATERIALIZED: DuckDB 1.0
+    inlines CTEs by default, so the m1→…→m{{K-1}} greedy chain (each
+    hop referencing both its predecessor and `pairs`) re-expands
+    `pairs`→`cand`→`relranked` EXPONENTIALLY in MMR_K — ~40
+    instantiations of the queries×corpus cosine join, each carrying
+    two 64-double lists per row. Invisible at sf0.01 (40k-row join);
+    at the 40× scale fixture it spilled >60 GB of DuckDB temp and ran
+    >15 min, vs 20 s materialized (same rows, same hash — a pure
+    planner hint)."""
+    parts = [cand_sql + """,
     pairs AS MATERIALIZED (
       SELECT a.q_vec_id, a.vec_id AS va, b.vec_id AS vb,
              round(list_cosine_similarity(ea.emb, eb.emb), 6) AS sim
@@ -2536,8 +2589,6 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     one task per query. Corpus cost is the candidate stage's; the
     rerank is O(queries · C²) regardless of corpus size.
     """
-    import pandas as pd
-
     from minimapreduce_spark._pickle import register_self_by_value
 
     register_self_by_value()
@@ -2558,6 +2609,20 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .localCheckpoint(eager=False)  # feeds pairs AND the cogroup
     )
+    return _mmr_greedy(cand, emb)
+
+
+def _mmr_greedy(cand: DataFrame, emb: DataFrame) -> DataFrame:
+    """The candidate-source-agnostic MMR core: pairwise sims among each
+    query's candidates, then the greedy 0.5·rel − 0.5·maxsim selection
+    as a cogrouped applyInPandas (one task per query). ``cand`` must
+    have columns (q_vec_id, vec_id, rel) — at most MMR_CANDS rows per
+    query, rel already on the 6-dp grid — and SHOULD be
+    localCheckpoint'd by the caller (it feeds both the pair self-join
+    and the cogroup). ``emb`` supplies (vec_id, emb) for the pair
+    cosines."""
+    import pandas as pd
+
     a, b = cand.alias("a"), cand.alias("b")
     ea = emb.select(F.col("vec_id").alias("va"), F.col("emb").alias("emb_a"))
     eb = emb.select(F.col("vec_id").alias("vb"), F.col("emb").alias("emb_b"))
@@ -2629,3 +2694,46 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 2-rows-in-100 hash mismatch at sf0.001; neighbors matched.)
         .withColumn("mmr_score", F.round("mmr_score", 7))
     )
+
+
+@register("ann_ivf_mmr_rerank", oracle=_mmr_oracle(_MMR_IVF_CAND_SQL), bench=True)
+def ann_ivf_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production serving path: IVF-route each query to
+    its nearest centroid cell, take the exact top-MMR_CANDS relevance
+    pool WITHIN that cell, then MMR-rerank it — candidate generation
+    at routed-cell cost (corpus/nlist per query, one bucket scan at
+    cluster scale) feeding the corpus-independent O(queries · C²)
+    greedy rerank. This is the rung the registered `ann_mmr_rerank`
+    deliberately isn't: that query feeds MMR from the exact brute
+    baseline so its oracle is self-contained and the rerank arithmetic
+    is verified against corpus-exact relevance; THIS query verifies
+    the same greedy core composed behind the routing that a real
+    vector-serving deployment uses (FAISS-style IVF → rerank).
+
+    Reuses `_ivf_cell_sims` (byte-identical routing to ann_ivf_topk)
+    and `_mmr_greedy` (byte-identical greedy core to ann_mmr_rerank),
+    so the composition adds no new arithmetic — only the new wiring is
+    under test, and the oracle mirrors it: ann_ivf_topk's routing SQL
+    chained into the same unrolled greedy-hop suffix.
+
+    Scale posture: the candidate stage inherits ann_ivf_topk's
+    contract (route via a broadcast centroid join, scan one cell —
+    sublinear per query once the corpus is bucketed by cell); the
+    rerank ships MMR_CANDS rows + MMR_CANDS² pair sims per query to
+    one task per query regardless of corpus size.
+    """
+    from minimapreduce_spark._pickle import register_self_by_value
+
+    register_self_by_value()
+
+    emb = _emb(spark, sf_dir)
+    rel_w = W.partitionBy("q_vec_id").orderBy(F.desc("rel"), F.asc("vec_id"))
+    cand = (
+        _ivf_cell_sims(emb)
+        .select("q_vec_id", "vec_id", F.col("cosine_sim").alias("rel"))
+        .select("q_vec_id", "vec_id", "rel", F.row_number().over(rel_w).alias("rn"))
+        .where(F.col("rn") <= MMR_CANDS)
+        .drop("rn")
+        .localCheckpoint(eager=False)  # feeds pairs AND the cogroup
+    )
+    return _mmr_greedy(cand, emb)

@@ -58,16 +58,16 @@ def register(name: str, oracle: str | None = None, bench: bool = False) -> Calla
 # never-driver-verified remainder, but CORRECTNESS_r05.json never landed
 # in the repo (the round-5 driver artifacts were not committed), so this
 # window cannot assume that verification happened. It therefore leads
-# with the ten queries registered since the r05 pin (229-238: the two
-# round-5 LATE_REGISTERED entries + the eight round-6 capabilities,
+# with the twelve queries registered since the r05 pin (229-240: the
+# two round-5 LATE_REGISTERED entries + the ten round-6 capabilities,
 # each swapped in mid-round-6 before the driver ran) and fills the
-# remaining 40 slots with the round-5 remainder verbatim MINUS ten
+# remaining 38 slots with the round-5 remainder verbatim MINUS twelve
 # dropped trivial queries (enumerated in DROPPED_IF_R05_MISSING below —
 # each fully covered by the pytest oracle sweep and the foreign-cwd
 # full-registry drives). Outcomes: if r05 DID run, this window
-# re-verifies 40 broad canaries and closes the book at 238/238; if it
-# did not, cumulative coverage still reaches 228/238 with only the
-# ten audited trivial queries outstanding. test_driver_contract.py
+# re-verifies 38 broad canaries and closes the book at 240/240; if it
+# did not, cumulative coverage still reaches 228/240 with only the
+# twelve audited trivial queries outstanding. test_driver_contract.py
 # pins both cases.
 DRIVER_PRIORITY: list[str] = [
     # registered after the round-5 window was pinned
@@ -81,6 +81,8 @@ DRIVER_PRIORITY: list[str] = [
     "quality_linear_probe",
     "embedding_kcenter_coreset",
     "ann_mmr_rerank",
+    "ann_ivf_mmr_rerank",
+    "split_leakage_safe",
     # round-5 remainder: the four queries registered after the r04 pin
     # (never verified in r01-r04 either)
     "multimodal_jpeg_decode",
@@ -116,9 +118,7 @@ DRIVER_PRIORITY: list[str] = [
     "langid_confusion_matrix",
     "snapshot_diff_customers",
     "tier_migration_matrix",
-    # semantics corners (5)
-    "datetime_arithmetic_showcase",
-    "array_set_ops",
+    # semantics corners (2 — minus two more dropped trivial showcases)
     "agg_grouping_id",
     "window_first_last_nth",
     # text analysis (6)
@@ -133,19 +133,19 @@ DRIVER_PRIORITY: list[str] = [
 # Queries registered AFTER the current (round-6) window was pinned. Any
 # new registration must be appended here in the same commit, so the
 # rotation test can distinguish "late, ledgered, pytest-oracle-verified"
-# from "missed". (All ten post-r05 registrations — 229-238, each
+# from "missed". (All twelve post-r05 registrations — 229-240, each
 # swapped into the window before the round-6 driver ran — sit at the
 # head of the round-6 window itself, so this list is empty.)
 LATE_REGISTERED: list[str] = []
 
-# The ten round-5-remainder queries this window drops to make room for
-# the post-r05 registrations (a flagship capability driver-verified
+# The twelve round-5-remainder queries this window drops to make room
+# for the post-r05 registrations (a flagship capability driver-verified
 # beats a trivial shape re-verified). Each is trivial (pure
-# projection/aggregation shapes), pytest-oracle-verified every suite
-# run, and covered by the foreign-cwd full-registry drives recorded in
-# SURVEY/SCALING. If CORRECTNESS_r05.json surfaces, they were
-# driver-verified there and cumulative coverage is 238/238; if not,
-# they are the only ten queries never driver-hash-verified.
+# projection/aggregation/scalar-showcase shapes), pytest-oracle-verified
+# every suite run, and covered by the foreign-cwd full-registry drives
+# recorded in SURVEY/SCALING. If CORRECTNESS_r05.json surfaces, they
+# were driver-verified there and cumulative coverage is 240/240; if
+# not, they are the only twelve queries never driver-hash-verified.
 DROPPED_IF_R05_MISSING: list[str] = [
     "dim_date_generate",
     "customer_existence_flags",
@@ -157,6 +157,8 @@ DROPPED_IF_R05_MISSING: list[str] = [
     "profile_qty_discount_grid",
     "agg_filter_clause",
     "events_usage_heatmap",
+    "datetime_arithmetic_showcase",
+    "array_set_ops",
 ]
 
 

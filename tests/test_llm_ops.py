@@ -1195,3 +1195,84 @@ def test_mmr_rerank_reduces_redundancy(spark):
         np.mean(d_mmr),
         np.mean(d_rel),
     )
+
+
+def test_ivf_mmr_composition(spark):
+    """The composed serving rung (IVF routing → MMR rerank) beyond the
+    hash match:
+      - the greedy seed equals ann_ivf_topk's rank-1 neighbor — same
+        routing, same relevance grid, same tie-breaks;
+      - every selection lies in the query's single routed cell (the
+        cell invariant the IVF family pins) AND inside that cell's
+        top-MMR_CANDS relevance pool;
+      - the rerank still earns its keep inside the cell: vs the in-cell
+        top-5-by-relevance (= ann_ivf_topk's output), mean pairwise
+        cosine among the 5 selections drops for >= 90% of queries and
+        strictly in aggregate (measured 0.053 -> -0.010 on this
+        fixture). Unlike the brute-pool twin, per-query monotonicity is
+        NOT asserted: MMR trades redundancy against relevance greedily,
+        and inside a 50-vector cell one query legitimately comes out
+        +0.002 — the aggregate is the contract."""
+    import numpy as np
+    import pyarrow.parquet as pa
+
+    from minimapreduce_spark.operators.similarity import (
+        MMR_CANDS,
+        ann_ivf_mmr_rerank,
+        ann_ivf_topk,
+    )
+
+    out = ann_ivf_mmr_rerank(spark, SF_DIR).toPandas()
+    ivf = ann_ivf_topk(spark, SF_DIR).toPandas()
+
+    top1 = ivf[ivf["rn"] == 1].set_index("q_vec_id")["neighbor_id"]
+    r1 = out[out["sel_rank"] == 1].set_index("q_vec_id")["neighbor_id"]
+    assert (top1.loc[r1.index] == r1).all(), "greedy seed must be the routed top-1"
+
+    tbl = (
+        pa.read_table(
+            f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    lab = tbl.set_index("vec_id")["label"]
+    E = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    idx = {int(v): i for i, v in enumerate(tbl["vec_id"])}
+    vids = tbl["vec_id"].to_numpy()
+    labs = tbl["label"].to_numpy()
+
+    for qid, grp in out.groupby("q_vec_id"):
+        cell = lab.loc[top1.loc[qid]]  # the routed cell's label
+        assert (lab.loc[grp["neighbor_id"]] == cell).all(), qid
+        # in-cell relevance pool (numpy replay; 1e-9 band absorbs the
+        # engines' 6-dp rounding at the pool's cut line)
+        cos = En[idx[qid]] @ En.T
+        mask = (labs == cell) & (vids != qid)
+        incell = np.sort(cos[mask])[::-1]
+        cut = incell[min(MMR_CANDS, len(incell)) - 1]
+        pool = set(vids[mask & (cos >= cut - 1e-9)])
+        assert set(grp["neighbor_id"]) <= pool, qid
+
+    def mean_pairwise(ids):
+        V = En[[idx[i] for i in ids]]
+        S = V @ V.T
+        iu = np.triu_indices(len(ids), 1)
+        return S[iu].mean()
+
+    d_mmr, d_rel = [], []
+    for qid, grp in out.groupby("q_vec_id"):
+        d_mmr.append(mean_pairwise(list(grp["neighbor_id"])))
+        d_rel.append(
+            mean_pairwise(
+                list(ivf[(ivf["q_vec_id"] == qid) & (ivf["rn"] <= 5)]["neighbor_id"])
+            )
+        )
+    improved = sum(m <= r + 1e-12 for m, r in zip(d_mmr, d_rel))
+    assert improved >= 0.9 * len(d_mmr), (improved, len(d_mmr))
+    assert float(np.mean(d_mmr)) < float(np.mean(d_rel)), (
+        np.mean(d_mmr),
+        np.mean(d_rel),
+    )

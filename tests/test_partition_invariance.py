@@ -91,6 +91,12 @@ CANDIDATES = [
     # MMR: the cogrouped per-query greedy loop must not depend on how
     # candidate/pair rows arrive (group shuffle layout)
     "ann_mmr_rerank",
+    # composed IVF→MMR: routing ties + in-cell pool cut + greedy loop,
+    # end-to-end
+    "ann_ivf_mmr_rerank",
+    # cluster-keyed split: component labels (iterative min-label joins)
+    # and the left-join fallback must be task-layout-free
+    "split_leakage_safe",
 ]
 
 

@@ -439,3 +439,41 @@ def test_mixture_sample_hash_margins_clear_double_ulp(spark):
         .first()[0]
     )
     assert min_margin > 1e9, min_margin  # ulp at 2^60 is 256
+
+
+def test_leakage_safe_split(spark):
+    """split_leakage_safe beyond the hash match:
+      - every near-dup component lands in exactly ONE split (the
+        structural leakage guard — split is a function of group_id);
+      - clustered docs carry their component id as group_id; docs in
+        no component keep their own doc_id AND therefore keep
+        split_train_test's assignment (same hash, same thresholds);
+      - the capability is not vacuous on this fixture: at least one
+        cluster exists whose members the per-doc split DOES separate;
+      - full coverage, one row per doc, train fraction still ~80%."""
+    from minimapreduce_spark.registry import REGISTRY
+
+    out = REGISTRY["split_leakage_safe"].fn(spark, SF_DIR).toPandas()
+    base = REGISTRY["split_train_test"].fn(spark, SF_DIR).toPandas()
+    cc = REGISTRY["dedup_clusters"].fn(spark, SF_DIR).toPandas()
+
+    joined = cc.merge(out, on="doc_id")
+    assert (joined.groupby("cluster_id")["split"].nunique() == 1).all(), (
+        "a near-dup cluster straddles splits — the leak this query exists to close"
+    )
+    assert (joined["group_id"] == joined["cluster_id"]).all()
+
+    singles = out[~out["doc_id"].isin(set(cc["doc_id"]))]
+    assert (singles["group_id"] == singles["doc_id"]).all()
+    bmap = base.set_index("doc_id")["split"]
+    assert (singles["split"].to_numpy() == bmap.loc[singles["doc_id"]].to_numpy()).all()
+
+    naive = cc.merge(base, on="doc_id").groupby("cluster_id")["split"].nunique()
+    assert (naive > 1).any(), (
+        "fixture has no cluster the per-doc split separates — the "
+        "leakage demonstration is vacuous; re-plant near-dups"
+    )
+
+    assert len(out) == len(base) and out["doc_id"].is_unique
+    train = (out["split"] == "train").mean()
+    assert 0.70 <= train <= 0.90, train
