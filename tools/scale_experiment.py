@@ -69,6 +69,8 @@ QUERIES = [
     "quality_linear_probe",
     "embedding_kcenter_coreset",
     "ann_mmr_rerank",
+    "ann_ivf_mmr_rerank",
+    "split_leakage_safe",
 ]
 
 # Excluded past 10×:
@@ -92,6 +94,12 @@ EXCLUDE_PAST_10X = {"ann_knn_graph_edges"}
 # engine runs fine there; each was oracle hash-matched at 1× and 10×.
 ORACLE_SKIP_PAST_10X = {
     "dedup_minhash",
+    # embeds _CLUSTER_ORACLE (the recursive-CTE closure over the full
+    # exact-Jaccard pair graph) — intractable oracle-side exactly where
+    # dedup_clusters' is; hash-matched at 1x and 10x, and the Spark
+    # side's structural guard (split = f(group_id)) is asserted at
+    # every scale by the leakage pytest
+    "split_leakage_safe",
     # same full exact-Jaccard SQL (DuckDB computes ALL pairs, then
     # filters to batch-touching), so the oracle is intractable exactly
     # where dedup_minhash's is; the Spark side stays measured, and the
