@@ -1238,3 +1238,266 @@ def token_histogram_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round(intercept, 6).alias("zipf_intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer TRAINING — the full iterative merge loop
+# ---------------------------------------------------------------------------
+
+# Symbol separator for segmentation strings: words are split on ' ' so
+# symbols can never contain a space-split artifact, and chr(31) (ASCII
+# unit separator) never occurs in the corpus (filtered defensively
+# anyway, mirrored in the oracle). A segmentation is stored as
+# "\x1fs1\x1fs2..." — separator BEFORE each symbol — so the merge fold
+# can test "last symbol == c1" as endswith(acc, SEP||c1) without ever
+# matching a symbol suffix.
+BPE_SEP = "\x1f"
+BPE_MERGE_ROUNDS = 8
+
+
+def _bpe_chain_sql(k: int, upto_seg: int) -> str:
+    """WITH-clause chain for the BPE training oracle: word-frequency
+    table, initial char segmentation, then per round r: adjacent-pair
+    counts -> argmax merge m{r} -> re-segmented seg{r}. ``upto_seg``
+    controls how many re-segmentations are emitted (k-1 suffices for
+    the merge table; k for the apply stage). Every multiply-referenced
+    CTE is AS MATERIALIZED — the MMR octave's DuckDB CTE-inlining
+    lesson (SCALING.md): a greedy chain where hop r references hop r-1
+    re-expands exponentially without the hint."""
+    parts = [
+        """
+    WITH wf AS MATERIALIZED (
+      SELECT word, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' AND NOT contains(word, chr(31))
+      GROUP BY word
+    ),
+    seg0 AS MATERIALIZED (
+      SELECT word, freq,
+             list_reduce(list_transform(string_split(word, ''),
+                                        c -> chr(31) || c),
+                         (a, b) -> a || b) AS seg
+      FROM wf
+    )"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f""",
+    pairs{r} AS (
+      SELECT cs[i.i] AS c1, cs[i.i + 1] AS c2, sum(freq) AS w
+      FROM (SELECT string_split(substr(seg, 2), chr(31)) AS cs, freq
+            FROM seg{r - 1}),
+           LATERAL (SELECT unnest(generate_series(1, len(cs) - 1)) AS i) i
+      GROUP BY 1, 2
+    ),
+    m{r} AS MATERIALIZED (
+      SELECT {r} AS rnd, c1, c2, CAST(w AS BIGINT) AS weight
+      FROM pairs{r} ORDER BY w DESC, c1, c2 LIMIT 1
+    )"""
+        )
+        if r <= upto_seg:
+            parts.append(
+                f""",
+    seg{r} AS MATERIALIZED (
+      SELECT s.word, s.freq,
+             list_reduce(
+               list_transform(string_split(substr(s.seg, 2), chr(31)),
+                              t -> chr(31) || t),
+               (acc, x) -> CASE
+                             WHEN ends_with(acc, chr(31) || m.c1)
+                              AND x = chr(31) || m.c2
+                             THEN acc || m.c2
+                             ELSE acc || x
+                           END) AS seg
+      FROM seg{r - 1} s, m{r} m
+    )"""
+            )
+    return "".join(parts)
+
+
+def _bpe_train_oracle(k: int) -> str:
+    union = " UNION ALL ".join(f"SELECT * FROM m{r}" for r in range(1, k + 1))
+    return (
+        _bpe_chain_sql(k, upto_seg=k - 1)
+        + f"""
+    SELECT CAST(rnd AS INT) AS rnd, c1, c2, weight
+    FROM ({union}) ORDER BY rnd
+    """
+    )
+
+
+def _bpe_apply_oracle(k: int) -> str:
+    return (
+        _bpe_chain_sql(k, upto_seg=k)
+        + f""",
+    sw AS MATERIALIZED (
+      SELECT source, word, count(*) AS cnt
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE word <> '' AND NOT contains(word, chr(31))
+      GROUP BY 1, 2
+    ),
+    vt AS MATERIALIZED (
+      SELECT word, len(string_split(substr(seg, 2), chr(31))) AS n_tok
+      FROM seg{k}
+    )
+    SELECT sw.source AS source,
+           CAST(sum(sw.cnt) AS BIGINT)                   AS n_words,
+           CAST(sum(sw.cnt * length(sw.word)) AS BIGINT) AS n_chars,
+           CAST(sum(sw.cnt * vt.n_tok) AS BIGINT)        AS n_tokens_bpe,
+           round(sum(sw.cnt * length(sw.word)) * 1.0
+                 / sum(sw.cnt * vt.n_tok), 6)            AS chars_per_token,
+           round(sum(sw.cnt * vt.n_tok) * 1.0
+                 / sum(sw.cnt), 6)                       AS tokens_per_word
+    FROM sw JOIN vt USING (word)
+    GROUP BY 1
+    """
+    )
+
+
+def _bpe_symbols():
+    """Column: the symbol list of the current segmentation string."""
+    return F.split(
+        F.col("seg").substr(F.lit(2), F.length("seg")), BPE_SEP
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str, k: int):
+    """Run k greedy BPE merge rounds; returns (merge_rows, final_seg_df).
+
+    Driver loop carries ONE merge pair per round (the k-means/k-center
+    pattern — bounded by contract); all per-round work is vocabulary-
+    scale: the corpus is touched exactly once, by the word-frequency
+    aggregation."""
+    docs = _docs(spark, sf_dir)
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where((F.col("word") != "") & ~F.contains("word", F.lit(BPE_SEP)))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    seg = wf.select(
+        "word",
+        "freq",
+        F.aggregate(
+            F.filter(F.split("word", ""), lambda c: c != ""),
+            F.lit(""),
+            lambda acc, c: F.concat(acc, F.lit(BPE_SEP), c),
+        ).alias("seg"),
+    ).localCheckpoint(eager=False)
+
+    rows = []
+    for r in range(1, k + 1):
+        cs = _bpe_symbols()
+        pairs = (
+            seg.where(F.size(cs) >= 2)  # guard descending sequence(0,-1)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(cs) - 2),
+                        lambda i: F.struct(
+                            F.get(cs, i).alias("c1"),
+                            F.get(cs, i + 1).alias("c2"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.c1", "p.c2")
+            .agg(F.sum("freq").cast("bigint").alias("weight"))
+        )
+        top = (
+            pairs.orderBy(F.desc("weight"), F.asc("c1"), F.asc("c2"))
+            .limit(1)
+            .collect()  # bounded: 1 row per round
+        )
+        if not top:  # vocab fully merged — cannot happen at fixture scale
+            break
+        c1, c2, w = top[0]["c1"], top[0]["c2"], int(top[0]["weight"])
+        rows.append((r, c1, c2, w))
+        merged = F.aggregate(
+            F.transform(cs, lambda s: F.concat(F.lit(BPE_SEP), s)),
+            F.lit(""),
+            lambda acc, x: F.when(
+                F.endswith(acc, F.lit(BPE_SEP + c1))
+                & (x == F.lit(BPE_SEP + c2)),
+                F.concat(acc, F.lit(c2)),
+            ).otherwise(F.concat(acc, x)),
+        )
+        seg = seg.select(
+            "word", "freq", merged.alias("seg")
+        ).localCheckpoint(eager=False)  # round r never recomputes 1..r-1
+    return rows, seg
+
+
+@register("bpe_train_merges", oracle=_bpe_train_oracle(BPE_MERGE_ROUNDS), bench=True)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL BPE tokenizer training — the iterative greedy merge loop,
+    not just one statistic: k rounds of (count adjacent symbol pairs
+    over the vocabulary, weighted by word frequency) -> (merge the
+    argmax pair everywhere) -> repeat on the re-segmented vocab. The
+    output is the learned merge table (rnd, c1, c2, weight) — the
+    tokenizer itself, in training order. `bpe_merge_candidates` ledgered
+    ONE iteration; this is the loop that makes it a trained artifact —
+    the text twin of `embedding_kmeans_lloyd`'s Lloyd rounds.
+
+    Exactness: weights are BIGINT sums of word frequencies; the argmax
+    tie-breaks (weight DESC, c1, c2) — a total order, so every round is
+    integer-identical cross-engine and the whole k-round trajectory
+    hash-matches DuckDB replaying the same chain. Merge application is
+    a left-to-right fold over the symbol list (string replace is WRONG
+    here: on shared-boundary repeats like "a a a a" a sentinel-delimited
+    replace skips every second merge site), with the segmentation kept
+    as a separator-prefixed string so "last symbol == c1" is a pure
+    endswith test that can never match a symbol suffix.
+
+    Scale posture: the corpus is read ONCE (the word-frequency agg —
+    at 100 TB this is the wordcount shuffle and nothing more); every
+    round after runs on the VOCABULARY (millions of rows vs trillions),
+    per-round driver traffic is one merge pair, and each round's frame
+    is lineage-checkpointed so round r never replays rounds 1..r-1."""
+    rows, _ = _bpe_train(spark, sf_dir, BPE_MERGE_ROUNDS)
+    return spark.createDataFrame(rows, "rnd int, c1 string, c2 string, weight bigint")
+
+
+@register("bpe_apply_token_stats", oracle=_bpe_apply_oracle(BPE_MERGE_ROUNDS))
+def bpe_apply_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving path of the trained BPE tokenizer: apply the k learned
+    merges and report per-source corpus token accounting — token count
+    under the trained segmentation, chars-per-token (the compression
+    the tokenizer buys), and tokens-per-word. The pretraining-budget
+    question ("how many tokens is this source under OUR tokenizer?")
+    answered in-engine, with the tokenizer trained in the same plan.
+
+    The trick that makes serving cheap: tokenization is applied to the
+    VOCABULARY (distinct words), never the corpus — the corpus touches
+    only a per-(source, word) count and a broadcast join against the
+    segmented vocab (vocab smaller than corpus by the Zipf factor; at
+    100 TB the join key set still fits the broadcast budget or falls
+    back to a shuffle join on the same plan). Ratios are 6-dp rounds of
+    exact-BIGINT quotients, the module's established cross-engine
+    discipline."""
+    _, seg = _bpe_train(spark, sf_dir, BPE_MERGE_ROUNDS)
+    docs = _docs(spark, sf_dir)
+    sw = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .where((F.col("word") != "") & ~F.contains("word", F.lit(BPE_SEP)))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vt = seg.select("word", F.size(_bpe_symbols()).alias("n_tok"))
+    j = sw.join(F.broadcast(vt), "word")
+    return j.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_words"),
+        F.sum(F.col("cnt") * F.length("word")).cast("bigint").alias("n_chars"),
+        F.sum(F.col("cnt") * F.col("n_tok")).cast("bigint").alias("n_tokens_bpe"),
+        F.round(
+            F.sum(F.col("cnt") * F.length("word"))
+            * 1.0
+            / F.sum(F.col("cnt") * F.col("n_tok")),
+            6,
+        ).alias("chars_per_token"),
+        F.round(
+            F.sum(F.col("cnt") * F.col("n_tok")) * 1.0 / F.sum("cnt"), 6
+        ).alias("tokens_per_word"),
+    )

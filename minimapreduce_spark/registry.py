@@ -58,16 +58,16 @@ def register(name: str, oracle: str | None = None, bench: bool = False) -> Calla
 # never-driver-verified remainder, but CORRECTNESS_r05.json never landed
 # in the repo (the round-5 driver artifacts were not committed), so this
 # window cannot assume that verification happened. It therefore leads
-# with the twelve queries registered since the r05 pin (229-240: the
-# two round-5 LATE_REGISTERED entries + the ten round-6 capabilities,
+# with the fourteen queries registered since the r05 pin (229-242: the
+# two round-5 LATE_REGISTERED entries + the twelve round-6 capabilities,
 # each swapped in mid-round-6 before the driver ran) and fills the
-# remaining 38 slots with the round-5 remainder verbatim MINUS twelve
+# remaining 36 slots with the round-5 remainder verbatim MINUS fourteen
 # dropped trivial queries (enumerated in DROPPED_IF_R05_MISSING below —
 # each fully covered by the pytest oracle sweep and the foreign-cwd
 # full-registry drives). Outcomes: if r05 DID run, this window
-# re-verifies 38 broad canaries and closes the book at 240/240; if it
-# did not, cumulative coverage still reaches 228/240 with only the
-# twelve audited trivial queries outstanding. test_driver_contract.py
+# re-verifies 36 broad canaries and closes the book at 242/242; if it
+# did not, cumulative coverage still reaches 228/242 with only the
+# fourteen audited trivial queries outstanding. test_driver_contract.py
 # pins both cases.
 DRIVER_PRIORITY: list[str] = [
     # registered after the round-5 window was pinned
@@ -83,6 +83,8 @@ DRIVER_PRIORITY: list[str] = [
     "ann_mmr_rerank",
     "ann_ivf_mmr_rerank",
     "split_leakage_safe",
+    "bpe_train_merges",
+    "bpe_apply_token_stats",
     # round-5 remainder: the four queries registered after the r04 pin
     # (never verified in r01-r04 either)
     "multimodal_jpeg_decode",
@@ -118,9 +120,8 @@ DRIVER_PRIORITY: list[str] = [
     "langid_confusion_matrix",
     "snapshot_diff_customers",
     "tier_migration_matrix",
-    # semantics corners (2 — minus two more dropped trivial showcases)
-    "agg_grouping_id",
-    "window_first_last_nth",
+    # semantics corners: all four showcase shapes now dropped (audited
+    # trivial) to window the BPE training pair
     # text analysis (6)
     "text_top_bigrams",
     "text_sentiment_lexicon",
@@ -133,19 +134,19 @@ DRIVER_PRIORITY: list[str] = [
 # Queries registered AFTER the current (round-6) window was pinned. Any
 # new registration must be appended here in the same commit, so the
 # rotation test can distinguish "late, ledgered, pytest-oracle-verified"
-# from "missed". (All twelve post-r05 registrations — 229-240, each
+# from "missed". (All fourteen post-r05 registrations — 229-242, each
 # swapped into the window before the round-6 driver ran — sit at the
 # head of the round-6 window itself, so this list is empty.)
 LATE_REGISTERED: list[str] = []
 
-# The twelve round-5-remainder queries this window drops to make room
+# The fourteen round-5-remainder queries this window drops to make room
 # for the post-r05 registrations (a flagship capability driver-verified
 # beats a trivial shape re-verified). Each is trivial (pure
 # projection/aggregation/scalar-showcase shapes), pytest-oracle-verified
 # every suite run, and covered by the foreign-cwd full-registry drives
 # recorded in SURVEY/SCALING. If CORRECTNESS_r05.json surfaces, they
-# were driver-verified there and cumulative coverage is 240/240; if
-# not, they are the only twelve queries never driver-hash-verified.
+# were driver-verified there and cumulative coverage is 242/242; if
+# not, they are the only fourteen queries never driver-hash-verified.
 DROPPED_IF_R05_MISSING: list[str] = [
     "dim_date_generate",
     "customer_existence_flags",
@@ -159,6 +160,8 @@ DROPPED_IF_R05_MISSING: list[str] = [
     "events_usage_heatmap",
     "datetime_arithmetic_showcase",
     "array_set_ops",
+    "agg_grouping_id",
+    "window_first_last_nth",
 ]
 
 

@@ -333,3 +333,79 @@ def test_duplication_gate_paths_bit_identical(spark, tmp_path):
     finally:
         dd.DUP_GATE_RATIO = 0.01
         dd._DUP_PROBE_CACHE.clear()
+
+
+def _bpe_corpus(spark, word_freqs):
+    """One doc per (word, freq): text = the word repeated freq times."""
+    rows = [
+        (i, " ".join([w] * n), "en", "synth", len(w) * n)
+        for i, (w, n) in enumerate(word_freqs)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_id: bigint, text: string, lang: string, source: string, n_chars: bigint",
+    )
+
+
+def test_bpe_train_recovers_textbook_trajectory(spark, tmp_path):
+    """The classic BPE worked example (low:5 lower:2 newest:6 widest:3)
+    has a hand-computable greedy trajectory; the trained merge table
+    must reproduce it exactly — merges AND weights. This is the
+    semantic pin the oracle can't provide: the oracle replays the same
+    chain, so a wrong greedy rule could still hash-match (the
+    graph-walk lesson)."""
+    import os
+
+    docs = _bpe_corpus(
+        spark, [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    )
+    d = str(tmp_path / "bpe_textbook")
+    os.makedirs(d)
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+    rows = q.REGISTRY["bpe_train_merges"].fn(spark, d).orderBy("rnd").collect()
+    got = [(r.rnd, r.c1, r.c2, r.weight) for r in rows[:4]]
+    # r1: e-s = 6+3 = 9 ties s-t = 9, c1 tie-break e < s; r2: es-t = 9;
+    # r3: l-o = 7 ties o-w, tie-break l < o; r4: lo-w = 5+2 = 7.
+    assert got == [
+        (1, "e", "s", 9),
+        (2, "es", "t", 9),
+        (3, "l", "o", 7),
+        (4, "lo", "w", 7),
+    ], got
+
+
+def test_bpe_merge_is_greedy_left_to_right_on_repeats(spark, tmp_path):
+    """Shared-boundary repeats are where a sentinel-delimited string
+    REPLACE silently skips every second merge site: 'aaaa' under merge
+    (a,a) must become [aa, aa], so round 2's top pair is (aa, aa) with
+    the full word frequency — not (aa, a)."""
+    import os
+
+    docs = _bpe_corpus(spark, [("aaaa", 7)])
+    d = str(tmp_path / "bpe_repeats")
+    os.makedirs(d)
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+    rows = q.REGISTRY["bpe_train_merges"].fn(spark, d).orderBy("rnd").collect()
+    assert (rows[0].c1, rows[0].c2, rows[0].weight) == ("a", "a", 21)
+    assert (rows[1].c1, rows[1].c2, rows[1].weight) == ("aa", "aa", 7)
+
+
+def test_bpe_train_weights_nonincreasing_and_apply_reconciles(spark):
+    """Two theorems on the fixture corpus: (1) the greedy max pair
+    weight is non-increasing round over round (a newly created pair's
+    count is bounded by the pair just merged); (2) the serving stats
+    must reconcile — every word is at least one token, no token has
+    fewer than one char, and training compressed something."""
+    from minimapreduce_spark.operators.text_analysis import BPE_MERGE_ROUNDS
+
+    rows = (
+        q.REGISTRY["bpe_train_merges"].fn(spark, SF_DIR).orderBy("rnd").collect()
+    )
+    assert [r.rnd for r in rows] == list(range(1, BPE_MERGE_ROUNDS + 1))
+    weights = [r.weight for r in rows]
+    assert weights == sorted(weights, reverse=True), weights
+    stats = q.REGISTRY["bpe_apply_token_stats"].fn(spark, SF_DIR).collect()
+    assert len(stats) > 0
+    for r in stats:
+        assert r.n_words <= r.n_tokens_bpe <= r.n_chars, r
+        assert r.chars_per_token >= 1.0 and r.tokens_per_word >= 1.0, r

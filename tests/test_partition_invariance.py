@@ -97,6 +97,10 @@ CANDIDATES = [
     # cluster-keyed split: component labels (iterative min-label joins)
     # and the left-join fallback must be task-layout-free
     "split_leakage_safe",
+    # BPE training: the per-round argmax (BIGINT weights, total-order
+    # tie-break) and the vocab re-segmentation fold must be independent
+    # of task layout across all k driver-loop rounds
+    "bpe_train_merges",
 ]
 
 

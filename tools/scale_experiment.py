@@ -71,6 +71,8 @@ QUERIES = [
     "ann_mmr_rerank",
     "ann_ivf_mmr_rerank",
     "split_leakage_safe",
+    "bpe_train_merges",
+    "bpe_apply_token_stats",
 ]
 
 # Excluded past 10×:
