@@ -766,3 +766,136 @@ def agg_heavy_hitters_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.item").alias("o_orderpriority"),
         F.col("e.count").cast("bigint").alias("cnt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — bounded-memory frequency estimation
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 64  # counters per row — deliberately << |users| so collisions
+#             are real at fixture scale and the one-sided error shows
+CMS_TOP = 20
+
+_CMS_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5('cms' || d.d || ':' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    f" % {CMS_W}"
+)
+
+
+def cms_bucket(d: Column, key: Column) -> Column:
+    """Portable CMS bucket: row-salted 60-bit md5 hash mod W, identical
+    in Spark and DuckDB (the ``kmv_hash60`` discipline; hash is
+    non-negative so ``%`` == ``pmod`` on both engines)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cms"), d.cast("string"), F.lit(":"), key.cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % CMS_W
+    )
+
+
+def cms_pairs(ec: DataFrame) -> DataFrame:
+    """(user_id, cnt, d, bucket): each key hashed into its D sketch
+    cells."""
+    return ec.select(
+        "user_id",
+        "cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("d"),
+    ).withColumn("bucket", cms_bucket(F.col("d"), F.col("user_id")))
+
+
+def cms_counters(ec: DataFrame) -> DataFrame:
+    """The sketch itself: D×W BIGINT counters, one map-side-combinable
+    agg. Merging shards = adding counters cell-wise (pytest-proven)."""
+    return cms_pairs(ec).groupBy("d", "bucket").agg(F.sum("cnt").alias("counter"))
+
+
+def cms_estimates(ec: DataFrame) -> DataFrame:
+    """(user_id, cnt, cms_est): point-query every key against the
+    broadcast sketch; est = min over the D row counters."""
+    return (
+        cms_pairs(ec)
+        .join(F.broadcast(cms_counters(ec)), ["d", "bucket"])
+        .groupBy("user_id", "cnt")
+        .agg(F.min("counter").alias("cms_est"))
+    )
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    oracle=f"""
+    WITH ec AS MATERIALIZED (
+      SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
+    ),
+    pairs AS MATERIALIZED (
+      SELECT user_id, cnt, d.d, {_CMS_BUCKET_SQL} AS bucket
+      FROM ec, (SELECT unnest(generate_series(0, {CMS_D - 1})) AS d) d
+    ),
+    counters AS MATERIALIZED (
+      SELECT d, bucket, sum(cnt) AS counter FROM pairs GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT p.user_id, p.cnt, min(c.counter) AS cms_est
+      FROM pairs p JOIN counters c ON p.d = c.d AND p.bucket = c.bucket
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT user_id, cnt, cms_est,
+             row_number() OVER (ORDER BY cnt DESC, user_id) AS rnk
+      FROM est
+    )
+    SELECT user_id,
+           CAST(cnt AS BIGINT)           AS exact_cnt,
+           CAST(cms_est AS BIGINT)       AS cms_est,
+           CAST(cms_est - cnt AS BIGINT) AS overest,
+           CAST(rnk AS INT)              AS rnk
+    FROM ranked WHERE rnk <= {CMS_TOP}
+    """,
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-REPRODUCIBLE Count-Min sketch: heavy-hitter frequency
+    estimation under D×W bounded state (the KMV family's missing
+    sibling — KMV answers "how many distinct", CMS answers "how often
+    is THIS key", both mergeable by construction: two shards' sketches
+    merge by adding counters cell-wise, pytest-proven). Output: the
+    top-{CMS_TOP} users by exact event count with their CMS estimate
+    and the one-sided overestimate (est ≥ exact ALWAYS — the CMS
+    theorem, asserted over every key in pytest).
+
+    Like the KMV query, the sketch uses a portable row-salted md5
+    hash so the ESTIMATES THEMSELVES hash-match DuckDB exactly —
+    integer counters, integer min, no float anywhere.
+
+    Scale posture: the sketch is D×W = {CMS_D}×{CMS_W} BIGINT counters
+    REGARDLESS of key cardinality, built by one map-side-combinable
+    aggregation; the estimate join broadcasts the sketch (it is always
+    tiny by construction). The exact-count side exists to measure the
+    guarantee in-engine — at 100 TB you'd keep only the sketch and
+    probe it with a candidate stream; here the exact twin is what
+    makes the overestimate column (and the oracle comparison)
+    meaningful. W is sized below the fixture's key cardinality on
+    purpose: collisions are the behavior under test, not an accident."""
+    from minimapreduce_spark.operators.ordered import with_bounded_rank
+
+    ev = load_table(spark, sf_dir, "events")
+    ec = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    est = cms_estimates(ec)
+    top = est.orderBy(F.desc("cnt"), F.asc("user_id")).limit(CMS_TOP)
+    return with_bounded_rank(top, F.desc("cnt"), F.asc("user_id"), out="rnk").select(
+        "user_id",
+        F.col("cnt").cast("bigint").alias("exact_cnt"),
+        F.col("cms_est").cast("bigint").alias("cms_est"),
+        (F.col("cms_est") - F.col("cnt")).cast("bigint").alias("overest"),
+        "rnk",
+    )

@@ -134,10 +134,11 @@ DRIVER_PRIORITY: list[str] = [
 # Queries registered AFTER the current (round-6) window was pinned. Any
 # new registration must be appended here in the same commit, so the
 # rotation test can distinguish "late, ledgered, pytest-oracle-verified"
-# from "missed". (All fourteen post-r05 registrations — 229-242, each
-# swapped into the window before the round-6 driver ran — sit at the
-# head of the round-6 window itself, so this list is empty.)
-LATE_REGISTERED: list[str] = []
+# from "missed". (The fourteen post-r05 registrations 229-242 sit at
+# the head of the round-6 window itself; the CMS sketch (243) landed
+# after the window was already full of flagships, so it takes the
+# late-ledgered channel — pytest-oracle-verified every suite run.)
+LATE_REGISTERED: list[str] = ["sketch_cms_heavy_hitters"]
 
 # The fourteen round-5-remainder queries this window drops to make room
 # for the post-r05 registrations (a flagship capability driver-verified

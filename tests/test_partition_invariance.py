@@ -101,6 +101,9 @@ CANDIDATES = [
     # tie-break) and the vocab re-segmentation fold must be independent
     # of task layout across all k driver-loop rounds
     "bpe_train_merges",
+    # CMS: integer counter sums + min folds — the sketch and every
+    # estimate must be identical at any shuffle width
+    "sketch_cms_heavy_hitters",
 ]
 
 

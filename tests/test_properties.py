@@ -428,3 +428,72 @@ def test_kmv_sketch_merge_equals_whole(spark):
     # estimator sanity on the registered surface
     for r in q.queries()["sketch_kmv_distinct_users"](spark, SF_DIR).collect():
         assert abs(r.kmv_est - r.n_exact) <= 0.5 * r.n_exact, r
+
+
+def test_cms_one_sided_and_mergeable(spark):
+    """The two CMS theorems, engine-side: (1) est ≥ exact for EVERY
+    key (min of counters that each include the key's own count);
+    (2) mergeability — sketching two disjoint event shards and adding
+    counters cell-wise equals sketching the union (counters are plain
+    sums, so shard roll-up never rescans). Also pins the state bound:
+    the sketch is at most D×W cells no matter the key count."""
+    from minimapreduce_spark.catalog import load_table
+    from minimapreduce_spark.operators.scale import (
+        CMS_D,
+        CMS_W,
+        cms_counters,
+        cms_estimates,
+    )
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    ec = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    est = cms_estimates(ec).collect()
+    assert len(est) > 0
+    assert all(r.cms_est >= r.cnt for r in est), [
+        r for r in est if r.cms_est < r.cnt
+    ][:3]
+
+    whole = {
+        (r.d, r.bucket): r.counter for r in cms_counters(ec).collect()
+    }
+    assert len(whole) <= CMS_D * CMS_W
+    merged: dict = {}
+    for parity in (0, 1):
+        shard = (
+            ev.where(F.col("event_id") % 2 == parity)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("cnt"))
+        )
+        for r in cms_counters(shard).collect():
+            merged[(r.d, r.bucket)] = merged.get((r.d, r.bucket), 0) + r.counter
+    assert merged == whole
+
+
+def test_cms_planted_heavy_hitter_ranks_first(spark, tmp_path):
+    """A planted 10×-dominant user must rank first with overest == 0 is
+    NOT guaranteed (collisions), but est must still bound its count and
+    the registered query must surface it at rnk 1."""
+    import os
+
+    from minimapreduce_spark import queries as q
+
+    rows = []
+    eid = 0
+    for u in range(200):
+        n = 50 if u == 7 else 5
+        for _ in range(n):
+            rows.append((eid, "2024-01-01 00:00:00", u, "click", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id: bigint, ts: string, user_id: bigint, event_type: string, value: double, props: string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = str(tmp_path / "cms_planted")
+    os.makedirs(d)
+    ev.write.parquet(os.path.join(d, "events.parquet"))
+    top = (
+        q.REGISTRY["sketch_cms_heavy_hitters"].fn(spark, d).orderBy("rnk").first()
+    )
+    assert top.user_id == 7 and top.rnk == 1
+    assert top.exact_cnt == 50 and top.cms_est >= 50
