@@ -234,6 +234,7 @@ RELATIONAL_QUERIES = [
     "events_resample_gapfill",
     "events_markov_transitions",
     "sketch_kmv_distinct_users",
+    "sketch_cms_heavy_hitters",
 ]
 
 RELATIONAL_TABLES = (
