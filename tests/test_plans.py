@@ -304,3 +304,16 @@ def test_pq_adc_scoring_stage_is_broadcast_driven(spark):
     plan = plans.physical_plan(df)
     assert plan.count("BroadcastExchange") >= 3, "codebook/LUT not broadcast"
     plans.assert_broadcast_join(df, at_least=3)
+
+
+def test_cms_sketch_broadcasts_and_bounds_shuffles(spark):
+    """Count-Min: the D×W sketch must reach the estimate join as a
+    BroadcastExchange (it is tiny by construction — never co-partition
+    the key frame against it), and the whole query stays within its
+    semantic shuffle budget (key agg, sketch agg, estimate re-agg +
+    the bounded-rank stamp)."""
+    df = _df(spark, "sketch_cms_heavy_hitters")
+    plan = plans.physical_plan(df)
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert plans.count_exchanges(df) <= 5, plans.count_exchanges(df)
