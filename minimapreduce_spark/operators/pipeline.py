@@ -1743,3 +1743,111 @@ def quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round({_PROBE_SCORE}, 6) AS score",
         f"CASE WHEN {_PROBE_SCORE} >= 0.5 THEN 1 ELSE 0 END AS keep",
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-lottery sampling — exact-k, weight ∝ token mass, integer-exact
+# ---------------------------------------------------------------------------
+
+LOTTERY_K = 50
+
+
+def _lottery_ticket(doc_id, pos):
+    """Portable 60-bit ticket for one token position — md5 of
+    'lot:<doc_id>:<pos>', identical in Spark and DuckDB (the
+    ``kmv_hash60`` discipline)."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("lot:"),
+                    doc_id.cast("string"),
+                    F.lit(":"),
+                    pos.cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def lottery_tickets(docs: DataFrame) -> DataFrame:
+    """(doc_id, ticket, n_tokens): each document's best lottery ticket —
+    min over one portable hash PER TOKEN POSITION — plus its token
+    count. Per-shard frames merge by min(ticket)/sum is unnecessary:
+    doc rows are disjoint across doc-sharded inputs, so merging is
+    union + re-top-k, and each shard needs to ship only its own top-K
+    rows (pytest-proven)."""
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).where(F.col("word") != "")
+    return (
+        toks.select(
+            "doc_id", _lottery_ticket(F.col("doc_id"), F.col("pos")).alias("t")
+        )
+        .groupBy("doc_id")
+        .agg(F.min("t").alias("ticket"), F.count("*").cast("bigint").alias("n_tokens"))
+    )
+
+
+@register(
+    "sample_token_lottery_topk",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, i.i - 1 AS pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) i
+      WHERE ws[i.i] <> ''
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             min(CAST(('0x' || substr(md5('lot:' || CAST(doc_id AS VARCHAR)
+                                      || ':' || CAST(pos AS VARCHAR)), 1, 15))
+                      AS BIGINT)) AS ticket,
+             count(*) AS n_tokens
+      FROM toks GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, ticket, CAST(n_tokens AS BIGINT) AS n_tokens,
+             row_number() OVER (ORDER BY ticket, doc_id) AS rnk
+      FROM per_doc
+    )
+    SELECT CAST(rnk AS INT) AS rnk, doc_id, ticket, n_tokens
+    FROM ranked WHERE rnk <= {LOTTERY_K}
+    """,
+)
+def sample_token_lottery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-k sampling with inclusion probability ∝ TOKEN MASS — the
+    right weighting for a token-budget subset — via a token lottery:
+    every token position gets a portable 60-bit hash ticket, a document
+    keeps its best (minimum) ticket, and the k documents with the
+    smallest tickets win. P(a doc holds the global minimum) is exactly
+    w_d/W for token counts w_d — the weighted-without-replacement race,
+    discretized so there is NO float anywhere: no -ln(u)/w exponential
+    keys whose libm ulp could flip a rank cross-engine (the ranking key
+    IS the integer ticket, and it appears in the output, hash-compared
+    exactly).
+
+    Distinct from every other sampling op in the ledger: the mixture /
+    quality / stratified samplers are Bernoulli (rate-based, output size
+    varies); the quota sampler is per-group unweighted; this is the
+    global exact-k weighted draw.
+
+    Scale posture: one corpus-linear hash pass (the same cost as
+    tokenizing), a map-side-combinable min/count agg, then a global
+    bottom-k — TakeOrdered, never a full sort. Mergeable the KMV way:
+    doc rows are disjoint across doc-sharded inputs, so each shard
+    ships only its own top-K (doc_id, ticket, n_tokens) rows and the
+    union re-takes bottom-k — pytest-proven, including the
+    only-top-K-per-shard bounded-state form."""
+    from minimapreduce_spark.operators.ordered import with_bounded_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = lottery_tickets(docs)
+    top = per_doc.orderBy(F.asc("ticket"), F.asc("doc_id")).limit(LOTTERY_K)
+    return with_bounded_rank(
+        top, F.asc("ticket"), F.asc("doc_id"), out="rnk"
+    ).select("rnk", "doc_id", "ticket", "n_tokens")

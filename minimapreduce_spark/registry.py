@@ -137,8 +137,12 @@ DRIVER_PRIORITY: list[str] = [
 # from "missed". (The fourteen post-r05 registrations 229-242 sit at
 # the head of the round-6 window itself; the CMS sketch (243) landed
 # after the window was already full of flagships, so it takes the
-# late-ledgered channel — pytest-oracle-verified every suite run.)
-LATE_REGISTERED: list[str] = ["sketch_cms_heavy_hitters"]
+# late-ledgered channel — pytest-oracle-verified every suite run, as
+# does the token-lottery sampler (244).)
+LATE_REGISTERED: list[str] = [
+    "sketch_cms_heavy_hitters",
+    "sample_token_lottery_topk",
+]
 
 # The fourteen round-5-remainder queries this window drops to make room
 # for the post-r05 registrations (a flagship capability driver-verified

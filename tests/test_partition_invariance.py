@@ -104,6 +104,9 @@ CANDIDATES = [
     # CMS: integer counter sums + min folds — the sketch and every
     # estimate must be identical at any shuffle width
     "sketch_cms_heavy_hitters",
+    # token lottery: min-ticket agg + global bottom-k over exact
+    # integers — the drawn sample must not depend on task layout
+    "sample_token_lottery_topk",
 ]
 
 

@@ -477,3 +477,91 @@ def test_leakage_safe_split(spark):
     assert len(out) == len(base) and out["doc_id"].is_unique
     train = (out["split"] == "train").mean()
     assert 0.70 <= train <= 0.90, train
+
+
+def test_lottery_ticket_matches_independent_reference(spark):
+    """The portable-hash contract, pinned against hashlib directly (not
+    the oracle, which shares the md5 formula): every sampled doc's
+    ticket must equal the min over its token positions of the
+    independently-computed 60-bit md5, and its n_tokens must equal the
+    whitespace token count."""
+    import hashlib as _hl
+
+    from pyspark.sql import functions as F
+
+    from minimapreduce_spark import queries as _q  # noqa: F401 — populate registry
+    from minimapreduce_spark.catalog import load_table
+    from minimapreduce_spark.registry import REGISTRY
+
+    sample = {
+        r.doc_id: r for r in REGISTRY["sample_token_lottery_topk"].fn(spark, SF_DIR).collect()
+    }
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_DIR, "documents")
+        .where(F.col("doc_id").isin(list(sample)))
+        .collect()
+    }
+    for doc_id, row in sample.items():
+        words = texts[doc_id].split(" ")
+        poss = [i for i, w in enumerate(words) if w != ""]
+        tickets = [
+            int(_hl.md5(f"lot:{doc_id}:{p}".encode()).hexdigest()[:15], 16)
+            for p in poss
+        ]
+        assert row.n_tokens == len(poss)
+        assert row.ticket == min(tickets), doc_id
+
+
+def test_lottery_merge_of_shard_topks_equals_whole(spark):
+    """Bounded-state mergeability: shard the corpus by doc parity, keep
+    only each shard's top-K (ticket, doc_id) rows, union, re-take the
+    bottom-K — must equal the whole-corpus sample exactly (doc rows are
+    disjoint across doc shards, so the union of shard top-Ks is a
+    superset of the global top-K)."""
+    from pyspark.sql import functions as F
+
+    from minimapreduce_spark import queries as _q  # noqa: F401 — populate registry
+    from minimapreduce_spark.catalog import load_table
+    from minimapreduce_spark.operators.pipeline import LOTTERY_K, lottery_tickets
+    from minimapreduce_spark.registry import REGISTRY
+
+    docs = load_table(spark, SF_DIR, "documents")
+    shard_rows = []
+    for parity in (0, 1):
+        shard = lottery_tickets(docs.where(F.col("doc_id") % 2 == parity))
+        shard_rows += (
+            shard.orderBy("ticket", "doc_id").limit(LOTTERY_K).collect()
+        )
+    merged = sorted((r.ticket, r.doc_id) for r in shard_rows)[:LOTTERY_K]
+    whole = [
+        (r.ticket, r.doc_id)
+        for r in REGISTRY["sample_token_lottery_topk"].fn(spark, SF_DIR)
+        .orderBy("rnk")
+        .collect()
+    ]
+    assert merged == whole
+
+
+def test_lottery_token_mass_dominance(spark, tmp_path):
+    """A planted doc holding ~91% of the corpus's token mass must win a
+    seat (inclusion ∝ token mass is the semantics; with the fixed
+    portable hash the draw is deterministic, so this asserts the
+    realized outcome of an overwhelming weight, not a tautology)."""
+    from minimapreduce_spark import queries as _q  # noqa: F401 — populate registry
+    from minimapreduce_spark.registry import REGISTRY
+
+    rows = [(0, "tok " * 2000, "en", "synth", 8000)] + [
+        (i, "w%d" % i, "en", "synth", 4) for i in range(1, 201)
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id: bigint, text: string, lang: string, source: string, n_chars: bigint",
+    )
+    d = str(tmp_path / "lottery_plant")
+    os.makedirs(d)
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+    sample = REGISTRY["sample_token_lottery_topk"].fn(spark, d).collect()
+    by_id = {r.doc_id: r for r in sample}
+    assert 0 in by_id, "the 91%-token-mass doc missed the sample"
+    assert by_id[0].n_tokens == 2000
