@@ -73,6 +73,7 @@ QUERIES = [
     "split_leakage_safe",
     "bpe_train_merges",
     "bpe_apply_token_stats",
+    "sample_token_lottery_topk",
 ]
 
 # Excluded past 10×:
