@@ -1825,7 +1825,9 @@ def sample_token_lottery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     every token position gets a portable 60-bit hash ticket, a document
     keeps its best (minimum) ticket, and the k documents with the
     smallest tickets win. P(a doc holds the global minimum) is exactly
-    w_d/W for token counts w_d — the weighted-without-replacement race,
+    w_d/W for token counts w_d (up to 2^-60 ticket collisions — each of
+    the W distinct tickets is equally likely to be the unique minimum)
+    — the weighted-without-replacement race,
     discretized so there is NO float anywhere: no -ln(u)/w exponential
     keys whose libm ulp could flip a rank cross-engine (the ranking key
     IS the integer ticket, and it appears in the output, hash-compared
