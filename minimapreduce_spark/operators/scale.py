@@ -899,3 +899,134 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cms_est") - F.col("cnt")).cast("bigint").alias("overest"),
         "rnk",
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram quantile sketch — bounded-memory distribution summary
+# ---------------------------------------------------------------------------
+
+QSK_B = 128  # histogram buckets — the sketch's whole state
+QSK_PCTS = (1, 5, 25, 50, 75, 90, 99)
+
+
+@register(
+    "sketch_quantile_prices",
+    oracle=f"""
+    WITH c AS MATERIALIZED (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem
+    ),
+    b AS (SELECT min(cents) AS lo, max(cents) AS hi, count(*) AS n FROM c),
+    pcts(pct) AS (VALUES {", ".join(f"({p})" for p in QSK_PCTS)}),
+    sk AS (
+      SELECT ((cents - lo) * {QSK_B}) // (hi - lo + 1) AS bucket,
+             count(*) AS cnt
+      FROM c, b GROUP BY 1
+    ),
+    cdf AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM sk),
+    targets AS (
+      SELECT pct, (pct * n + 99) // 100 AS target, n, lo, hi FROM pcts, b
+    ),
+    est AS (
+      SELECT t.pct, t.n, t.target, t.lo, t.hi, min(cdf.bucket) AS bucket
+      FROM targets t JOIN cdf ON cdf.cum >= t.target
+      GROUP BY 1, 2, 3, 4, 5
+    ),
+    vals AS (SELECT cents, count(*) AS vcnt FROM c GROUP BY 1),
+    vcdf AS (SELECT cents, sum(vcnt) OVER (ORDER BY cents) AS cum FROM vals),
+    exact AS (
+      SELECT t.pct, min(v.cents) AS exact_cents
+      FROM targets t JOIN vcdf v ON v.cum >= t.target GROUP BY 1
+    )
+    SELECT CAST(e.pct AS INT) AS pct,
+           CAST(e.n AS BIGINT) AS n,
+           CAST(e.target AS BIGINT) AS target_rank,
+           CAST(x.exact_cents AS BIGINT) AS exact_cents,
+           CAST(e.bucket AS INT) AS bucket,
+           CAST(e.lo + (e.bucket * (e.hi - e.lo + 1)) // {QSK_B} AS BIGINT)
+             AS est_lo_cents,
+           CAST(e.lo + ((e.bucket + 1) * (e.hi - e.lo + 1)) // {QSK_B} - 1
+                AS BIGINT) AS est_hi_cents
+    FROM est e JOIN exact x USING (pct)
+    """,
+)
+def sketch_quantile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-REPRODUCIBLE quantile sketch — the distribution member of
+    the mergeable-sketch triad (KMV: how many distinct; CMS: how often
+    is this key; THIS: where do the values sit): an equi-width
+    {QSK_B}-bucket integer histogram over l_extendedprice in cents,
+    queried for p{QSK_PCTS} with each estimate's GUARANTEED bracket
+    [est_lo, est_hi] (one bucket wide — the sketch's error bound is the
+    bucket width, by construction) alongside the exact quantile so the
+    guarantee is measured in-engine, CMS-style.
+
+    Every number is integer arithmetic end to end: cents via the
+    money-grid recovery (``grid_c``: round(price×100) — the price
+    column's native exact grid), bucket = (cents−lo)·B DIV span
+    (exact floor on both engines), counts, ceil-rank targets
+    (p·n+99) DIV 100, and bucket bounds back in cents — so the sketch
+    AND its estimates hash-match DuckDB, the family discipline.
+
+    Scale posture: the sketch is {QSK_B} BIGINT counters REGARDLESS of
+    row count, built by one map-side-combinable agg after a driver-side
+    1-row min/max bounds collect (the zorder_tile_stats analysis-phase
+    pattern); shard sketches merge by adding counters cell-wise
+    (pytest-proven). The quantile probe is a broadcast of
+    {len(QSK_PCTS)} targets against the {QSK_B}-row CDF (bounded
+    window). The exact twin aggregates per distinct value then takes
+    one two-phase running sum over the (value, count) frame — far
+    smaller than the data and never single-partition; at 100 TB you
+    would keep only the sketch and skip the twin, which exists to
+    measure the bracket guarantee, not to serve queries.
+    """
+    from minimapreduce_spark.operators.ordered import (
+        bounded_ordered,
+        with_global_running_sum,
+    )
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(grid_c("l_extendedprice").alias("cents"))
+    row = c.agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi"), F.count("*").alias("n")
+    ).head()
+    lo, hi, n = int(row.lo), int(row.hi), int(row.n)
+    span = hi - lo + 1
+
+    sk = c.groupBy(
+        F.expr(f"(cents - {lo}L) * {QSK_B} DIV {span}L").alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+    one, w = bounded_ordered(sk, "bucket")
+    cdf = one.select(
+        "bucket",
+        F.sum("cnt").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum"),
+    )
+
+    targets = spark.createDataFrame(
+        [(p, (p * n + 99) // 100) for p in QSK_PCTS], "pct: int, target: bigint"
+    )
+    est = (
+        cdf.join(F.broadcast(targets), F.col("cum") >= F.col("target"))
+        .groupBy("pct", "target")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+
+    vals = c.groupBy("cents").agg(F.count("*").alias("vcnt"))
+    vcdf = with_global_running_sum(vals, [F.col("cents")], F.col("vcnt"), out="cum")
+    exact = (
+        vcdf.join(F.broadcast(targets), F.col("cum") >= F.col("target"))
+        .groupBy("pct")
+        .agg(F.min("cents").alias("exact_cents"))
+    )
+
+    return (
+        est.join(exact, "pct")
+        .select(
+            F.col("pct").cast("int").alias("pct"),
+            F.lit(n).cast("bigint").alias("n"),
+            F.col("target").cast("bigint").alias("target_rank"),
+            F.col("exact_cents").cast("bigint").alias("exact_cents"),
+            F.col("bucket").cast("int").alias("bucket"),
+            F.expr(f"{lo}L + bucket * {span}L DIV {QSK_B}").cast("bigint").alias("est_lo_cents"),
+            F.expr(f"{lo}L + (bucket + 1) * {span}L DIV {QSK_B} - 1").cast("bigint").alias("est_hi_cents"),
+        )
+    )

@@ -2737,3 +2737,218 @@ def ann_ivf_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # feeds pairs AND the cogroup
     )
     return _mmr_greedy(cand, emb)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval — lexical + semantic channels fused by reciprocal rank
+# ---------------------------------------------------------------------------
+
+HY_NQ = 8  # doc_id/vec_id < HY_NQ are the query documents
+HY_CAND_K = 20  # candidates kept per channel
+HY_RRF_K = 60  # the standard RRF dampening constant
+HY_RRF_SCALE = 10**12  # integer RRF: contribution = SCALE DIV (K + rank)
+HY_TOPK = 10  # fused results returned per query
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+                                        w -> w <> '')) AS word
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    tfw AS MATERIALIZED (
+      SELECT doc_id, word,
+             tf * CAST(round(ln(n.n * 1.0 / dfreq.df) * 10000) AS BIGINT) AS w
+      FROM tf JOIN dfreq USING (word), n
+      WHERE dfreq.df * 10 <= n.n * 9
+    ),
+    norms AS MATERIALIZED (SELECT doc_id, sum(w * w) AS nsq FROM tfw GROUP BY 1),
+    ldots AS (
+      SELECT q.doc_id AS q_doc_id, c.doc_id AS doc_id, sum(q.w * c.w) AS dot
+      FROM tfw q JOIN tfw c USING (word)
+      WHERE q.doc_id < {HY_NQ} AND c.doc_id >= {HY_NQ}
+      GROUP BY 1, 2
+    ),
+    lex AS (
+      SELECT ldots.q_doc_id, ldots.doc_id,
+             row_number() OVER (
+               PARTITION BY q_doc_id
+               ORDER BY round(CAST(dot AS DOUBLE)
+                              / (sqrt(CAST(nq.nsq AS DOUBLE))
+                                 * sqrt(CAST(nc.nsq AS DOUBLE))), 6) DESC,
+                        ldots.doc_id
+             ) AS lex_rank
+      FROM ldots
+      JOIN norms nq ON ldots.q_doc_id = nq.doc_id
+      JOIN norms nc ON ldots.doc_id = nc.doc_id
+    ),
+    lexk AS (SELECT * FROM lex WHERE lex_rank <= {HY_CAND_K}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    sem AS (
+      SELECT q.vec_id AS q_doc_id, c.vec_id AS doc_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(q.emb, c.emb), 6) DESC,
+                        c.vec_id
+             ) AS sem_rank
+      FROM e q JOIN e c ON q.vec_id < {HY_NQ} AND c.vec_id >= {HY_NQ}
+    ),
+    semk AS (SELECT * FROM sem WHERE sem_rank <= {HY_CAND_K}),
+    fused AS (
+      SELECT COALESCE(l.q_doc_id, s.q_doc_id) AS q_doc_id,
+             COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             l.lex_rank, s.sem_rank,
+             COALESCE({HY_RRF_SCALE} // (l.lex_rank + {HY_RRF_K}), 0)
+               + COALESCE({HY_RRF_SCALE} // (s.sem_rank + {HY_RRF_K}), 0)
+               AS rrf_score
+      FROM lexk l
+      FULL JOIN semk s ON l.q_doc_id = s.q_doc_id AND l.doc_id = s.doc_id
+    ),
+    ranked AS (
+      SELECT q_doc_id, doc_id, lex_rank, sem_rank, rrf_score,
+             row_number() OVER (
+               PARTITION BY q_doc_id ORDER BY rrf_score DESC, doc_id
+             ) AS fused_rank
+      FROM fused
+    )
+    SELECT CAST(q_doc_id AS BIGINT) AS q_doc_id,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(lex_rank AS INT) AS lex_rank,
+           CAST(sem_rank AS INT) AS sem_rank,
+           CAST(rrf_score AS BIGINT) AS rrf_score,
+           CAST(fused_rank AS INT) AS fused_rank
+    FROM ranked WHERE fused_rank <= {HY_TOPK}
+    """,
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the standard RAG
+    serving shape the ledger's two channels feed but never composed:
+    a LEXICAL channel (sparse TF-IDF cosine of each query document
+    against the corpus, the doc_pair_cosine_tfidf machinery restricted
+    to query×corpus pairs) and a SEMANTIC channel (dense embedding
+    cosine, the ann_cosine_topk machinery), each producing a per-query
+    top-{HY_CAND_K} ranking, fused by RRF and cut to the final
+    top-{HY_TOPK}. Documents 0..{HY_NQ}-1 are the query set (their
+    embeddings are id-aligned rows of the embeddings table); the rest
+    of the corpus is the search target.
+
+    INTEGER RRF: the textbook score Σ 1/(k+rank) ranks on libm-free but
+    still float division; here each channel contributes
+    ``{HY_RRF_SCALE} DIV (rank + {HY_RRF_K})`` — an exact BIGINT that
+    appears in the output and hash-compares cross-engine, with doc_id
+    breaking the (rare, and pytest-planted) sum ties. A channel miss
+    contributes exactly 0, so single-channel hits compete on half
+    strength — the RRF semantics, discretized. Channel ranks use the
+    family's rounded-cosine-then-id discipline (6 dp; see module
+    docstring), and the lexical weights are the BIGINT ten-thousandths
+    IDF quantization of doc_pair_cosine_tfidf, so every ranking input
+    is either exact or round-pinned.
+
+    Scale posture: the query side of both channels is tiny by
+    construction ({HY_NQ} docs) — the lexical query term vectors and
+    the query embeddings both broadcast, so the corpus is scanned once
+    per channel and never shuffled pairwise (the lexical join fans out
+    only on shared surviving terms; universal terms are pruned at
+    df > 0.9N — the fanout/skew knob, set high because the fixture's
+    vocabulary is 31 terms with df ~ 0.8N (a crawl corpus would use
+    the doc_pair_cosine_tfidf N/2 cut); the
+    semantic join is the brute-force baseline that IVF routing would
+    replace at 100 TB — swap `_ivf_cell_sims` in unchanged, as
+    ann_ivf_mmr_rerank does for MMR). The fusion stage is bounded at
+    {HY_NQ}×2×{HY_CAND_K} rows: full-outer equi-join + one bounded
+    window. No reference analog (the reference's closest surface is
+    the indexer app, mrapps/indexer.go:15-30).
+    """
+    from minimapreduce_spark.catalog import fan_out
+    from minimapreduce_spark.operators.text_analysis import _tokens
+
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    iw = F.round(F.log(F.col("n") / F.col("df")) * 10000).cast("bigint")
+    tfw = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n))
+        .where(F.col("df") * 10 <= F.col("n") * 9)
+        .select("doc_id", "word", (F.col("tf") * iw).alias("w"))
+        .localCheckpoint(eager=False)  # read 3x: query side, corpus side, norms
+    )
+    norms = tfw.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("nsq"))
+    qw = tfw.where(F.col("doc_id") < HY_NQ).select(
+        F.col("doc_id").alias("q_doc_id"), "word", F.col("w").alias("qw")
+    )
+    cw = tfw.where(F.col("doc_id") >= HY_NQ)
+    ldots = (
+        cw.join(F.broadcast(qw), "word")
+        .groupBy("q_doc_id", "doc_id")
+        .agg(F.sum(F.col("qw") * F.col("w")).alias("dot"))
+    )
+    nq = norms.select(F.col("doc_id").alias("q_doc_id"), F.col("nsq").alias("nsq_q"))
+    nc = norms.select("doc_id", F.col("nsq").alias("nsq_c"))
+    lex_cos = F.round(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("nsq_q").cast("double")) * F.sqrt(F.col("nsq_c").cast("double"))),
+        6,
+    )
+    chan_w = W.partitionBy("q_doc_id")
+    lexk = (
+        ldots.join(F.broadcast(nq), "q_doc_id")
+        .join(nc, "doc_id")
+        .select(
+            "q_doc_id",
+            "doc_id",
+            F.row_number()
+            .over(chan_w.orderBy(lex_cos.desc(), F.asc("doc_id")))
+            .alias("lex_rank"),
+        )
+        .where(F.col("lex_rank") <= HY_CAND_K)
+    )
+    emb = _emb(spark, sf_dir)
+    qe = emb.where(F.col("vec_id") < HY_NQ).select(
+        F.col("vec_id").alias("q_doc_id"), F.col("emb").alias("q_emb")
+    )
+    sem_cos = F.round(cosine(F.col("q_emb"), F.col("emb")), 6)
+    semk = (
+        emb.where(F.col("vec_id") >= HY_NQ)
+        .join(F.broadcast(qe))
+        .select(
+            "q_doc_id",
+            F.col("vec_id").alias("doc_id"),
+            F.row_number()
+            .over(chan_w.orderBy(sem_cos.desc(), F.asc("vec_id")))
+            .alias("sem_rank"),
+        )
+        .where(F.col("sem_rank") <= HY_CAND_K)
+    )
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.expr(f"CAST({HY_RRF_SCALE} AS BIGINT) DIV (CAST({r} AS BIGINT) + {HY_RRF_K})"),
+        F.lit(0).cast("bigint"),
+    )
+    fused = lexk.join(semk, ["q_doc_id", "doc_id"], "full_outer").withColumn(
+        "rrf_score", contrib("lex_rank") + contrib("sem_rank")
+    )
+    return (
+        fused.withColumn(
+            "fused_rank",
+            F.row_number().over(chan_w.orderBy(F.desc("rrf_score"), F.asc("doc_id"))),
+        )
+        .where(F.col("fused_rank") <= HY_TOPK)
+        .select(
+            F.col("q_doc_id").cast("bigint").alias("q_doc_id"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("sem_rank").cast("int").alias("sem_rank"),
+            F.col("rrf_score").cast("bigint").alias("rrf_score"),
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+        )
+    )

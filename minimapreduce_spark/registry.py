@@ -142,6 +142,8 @@ DRIVER_PRIORITY: list[str] = [
 LATE_REGISTERED: list[str] = [
     "sketch_cms_heavy_hitters",
     "sample_token_lottery_topk",
+    "hybrid_rrf_retrieval",
+    "sketch_quantile_prices",
 ]
 
 # The fourteen round-5-remainder queries this window drops to make room

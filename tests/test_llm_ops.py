@@ -1276,3 +1276,75 @@ def test_ivf_mmr_composition(spark):
         np.mean(d_mmr),
         np.mean(d_rel),
     )
+
+
+def test_hybrid_rrf_fusion_planted(spark, tmp_path):
+    """RRF semantics on a planted corpus: a document ranked 2 in BOTH
+    channels must beat the documents ranked 1 in only one channel
+    (2·⌊S/62⌋ > ⌊S/61⌋), single-channel rank-1 docs tie and break by
+    doc_id, and every row's rrf_score must equal the hand-computed
+    integer contributions of its printed ranks."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.operators.similarity import (
+        HY_NQ,
+        HY_RRF_K,
+        HY_RRF_SCALE,
+    )
+
+    docs, embs = [], []
+    # query docs 0..HY_NQ-1: q0 is the probe, the rest are inert
+    docs.append((0, "alpha beta", "en", "plant", 10))
+    embs.append((0, [1.0, 0.0, 0.0, 0.0], 0))
+    for i in range(1, HY_NQ):
+        docs.append((i, f"qfiller{i} qfiller{i}", "en", "plant", 10))
+        embs.append((i, [0.0, 0.0, 1.0, float(i)], 0))
+    # doc A (id 10): lexical rank 1 only (identical text, orthogonal emb)
+    docs.append((10, "alpha beta", "en", "plant", 10))
+    embs.append((10, [0.0, 1.0, 0.0, 0.0], 1))
+    # doc X (id 11): rank 2 in BOTH channels
+    docs.append((11, "alpha beta xgram", "en", "plant", 16))
+    embs.append((11, [1.0, 0.35, 0.0, 0.0], 1))
+    # doc B (id 12): semantic rank 1 only (near-parallel emb, alien text)
+    docs.append((12, "bgram bgram", "en", "plant", 11))
+    embs.append((12, [1.0, 0.05, 0.0, 0.0], 1))
+    # 24 fillers: disjoint vocab (never lexical candidates), sem cosine
+    # strictly between X's and A's 0 so A falls outside the sem top-20
+    for j in range(24):
+        docs.append((20 + j, f"filler{j} filler{j} filler{j}", "en", "plant", 20))
+        embs.append((20 + j, [1.0, 1.0 + j * 0.05, 0.0, 0.0], 2))
+    d = str(tmp_path / "rrf_planted")
+    os.makedirs(d)
+    spark.createDataFrame(
+        docs, "doc_id: bigint, text: string, lang: string, source: string, n_chars: bigint"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    spark.createDataFrame(
+        embs, "vec_id: bigint, embedding: array<float>, label: int"
+    ).withColumn("embedding", F.col("embedding").cast("array<float>")).write.parquet(
+        os.path.join(d, "embeddings.parquet")
+    )
+
+    out = q.REGISTRY["hybrid_rrf_retrieval"].fn(spark, d).toPandas()
+    q0 = out[out.q_doc_id == 0].sort_values("fused_rank").reset_index(drop=True)
+
+    c = lambda r: HY_RRF_SCALE // (int(r) + HY_RRF_K)  # noqa: E731
+    # X fused first on two rank-2 hits; A and B rank-1 singles tie, id order
+    assert list(q0.doc_id[:3]) == [11, 10, 12], q0.head(6)
+    assert (q0.lex_rank[0], q0.sem_rank[0]) == (2, 2)
+    assert q0.rrf_score[0] == 2 * c(2)
+    assert q0.rrf_score[1] == q0.rrf_score[2] == c(1)
+    assert 2 * c(2) > c(1), "RRF discretization must preserve the fusion win"
+    # every output row's score is exactly the sum of its printed ranks'
+    # integer contributions (channel miss = 0) — oracle-independent
+    for row in out.itertuples():
+        want = (0 if row.lex_rank != row.lex_rank else c(row.lex_rank)) + (
+            0 if row.sem_rank != row.sem_rank else c(row.sem_rank)
+        )
+        assert row.rrf_score == want, row
+    # A must be OUTSIDE the semantic candidate set (that's what makes it
+    # a single-channel hit): its sem_rank column is NaN
+    assert q0[q0.doc_id == 10].sem_rank.isna().all()
+    assert q0[q0.doc_id == 12].lex_rank.isna().all()

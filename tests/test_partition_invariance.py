@@ -107,6 +107,12 @@ CANDIDATES = [
     # token lottery: min-ticket agg + global bottom-k over exact
     # integers — the drawn sample must not depend on task layout
     "sample_token_lottery_topk",
+    # hybrid RRF: rounded-cosine channel ranks + integer fused scores —
+    # the final ranking must not depend on task layout
+    "hybrid_rrf_retrieval",
+    # quantile sketch: integer histogram + two-phase running sum —
+    # brackets and exact quantiles must not depend on task layout
+    "sketch_quantile_prices",
 ]
 
 

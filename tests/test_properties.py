@@ -497,3 +497,82 @@ def test_cms_planted_heavy_hitter_ranks_first(spark, tmp_path):
     )
     assert top.user_id == 7 and top.rnk == 1
     assert top.exact_cnt == 50 and top.cms_est >= 50
+
+
+def test_quantile_sketch_bracket_and_state_bound(spark):
+    """The sketch theorem: every exact quantile must sit inside its
+    one-bucket bracket, brackets are ≤ ceil(span/B) wide, and the
+    sketch state is ≤ B counters regardless of input size."""
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.operators.money import grid_c
+    from minimapreduce_spark.operators.scale import QSK_B
+    from tests.conftest import SF_DIR
+
+    out = q.REGISTRY["sketch_quantile_prices"].fn(spark, SF_DIR).toPandas()
+    assert len(out) == 7
+    for r in out.itertuples():
+        assert r.est_lo_cents <= r.exact_cents <= r.est_hi_cents, r
+        assert r.target_rank == -(-r.pct * r.n // 100), r  # ceil
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    c = li.select(grid_c("l_extendedprice").alias("cents"))
+    row = c.agg(F.min("cents"), F.max("cents")).head()
+    span = int(row[1]) - int(row[0]) + 1
+    width = -(-span // QSK_B)  # ceil(span/B) — the guarantee
+    assert all(
+        (r.est_hi_cents - r.est_lo_cents + 1) <= width for r in out.itertuples()
+    )
+    # state bound: the histogram itself never exceeds B cells
+    lo = int(row[0])
+    sk = c.groupBy(
+        F.expr(f"(cents - {lo}L) * {QSK_B} DIV {span}L").alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+    assert sk.count() <= QSK_B
+
+
+def test_quantile_sketch_mergeable_and_planted(spark, tmp_path):
+    """Shard histograms merge by cell-wise counter addition (under the
+    shared bucketization that the driver-side bounds collect pins —
+    the analog of CMS's shared hash salts), and a planted 1..100-dollar
+    ladder yields hand-computed exact quantiles."""
+    import os
+
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.operators.money import grid_c
+    from minimapreduce_spark.operators.scale import QSK_B
+    from tests.conftest import SF_DIR
+
+    # mergeability on the real fixture: split lineitem by orderkey parity
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", grid_c("l_extendedprice").alias("cents")
+    )
+    row = li.agg(F.min("cents"), F.max("cents")).head()
+    lo, span = int(row[0]), int(row[1]) - int(row[0]) + 1
+    bucket = F.expr(f"(cents - {lo}L) * {QSK_B} DIV {span}L").alias("bucket")
+
+    def hist(df):
+        return {
+            r.bucket: r.cnt
+            for r in df.groupBy(bucket).agg(F.count("*").alias("cnt")).collect()
+        }
+
+    whole = hist(li)
+    a = hist(li.where(F.col("l_orderkey") % 2 == 0))
+    b = hist(li.where(F.col("l_orderkey") % 2 == 1))
+    merged = {k: a.get(k, 0) + b.get(k, 0) for k in set(a) | set(b)}
+    assert merged == whole
+
+    # planted ladder: prices 1.00 .. 100.00 — p50 = 50.00 exactly
+    rows = [(i, float(i)) for i in range(1, 101)]
+    d = str(tmp_path / "qsk_planted")
+    os.makedirs(d)
+    spark.createDataFrame(
+        rows, "l_orderkey: bigint, l_extendedprice: double"
+    ).write.parquet(os.path.join(d, "lineitem.parquet"))
+    out = (
+        q.REGISTRY["sketch_quantile_prices"].fn(spark, d).toPandas().set_index("pct")
+    )
+    # exact quantile at ceil-rank: value #target in the sorted ladder
+    for pct in (1, 5, 25, 50, 75, 90, 99):
+        target = -(-pct * 100 // 100)
+        assert out.loc[pct].exact_cents == target * 100, (pct, out.loc[pct])
+        assert out.loc[pct].est_lo_cents <= target * 100 <= out.loc[pct].est_hi_cents
