@@ -948,6 +948,7 @@ QSK_PCTS = (1, 5, 25, 50, 75, 90, 99)
                 AS BIGINT) AS est_hi_cents
     FROM est e JOIN exact x USING (pct)
     """,
+    bench=True,
 )
 def sketch_quantile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACTLY-REPRODUCIBLE quantile sketch — the distribution member of
@@ -967,10 +968,11 @@ def sketch_quantile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND its estimates hash-match DuckDB, the family discipline.
 
     Scale posture: the sketch is {QSK_B} BIGINT counters REGARDLESS of
-    row count, built by one map-side-combinable agg after a driver-side
-    1-row min/max bounds collect (the zorder_tile_stats analysis-phase
-    pattern); shard sketches merge by adding counters cell-wise
-    (pytest-proven). The quantile probe is a broadcast of
+    row count, built from ONE scan of the fact
+    table: a (value, count) agg first, then bounds (a driver-side 1-row
+    collect, the zorder_tile_stats analysis-phase pattern), histogram,
+    and exact CDF all run on that distinct-value frame; shard sketches
+    merge by adding counters cell-wise (pytest-proven). The quantile probe is a broadcast of
     {len(QSK_PCTS)} targets against the {QSK_B}-row CDF (bounded
     window). The exact twin aggregates per distinct value then takes
     one two-phase running sum over the (value, count) frame — far
@@ -986,15 +988,24 @@ def sketch_quantile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     c = li.select(grid_c("l_extendedprice").alias("cents"))
-    row = c.agg(
-        F.min("cents").alias("lo"), F.max("cents").alias("hi"), F.count("*").alias("n")
+    # ONE pass over the fact table: everything downstream — bounds,
+    # histogram, exact CDF — runs on the distinct-value frame, which is
+    # bounded by the price grid, not the row count (the 40x run spent
+    # 2/3 of its wall re-scanning lineitem for bounds + histogram + CDF
+    # before this restructure).
+    vals = c.groupBy("cents").agg(F.count("*").alias("vcnt")).localCheckpoint(
+        eager=False
+    )
+    row = vals.agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi"),
+        F.sum("vcnt").alias("n"),
     ).head()
     lo, hi, n = int(row.lo), int(row.hi), int(row.n)
     span = hi - lo + 1
 
-    sk = c.groupBy(
+    sk = vals.groupBy(
         F.expr(f"(cents - {lo}L) * {QSK_B} DIV {span}L").alias("bucket")
-    ).agg(F.count("*").alias("cnt"))
+    ).agg(F.sum("vcnt").alias("cnt"))
     one, w = bounded_ordered(sk, "bucket")
     cdf = one.select(
         "bucket",
@@ -1010,7 +1021,6 @@ def sketch_quantile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("bucket").alias("bucket"))
     )
 
-    vals = c.groupBy("cents").agg(F.count("*").alias("vcnt"))
     vcdf = with_global_running_sum(vals, [F.col("cents")], F.col("vcnt"), out="cum")
     exact = (
         vcdf.join(F.broadcast(targets), F.col("cum") >= F.col("target"))

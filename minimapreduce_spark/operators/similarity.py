@@ -101,22 +101,21 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_cosine_topk_numpy", oracle=_BRUTE_FORCE_ORACLE)
-def ann_cosine_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k, Arrow/numpy path: the query matrix is
+def _brute_sims_numpy(spark: SparkSession, emb: DataFrame, n_queries: int) -> DataFrame:
+    """(q_vec_id, vec_id, cosine_sim_raw) for every query (vec_id <
+    n_queries) × corpus row, Arrow/numpy path: the query matrix is
     collected (bounded — the query set is small by contract at any
     corpus scale) and shipped as an EXPLICIT SparkContext broadcast:
     the matrix serializes once per executor instead of once per task
     closure, and the mapInPandas stage scores each Arrow batch with one
-    BLAS matmul (batch × queries). Same answer as ann_cosine_topk; this
-    is the shape to prefer when the vector math outgrows codegen'd
-    folds (high dims, many queries) — per-batch matmul amortizes the
-    Python boundary to one call per ~10k rows."""
+    BLAS matmul (batch × queries) — the shape to prefer when the vector
+    math outgrows codegen'd folds (high dims, many queries); per-batch
+    matmul amortizes the Python boundary to one call per ~10k rows.
+    Self-pairs are dropped; callers round JVM-side before ranking."""
     import numpy as np
 
-    emb = _emb(spark, sf_dir)
     q_rows = (
-        emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "emb").collect()
+        emb.where(F.col("vec_id") < n_queries).select("vec_id", "emb").collect()
     )
     q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     Q = np.stack([np.asarray(r.emb, dtype=np.float64) for r in q_rows])
@@ -146,9 +145,17 @@ def ann_cosine_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from minimapreduce_spark._pickle import register_self_by_value
 
     register_self_by_value()
-    sims = emb.select("vec_id", "emb").mapInPandas(
+    return emb.select("vec_id", "emb").mapInPandas(
         score, "q_vec_id long, vec_id long, cosine_sim_raw double"
     )
+
+
+@register("ann_cosine_topk_numpy", oracle=_BRUTE_FORCE_ORACLE)
+def ann_cosine_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the Arrow/numpy batch scorer
+    (``_brute_sims_numpy``). Same answer as ann_cosine_topk."""
+    emb = _emb(spark, sf_dir)
+    sims = _brute_sims_numpy(spark, emb, N_QUERIES)
     # Round JVM-side (HALF_UP, matching the oracle) — numpy's half-even
     # np.round would disagree with SQL round at exact .5 ulps.
     w = W.partitionBy("q_vec_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -2824,6 +2831,7 @@ HY_TOPK = 10  # fused results returned per query
            CAST(fused_rank AS INT) AS fused_rank
     FROM ranked WHERE fused_rank <= {HY_TOPK}
     """,
+    bench=True,
 )
 def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval with reciprocal-rank fusion — the standard RAG
@@ -2857,9 +2865,11 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     df > 0.9N — the fanout/skew knob, set high because the fixture's
     vocabulary is 31 terms with df ~ 0.8N (a crawl corpus would use
     the doc_pair_cosine_tfidf N/2 cut); the
-    semantic join is the brute-force baseline that IVF routing would
-    replace at 100 TB — swap `_ivf_cell_sims` in unchanged, as
-    ann_ivf_mmr_rerank does for MMR). The fusion stage is bounded at
+    semantic channel scores Arrow batches with one BLAS matmul against
+    the broadcast query matrix — `_brute_sims_numpy`, the
+    ann_cosine_topk_numpy scorer — and is the brute-force baseline that
+    IVF routing would replace at 100 TB: swap `_ivf_cell_sims` in
+    unchanged, as ann_ivf_mmr_rerank does for MMR). The fusion stage is bounded at
     {HY_NQ}×2×{HY_CAND_K} rows: full-outer equi-join + one bounded
     window. No reference analog (the reference's closest surface is
     the indexer app, mrapps/indexer.go:15-30).
@@ -2872,6 +2882,7 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)  # tokenize ONCE: feeds dfreq AND tfw
     )
     dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n"))
@@ -2914,18 +2925,18 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("lex_rank") <= HY_CAND_K)
     )
     emb = _emb(spark, sf_dir)
-    qe = emb.where(F.col("vec_id") < HY_NQ).select(
-        F.col("vec_id").alias("q_doc_id"), F.col("emb").alias("q_emb")
-    )
-    sem_cos = F.round(cosine(F.col("q_emb"), F.col("emb")), 6)
+    sem = _brute_sims_numpy(spark, emb, HY_NQ).where(F.col("vec_id") >= HY_NQ)
     semk = (
-        emb.where(F.col("vec_id") >= HY_NQ)
-        .join(F.broadcast(qe))
+        sem.select(
+            F.col("q_vec_id").alias("q_doc_id"),
+            F.col("vec_id").alias("doc_id"),
+            F.round("cosine_sim_raw", 6).alias("sem_cos"),
+        )
         .select(
             "q_doc_id",
-            F.col("vec_id").alias("doc_id"),
+            "doc_id",
             F.row_number()
-            .over(chan_w.orderBy(sem_cos.desc(), F.asc("vec_id")))
+            .over(chan_w.orderBy(F.desc("sem_cos"), F.asc("doc_id")))
             .alias("sem_rank"),
         )
         .where(F.col("sem_rank") <= HY_CAND_K)

@@ -317,3 +317,30 @@ def test_cms_sketch_broadcasts_and_bounds_shuffles(spark):
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
     assert plans.count_exchanges(df) <= 5, plans.count_exchanges(df)
+
+
+def test_hybrid_rrf_query_side_broadcasts(spark):
+    """Hybrid RRF: both channels' query sides (term vectors, query
+    embeddings) and the corpus-stats/targets frames must broadcast —
+    the corpus is scanned, never shuffled pairwise — and the whole
+    two-channel + fusion pipeline stays within its semantic shuffle
+    budget (tf agg, dfreq agg, norms agg, dot agg, three bounded
+    rank windows)."""
+    df = _df(spark, "hybrid_rrf_retrieval")
+    plan = plans.physical_plan(df)
+    assert plan.count("BroadcastExchange") >= 3, plan.count("BroadcastExchange")
+    assert plans.count_exchanges(df) <= 8, plans.count_exchanges(df)
+
+
+def test_quantile_sketch_bounded_probes(spark):
+    """Quantile sketch: the B-bucket histogram and the 7-row targets
+    frame are the only things crossing executors — the two inequality
+    probes must be broadcast nested loops over those bounded frames
+    (7×B and 7×|distinct values|), never a co-partitioned join of the
+    fact table, and the whole query stays within its semantic shuffle
+    budget (histogram agg, distinct-value agg + two-phase running-sum
+    range exchange, probe re-aggs)."""
+    df = _df(spark, "sketch_quantile_prices")
+    plan = plans.physical_plan(df)
+    assert plan.count("BroadcastExchange") >= 2
+    assert plans.count_exchanges(df) <= 4, plans.count_exchanges(df)

@@ -74,6 +74,7 @@ QUERIES = [
     "bpe_train_merges",
     "bpe_apply_token_stats",
     "sample_token_lottery_topk",
+    "hybrid_rrf_retrieval",
 ]
 
 # Excluded past 10×:
@@ -236,6 +237,7 @@ RELATIONAL_QUERIES = [
     "events_markov_transitions",
     "sketch_kmv_distinct_users",
     "sketch_cms_heavy_hitters",
+    "sketch_quantile_prices",
 ]
 
 RELATIONAL_TABLES = (
@@ -257,6 +259,9 @@ MONEY_QUERIES = [
     "q6_forecast_revenue",
     "unpivot_returnflag_metrics",
     "sketch_kmv_distinct_users",
+    # lineitem-only and integer end to end — the exact class the money
+    # probe exists for; its B-counter state bound is scale-independent
+    "sketch_quantile_prices",
 ]
 
 # (table, key column, per-replica key offset) — ONE structure drives the
