@@ -29,6 +29,7 @@ _OPERATOR_MODULES = [
     "minimapreduce_spark.streaming.stateful",
     "minimapreduce_spark.streaming.upsert",
     "minimapreduce_spark.streaming.drift",
+    "minimapreduce_spark.streaming.sketch",
     "minimapreduce_spark.functions.udfs",
     "minimapreduce_spark.sources.pydatasource",
 ]

@@ -144,6 +144,7 @@ LATE_REGISTERED: list[str] = [
     "sample_token_lottery_topk",
     "hybrid_rrf_retrieval",
     "sketch_quantile_prices",
+    "stream_cms_heavy_hitters",
 ]
 
 # The fourteen round-5-remainder queries this window drops to make room

@@ -339,3 +339,48 @@ def test_exactly_once_watermarked_dedups_and_evicts(spark):
     # and the final batch's ledger is the smallest live window, not a
     # monotone accumulation
     assert state_peaks[-1] < max(state_peaks) or len(set(state_peaks)) == 1
+
+
+def test_stream_cms_state_bit_identical_to_batch_sketch(spark):
+    """The streaming CMS's whole value proposition: the D×W counter
+    state drained after real multi-batch accumulation must equal the
+    batch sketch CELL BY CELL (mergeability = cell-wise addition across
+    micro-batches), the state is bounded at D×W rows, and the top-k
+    output matches the batch twin frame-for-frame."""
+    from pyspark.sql import functions as F
+
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.catalog import load_table
+    from minimapreduce_spark.operators.scale import (
+        CMS_D,
+        CMS_W,
+        cms_bucket,
+        cms_counters,
+    )
+    from minimapreduce_spark.streaming.source import (
+        events_stream_sharded,
+        run_to_memory,
+    )
+
+    sdf = events_stream_sharded(spark, SF_DIR, n_shards=4)
+    counters_stream = (
+        sdf.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("d"),
+        )
+        .withColumn("bucket", cms_bucket(F.col("d"), F.col("user_id")))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("counter"))
+    )
+    drained = run_to_memory(counters_stream, "cms_state_test", "complete")
+    got = {(r.d, r.bucket): r.counter for r in drained.collect()}
+    assert len(got) <= CMS_D * CMS_W  # bounded state
+
+    ev = load_table(spark, SF_DIR, "events")
+    ec = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    want = {(r.d, r.bucket): r.counter for r in cms_counters(ec).collect()}
+    assert got == want  # bit-identical to the batch sketch
+
+    s = q.queries()["stream_cms_heavy_hitters"](spark, SF_DIR).toPandas()
+    b = q.queries()["sketch_cms_heavy_hitters"](spark, SF_DIR).toPandas()
+    assert_frames_match(s, b, name="stream_vs_batch_cms")
