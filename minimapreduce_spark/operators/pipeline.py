@@ -1853,3 +1853,178 @@ def sample_token_lottery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_bounded_rank(
         top, F.asc("ticket"), F.asc("doc_id"), out="rnk"
     ).select("rnk", "doc_id", "ticket", "n_tokens")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance selection — hashed-ngram importance weights to a target
+# ---------------------------------------------------------------------------
+
+DSIR_B = 512  # hashed feature buckets — the estimator's whole state
+DSIR_TOPK = 50
+DSIR_LR_SCALE = 10**6
+# the "curated target sample": English docs from the first four sources
+_DSIR_TGT_SQL = "(lang = 'en' AND source IN ('src0', 'src1', 'src2', 'src3'))"
+
+_DSIR_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5('dsir:' || word), 1, 15)) AS BIGINT)"
+    f" % {DSIR_B}"
+)
+
+
+def dsir_bucket(word) -> "F.Column":
+    """Portable hashed-ngram feature bucket (the kmv_hash60 discipline):
+    60-bit md5 prefix mod B, identical in Spark and DuckDB."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dsir:"), word)), 1, 15), 16, 10
+        ).cast("bigint")
+        % DSIR_B
+    )
+
+
+@register(
+    "sample_dsir_importance_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DSIR_TGT_SQL} AS is_tgt,
+             unnest(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+                                w -> w <> '')) AS word
+      FROM documents
+    ),
+    docbkt AS MATERIALIZED (
+      SELECT doc_id, is_tgt, {_DSIR_BUCKET_SQL} AS bucket, count(*) AS c
+      FROM toks GROUP BY 1, 2, 3
+    ),
+    t AS (SELECT bucket, sum(c) AS tb FROM docbkt WHERE is_tgt GROUP BY 1),
+    r AS (SELECT bucket, sum(c) AS rb FROM docbkt WHERE NOT is_tgt GROUP BY 1),
+    tot AS (
+      SELECT (SELECT coalesce(sum(tb), 0) FROM t) AS tt,
+             (SELECT coalesce(sum(rb), 0) FROM r) AS rt
+    ),
+    lr AS MATERIALIZED (
+      SELECT COALESCE(t.bucket, r.bucket) AS bucket,
+             CAST(round(ln(
+               ((COALESCE(t.tb, 0) + 1) * 1.0 * (tot.rt + {DSIR_B}))
+               / ((COALESCE(r.rb, 0) + 1) * 1.0 * (tot.tt + {DSIR_B}))
+             ) * {DSIR_LR_SCALE}) AS BIGINT) AS lr
+      FROM t FULL JOIN r ON t.bucket = r.bucket, tot
+    ),
+    w AS (
+      SELECT d.doc_id, sum(d.c * lr.lr) AS weight, sum(d.c) AS n_tokens
+      FROM docbkt d JOIN lr USING (bucket)
+      WHERE NOT d.is_tgt
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT doc_id, weight, n_tokens,
+             row_number() OVER (ORDER BY weight DESC, doc_id) AS rnk
+      FROM w
+    )
+    SELECT CAST(rk.rnk AS INT) AS rnk, rk.doc_id,
+           CAST(rk.weight AS BIGINT) AS weight,
+           CAST(rk.n_tokens AS BIGINT) AS n_tokens,
+           dd.lang, dd.source
+    FROM ranked rk JOIN documents dd ON rk.doc_id = dd.doc_id
+    WHERE rk.rnk <= {DSIR_TOPK}
+    """,
+)
+def sample_dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., "Data Selection for Language
+    Models via Importance Resampling"): rank the RAW pool by importance
+    toward a TARGET distribution, estimated over hashed unigram feature
+    buckets — the curation step that picks target-like documents out of
+    a mixed crawl. Target = the curated English sample
+    ({_DSIR_TGT_SQL}); raw pool = everything else. On this synthetic
+    corpus every lang label shares one 31-word vocabulary (the same
+    caveat text_langid documents), so the registered run demonstrates
+    the machinery — hash-exact bucket counts, quantized log-ratios,
+    BIGINT weights — while the SELECTION behavior is proven on a
+    planted corpus in pytest: target-vocabulary raw docs must occupy
+    the top ranks and off-vocabulary docs must carry negative weights.
+
+    Estimator: per-bucket Laplace-smoothed log-likelihood ratio
+    lr(b) = round(ln( ((t_b+1)·(R+B)) / ((r_b+1)·(T+B)) )·10⁶) — ONE ln
+    of an exact integer rational per bucket (products < 2⁵³, so the
+    double operand is identical cross-engine; same quantize-once
+    discipline as the TF-IDF weights), then every document's weight is
+    the exact BIGINT sum Σ c_b·lr(b), so ranking and output hash-match
+    DuckDB with doc_id tie-break.
+
+    Scale posture: one tokenize pass into a (doc, bucket) aggregation;
+    the estimator state is ≤ {DSIR_B} buckets per side (broadcast as a
+    {DSIR_B}-row log-ratio table — the DSIR artifact a 100 TB run
+    trains once and ships); per-doc weights are one combinable agg +
+    broadcast join; TakeOrdered top-{DSIR_TOPK}. Linear in tokens,
+    nothing pairwise. No reference analog (closest surface: the wc app,
+    mrapps/wc.go:21-44, counts words; this weighs them).
+    """
+    from minimapreduce_spark.catalog import fan_out
+    from minimapreduce_spark.operators.ordered import with_bounded_rank
+    from minimapreduce_spark.operators.text_analysis import _tokens
+
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    is_tgt = (F.col("lang") == "en") & F.col("source").isin(
+        "src0", "src1", "src2", "src3"
+    )
+    toks = docs.select(
+        "doc_id", is_tgt.alias("is_tgt"), F.explode(_tokens(F.col("text"))).alias("word")
+    )
+    # hash once per DISTINCT word, not per token occurrence: the
+    # portable md5+conv expression priced ~20 s on 10.8M tokens at the
+    # 40x octave, vs a vocabulary-sized broadcast join (the oracle
+    # hashes per row — bucket is a pure function of word, so the
+    # result is identical; this is purely the engine-side plan).
+    vocab = toks.select("word").distinct().withColumn(
+        "bucket", dsir_bucket(F.col("word"))
+    )
+    docbkt = (
+        toks.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id", "is_tgt", "bucket")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)  # feeds both side aggs + the weights
+    )
+    t = docbkt.where("is_tgt").groupBy("bucket").agg(F.sum("c").alias("tb"))
+    r = docbkt.where(~F.col("is_tgt")).groupBy("bucket").agg(F.sum("c").alias("rb"))
+    tot = (
+        t.agg(F.coalesce(F.sum("tb"), F.lit(0)).alias("tt"))
+        .crossJoin(r.agg(F.coalesce(F.sum("rb"), F.lit(0)).alias("rt")))
+    )
+    lr = (
+        t.join(r, "bucket", "full_outer")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    ((F.coalesce("tb", F.lit(0)) + 1) * 1.0 * (F.col("rt") + DSIR_B))
+                    / ((F.coalesce("rb", F.lit(0)) + 1) * 1.0 * (F.col("tt") + DSIR_B))
+                )
+                * DSIR_LR_SCALE
+            )
+            .cast("bigint")
+            .alias("lr"),
+        )
+    )
+    w = (
+        docbkt.where(~F.col("is_tgt"))
+        .join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("lr")).alias("weight"),
+            F.sum("c").alias("n_tokens"),
+        )
+    )
+    top = w.orderBy(F.desc("weight"), F.asc("doc_id")).limit(DSIR_TOPK)
+    ranked = with_bounded_rank(top, F.desc("weight"), F.asc("doc_id"), out="rnk")
+    meta = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return (
+        ranked.join(meta, "doc_id")
+        .select(
+            F.col("rnk").cast("int").alias("rnk"),
+            "doc_id",
+            F.col("weight").cast("bigint").alias("weight"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "lang",
+            "source",
+        )
+    )

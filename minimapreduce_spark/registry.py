@@ -145,6 +145,7 @@ LATE_REGISTERED: list[str] = [
     "hybrid_rrf_retrieval",
     "sketch_quantile_prices",
     "stream_cms_heavy_hitters",
+    "sample_dsir_importance_topk",
 ]
 
 # The fourteen round-5-remainder queries this window drops to make room

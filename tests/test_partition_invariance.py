@@ -113,6 +113,9 @@ CANDIDATES = [
     # quantile sketch: integer histogram + two-phase running sum —
     # brackets and exact quantiles must not depend on task layout
     "sketch_quantile_prices",
+    # DSIR: bucket-count aggs + quantized log-ratio table + BIGINT
+    # weight sums — the selection must not depend on task layout
+    "sample_dsir_importance_topk",
 ]
 
 

@@ -565,3 +565,45 @@ def test_lottery_token_mass_dominance(spark, tmp_path):
     by_id = {r.doc_id: r for r in sample}
     assert 0 in by_id, "the 91%-token-mass doc missed the sample"
     assert by_id[0].n_tokens == 2000
+
+
+def test_dsir_planted_selection(spark, tmp_path):
+    """DSIR semantics on a planted corpus: raw docs written in the
+    TARGET vocabulary must occupy the top ranks, off-vocabulary raw
+    docs must carry NEGATIVE weights (their buckets are unseen in the
+    target → log-ratio < 0), and mixed docs must land between."""
+    import os
+
+    from minimapreduce_spark import queries as q
+
+    docs = []
+    # target sample: en docs in src0 with a distinctive vocabulary
+    for i in range(20):
+        docs.append((i, "alpha beta gamma alpha beta gamma alpha", "en", "src0", 40))
+    # raw pool, src9 (outside the target predicate):
+    # 5 target-like docs (ids 100..104), 5 alien docs (200..204),
+    # 5 mixed docs (300..304)
+    for i in range(5):
+        docs.append((100 + i, "alpha beta gamma alpha beta", "en", "src9", 30))
+        docs.append((200 + i, "zulu yankee xray zulu yankee", "xx", "src9", 30))
+        docs.append((300 + i, "alpha beta zulu yankee", "en", "src9", 24))
+    d = str(tmp_path / "dsir_planted")
+    os.makedirs(d)
+    spark.createDataFrame(
+        docs, "doc_id: bigint, text: string, lang: string, source: string, n_chars: bigint"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    out = (
+        q.REGISTRY["sample_dsir_importance_topk"].fn(spark, d)
+        .toPandas()
+        .sort_values("rnk")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 15  # whole raw pool fits the top-k cut
+    # target-like docs first, mixed in the middle, alien last
+    assert sorted(out.doc_id[:5]) == [100, 101, 102, 103, 104], out.head(6)
+    assert sorted(out.doc_id[5:10]) == [300, 301, 302, 303, 304]
+    assert sorted(out.doc_id[10:]) == [200, 201, 202, 203, 204]
+    by_id = out.set_index("doc_id")
+    assert all(by_id.loc[i].weight > 0 for i in (100, 101, 102, 103, 104))
+    assert all(by_id.loc[i].weight < 0 for i in (200, 201, 202, 203, 204))

@@ -75,6 +75,7 @@ QUERIES = [
     "bpe_apply_token_stats",
     "sample_token_lottery_topk",
     "hybrid_rrf_retrieval",
+    "sample_dsir_importance_topk",
 ]
 
 # Excluded past 10×:
