@@ -1927,6 +1927,7 @@ def dsir_bucket(word) -> "F.Column":
     FROM ranked rk JOIN documents dd ON rk.doc_id = dd.doc_id
     WHERE rk.rnk <= {DSIR_TOPK}
     """,
+    bench=True,
 )
 def sample_dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al., "Data Selection for Language

@@ -1501,3 +1501,404 @@ def bpe_apply_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cnt") * F.col("n_tok")) * 1.0 / F.sum("cnt"), 6
         ).alias("tokens_per_word"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer training (SentencePiece / Kudo 2018, hard-EM variant)
+# ---------------------------------------------------------------------------
+
+UNI_MAX_PIECE = 4  # candidate pieces: substrings up to this length
+UNI_SEED_MULTI = 48  # multi-char seeds kept (plus ALL single chars)
+UNI_EM_ROUNDS = 2
+UNI_LP_SCALE = 10**6  # quantized log-prob grid (BIGINT millionths)
+
+_UNI_WF_SQL = f"""
+    wf AS MATERIALIZED (
+      SELECT word, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' AND NOT contains(word, chr(31))
+      GROUP BY 1
+    ),
+    pw AS MATERIALIZED (
+      SELECT word, i.i, l.l, substr(word, i.i, l.l) AS piece
+      FROM wf,
+           LATERAL (SELECT unnest(generate_series(1, len(word))) AS i) i,
+           LATERAL (SELECT unnest(generate_series(1, {UNI_MAX_PIECE})) AS l) l
+      WHERE i.i + l.l - 1 <= len(word)
+    ),
+    pf AS MATERIALIZED (
+      SELECT p.piece, sum(w.freq) AS pfreq
+      FROM pw p JOIN wf w USING (word) GROUP BY 1
+    ),
+    v0 AS MATERIALIZED (
+      SELECT piece, pfreq FROM pf WHERE len(piece) = 1
+      UNION ALL
+      SELECT piece, pfreq FROM (
+        SELECT piece, pfreq,
+               row_number() OVER (ORDER BY pfreq DESC, piece) AS rn
+        FROM pf WHERE len(piece) > 1
+      ) WHERE rn <= {UNI_SEED_MULTI}
+    ),
+    lp0 AS MATERIALIZED (
+      SELECT piece,
+             CAST(round(ln(pfreq * 1.0 / (SELECT sum(pfreq) FROM v0))
+                        * {UNI_LP_SCALE}) AS BIGINT) AS lp
+      FROM v0
+    )
+"""
+
+
+def _uni_em_round_sql(r: int) -> str:
+    """One hard-EM round as SQL: enumerate EVERY segmentation of every
+    word over the current vocab by a recursive path walk (bounded by
+    piece length {UNI_MAX_PIECE} and word length — the oracle pays the
+    exponential so the engine's DP can be checked against a ground
+    truth that provably considered all paths), pick the per-word argmax
+    with the total-order tie-break (score DESC, then the segmentation
+    string ASC — chr(31) sorts below every letter), then re-estimate
+    Laplace-smoothed piece log-probs from the winning segmentations."""
+    prev = f"lp{r - 1}"
+    return f""",
+    paths{r}(word, pos, score, seg) AS (
+      SELECT word, 0, CAST(0 AS BIGINT), '' FROM wf
+      UNION ALL
+      SELECT p.word, p.pos + e.l, p.score + lp.lp,
+             p.seg || chr(31) || e.piece
+      FROM paths{r} p
+      JOIN pw e ON e.word = p.word AND e.i = p.pos + 1
+      JOIN {prev} lp ON lp.piece = e.piece
+    ),
+    best{r} AS MATERIALIZED (
+      SELECT word, seg FROM (
+        SELECT word, seg,
+               row_number() OVER (
+                 PARTITION BY word ORDER BY score DESC, seg
+               ) AS rn
+        FROM paths{r} p WHERE pos = len(word)
+      ) WHERE rn = 1
+    ),
+    cnt{r} AS MATERIALIZED (
+      SELECT piece, sum(freq) AS c FROM (
+        SELECT b.word,
+               unnest(list_transform(string_split(substr(b.seg, 2), chr(31)),
+                                     t -> t)) AS piece
+        FROM best{r} b
+      ) s JOIN wf USING (word) JOIN v0 USING (piece)
+      GROUP BY 1
+    ),
+    lp{r} AS MATERIALIZED (
+      SELECT v0.piece,
+             COALESCE(cnt{r}.c, 0) AS c,
+             CAST(round(ln((COALESCE(cnt{r}.c, 0) + 1) * 1.0
+                           / ((SELECT sum(c) FROM cnt{r})
+                              + (SELECT count(*) FROM v0)))
+                        * {UNI_LP_SCALE}) AS BIGINT) AS lp
+      FROM v0 LEFT JOIN cnt{r} ON v0.piece = cnt{r}.piece
+    )"""
+
+
+def _uni_train_oracle() -> str:
+    rounds = "".join(_uni_em_round_sql(r) for r in range(1, UNI_EM_ROUNDS + 1))
+    return (
+        "WITH RECURSIVE " + _UNI_WF_SQL.strip() + rounds + """
+    SELECT v0.piece,
+           CAST(len(v0.piece) AS INT) AS plen,
+           CAST(v0.pfreq AS BIGINT) AS seed_cnt,
+           CAST(lp1.c AS BIGINT) AS cnt_r1,
+           CAST(lp2.c AS BIGINT) AS cnt_r2,
+           lp2.lp AS lp_final
+    FROM v0
+    JOIN lp1 ON v0.piece = lp1.piece
+    JOIN lp2 ON v0.piece = lp2.piece
+    """
+    )
+
+
+def _uni_viterbi_batches(lp_bc, max_piece: int):
+    """mapInPandas kernel: exact-integer Viterbi over quantized BIGINT
+    log-probs with the path-lexicographic tie-break (max score, then
+    lexicographically smallest segmentation string — valid as a DP
+    because the suffix appended to two equal-score prefixes is
+    identical, so prefix order decides full-string order)."""
+
+    def run(batches):
+        import pandas as pd
+
+        lp = lp_bc.value
+        sep = "\x1f"
+        for pdf in batches:
+            segs = []
+            for word in pdf["word"]:
+                n = len(word)
+                best: list = [None] * (n + 1)
+                best[0] = (0, "")
+                for j in range(1, n + 1):
+                    cand = None
+                    for L in range(1, min(max_piece, j) + 1):
+                        piece = word[j - L : j]
+                        v = lp.get(piece)
+                        if v is None or best[j - L] is None:
+                            continue
+                        s = best[j - L][0] + v
+                        t = best[j - L][1] + sep + piece
+                        if (
+                            cand is None
+                            or s > cand[0]
+                            or (s == cand[0] and t < cand[1])
+                        ):
+                            cand = (s, t)
+                    best[j] = cand
+                segs.append(best[n][1])
+            yield pd.DataFrame(
+                {"word": pdf["word"], "freq": pdf["freq"], "seg": segs}
+            )
+
+    return run
+
+
+def _uni_train(spark: SparkSession, sf_dir: str):
+    """Shared hard-EM training core: returns (wf, v0, per-round count
+    frames, final lp frame) — consumed by the train query (piece table)
+    and the apply query (a final Viterbi pass under the trained lp)."""
+    from minimapreduce_spark._pickle import register_self_by_value
+
+    register_self_by_value()
+
+    docs = _docs(spark, sf_dir)
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where((F.col("word") != "") & ~F.contains("word", F.lit(BPE_SEP)))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .localCheckpoint(eager=False)  # corpus touched once; reused per round
+    )
+    pw = (
+        wf.select("word", F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i"))
+        .select("word", "i", F.explode(F.sequence(F.lit(1), F.lit(UNI_MAX_PIECE))).alias("l"))
+        .where(F.col("i") + F.col("l") - 1 <= F.length("word"))
+        .select("word", F.col("word").substr(F.col("i"), F.col("l")).alias("piece"))
+    )
+    pf = pw.join(wf, "word").groupBy("piece").agg(F.sum("freq").alias("pfreq"))
+    singles = pf.where(F.length("piece") == 1)
+    from minimapreduce_spark.operators.ordered import with_bounded_rank
+
+    multis = (
+        with_bounded_rank(
+            pf.where(F.length("piece") > 1),
+            F.desc("pfreq"),
+            F.asc("piece"),
+            out="rn",
+        )
+        .where(F.col("rn") <= UNI_SEED_MULTI)
+        .drop("rn")
+    )
+    v0 = singles.unionByName(multis).localCheckpoint(eager=False)
+    tot0 = v0.agg(F.sum("pfreq").alias("t"))
+    lp = (
+        v0.crossJoin(F.broadcast(tot0))
+        .select(
+            "piece",
+            F.round(F.log(F.col("pfreq") * 1.0 / F.col("t")) * UNI_LP_SCALE)
+            .cast("bigint")
+            .alias("lp"),
+        )
+    )
+
+    n_vocab = v0.count()  # bounded: ≤ |chars| + UNI_SEED_MULTI
+    counts = []
+    for _ in range(UNI_EM_ROUNDS):
+        seg = _uni_segment(spark, wf, lp)
+        cnt = (
+            seg.select(
+                "freq",
+                F.explode(
+                    F.split(F.col("seg").substr(F.lit(2), F.length("seg")), BPE_SEP)
+                ).alias("piece"),
+            )
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("c"))
+            .join(v0.select("piece"), "piece")  # guard: vocab pieces only
+        )
+        cnt = (
+            v0.select("piece")
+            .join(cnt, "piece", "left")
+            .select("piece", F.coalesce("c", F.lit(0)).cast("bigint").alias("c"))
+            .localCheckpoint(eager=False)
+        )
+        counts.append(cnt)
+        ctot = cnt.agg(F.sum("c").alias("ct"))
+        lp = (
+            cnt.crossJoin(F.broadcast(ctot))
+            .select(
+                "piece",
+                F.round(
+                    F.log((F.col("c") + 1) * 1.0 / (F.col("ct") + F.lit(n_vocab)))
+                    * UNI_LP_SCALE
+                )
+                .cast("bigint")
+                .alias("lp"),
+            )
+        )
+    return wf, v0, counts, lp
+
+
+def _uni_segment(spark: SparkSession, wf: DataFrame, lp: DataFrame) -> DataFrame:
+    """(word, freq, seg): one Viterbi E-step pass — the ≤vocab-sized lp
+    table collected (bounded by contract), broadcast, and applied in
+    Arrow batches."""
+    lp_map = {r.piece: int(r.lp) for r in lp.collect()}  # bounded
+    lp_bc = spark.sparkContext.broadcast(lp_map)
+    return wf.mapInPandas(
+        _uni_viterbi_batches(lp_bc, UNI_MAX_PIECE),
+        "word string, freq long, seg string",
+    )
+
+
+@register("unigram_train_pieces", oracle=_uni_train_oracle(), bench=True)
+def unigram_train_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (the SentencePiece algorithm, Kudo
+    2018) in its hard-EM form — the second in-engine-trained tokenizer,
+    next to the greedy bottom-up `bpe_train_merges`: seed a candidate
+    vocabulary from substring statistics, then alternate (E) Viterbi
+    segmentation of every word under the current piece log-probs with
+    (M) re-estimating Laplace-smoothed piece probabilities from the
+    winning segmentations, for {UNI_EM_ROUNDS} rounds. Output: every
+    vocab piece with its seed count, per-round hard counts, and final
+    quantized log-prob.
+
+    Exactness: log-probs are quantized ONCE per (piece, round) as
+    round(ln(p)·10⁶) BIGINT — computed by the ENGINE's ln on each side
+    (the TF-IDF/BM25 quantize-once discipline) — after which the whole
+    Viterbi objective is exact integer addition, and the per-word
+    argmax carries a total-order tie-break: max score, then the
+    lexicographically smallest segmentation string (chr(31) sorts
+    below every letter, and prefix order decides full-string order
+    because equal-score prefixes share their optimal suffix — the DP
+    invariant the docstring of `_uni_viterbi_batches` states). The
+    DuckDB oracle does NOT replay the DP: it enumerates EVERY
+    segmentation of every word by a recursive path walk and takes the
+    same argmax — an independent ground truth that provably considered
+    all paths (bounded: pieces ≤ {UNI_MAX_PIECE} chars, vocabulary
+    words ≤ ~12 chars → ≤ ~2k paths/word).
+
+    Scale posture: the corpus is touched ONCE (the word-frequency
+    aggregation — identical posture to BPE training); everything after
+    is vocabulary-scale. The E-step ships the ≤{UNI_SEED_MULTI}+|chars|
+    piece table as an explicit broadcast and runs the per-word DP in
+    Arrow batches (`mapInPandas` — the per-group-sequential-algorithm
+    pattern); the M-step is one combinable agg over exploded
+    segmentations. Driver loop = {UNI_EM_ROUNDS} bounded rounds, the
+    k-means/BPE pattern. No reference analog (closest: the wc app's
+    word counting, mrapps/wc.go:21-44).
+    """
+    wf, v0, counts, lp = _uni_train(spark, sf_dir)
+
+    c1 = counts[0].select("piece", F.col("c").alias("cnt_r1"))
+    c2 = counts[1].select("piece", F.col("c").alias("cnt_r2"))
+    return (
+        v0.join(c1, "piece")
+        .join(c2, "piece")
+        .join(lp, "piece")
+        .select(
+            "piece",
+            F.length("piece").cast("int").alias("plen"),
+            F.col("pfreq").cast("bigint").alias("seed_cnt"),
+            F.col("cnt_r1").cast("bigint").alias("cnt_r1"),
+            F.col("cnt_r2").cast("bigint").alias("cnt_r2"),
+            F.col("lp").cast("bigint").alias("lp_final"),
+        )
+    )
+
+
+def _uni_apply_oracle() -> str:
+    rounds = "".join(_uni_em_round_sql(r) for r in range(1, UNI_EM_ROUNDS + 1))
+    final = UNI_EM_ROUNDS + 1
+    return (
+        "WITH RECURSIVE " + _UNI_WF_SQL.strip() + rounds + f""",
+    paths{final}(word, pos, score, seg) AS (
+      SELECT word, 0, CAST(0 AS BIGINT), '' FROM wf
+      UNION ALL
+      SELECT p.word, p.pos + e.l, p.score + lp.lp,
+             p.seg || chr(31) || e.piece
+      FROM paths{final} p
+      JOIN pw e ON e.word = p.word AND e.i = p.pos + 1
+      JOIN lp{UNI_EM_ROUNDS} lp ON lp.piece = e.piece
+    ),
+    best{final} AS MATERIALIZED (
+      SELECT word, seg FROM (
+        SELECT word, seg,
+               row_number() OVER (
+                 PARTITION BY word ORDER BY score DESC, seg
+               ) AS rn
+        FROM paths{final} p WHERE pos = len(word)
+      ) WHERE rn = 1
+    ),
+    vt AS MATERIALIZED (
+      SELECT word, len(string_split(substr(seg, 2), chr(31))) AS n_tok
+      FROM best{final}
+    ),
+    sw AS MATERIALIZED (
+      SELECT source, word, count(*) AS cnt
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE word <> '' AND NOT contains(word, chr(31))
+      GROUP BY 1, 2
+    )
+    SELECT sw.source AS source,
+           CAST(sum(sw.cnt) AS BIGINT)                   AS n_words,
+           CAST(sum(sw.cnt * length(sw.word)) AS BIGINT) AS n_chars,
+           CAST(sum(sw.cnt * vt.n_tok) AS BIGINT)        AS n_tokens_uni,
+           round(sum(sw.cnt * length(sw.word)) * 1.0
+                 / sum(sw.cnt * vt.n_tok), 6)            AS chars_per_token,
+           round(sum(sw.cnt * vt.n_tok) * 1.0
+                 / sum(sw.cnt), 6)                       AS tokens_per_word
+    FROM sw JOIN vt USING (word)
+    GROUP BY 1
+    """
+    )
+
+
+@register("unigram_apply_token_stats", oracle=_uni_apply_oracle())
+def unigram_apply_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram tokenizer's SERVING path, mirroring
+    `bpe_apply_token_stats`: train ({UNI_EM_ROUNDS} hard-EM rounds),
+    then segment the VOCABULARY once more under the final piece
+    log-probs (a third Viterbi pass — the trained model applied), and
+    join the per-word token counts against per-(source, word)
+    frequencies for per-source token budgets. The two tokenizer
+    families produce comparable frames (n_tokens_bpe vs n_tokens_uni)
+    — the compression trade a data pipeline actually evaluates.
+
+    Scale posture identical to the BPE twin: the corpus is read exactly
+    once per corpus-touching aggregation (word frequencies for
+    training, (source, word) counts for serving); every other stage is
+    vocabulary-scale, and the trained piece table broadcasts."""
+    wf, v0, counts, lp = _uni_train(spark, sf_dir)
+    seg = _uni_segment(spark, wf, lp)
+    vt = seg.select(
+        "word",
+        F.size(
+            F.split(F.col("seg").substr(F.lit(2), F.length("seg")), BPE_SEP)
+        ).alias("n_tok"),
+    )
+    docs = _docs(spark, sf_dir)
+    sw = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .where((F.col("word") != "") & ~F.contains("word", F.lit(BPE_SEP)))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    j = sw.join(F.broadcast(vt), "word")
+    return j.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_words"),
+        F.sum(F.col("cnt") * F.length("word")).cast("bigint").alias("n_chars"),
+        F.sum(F.col("cnt") * F.col("n_tok")).cast("bigint").alias("n_tokens_uni"),
+        F.round(
+            F.sum(F.col("cnt") * F.length("word"))
+            / F.sum(F.col("cnt") * F.col("n_tok")),
+            6,
+        ).alias("chars_per_token"),
+        F.round(F.sum(F.col("cnt") * F.col("n_tok")) / F.sum("cnt"), 6).alias(
+            "tokens_per_word"
+        ),
+    )

@@ -85,6 +85,18 @@ DRIVER_PRIORITY: list[str] = [
     "split_leakage_safe",
     "bpe_train_merges",
     "bpe_apply_token_stats",
+    # round-6 late flagships, swapped into the window before the driver
+    # ran (six audited trivial shapes move to the dropped list below —
+    # the round-5 rule again: a flagship capability driver-verified
+    # beats a trivial shape re-verified)
+    "sketch_cms_heavy_hitters",
+    "sample_token_lottery_topk",
+    "hybrid_rrf_retrieval",
+    "sketch_quantile_prices",
+    "stream_cms_heavy_hitters",
+    "sample_dsir_importance_topk",
+    "unigram_train_pieces",
+    "unigram_apply_token_stats",
     # round-5 remainder: the four queries registered after the r04 pin
     # (never verified in r01-r04 either)
     "multimodal_jpeg_decode",
@@ -92,7 +104,6 @@ DRIVER_PRIORITY: list[str] = [
     "graph_triangle_degree_oriented",
     "ann_graph_greedy_search",
     # events / time series (5)
-    "events_json_extract",
     "events_sliding_1h_30m",
     "events_resample_gapfill",
     "events_rolling_zscore",
@@ -112,51 +123,46 @@ DRIVER_PRIORITY: list[str] = [
     "customer_reorder_intervals",
     "events_value_boxplot",
     # pipeline / dataset management (9)
-    "split_train_test",
     "sample_stratified",
     "text_pii_scrub",
     "text_quality_repetition",
     "dedup_keep_latest",
     "langid_confusion_matrix",
-    "snapshot_diff_customers",
-    "tier_migration_matrix",
     # semantics corners: all four showcase shapes now dropped (audited
     # trivial) to window the BPE training pair
     # text analysis (6)
-    "text_top_bigrams",
-    "text_sentiment_lexicon",
     "phrase_search_positional",
-    "text_readability_flesch",
-    "corpus_source_profile",
     "boilerplate_ngram_sources",
 ]
 
 # Queries registered AFTER the current (round-6) window was pinned. Any
 # new registration must be appended here in the same commit, so the
 # rotation test can distinguish "late, ledgered, pytest-oracle-verified"
-# from "missed". (The fourteen post-r05 registrations 229-242 sit at
-# the head of the round-6 window itself; the CMS sketch (243) landed
-# after the window was already full of flagships, so it takes the
-# late-ledgered channel — pytest-oracle-verified every suite run, as
-# does the token-lottery sampler (244).)
-LATE_REGISTERED: list[str] = [
-    "sketch_cms_heavy_hitters",
-    "sample_token_lottery_topk",
-    "hybrid_rrf_retrieval",
-    "sketch_quantile_prices",
-    "stream_cms_heavy_hitters",
-    "sample_dsir_importance_topk",
-]
+# from "missed". (Currently empty: the fourteen post-r05 registrations
+# 229-242 sit at the head of the round-6 window, and the late
+# round-6 flagships 243-250 were swapped into the window before the
+# driver ran, displacing audited trivial shapes into the dropped
+# list.)
+LATE_REGISTERED: list[str] = []  # all round-6 registrations are windowed
 
-# The fourteen round-5-remainder queries this window drops to make room
+# The twenty-two round-5-remainder queries this window drops to make room
 # for the post-r05 registrations (a flagship capability driver-verified
-# beats a trivial shape re-verified). Each is trivial (pure
-# projection/aggregation/scalar-showcase shapes), pytest-oracle-verified
-# every suite run, and covered by the foreign-cwd full-registry drives
+# beats a trivial shape re-verified; the last six made room for the
+# round-6 late flagships 243-248). Each is trivial (pure projection/
+# aggregation/scalar-showcase shapes), pytest-oracle-verified every
+# suite run, and covered by the foreign-cwd full-registry drives
 # recorded in SURVEY/SCALING. If CORRECTNESS_r05.json surfaces, they
-# were driver-verified there and cumulative coverage is 242/242; if
-# not, they are the only fourteen queries never driver-hash-verified.
+# were driver-verified there and cumulative coverage closes; if not,
+# they are the only twenty-two queries never driver-hash-verified.
 DROPPED_IF_R05_MISSING: list[str] = [
+    "text_readability_flesch",
+    "corpus_source_profile",
+    "events_json_extract",
+    "split_train_test",
+    "snapshot_diff_customers",
+    "tier_migration_matrix",
+    "text_top_bigrams",
+    "text_sentiment_lexicon",
     "dim_date_generate",
     "customer_existence_flags",
     "basket_size_histogram",

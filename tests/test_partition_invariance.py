@@ -116,6 +116,9 @@ CANDIDATES = [
     # DSIR: bucket-count aggs + quantized log-ratio table + BIGINT
     # weight sums — the selection must not depend on task layout
     "sample_dsir_importance_topk",
+    # unigram-LM training: quantized-BIGINT Viterbi + vocab-scale
+    # aggs — the trained piece table must not depend on task layout
+    "unigram_train_pieces",
 ]
 
 

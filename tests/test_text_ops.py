@@ -81,3 +81,67 @@ def test_corpus_profile_reconciles(spark):
         best = max(counts.items(), key=lambda kv: (kv[1], kv[0]))[0]
         assert row["top_lang"] == best
         assert row["n_langs"] == sub["lang"].nunique()
+
+
+def test_unigram_char_conservation_and_vocab(spark):
+    """Hard-EM invariants that hold on ANY corpus: every word's Viterbi
+    segmentation covers each character exactly once, so
+    Σ_p cnt_r(p)·len(p) == Σ_w freq(w)·len(w) for every EM round; the
+    vocabulary contains every single character plus at most
+    UNI_SEED_MULTI multi-char pieces."""
+    from pyspark.sql import functions as F
+
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.operators.text_analysis import UNI_SEED_MULTI
+    from tests.conftest import SF_DIR
+
+    out = q.REGISTRY["unigram_train_pieces"].fn(spark, SF_DIR).toPandas()
+    singles = out[out.plen == 1]
+    multis = out[out.plen > 1]
+    assert len(multis) <= UNI_SEED_MULTI
+    # chars of the corpus vocabulary == the single-char pieces
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    total_chars = wf.select(
+        F.sum(F.length("word") * F.col("freq")).alias("t")
+    ).head().t
+    chars = {
+        r.c
+        for r in wf.select(
+            F.explode(F.split("word", "")).alias("c")
+        ).where(F.col("c") != "").distinct().collect()
+    }
+    assert set(singles.piece) == chars
+    for col in ("cnt_r1", "cnt_r2"):
+        got = int((out[col] * out.plen).sum())
+        assert got == total_chars, (col, got, total_chars)
+
+
+def test_unigram_planted_whole_word_piece(spark, tmp_path):
+    """On a corpus dominated by one 4-char word, the trained tokenizer
+    must tokenize that word as ONE piece: the whole-word candidate owns
+    nearly the whole probability mass, so Viterbi prefers one lp hit
+    over any multi-piece split (each extra piece costs another ≤-ln(2)
+    factor). Hard counts must show it."""
+    import os
+
+    from minimapreduce_spark import queries as q
+
+    docs = [(i, "abab " * 30 + "zq", "en", "src0", 152) for i in range(20)]
+    d = str(tmp_path / "uni_planted")
+    os.makedirs(d)
+    spark.createDataFrame(
+        docs, "doc_id: bigint, text: string, lang: string, source: string, n_chars: bigint"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    out = (
+        q.REGISTRY["unigram_train_pieces"].fn(spark, d).toPandas().set_index("piece")
+    )
+    assert out.loc["abab"].cnt_r2 == 600  # 20 docs × 30 occurrences
+    # the single chars a/b carry no hard count once the whole word wins
+    assert out.loc["a"].cnt_r2 == 0 and out.loc["b"].cnt_r2 == 0
+    assert out.loc["abab"].lp_final > out.loc["ab"].lp_final

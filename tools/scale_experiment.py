@@ -76,6 +76,8 @@ QUERIES = [
     "sample_token_lottery_topk",
     "hybrid_rrf_retrieval",
     "sample_dsir_importance_topk",
+    "unigram_train_pieces",
+    "unigram_apply_token_stats",
 ]
 
 # Excluded past 10×:
