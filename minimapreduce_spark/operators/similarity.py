@@ -170,12 +170,13 @@ def ann_cosine_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_cell_sims(emb: DataFrame) -> DataFrame:
+def _ivf_cell_sims(emb: DataFrame, n_queries: int = N_QUERIES) -> DataFrame:
     """(q_vec_id, vec_id, cosine_sim) restricted to each query's routed
     IVF cell: per-label mean centroids, route each query to its single
     nearest centroid, exact cosines within that cell only. The shared
-    candidate stage of ann_ivf_topk (top-K cut) and ann_ivf_mmr_rerank
-    (top-MMR_CANDS pool)."""
+    candidate stage of ann_ivf_topk (top-K cut), ann_ivf_mmr_rerank
+    (top-MMR_CANDS pool), and hybrid_ivf_rrf_retrieval (semantic
+    channel)."""
     # centroids: posexplode → per-(label, dim) mean → rebuild ordered array
     cent = (
         emb.select("label", F.posexplode("emb").alias("dim", "v"))
@@ -188,7 +189,7 @@ def _ivf_cell_sims(emb: DataFrame) -> DataFrame:
             ).alias("centroid")
         )
     )
-    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+    q = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_vec_id"), F.col("emb").alias("q_emb")
     )
     assign_w = W.partitionBy("q_vec_id").orderBy(F.desc("c_sim"), F.asc("label"))
@@ -2756,11 +2757,8 @@ HY_RRF_K = 60  # the standard RRF dampening constant
 HY_RRF_SCALE = 10**12  # integer RRF: contribution = SCALE DIV (K + rank)
 HY_TOPK = 10  # fused results returned per query
 
-
-@register(
-    "hybrid_rrf_retrieval",
-    oracle=f"""
-    WITH toks AS (
+_HY_LEX_CTES = f"""
+    toks AS (
       SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
                                         w -> w <> '')) AS word
       FROM documents
@@ -2794,7 +2792,10 @@ HY_TOPK = 10  # fused results returned per query
       JOIN norms nq ON ldots.q_doc_id = nq.doc_id
       JOIN norms nc ON ldots.doc_id = nc.doc_id
     ),
-    lexk AS (SELECT * FROM lex WHERE lex_rank <= {HY_CAND_K}),
+    lexk AS (SELECT * FROM lex WHERE lex_rank <= {HY_CAND_K})"""
+
+# brute-force semantic channel: every query scored against the corpus
+_HY_SEM_BRUTE_CTES = f"""
     e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     sem AS (
       SELECT q.vec_id AS q_doc_id, c.vec_id AS doc_id,
@@ -2805,7 +2806,42 @@ HY_TOPK = 10  # fused results returned per query
              ) AS sem_rank
       FROM e q JOIN e c ON q.vec_id < {HY_NQ} AND c.vec_id >= {HY_NQ}
     ),
-    semk AS (SELECT * FROM sem WHERE sem_rank <= {HY_CAND_K}),
+    semk AS (SELECT * FROM sem WHERE sem_rank <= {HY_CAND_K})"""
+
+# IVF-routed semantic channel: ann_ivf_topk's routing SQL with the
+# hybrid's query set and query docs excluded from the candidates
+_HY_SEM_IVF_CTES = f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+    dims AS (
+      SELECT label, generate_subscripts(emb, 1) AS dim, unnest(emb) AS v FROM e
+    ),
+    cent AS (
+      SELECT label, list(av ORDER BY dim) AS centroid
+      FROM (SELECT label, dim, avg(v) AS av FROM dims GROUP BY label, dim)
+      GROUP BY label
+    ),
+    q AS (SELECT vec_id AS q_doc_id, emb AS qe FROM e WHERE vec_id < {HY_NQ}),
+    assign AS (
+      SELECT q_doc_id, qe, label,
+             row_number() OVER (
+               PARTITION BY q_doc_id
+               ORDER BY round(list_cosine_similarity(qe, centroid), 6) DESC, label
+             ) AS crn
+      FROM q, cent
+    ),
+    routed AS (SELECT q_doc_id, qe, label FROM assign WHERE crn = 1),
+    sem AS (
+      SELECT r.q_doc_id, e.vec_id AS doc_id,
+             row_number() OVER (
+               PARTITION BY r.q_doc_id
+               ORDER BY round(list_cosine_similarity(r.qe, e.emb), 6) DESC,
+                        e.vec_id
+             ) AS sem_rank
+      FROM routed r JOIN e ON e.label = r.label AND e.vec_id >= {HY_NQ}
+    ),
+    semk AS (SELECT q_doc_id, doc_id, sem_rank FROM sem WHERE sem_rank <= {HY_CAND_K})"""
+
+_HY_FUSE_TAIL = f"""
     fused AS (
       SELECT COALESCE(l.q_doc_id, s.q_doc_id) AS q_doc_id,
              COALESCE(l.doc_id, s.doc_id) AS doc_id,
@@ -2829,51 +2865,23 @@ HY_TOPK = 10  # fused results returned per query
            CAST(sem_rank AS INT) AS sem_rank,
            CAST(rrf_score AS BIGINT) AS rrf_score,
            CAST(fused_rank AS INT) AS fused_rank
-    FROM ranked WHERE fused_rank <= {HY_TOPK}
-    """,
-    bench=True,
-)
-def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval with reciprocal-rank fusion — the standard RAG
-    serving shape the ledger's two channels feed but never composed:
-    a LEXICAL channel (sparse TF-IDF cosine of each query document
-    against the corpus, the doc_pair_cosine_tfidf machinery restricted
-    to query×corpus pairs) and a SEMANTIC channel (dense embedding
-    cosine, the ann_cosine_topk machinery), each producing a per-query
-    top-{HY_CAND_K} ranking, fused by RRF and cut to the final
-    top-{HY_TOPK}. Documents 0..{HY_NQ}-1 are the query set (their
-    embeddings are id-aligned rows of the embeddings table); the rest
-    of the corpus is the search target.
+    FROM ranked WHERE fused_rank <= {HY_TOPK}"""
 
-    INTEGER RRF: the textbook score Σ 1/(k+rank) ranks on libm-free but
-    still float division; here each channel contributes
-    ``{HY_RRF_SCALE} DIV (rank + {HY_RRF_K})`` — an exact BIGINT that
-    appears in the output and hash-compares cross-engine, with doc_id
-    breaking the (rare, and pytest-planted) sum ties. A channel miss
-    contributes exactly 0, so single-channel hits compete on half
-    strength — the RRF semantics, discretized. Channel ranks use the
-    family's rounded-cosine-then-id discipline (6 dp; see module
-    docstring), and the lexical weights are the BIGINT ten-thousandths
-    IDF quantization of doc_pair_cosine_tfidf, so every ranking input
-    is either exact or round-pinned.
 
-    Scale posture: the query side of both channels is tiny by
-    construction ({HY_NQ} docs) — the lexical query term vectors and
-    the query embeddings both broadcast, so the corpus is scanned once
-    per channel and never shuffled pairwise (the lexical join fans out
-    only on shared surviving terms; universal terms are pruned at
-    df > 0.9N — the fanout/skew knob, set high because the fixture's
-    vocabulary is 31 terms with df ~ 0.8N (a crawl corpus would use
-    the doc_pair_cosine_tfidf N/2 cut); the
-    semantic channel scores Arrow batches with one BLAS matmul against
-    the broadcast query matrix — `_brute_sims_numpy`, the
-    ann_cosine_topk_numpy scorer — and is the brute-force baseline that
-    IVF routing would replace at 100 TB: swap `_ivf_cell_sims` in
-    unchanged, as ann_ivf_mmr_rerank does for MMR). The fusion stage is bounded at
-    {HY_NQ}×2×{HY_CAND_K} rows: full-outer equi-join + one bounded
-    window. No reference analog (the reference's closest surface is
-    the indexer app, mrapps/indexer.go:15-30).
-    """
+def _hy_oracle(sem_ctes: str) -> str:
+    return "WITH " + _HY_LEX_CTES.strip() + ",\n" + sem_ctes.strip() + ",\n" + _HY_FUSE_TAIL.strip()
+
+
+def _hy_chan_w():
+    # built lazily: WindowSpec construction needs an active session
+    return W.partitionBy("q_doc_id")
+
+
+def _hybrid_lex_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_doc_id, doc_id, lex_rank): the sparse TF-IDF-cosine channel —
+    integer ten-thousandths IDF weights (the doc_pair_cosine_tfidf
+    quantization), query term vectors broadcast against the corpus
+    posting lists, rounded-cosine-then-id ranking, top-HY_CAND_K."""
     from minimapreduce_spark.catalog import fan_out
     from minimapreduce_spark.operators.text_analysis import _tokens
 
@@ -2911,36 +2919,39 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.sqrt(F.col("nsq_q").cast("double")) * F.sqrt(F.col("nsq_c").cast("double"))),
         6,
     )
-    chan_w = W.partitionBy("q_doc_id")
-    lexk = (
+    return (
         ldots.join(F.broadcast(nq), "q_doc_id")
         .join(nc, "doc_id")
         .select(
             "q_doc_id",
             "doc_id",
             F.row_number()
-            .over(chan_w.orderBy(lex_cos.desc(), F.asc("doc_id")))
+            .over(_hy_chan_w().orderBy(lex_cos.desc(), F.asc("doc_id")))
             .alias("lex_rank"),
         )
         .where(F.col("lex_rank") <= HY_CAND_K)
     )
-    emb = _emb(spark, sf_dir)
-    sem = _brute_sims_numpy(spark, emb, HY_NQ).where(F.col("vec_id") >= HY_NQ)
-    semk = (
-        sem.select(
-            F.col("q_vec_id").alias("q_doc_id"),
-            F.col("vec_id").alias("doc_id"),
-            F.round("cosine_sim_raw", 6).alias("sem_cos"),
-        )
-        .select(
+
+
+def _hybrid_sem_topk(sims: DataFrame) -> DataFrame:
+    """(q_doc_id, doc_id, sem_rank) from a (q_doc_id, doc_id, sem_cos)
+    frame — the family's rounded-cosine-then-id rank, top-HY_CAND_K."""
+    return (
+        sims.select(
             "q_doc_id",
             "doc_id",
             F.row_number()
-            .over(chan_w.orderBy(F.desc("sem_cos"), F.asc("doc_id")))
+            .over(_hy_chan_w().orderBy(F.desc("sem_cos"), F.asc("doc_id")))
             .alias("sem_rank"),
         )
         .where(F.col("sem_rank") <= HY_CAND_K)
     )
+
+
+def _hybrid_fuse(lexk: DataFrame, semk: DataFrame) -> DataFrame:
+    """Integer RRF fusion of the two channel rankings (full-outer on
+    (query, doc); a channel miss contributes exactly 0), fused rank by
+    (score DESC, doc_id), cut to HY_TOPK."""
     contrib = lambda r: F.coalesce(  # noqa: E731
         F.expr(f"CAST({HY_RRF_SCALE} AS BIGINT) DIV (CAST({r} AS BIGINT) + {HY_RRF_K})"),
         F.lit(0).cast("bigint"),
@@ -2951,7 +2962,7 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fused.withColumn(
             "fused_rank",
-            F.row_number().over(chan_w.orderBy(F.desc("rrf_score"), F.asc("doc_id"))),
+            F.row_number().over(_hy_chan_w().orderBy(F.desc("rrf_score"), F.asc("doc_id"))),
         )
         .where(F.col("fused_rank") <= HY_TOPK)
         .select(
@@ -2963,3 +2974,90 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("fused_rank").cast("int").alias("fused_rank"),
         )
     )
+
+
+@register("hybrid_rrf_retrieval", oracle=_hy_oracle(_HY_SEM_BRUTE_CTES), bench=True)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the standard RAG
+    serving shape the ledger's two channels feed but never composed:
+    a LEXICAL channel (sparse TF-IDF cosine of each query document
+    against the corpus, the doc_pair_cosine_tfidf machinery restricted
+    to query×corpus pairs) and a SEMANTIC channel (dense embedding
+    cosine, the ann_cosine_topk machinery), each producing a per-query
+    top-{HY_CAND_K} ranking, fused by RRF and cut to the final
+    top-{HY_TOPK}. Documents 0..{HY_NQ}-1 are the query set (their
+    embeddings are id-aligned rows of the embeddings table); the rest
+    of the corpus is the search target.
+
+    INTEGER RRF: the textbook score Σ 1/(k+rank) ranks on libm-free but
+    still float division; here each channel contributes
+    ``{HY_RRF_SCALE} DIV (rank + {HY_RRF_K})`` — an exact BIGINT that
+    appears in the output and hash-compares cross-engine, with doc_id
+    breaking the (rare, and pytest-planted) sum ties. A channel miss
+    contributes exactly 0, so single-channel hits compete on half
+    strength — the RRF semantics, discretized. Channel ranks use the
+    family's rounded-cosine-then-id discipline (6 dp; see module
+    docstring), and the lexical weights are the BIGINT ten-thousandths
+    IDF quantization of doc_pair_cosine_tfidf, so every ranking input
+    is either exact or round-pinned.
+
+    Scale posture: the query side of both channels is tiny by
+    construction ({HY_NQ} docs) — the lexical query term vectors and
+    the query embeddings both broadcast, so the corpus is scanned once
+    per channel and never shuffled pairwise (the lexical join fans out
+    only on shared surviving terms; universal terms are pruned at
+    df > 0.9N — the fanout/skew knob, set high because the fixture's
+    vocabulary is 31 terms with df ~ 0.8N (a crawl corpus would use
+    the doc_pair_cosine_tfidf N/2 cut); the
+    semantic channel scores Arrow batches with one BLAS matmul against
+    the broadcast query matrix — `_brute_sims_numpy`, the
+    ann_cosine_topk_numpy scorer — and is the brute-force baseline that
+    IVF routing replaces at 100 TB: `hybrid_ivf_rrf_retrieval` IS that
+    swap, registered). The fusion stage is bounded at
+    {HY_NQ}×2×{HY_CAND_K} rows: full-outer equi-join + one bounded
+    window. No reference analog (the reference's closest surface is
+    the indexer app, mrapps/indexer.go:15-30).
+    """
+    lexk = _hybrid_lex_channel(spark, sf_dir)
+    sem = (
+        _brute_sims_numpy(spark, _emb(spark, sf_dir), HY_NQ)
+        .where(F.col("vec_id") >= HY_NQ)
+        .select(
+            F.col("q_vec_id").alias("q_doc_id"),
+            F.col("vec_id").alias("doc_id"),
+            F.round("cosine_sim_raw", 6).alias("sem_cos"),
+        )
+    )
+    return _hybrid_fuse(lexk, _hybrid_sem_topk(sem))
+
+
+@register("hybrid_ivf_rrf_retrieval", oracle=_hy_oracle(_HY_SEM_IVF_CTES))
+def hybrid_ivf_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB serving shape of `hybrid_rrf_retrieval`, registered:
+    the semantic channel swaps the brute-force scorer for IVF routing —
+    `_ivf_cell_sims`, byte-identical to ann_ivf_topk's candidate stage
+    (route each query to its nearest centroid via a broadcast join,
+    score only that cell) — and everything else reuses the hybrid
+    helpers verbatim (`_hybrid_lex_channel`, `_hybrid_sem_topk`,
+    `_hybrid_fuse`), so only the wiring is new, the ann_ivf_mmr_rerank
+    composition discipline. Recall trades exactly as IVF always does
+    (candidates come from one cell); the fused output schema and all
+    integer-RRF semantics are unchanged, and the oracle chains
+    ann_ivf_topk's routing SQL into the same lexical + fusion CTEs.
+
+    Scale posture: the lexical channel is unchanged (query term vectors
+    broadcast); the semantic channel now scans 1/n_cells of the corpus
+    per query once bucketed by cell — the IVF contract — instead of the
+    brute channel's full pass; fusion stays bounded at Q×2K rows.
+    """
+    lexk = _hybrid_lex_channel(spark, sf_dir)
+    sims = (
+        _ivf_cell_sims(_emb(spark, sf_dir), HY_NQ)
+        .where(F.col("vec_id") >= HY_NQ)
+        .select(
+            F.col("q_vec_id").alias("q_doc_id"),
+            F.col("vec_id").alias("doc_id"),
+            F.col("cosine_sim").alias("sem_cos"),
+        )
+    )
+    return _hybrid_fuse(lexk, _hybrid_sem_topk(sims))

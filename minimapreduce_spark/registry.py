@@ -143,7 +143,12 @@ DRIVER_PRIORITY: list[str] = [
 # round-6 flagships 243-250 were swapped into the window before the
 # driver ran, displacing audited trivial shapes into the dropped
 # list.)
-LATE_REGISTERED: list[str] = []  # all round-6 registrations are windowed
+LATE_REGISTERED: list[str] = [
+    # composition of two window members (hybrid lexical channel +
+    # ann_ivf_topk routing), registered after the final window swap;
+    # pytest-oracle-verified every suite run
+    "hybrid_ivf_rrf_retrieval",
+]
 
 # The twenty-two round-5-remainder queries this window drops to make room
 # for the post-r05 registrations (a flagship capability driver-verified

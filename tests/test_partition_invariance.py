@@ -119,6 +119,9 @@ CANDIDATES = [
     # unigram-LM training: quantized-BIGINT Viterbi + vocab-scale
     # aggs — the trained piece table must not depend on task layout
     "unigram_train_pieces",
+    # IVF-routed hybrid: routing + channel ranks + integer fusion —
+    # the fused ranking must not depend on task layout
+    "hybrid_ivf_rrf_retrieval",
 ]
 
 

@@ -75,6 +75,7 @@ QUERIES = [
     "bpe_apply_token_stats",
     "sample_token_lottery_topk",
     "hybrid_rrf_retrieval",
+    "hybrid_ivf_rrf_retrieval",
     "sample_dsir_importance_topk",
     "unigram_train_pieces",
     "unigram_apply_token_stats",
