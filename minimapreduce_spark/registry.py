@@ -148,6 +148,7 @@ LATE_REGISTERED: list[str] = [
     # ann_ivf_topk routing), registered after the final window swap;
     # pytest-oracle-verified every suite run
     "hybrid_ivf_rrf_retrieval",
+    "stream_kmv_distinct_users",
 ]
 
 # The twenty-two round-5-remainder queries this window drops to make room

@@ -14,6 +14,7 @@ from minimapreduce_spark.catalog import load_table
 from minimapreduce_spark.operators.scale import (
     CMS_D,
     CMS_TOP,
+    KMV_K,
     cms_bucket,
     cms_pairs,
 )
@@ -78,4 +79,123 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cms_est").cast("bigint").alias("cms_est"),
         (F.col("cms_est") - F.col("cnt")).cast("bigint").alias("overest"),
         "rnk",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV — bounded per-group distinct sketch in the state store
+# ---------------------------------------------------------------------------
+
+_KMV_OUT_SCHEMA = "event_type string, n_retained bigint, h_k bigint, n_rows bigint"
+_KMV_STATE_SCHEMA = "ks array<bigint>, n_rows bigint"
+
+
+def _kmv_update_factory(k: int):
+    """applyInPandasWithState kernel: per-group state is the bottom-k
+    DISTINCT portable hashes (union + re-bottom — the KMV mergeability
+    operation itself, applied per micro-batch) plus a strictly
+    increasing processed-row counter used to select the FINAL emission
+    batch-side. All-integer state; no floats anywhere."""
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        ks, n_rows = (list(state.get[0]), int(state.get[1])) if state.exists else ([], 0)
+        seen = set(ks)
+        for pdf in pdfs:
+            n_rows += len(pdf)
+            seen.update(int(h) for h in pdf["h"])
+        ks = sorted(seen)[:k]
+        state.update((ks, n_rows))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_retained": [len(ks)],
+                "h_k": [ks[k - 1] if len(ks) >= k else None],
+                "n_rows": [n_rows],
+            }
+        )
+
+    return update
+
+
+@register(
+    "stream_kmv_distinct_users",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM d
+    )
+    SELECT event_type,
+           CAST(least(count(*), {KMV_K}) AS BIGINT) AS n_retained,
+           round(CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS DOUBLE)
+                      ELSE ({KMV_K} - 1.0) * 1152921504606846976.0
+                           / max(CASE WHEN rn = {KMV_K} THEN h END)
+                 END, 4) AS kmv_est
+    FROM r GROUP BY event_type
+    """,
+)
+def stream_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING K-minimum-values distinct sketch: per event_type, the
+    bottom-{KMV_K} distinct portable hashes live in the state store and
+    are folded across real micro-batches by union + re-bottom — the KMV
+    mergeability operation itself, so the drained state is BIT-IDENTICAL
+    to the batch `sketch_kmv_distinct_users` sketch over the same
+    events (pytest asserts the hash lists element-wise). State is ≤K
+    longs per group REGARDLESS of how many distinct users flow by — the
+    distinct-count companion to `stream_cms_heavy_hitters`' frequency
+    monitor, and the custom-state counterpart of its built-in streaming
+    aggregation (CMS state fits a groupBy-sum; bottom-K needs
+    `applyInPandasWithState`).
+
+    The kernel emits only integers (retained count, the K-th smallest
+    hash, a strictly-increasing row counter); the estimator division —
+    (K−1)·2⁶⁰ / h₍K₎, exact-double, the batch twin's arithmetic — runs
+    JVM-side AFTER the drain, on each group's final emission (selected
+    by max row-counter over the ≤4 per-group update rows). The oracle
+    is the batch KMV SQL minus its n_exact column — the one number a
+    bounded sketch, by design, cannot know.
+
+    Scale posture: state ≤ K longs per group; each micro-batch ships
+    one Arrow frame per group per batch; the estimator join is over
+    |groups| rows. Production sinks would emit the running estimate per
+    trigger — the memory-sink drain here exists to compare against the
+    batch oracle exactly.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.window import Window as W
+
+    from minimapreduce_spark.operators.scale import kmv_hash60
+
+    sdf = events_stream_sharded(spark, sf_dir, n_shards=4)
+    hashed = sdf.select("event_type", kmv_hash60(F.col("user_id")).alias("h"))
+    updates = hashed.groupBy("event_type").applyInPandasWithState(
+        _kmv_update_factory(KMV_K),
+        outputStructType=_KMV_OUT_SCHEMA,
+        stateStructType=_KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = run_to_memory(updates, "kmv_stream", "update")
+    w = W.partitionBy("event_type").orderBy(F.desc("n_rows"))
+    final = (
+        drained.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn", "n_rows")
+    )
+    est = F.when(
+        F.col("n_retained") < KMV_K, F.col("n_retained").cast("double")
+    ).otherwise(
+        (F.lit(float(KMV_K) - 1.0) * F.lit(1152921504606846976.0)) / F.col("h_k")
+    )
+    return final.select(
+        "event_type",
+        F.col("n_retained").cast("bigint").alias("n_retained"),
+        F.round(est, 4).alias("kmv_est"),
     )

@@ -384,3 +384,65 @@ def test_stream_cms_state_bit_identical_to_batch_sketch(spark):
     s = q.queries()["stream_cms_heavy_hitters"](spark, SF_DIR).toPandas()
     b = q.queries()["sketch_cms_heavy_hitters"](spark, SF_DIR).toPandas()
     assert_frames_match(s, b, name="stream_vs_batch_cms")
+
+
+def test_stream_kmv_state_bit_identical_and_multibatch(spark):
+    """The streaming KMV's contract: cross-batch state is genuinely
+    exercised (>1 update emission per group over the 4-shard replay),
+    the final per-group emission equals the batch sketch's bottom-K
+    boundary (n_retained and the K-th hash), and the fold itself is
+    split-invariant — folding the same hashes through ANY batch split
+    yields the batch bottom-K (union + re-bottom is order-free)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.catalog import load_table
+    from minimapreduce_spark.operators.scale import KMV_K, kmv_hash60, kmv_sketch
+    from minimapreduce_spark.streaming.sketch import (
+        _KMV_OUT_SCHEMA,
+        _KMV_STATE_SCHEMA,
+        _kmv_update_factory,
+    )
+    from minimapreduce_spark.streaming.source import (
+        events_stream_sharded,
+        run_to_memory,
+    )
+
+    sdf = events_stream_sharded(spark, SF_DIR, n_shards=4)
+    hashed = sdf.select("event_type", kmv_hash60(F.col("user_id")).alias("h"))
+    updates = hashed.groupBy("event_type").applyInPandasWithState(
+        _kmv_update_factory(KMV_K),
+        outputStructType=_KMV_OUT_SCHEMA,
+        stateStructType=_KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = run_to_memory(updates, "kmv_state_test", "update").toPandas()
+    per_group = drained.groupby("event_type").size()
+    assert (per_group > 1).all(), per_group  # cross-batch state exercised
+
+    ev = load_table(spark, SF_DIR, "events")
+    batch = kmv_sketch(
+        ev.select("event_type", kmv_hash60(F.col("user_id")).alias("h")),
+        ["event_type"],
+    ).toPandas().set_index("event_type")
+    final = drained.sort_values("n_rows").groupby("event_type").last()
+    for et, row in final.iterrows():
+        ks = list(batch.loc[et].ks)
+        assert row.n_retained == min(len(ks), KMV_K), et
+        if len(ks) >= KMV_K:
+            assert row.h_k == ks[KMV_K - 1], et  # the sketch boundary
+
+    # split-invariance of the fold (plain python, exactly the kernel's
+    # update: ks = bottom-K of (ks ∪ shard)): ANY batch split folds to
+    # the batch bottom-K, because min-K is associative over union
+    hs = [int(r.h) for r in
+          ev.select(kmv_hash60(F.col("user_id")).alias("h")).collect()]
+    want = sorted(set(hs))[:KMV_K]
+    for mod in (2, 3, 4):
+        ks: list = []
+        for i in range(mod):
+            shard = {h for j, h in enumerate(hs) if j % mod == i}
+            ks = sorted(set(ks) | shard)[:KMV_K]
+        assert ks == want, mod
