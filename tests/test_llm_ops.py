@@ -1398,3 +1398,82 @@ def test_hybrid_ivf_composition_invariants(spark):
     for k in li:
         a, b = li[k], lb[k]
         assert (a != a and b != b) or a == b, (k, a, b)
+
+
+def test_log_quantization_margins(spark):
+    """The round-5 LSH lesson applied to every round-6 ln-quantization
+    site: a quantized log (round(ln(x)·SCALE)) is cross-engine exact
+    only while no operand sits ON a rounding midpoint, where a 1-ulp
+    JVM-vs-DuckDB ln() disagreement could flip the integer. Pin the
+    midpoint margin for (a) DSIR bucket log-ratios, (b) unigram-LM
+    piece log-probs (all rounds, from the registered output's own
+    count columns), (c) the hybrid/TF-IDF IDF weights. Margins on this
+    fixture are ≥1e-9 in quantized units — ~four orders of magnitude
+    above double-ulp scale."""
+    import math
+
+    import numpy as np
+
+    import duckdb
+
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.operators.pipeline import DSIR_B, DSIR_LR_SCALE
+    from minimapreduce_spark.operators.text_analysis import UNI_LP_SCALE
+    from tests.conftest import SF_DIR, TABLES, table_path
+
+    def midpoint_margin(xs):
+        xs = np.asarray(sorted(xs), dtype=np.float64)
+        return np.abs(np.mod(xs, 1.0) - 0.5).min()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{table_path(SF_DIR, t)}'"
+        )
+
+    # (a) DSIR: ratio operands recomputed exactly from integer counts
+    rows = con.execute(f"""
+        WITH toks AS (
+          SELECT doc_id, (lang = 'en' AND source IN ('src0','src1','src2','src3')) AS is_tgt,
+                 unnest(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), w -> w <> '')) AS word
+          FROM documents
+        ),
+        b AS (SELECT is_tgt,
+                     CAST(('0x' || substr(md5('dsir:' || word), 1, 15)) AS BIGINT) % {DSIR_B} AS bucket,
+                     count(*) AS c
+              FROM toks GROUP BY 1, 2),
+        t AS (SELECT bucket, sum(c) AS tb FROM b WHERE is_tgt GROUP BY 1),
+        r AS (SELECT bucket, sum(c) AS rb FROM b WHERE NOT is_tgt GROUP BY 1),
+        tot AS (SELECT (SELECT coalesce(sum(tb),0) FROM t) tt, (SELECT coalesce(sum(rb),0) FROM r) rt)
+        SELECT COALESCE(t.tb, 0), COALESCE(r.rb, 0), tot.tt, tot.rt
+        FROM t FULL JOIN r ON t.bucket = r.bucket, tot
+    """).fetchall()
+    xs = [
+        math.log(((tb + 1) * (rt + DSIR_B)) / ((rb + 1) * (tt + DSIR_B))) * DSIR_LR_SCALE
+        for tb, rb, tt, rt in rows
+    ]
+    assert midpoint_margin(xs) > 1e-9, "DSIR log-ratio near a rounding midpoint"
+
+    # (b) unigram: every round's lp inputs from the output's counts
+    out = q.REGISTRY["unigram_train_pieces"].fn(spark, SF_DIR).toPandas()
+    v = len(out)
+    seed_tot = int(out.seed_cnt.sum())
+    xs = [math.log(c / seed_tot) * UNI_LP_SCALE for c in out.seed_cnt]
+    for col in ("cnt_r1", "cnt_r2"):
+        ctot = int(out[col].sum())
+        xs += [math.log((c + 1) / (ctot + v)) * UNI_LP_SCALE for c in out[col]]
+    assert midpoint_margin(xs) > 1e-9, "unigram log-prob near a rounding midpoint"
+
+    # (c) hybrid/TF-IDF IDF weights over the surviving vocabulary
+    rows = con.execute("""
+        WITH tf AS (
+          SELECT doc_id, word FROM (
+            SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), w -> w <> '')) AS word
+            FROM documents) GROUP BY 1, 2
+        ),
+        dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents)
+        SELECT df, n.n FROM dfreq, n
+    """).fetchall()
+    xs = [math.log(n / df) * 10000 for df, n in rows]
+    assert midpoint_margin(xs) > 1e-9, "IDF weight near a rounding midpoint"
