@@ -242,6 +242,10 @@ RELATIONAL_QUERIES = [
     "sketch_kmv_distinct_users",
     "sketch_cms_heavy_hitters",
     "sketch_quantile_prices",
+    # streaming twins: the events table replayed through 4 real
+    # micro-batches at fixture scale — bounded state at 16M events
+    "stream_cms_heavy_hitters",
+    "stream_kmv_distinct_users",
 ]
 
 RELATIONAL_TABLES = (
