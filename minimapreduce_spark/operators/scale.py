@@ -1040,3 +1040,165 @@ def sketch_quantile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"{lo}L + (bucket + 1) * {span}L DIV {QSK_B} - 1").cast("bigint").alias("est_hi_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout — the locality-superior sibling of Z-order
+# ---------------------------------------------------------------------------
+
+HILBERT_BITS = 8  # 2^8 × 2^8 grid → d ∈ [0, 65536)
+HILBERT_TILE_SHIFT = 10  # top 6 bits of d → 64 tiles
+
+
+def _hilbert_round_sql(s: int, n: int) -> tuple[str, str, str]:
+    """One xy2d round (grid mask ``s``) as engine-shared SQL over carry
+    columns (hx, hy, hd): quadrant digit d += s²·((3rx) XOR ry) with the
+    XOR written as exact arithmetic (3rx + ry − 2·rx·ry — identical on
+    {0,1}), then the canonical reflect-and-swap rotation. The snippet is
+    valid in BOTH Spark SQL and DuckDB (CASE, &, integer arithmetic)."""
+    rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+    d = f"hd + {s * s} * (3 * {rx} + {ry} - 2 * {rx} * {ry})"
+    x = (
+        f"CASE WHEN {ry} = 1 THEN hx "
+        f"WHEN {rx} = 1 THEN {n - 1} - hy ELSE hy END"
+    )
+    y = (
+        f"CASE WHEN {ry} = 1 THEN hy "
+        f"WHEN {rx} = 1 THEN {n - 1} - hx ELSE hx END"
+    )
+    return d, x, y
+
+
+def hilbert_d_frame(grid: DataFrame, bits: int = HILBERT_BITS) -> DataFrame:
+    """(xn, yn, hd): Hilbert index of every distinct grid cell, computed
+    by ``bits`` chained rounds of the xy2d state machine over named
+    carry columns — one bounded frame (≤ 4^bits rows BY CONSTRUCTION,
+    the curve's whole domain), so the unrolled expression chain never
+    touches fact-table volume and the result broadcast-joins back to
+    the data. A mid-chain localCheckpoint stops Catalyst's projection
+    collapse from inlining the rounds into one exponential expression
+    tree (each round references its predecessor's columns ~4×)."""
+    n = 1 << bits
+    df = grid.selectExpr(
+        "xn", "yn",
+        "CAST(xn AS BIGINT) AS hx", "CAST(yn AS BIGINT) AS hy",
+        "CAST(0 AS BIGINT) AS hd",
+    )
+    for i, s in enumerate(1 << b for b in range(bits - 1, -1, -1)):
+        d_e, x_e, y_e = _hilbert_round_sql(s, n)
+        df = df.selectExpr(
+            "xn", "yn",
+            f"CAST(({x_e}) AS BIGINT) AS hx",
+            f"CAST(({y_e}) AS BIGINT) AS hy",
+            f"CAST(({d_e}) AS BIGINT) AS hd",
+        )
+        if i == bits // 2 - 1:
+            df = df.localCheckpoint(eager=False)
+    return df.select("xn", "yn", "hd")
+
+
+def _hilbert_chain_cte(bits: int = HILBERT_BITS) -> str:
+    """The same rounds as chained DuckDB CTEs h1..h{bits} over the
+    distinct grid CTE ``g`` (CTE boundaries are the oracle's natural
+    anti-collapse barriers)."""
+    n = 1 << bits
+    parts = [
+        "h0 AS (SELECT xn, yn, CAST(xn AS BIGINT) AS hx,"
+        " CAST(yn AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd FROM g)"
+    ]
+    for i, s in enumerate(1 << b for b in range(bits - 1, -1, -1)):
+        d_e, x_e, y_e = _hilbert_round_sql(s, n)
+        parts.append(
+            f"h{i + 1} AS MATERIALIZED (SELECT xn, yn,"
+            f" CAST(({x_e}) AS BIGINT) AS hx,"
+            f" CAST(({y_e}) AS BIGINT) AS hy,"
+            f" CAST(({d_e}) AS BIGINT) AS hd FROM h{i})"
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "hilbert_tile_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT o_custkey, {_Z_DAY} AS day FROM orders
+    ),
+    b AS (
+      SELECT min(o_custkey) AS xlo, max(o_custkey) AS xhi,
+             min(day) AS ylo, max(day) AS yhi
+      FROM d
+    ),
+    pts AS MATERIALIZED (
+      SELECT o_custkey, day,
+             ({normalized_dim_sql("o_custkey", "b.xlo", "b.xhi", HILBERT_BITS)}) AS xn,
+             ({normalized_dim_sql("day", "b.ylo", "b.yhi", HILBERT_BITS)}) AS yn
+      FROM d, b
+    ),
+    g AS MATERIALIZED (SELECT DISTINCT xn, yn FROM pts),
+    {_hilbert_chain_cte()},
+    curve AS (SELECT xn, yn, hd FROM h{HILBERT_BITS})
+    SELECT hd >> {HILBERT_TILE_SHIFT} AS tile,
+           count(*) AS n_orders,
+           min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+           min(day) AS min_day, max(day) AS max_day
+    FROM pts JOIN curve USING (xn, yn)
+    GROUP BY 1
+    """,
+    bench=True,
+)
+def hilbert_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile statistics of the HILBERT-curve clustering of orders on
+    (o_custkey, o_orderdate-as-day) — the locality-superior sibling of
+    `zorder_tile_stats` (same inputs, same output frame, same 64-tile
+    cut, directly comparable): consecutive Hilbert indices are always
+    unit Manhattan steps (Z-order takes long diagonal jumps at quadrant
+    boundaries) — the property modern lakehouse clustering
+    (liquid/OPTIMIZE) buys with this curve, pinned exhaustively in
+    pytest against an independent reference AND against Z-order's
+    step distribution. Honesty note: at this query's coarse 64-tile
+    cut the two curves' tile bounding boxes measure statistically
+    identical on the fixture (0.248 vs 0.248 mean normalized
+    semi-perimeter) — the Hilbert win materializes at file-level
+    granularity (many small files ≈ fine tiles), not at 1024-cell
+    tiles; the step-level superiority is where the guarantee lives.
+
+    Exactness: the xy2d state machine is {HILBERT_BITS} unrolled rounds
+    of pure integer CASE/bitmask arithmetic — one engine-shared SQL
+    snippet per round, bit-identical on both engines; the quadrant XOR
+    is written as exact {{0,1}} arithmetic. Bijectivity and the
+    unit-step property are pinned against an independent Python
+    reference exhaustively in pytest.
+
+    Scale posture: the curve is evaluated on the DISTINCT grid frame —
+    ≤ 4^{HILBERT_BITS} rows BY CONSTRUCTION regardless of table size —
+    then broadcast-joined back to the facts, so the fact path costs one
+    normalization projection + one broadcast join + the tile hash-agg
+    (the zorder plan plus one bounded join; at petabyte scale the curve
+    table is a write-once artifact, exactly like `write_zordered`'s
+    layout pass).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+    )
+    d = orders.select("o_custkey", day.alias("day"))
+    xlo, xhi, ylo, yhi = collect_minmax_bounds(d, "o_custkey", "day")
+    pts = d.select(
+        "o_custkey",
+        "day",
+        normalized_dim_lit(F.col("o_custkey"), xlo, xhi, HILBERT_BITS).alias("xn"),
+        normalized_dim_lit(F.col("day"), ylo, yhi, HILBERT_BITS).alias("yn"),
+    )
+    curve = hilbert_d_frame(pts.select("xn", "yn").distinct())
+    return (
+        pts.join(F.broadcast(curve), ["xn", "yn"])
+        .groupBy(F.shiftright(F.col("hd"), HILBERT_TILE_SHIFT).alias("tile"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+        )
+    )

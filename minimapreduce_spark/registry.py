@@ -149,6 +149,7 @@ LATE_REGISTERED: list[str] = [
     # pytest-oracle-verified every suite run
     "hybrid_ivf_rrf_retrieval",
     "stream_kmv_distinct_users",
+    "hilbert_tile_stats",
 ]
 
 # The twenty-two round-5-remainder queries this window drops to make room

@@ -122,6 +122,9 @@ CANDIDATES = [
     # IVF-routed hybrid: routing + channel ranks + integer fusion —
     # the fused ranking must not depend on task layout
     "hybrid_ivf_rrf_retrieval",
+    # Hilbert layout: integer state machine on the distinct grid +
+    # broadcast join — tiles must not depend on task layout
+    "hilbert_tile_stats",
 ]
 
 

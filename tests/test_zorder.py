@@ -142,3 +142,80 @@ def test_normalized_dim_exact_beyond_double_range(spark):
     span = hi - lo
     for v in vals:
         assert got[v] == (v * 65535) // span, (v, got[v], (v * 65535) // span)
+
+
+def _hilbert_ref(k: int, x: int, y: int) -> int:
+    """Independent Python xy2d (canonical reflect-with-n-1 form)."""
+    n = 1 << k
+    d = 0
+    s = n >> 1
+    while s > 0:
+        rx = 1 if (x & s) else 0
+        ry = 1 if (y & s) else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def test_hilbert_curve_exhaustive_vs_reference(spark):
+    """The engine's unrolled xy2d state machine must equal the
+    independent Python reference on EVERY cell of a 32x32 grid, and the
+    resulting curve must be a bijection onto [0, 1024) whose consecutive
+    indices are unit Manhattan steps — the locality property Z-order
+    lacks (its quadrant crossings jump diagonally)."""
+    from minimapreduce_spark.operators.scale import hilbert_d_frame
+
+    k = 5
+    n = 1 << k
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "xn: bigint, yn: bigint"
+    )
+    got = {
+        (r.xn, r.yn): r.hd for r in hilbert_d_frame(grid, bits=k).collect()
+    }
+    assert len(got) == n * n
+    pos = {}
+    for (x, y), d in got.items():
+        assert d == _hilbert_ref(k, x, y), (x, y, d)
+        pos[d] = (x, y)
+    assert sorted(pos) == list(range(n * n))  # bijection
+    for i in range(n * n - 1):
+        (x1, y1), (x2, y2) = pos[i], pos[i + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, i  # unit steps
+
+
+def test_hilbert_locality_beats_zorder_at_step_level(spark):
+    """Where the Hilbert advantage actually lives (and where it does
+    NOT): along the curve, every consecutive Hilbert step is a unit
+    Manhattan move (mean exactly 1.0, proved exhaustively above), while
+    Z-order's quadrant crossings jump — its exhaustive mean consecutive
+    step on the same 32x32 grid is strictly greater than 1. At the
+    registered queries' coarse 64-tile cut the two clusterings measure
+    statistically identical tile bounding boxes on this fixture (0.2479
+    vs 0.2476 mean normalized semi-perimeter) — the docstrings say so
+    rather than overclaiming; this test pins the step-level fact."""
+    k = 5
+    n = 1 << k
+
+    def z_of(x, y):
+        d = 0
+        for b in range(k):
+            d |= ((x >> b) & 1) << (2 * b)
+            d |= ((y >> b) & 1) << (2 * b + 1)
+        return d
+
+    zpos = {z_of(x, y): (x, y) for x in range(n) for y in range(n)}
+    assert sorted(zpos) == list(range(n * n))
+    zsteps = [
+        abs(zpos[i][0] - zpos[i + 1][0]) + abs(zpos[i][1] - zpos[i + 1][1])
+        for i in range(n * n - 1)
+    ]
+    z_mean = sum(zsteps) / len(zsteps)
+    hsteps_mean = 1.0  # exhaustively proved in the test above
+    assert z_mean > 1.0, z_mean
+    assert hsteps_mean < z_mean

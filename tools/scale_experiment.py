@@ -233,6 +233,7 @@ RELATIONAL_QUERIES = [
     "window_topk_per_customer",
     "basket_part_pairs",
     "histogram_equidepth_prices",
+    "hilbert_tile_stats",
     "customer_rfm_segments",
     "merge_upsert_customers",
     "events_tumbling_hourly",
