@@ -2631,10 +2631,10 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalars (epoch-micros midpoint as t·2 ≤ tmin+tmax — no halving, no
     rounding question); the single ln() differs at most in the last
     ulp, absorbed by the 6-dp round. Empty bins are generated by a
-    {PSI_BINS}-row range outer join so the histogram shape is total.
+    10-row range outer join so the histogram shape is total.
 
     Scale posture: one scan → 1-row bounds agg (broadcast back) → one
-    {PSI_BINS}-group hash agg; the bin frame and totals are
+    10-group hash agg; the bin frame and totals are
     constant-size broadcasts. Linear at any event volume.
     """
     from minimapreduce_spark.operators.ordered import with_scalars

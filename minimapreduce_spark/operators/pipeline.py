@@ -1523,16 +1523,16 @@ QUOTA_SALTS = 8  # phase-1 fan-out inside each source
 )
 def per_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality quota — the head-heavy-source downsampler of
-    corpus curation: keep only the top {QUOTA_K} documents of each
+    corpus curation: keep only the top 50 documents of each
     source by quality score, so one crawl dump can't drown the mixture.
 
     The scale problem this solves PROPERLY: the textbook
     ``row_number() OVER (PARTITION BY source ...)`` puts one source =
     one task — a 10 TB crawl source becomes a straggler that OOMs.
     This plan is the two-phase salted grouped top-k: phase 1 ranks
-    within (source, doc_id % {QUOTA_SALTS}) — bounded partitions — and
-    keeps each salt's top {QUOTA_K}; phase 2 ranks the surviving
-    ≤ {QUOTA_SALTS}·{QUOTA_K} rows per source. The union of per-salt
+    within (source, doc_id % 8) — bounded partitions — and
+    keeps each salt's top 50; phase 2 ranks the surviving
+    ≤ 8·50 rows per source. The union of per-salt
     top-k provably contains the global per-source top-k, so the result
     is exactly the single-window answer the oracle computes — at any
     source skew.
@@ -1935,7 +1935,7 @@ def sample_dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toward a TARGET distribution, estimated over hashed unigram feature
     buckets — the curation step that picks target-like documents out of
     a mixed crawl. Target = the curated English sample
-    ({_DSIR_TGT_SQL}); raw pool = everything else. On this synthetic
+    (lang = 'en' AND source IN src0..src3); raw pool = everything else. On this synthetic
     corpus every lang label shares one 31-word vocabulary (the same
     caveat text_langid documents), so the registered run demonstrates
     the machinery — hash-exact bucket counts, quantized log-ratios,
@@ -1952,10 +1952,10 @@ def sample_dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB with doc_id tie-break.
 
     Scale posture: one tokenize pass into a (doc, bucket) aggregation;
-    the estimator state is ≤ {DSIR_B} buckets per side (broadcast as a
-    {DSIR_B}-row log-ratio table — the DSIR artifact a 100 TB run
+    the estimator state is ≤ 512 buckets per side (broadcast as a
+    512-row log-ratio table — the DSIR artifact a 100 TB run
     trains once and ships); per-doc weights are one combinable agg +
-    broadcast join; TakeOrdered top-{DSIR_TOPK}. Linear in tokens,
+    broadcast join; TakeOrdered top-50. Linear in tokens,
     nothing pairwise. No reference analog (closest surface: the wc app,
     mrapps/wc.go:21-44, counts words; this weighs them).
     """

@@ -869,7 +869,7 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sibling — KMV answers "how many distinct", CMS answers "how often
     is THIS key", both mergeable by construction: two shards' sketches
     merge by adding counters cell-wise, pytest-proven). Output: the
-    top-{CMS_TOP} users by exact event count with their CMS estimate
+    top-20 users by exact event count with their CMS estimate
     and the one-sided overestimate (est ≥ exact ALWAYS — the CMS
     theorem, asserted over every key in pytest).
 
@@ -877,7 +877,7 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash so the ESTIMATES THEMSELVES hash-match DuckDB exactly —
     integer counters, integer min, no float anywhere.
 
-    Scale posture: the sketch is D×W = {CMS_D}×{CMS_W} BIGINT counters
+    Scale posture: the sketch is D×W = 4×64 BIGINT counters
     REGARDLESS of key cardinality, built by one map-side-combinable
     aggregation; the estimate join broadcasts the sketch (it is always
     tiny by construction). The exact-count side exists to measure the
@@ -954,8 +954,8 @@ def sketch_quantile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACTLY-REPRODUCIBLE quantile sketch — the distribution member of
     the mergeable-sketch triad (KMV: how many distinct; CMS: how often
     is this key; THIS: where do the values sit): an equi-width
-    {QSK_B}-bucket integer histogram over l_extendedprice in cents,
-    queried for p{QSK_PCTS} with each estimate's GUARANTEED bracket
+    128-bucket integer histogram over l_extendedprice in cents,
+    queried for p{1,5,25,50,75,90,99} with each estimate's GUARANTEED bracket
     [est_lo, est_hi] (one bucket wide — the sketch's error bound is the
     bucket width, by construction) alongside the exact quantile so the
     guarantee is measured in-engine, CMS-style.
@@ -967,13 +967,13 @@ def sketch_quantile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     (p·n+99) DIV 100, and bucket bounds back in cents — so the sketch
     AND its estimates hash-match DuckDB, the family discipline.
 
-    Scale posture: the sketch is {QSK_B} BIGINT counters REGARDLESS of
+    Scale posture: the sketch is 128 BIGINT counters REGARDLESS of
     row count, built from ONE scan of the fact
     table: a (value, count) agg first, then bounds (a driver-side 1-row
     collect, the zorder_tile_stats analysis-phase pattern), histogram,
     and exact CDF all run on that distinct-value frame; shard sketches
     merge by adding counters cell-wise (pytest-proven). The quantile probe is a broadcast of
-    {len(QSK_PCTS)} targets against the {QSK_B}-row CDF (bounded
+    7 targets against the 128-row CDF (bounded
     window). The exact twin aggregates per distinct value then takes
     one two-phase running sum over the (value, count) frame — far
     smaller than the data and never single-partition; at 100 TB you
@@ -1000,7 +1000,19 @@ def sketch_quantile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").alias("lo"), F.max("cents").alias("hi"),
         F.sum("vcnt").alias("n"),
     ).head()
-    lo, hi, n = int(row.lo), int(row.hi), int(row.n)
+    # Degenerate-input policy (tests/test_empty_inputs.py): an empty
+    # fact table yields NULL bounds — coalesce to 0 like
+    # collect_minmax_bounds and return the (empty) result frame instead
+    # of crashing at plan-build time.
+    lo = 0 if row.lo is None else int(row.lo)
+    hi = 0 if row.hi is None else int(row.hi)
+    n = 0 if row.n is None else int(row.n)
+    if n == 0:
+        return spark.createDataFrame(
+            [],
+            "pct int, n bigint, target_rank bigint, exact_cents bigint, "
+            "bucket int, est_lo_cents bigint, est_hi_cents bigint",
+        )
     span = hi - lo + 1
 
     sk = vals.groupBy(
@@ -1163,7 +1175,7 @@ def hilbert_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     granularity (many small files ≈ fine tiles), not at 1024-cell
     tiles; the step-level superiority is where the guarantee lives.
 
-    Exactness: the xy2d state machine is {HILBERT_BITS} unrolled rounds
+    Exactness: the xy2d state machine is 8 unrolled rounds
     of pure integer CASE/bitmask arithmetic — one engine-shared SQL
     snippet per round, bit-identical on both engines; the quadrant XOR
     is written as exact {{0,1}} arithmetic. Bijectivity and the
@@ -1171,7 +1183,7 @@ def hilbert_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference exhaustively in pytest.
 
     Scale posture: the curve is evaluated on the DISTINCT grid frame —
-    ≤ 4^{HILBERT_BITS} rows BY CONSTRUCTION regardless of table size —
+    ≤ 4^8 rows BY CONSTRUCTION regardless of table size —
     then broadcast-joined back to the facts, so the fact path costs one
     normalization projection + one broadcast join + the tile hash-agg
     (the zorder plan plus one bounded join; at petabyte scale the curve

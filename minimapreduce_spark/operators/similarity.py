@@ -117,6 +117,13 @@ def _brute_sims_numpy(spark: SparkSession, emb: DataFrame, n_queries: int) -> Da
     q_rows = (
         emb.where(F.col("vec_id") < n_queries).select("vec_id", "emb").collect()
     )
+    if not q_rows:
+        # Degenerate-input policy: an empty embeddings table (or one
+        # with no query rows) must yield an empty result frame, not a
+        # np.stack ValueError at plan-build time.
+        return spark.createDataFrame(
+            [], "q_vec_id long, vec_id long, cosine_sim_raw double"
+        )
     q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     Q = np.stack([np.asarray(r.emb, dtype=np.float64) for r in q_rows])
     bc = spark.sparkContext.broadcast(
@@ -1135,7 +1142,7 @@ def ann_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cell's kNN graph (``ann_knn_graph_edges``) at a deterministic
     entry vertex (the cell's min id), and walks greedily — hopping to
     its best-scoring neighbor while that strictly improves — for
-    {GREEDY_HOPS} unrolled hops. Search cost is hops x K cosine
+    3 unrolled hops. Search cost is hops x K cosine
     evaluations regardless of corpus size; the graph build was
     corpus-linear.
 
@@ -1153,7 +1160,7 @@ def ann_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot cycle), and the WALK's cosine is evaluated as left-to-right
     JVM folds with DuckDB's exact summation order — the walk arithmetic
     (fold cosines, argmax, advance rule) is bit-reproducible
-    cross-engine; the oracle replays it as {GREEDY_HOPS} unrolled SQL
+    cross-engine; the oracle replays it as 3 unrolled SQL
     hops over the identical edge CTE. The EDGE SET the walk consumes is
     not covered by that guarantee: ``ann_knn_graph_edges`` scores with
     a numpy normalize-then-matmul rounded to 6 dp versus the oracle's
@@ -1403,10 +1410,10 @@ def ann_graph_hierarchical_search(spark: SparkSession, sf_dir: str) -> DataFrame
     that flat walk routes each query by its STORED IVF label (known
     because fixture queries are corpus members); a real serving query
     arrives with no label, so the hierarchy DISCOVERS the cell. Layer 1
-    is a {COARSE_K}-NN graph over one representative per cell (the
+    is a 3-NN graph over one representative per cell (the
     cell's min vec_id — deterministic, no similarity computation to
     pick it); every query enters at the globally-minimal rep and walks
-    {COARSE_HOPS} greedy hops. The reached rep's cell is the descent
+    2 greedy hops. The reached rep's cell is the descent
     target: layer 0 enters at that cell's min non-query vertex and
     walks the per-cell kNN graph exactly as the flat query does
     (shared ``_greedy_walk``; the coarse layer keeps the query vertex
@@ -2984,14 +2991,14 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the corpus, the doc_pair_cosine_tfidf machinery restricted
     to query×corpus pairs) and a SEMANTIC channel (dense embedding
     cosine, the ann_cosine_topk machinery), each producing a per-query
-    top-{HY_CAND_K} ranking, fused by RRF and cut to the final
-    top-{HY_TOPK}. Documents 0..{HY_NQ}-1 are the query set (their
+    top-20 ranking, fused by RRF and cut to the final
+    top-10. Documents 0..8-1 are the query set (their
     embeddings are id-aligned rows of the embeddings table); the rest
     of the corpus is the search target.
 
     INTEGER RRF: the textbook score Σ 1/(k+rank) ranks on libm-free but
     still float division; here each channel contributes
-    ``{HY_RRF_SCALE} DIV (rank + {HY_RRF_K})`` — an exact BIGINT that
+    ``10^12 DIV (rank + 60)`` — an exact BIGINT that
     appears in the output and hash-compares cross-engine, with doc_id
     breaking the (rare, and pytest-planted) sum ties. A channel miss
     contributes exactly 0, so single-channel hits compete on half
@@ -3002,7 +3009,7 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     is either exact or round-pinned.
 
     Scale posture: the query side of both channels is tiny by
-    construction ({HY_NQ} docs) — the lexical query term vectors and
+    construction (8 docs) — the lexical query term vectors and
     the query embeddings both broadcast, so the corpus is scanned once
     per channel and never shuffled pairwise (the lexical join fans out
     only on shared surviving terms; universal terms are pruned at
@@ -3014,7 +3021,7 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_cosine_topk_numpy scorer — and is the brute-force baseline that
     IVF routing replaces at 100 TB: `hybrid_ivf_rrf_retrieval` IS that
     swap, registered). The fusion stage is bounded at
-    {HY_NQ}×2×{HY_CAND_K} rows: full-outer equi-join + one bounded
+    8×2×20 rows: full-outer equi-join + one bounded
     window. No reference analog (the reference's closest surface is
     the indexer app, mrapps/indexer.go:15-30).
     """

@@ -1038,7 +1038,7 @@ BOILER_MIN_DOCS = 5  # recurring in ≥ this many distinct docs of a source
 )
 def boilerplate_ngram_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate detection, the C4/CCNet cleaning primitive: within
-    each source, find {BOILER_NGRAM_K}-word windows recurring across
+    each source, find 8-word windows recurring across
     many DISTINCT documents — headers, footers, navigation chrome,
     license blurbs — and report per-source how much of the n-gram
     space is boilerplate (the input a line/span-removal pass consumes).
@@ -1551,7 +1551,7 @@ _UNI_WF_SQL = f"""
 def _uni_em_round_sql(r: int) -> str:
     """One hard-EM round as SQL: enumerate EVERY segmentation of every
     word over the current vocab by a recursive path walk (bounded by
-    piece length {UNI_MAX_PIECE} and word length — the oracle pays the
+    piece length 4 and word length — the oracle pays the
     exponential so the engine's DP can be checked against a ground
     truth that provably considered all paths), pick the per-word argmax
     with the total-order tie-break (score DESC, then the segmentation
@@ -1762,7 +1762,7 @@ def unigram_train_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary from substring statistics, then alternate (E) Viterbi
     segmentation of every word under the current piece log-probs with
     (M) re-estimating Laplace-smoothed piece probabilities from the
-    winning segmentations, for {UNI_EM_ROUNDS} rounds. Output: every
+    winning segmentations, for 2 rounds. Output: every
     vocab piece with its seed count, per-round hard counts, and final
     quantized log-prob.
 
@@ -1778,16 +1778,16 @@ def unigram_train_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle does NOT replay the DP: it enumerates EVERY
     segmentation of every word by a recursive path walk and takes the
     same argmax — an independent ground truth that provably considered
-    all paths (bounded: pieces ≤ {UNI_MAX_PIECE} chars, vocabulary
+    all paths (bounded: pieces ≤ 4 chars, vocabulary
     words ≤ ~12 chars → ≤ ~2k paths/word).
 
     Scale posture: the corpus is touched ONCE (the word-frequency
     aggregation — identical posture to BPE training); everything after
-    is vocabulary-scale. The E-step ships the ≤{UNI_SEED_MULTI}+|chars|
+    is vocabulary-scale. The E-step ships the ≤48+|chars|
     piece table as an explicit broadcast and runs the per-word DP in
     Arrow batches (`mapInPandas` — the per-group-sequential-algorithm
     pattern); the M-step is one combinable agg over exploded
-    segmentations. Driver loop = {UNI_EM_ROUNDS} bounded rounds, the
+    segmentations. Driver loop = 2 bounded rounds, the
     k-means/BPE pattern. No reference analog (closest: the wc app's
     word counting, mrapps/wc.go:21-44).
     """
@@ -1861,7 +1861,7 @@ def _uni_apply_oracle() -> str:
 @register("unigram_apply_token_stats", oracle=_uni_apply_oracle())
 def unigram_apply_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The unigram tokenizer's SERVING path, mirroring
-    `bpe_apply_token_stats`: train ({UNI_EM_ROUNDS} hard-EM rounds),
+    `bpe_apply_token_stats`: train (2 hard-EM rounds),
     then segment the VOCABULARY once more under the final piece
     log-probs (a third Viterbi pass — the trained model applied), and
     join the per-word token counts against per-(source, word)

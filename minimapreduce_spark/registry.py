@@ -86,7 +86,7 @@ DRIVER_PRIORITY: list[str] = [
     "bpe_train_merges",
     "bpe_apply_token_stats",
     # round-6 late flagships, swapped into the window before the driver
-    # ran (six audited trivial shapes move to the dropped list below —
+    # ran (eight audited trivial shapes move to the dropped list below —
     # the round-5 rule again: a flagship capability driver-verified
     # beats a trivial shape re-verified)
     "sketch_cms_heavy_hitters",
@@ -154,8 +154,8 @@ LATE_REGISTERED: list[str] = [
 
 # The twenty-two round-5-remainder queries this window drops to make room
 # for the post-r05 registrations (a flagship capability driver-verified
-# beats a trivial shape re-verified; the last six made room for the
-# round-6 late flagships 243-248). Each is trivial (pure projection/
+# beats a trivial shape re-verified; the last eight made room for the
+# round-6 late flagships 243-250). Each is trivial (pure projection/
 # aggregation/scalar-showcase shapes), pytest-oracle-verified every
 # suite run, and covered by the foreign-cwd full-registry drives
 # recorded in SURVEY/SCALING. If CORRECTNESS_r05.json surfaces, they

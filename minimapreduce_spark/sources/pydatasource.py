@@ -81,7 +81,7 @@ class SynthLogDataSource(DataSource):
 )
 def pysource_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate over the custom Python DataSource: registers the
-    format, scans {N_SHARDS} planned partitions in parallel, and rolls
+    format, scans 8 planned partitions in parallel, and rolls
     up by derived word — proving rows, types, and partition planning
     all round-trip through the DataSource API.
 

@@ -74,7 +74,7 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Mechanics: bin edges and the reference histogram are computed
     batch-side from the source table (one 1-row bounds agg + one
-    {PSI_BINS}-group agg — at 100 TB this is the training job's
+    10-group agg — at 100 TB this is the training job's
     artifact, loaded, not recomputed); the stream groups by the SAME
     integer bin expression (a broadcast-joined bounds row keeps the
     arithmetic identical) and counts — per-bin streaming state is one

@@ -33,9 +33,9 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     by a streaming aggregation across real micro-batches (the sharded
     replay source: 4 single-file triggers), then drained and probed
     exactly like the batch ``sketch_cms_heavy_hitters`` — same
-    row-salted portable hash, same integer counters, same top-{CMS_TOP}
+    row-salted portable hash, same integer counters, same top-20
     output, same DuckDB oracle. The point is the deployment shape: a
-    frequency monitor on a live event stream carries {CMS_D}×64 longs
+    frequency monitor on a live event stream carries 4×64 longs
     of streaming state REGARDLESS of how many distinct users flow by
     (contrast stream_user_stats_stateful, whose state is per-key), and
     because counter accumulation is cell-wise addition — the
@@ -143,7 +143,7 @@ def _kmv_update_factory(k: int):
 )
 def stream_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING K-minimum-values distinct sketch: per event_type, the
-    bottom-{KMV_K} distinct portable hashes live in the state store and
+    bottom-32 distinct portable hashes live in the state store and
     are folded across real micro-batches by union + re-bottom — the KMV
     mergeability operation itself, so the drained state is BIT-IDENTICAL
     to the batch `sketch_kmv_distinct_users` sketch over the same

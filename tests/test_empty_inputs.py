@@ -40,6 +40,17 @@ REPRESENTATIVE = [
     "chi2_lang_source",
     "embedding_quantize_int8",
     "arrow_embedding_norms",
+    # round-7 additions (ADVICE r06): the sketch triad + hybrid
+    # retrieval had driver-side head()/collect() peeks that crashed on
+    # empty inputs before their None/empty guards landed
+    "sketch_quantile_prices",
+    "sketch_cms_heavy_hitters",
+    "sketch_kmv_distinct_users",
+    "hybrid_rrf_retrieval",
+    "hybrid_ivf_rrf_retrieval",
+    "sample_dsir_importance_topk",
+    "bpe_train_merges",
+    "unigram_train_pieces",
 ]
 
 

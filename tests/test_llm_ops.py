@@ -1477,3 +1477,72 @@ def test_log_quantization_margins(spark):
     """).fetchall()
     xs = [math.log(n / df) * 10000 for df, n in rows]
     assert midpoint_margin(xs) > 1e-9, "IDF weight near a rounding midpoint"
+
+
+def test_hybrid_cosine_margins(spark):
+    """ADVICE r06: the hybrid channels' 6-dp rounded cosines get the
+    same midpoint pin as every ln-quantization site — a raw cosine
+    within an ulp of a .5e-6 midpoint would flip a channel rank
+    cross-engine (numpy normalize-then-matmul vs DuckDB
+    list_cosine_similarity on the semantic side; bigint-norm sqrt
+    division on the lexical side). Both channels' FULL query×corpus
+    pair sets are recomputed here with the engines' exact arithmetic;
+    measured margins on this fixture are ~2e-5..8e-5 in quantized
+    (1e-6) units — five orders of magnitude above double-ulp scale."""
+    import math
+
+    import numpy as np
+
+    import duckdb
+
+    from minimapreduce_spark.operators.similarity import HY_NQ
+    from tests.conftest import SF_DIR, table_path
+
+    def margin_6dp(xs):
+        xs = np.asarray(xs, dtype=np.float64) * 1e6
+        return np.abs(np.mod(xs, 1.0) - 0.5).min()
+
+    con = duckdb.connect()
+
+    # SEMANTIC channel: float64 normalize-then-matmul — byte-for-byte
+    # the _brute_sims_numpy arithmetic (query rows are vec_id < HY_NQ)
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM "
+        f"'{table_path(SF_DIR, 'embeddings')}' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    E = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    q = ids < HY_NQ
+    sem = (En[~q] @ En[q].T).ravel()
+    assert margin_6dp(sem) > 1e-9, "semantic cosine near a .5e-6 midpoint"
+
+    # LEXICAL channel: exact BIGINT dots/norms (the ten-thousandths IDF
+    # quantization), then the same sqrt-division Spark runs
+    rows = con.execute(f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(
+            regexp_split_to_array(text, '[^A-Za-z]+'), w -> w <> '')) AS word
+          FROM '{table_path(SF_DIR, 'documents')}'
+        ),
+        tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n
+              FROM '{table_path(SF_DIR, 'documents')}'),
+        w AS (SELECT doc_id, word,
+                     tf * CAST(round(ln(CAST(n.n AS DOUBLE) / df) * 10000)
+                               AS BIGINT) AS w
+              FROM tf JOIN dfreq USING (word), n
+              WHERE df * 10 <= n.n * 9),
+        norms AS (SELECT doc_id, sum(w * w) AS nsq FROM w GROUP BY 1),
+        dots AS (SELECT q.doc_id AS qd, c.doc_id AS cd,
+                        sum(q.w * c.w) AS dot
+                 FROM w q JOIN w c USING (word)
+                 WHERE q.doc_id < {HY_NQ} AND c.doc_id >= {HY_NQ}
+                 GROUP BY 1, 2)
+        SELECT dot, nq.nsq, nc.nsq FROM dots
+        JOIN norms nq ON nq.doc_id = qd
+        JOIN norms nc ON nc.doc_id = cd
+    """).fetchall()
+    lex = [dot / (math.sqrt(a) * math.sqrt(b)) for dot, a, b in rows]
+    assert margin_6dp(lex) > 1e-9, "lexical cosine near a .5e-6 midpoint"
