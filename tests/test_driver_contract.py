@@ -85,46 +85,38 @@ def test_driver_priority_tier_leads_with_oracles():
 
 
 def test_driver_priority_closes_coverage():
-    """Round-6 rotation, robust to the missing round-5 artifact: the
-    round-5 driver run was staged over the exact 50-query remainder but
-    CORRECTNESS_r05.json never landed in the repo, so the round-6 window
-    leads with every post-r05 registration and re-covers the remainder
-    minus the audited DROPPED_IF_R05_MISSING trivials. Pins:
+    """Round-7 rotation — full closure, artifact-derived: the committed
+    CORRECTNESS artifacts (r01-r04 + r06; r05 never landed) cumulatively
+    hash-verify 228/253 queries. Pins:
 
-    - the window stays disjoint from the r01-r04 hard coverage (no
-      wasted slots on four-times-verified queries; overlap with r05,
-      if it surfaces, is deliberate canary re-verification);
-    - every registered query is windowed, previously verified, ledgered
-      late, or on the audited dropped list — nothing falls through;
-    - if CORRECTNESS_r05.json IS present, the dropped list must be
-      covered by it, i.e. cumulative coverage closes at the full
-      registry."""
+    - the window CONTAINS every registered query absent from all
+      committed artifacts (the closure set — a green r07 run closes
+      cumulative coverage at the full registry);
+    - every other window slot is a canary that IS previously verified
+      (no slot is wasted on a query that is neither closure nor a
+      deliberate re-check);
+    - nothing registered falls outside window ∪ verified ∪
+      LATE_REGISTERED, and late registrations carry oracles."""
     from minimapreduce_spark.registry import (
         DRIVER_PRIORITY,
-        DROPPED_IF_R05_MISSING,
         LATE_REGISTERED,
         REGISTRY,
     )
 
-    checked_r14 = _round_coverage((1, 2, 3, 4))
-    r05 = _round_coverage((5,))
+    checked = _round_coverage((1, 2, 3, 4, 5, 6))
     window = set(DRIVER_PRIORITY)
+    closure = set(REGISTRY) - checked - set(LATE_REGISTERED)
 
-    assert window & checked_r14 == set(), sorted(window & checked_r14)
-    assert set(LATE_REGISTERED) <= set(REGISTRY), "LATE_REGISTERED names must be registered"
+    assert closure <= window, (
+        f"never-driver-verified queries missing from the window: "
+        f"{sorted(closure - window)}"
+    )
+    canaries = window - closure
+    assert canaries <= checked, (
+        f"window slots that are neither closure nor previously verified: "
+        f"{sorted(canaries - checked)}"
+    )
+    assert set(LATE_REGISTERED) <= set(REGISTRY)
     assert window & set(LATE_REGISTERED) == set()
-    missed = (
-        set(REGISTRY) - window - checked_r14 - r05 - set(LATE_REGISTERED)
-    )
-    assert missed <= set(DROPPED_IF_R05_MISSING), (
-        f"registered but neither windowed, verified, ledgered late, nor on "
-        f"the audited dropped list: {sorted(missed - set(DROPPED_IF_R05_MISSING))}"
-    )
-    if r05:
-        assert set(DROPPED_IF_R05_MISSING) <= r05, (
-            "r05 artifact present but does not cover the dropped list — "
-            "cumulative closure claim is broken; re-window"
-        )
     # late registrations still carry full pytest-oracle coverage
     assert all(REGISTRY[n].oracle for n in LATE_REGISTERED)
-    assert all(REGISTRY[n].oracle for n in DROPPED_IF_R05_MISSING)
