@@ -1908,14 +1908,16 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_oracle(nprobe: int = 1) -> str:
     """Unrolled residual IVF-PQ as DuckDB SQL: grid-quantize → per-label
     grid centroids (exact-floor means) → residuals → per-subspace
     codebooks on residuals (seed + PQ_ITERS Lloyd refinements, the
     _pq_oracle chain verbatim over residual subvectors) → encode →
-    cosine-route each query to one cell → ADC over cell members only,
-    with the exact decomposition dot(q, x̂) = dot(q, c_cell) + Σ_m
-    LUT_q(m, code_m) and ‖x̂‖² = ‖c‖² + 2·Σ_m c_m·ce + Σ_m ‖ce‖²."""
+    cosine-route each query to its top-``nprobe`` cells → ADC over the
+    routed cells' members only, with the exact decomposition
+    dot(q, x̂) = dot(q, c_cell) + Σ_m LUT_q(m, code_m) and
+    ‖x̂‖² = ‖c‖² + 2·Σ_m c_m·ce + Σ_m ‖ce‖² (the constant term is
+    per-cell, so it rides the route rows)."""
     d2 = (
         "list_sum(list_transform(generate_series(1, {n}),"
         " i -> (s.sq[i] - c.ce[i]) * (s.sq[i] - c.ce[i])))"
@@ -2035,7 +2037,7 @@ def _ivfpq_oracle() -> str:
                ) AS crn
         FROM q, cg g, qn2 qn, celln2 cl
         WHERE qn.q_vec_id = q.q_vec_id AND cl.label = g.label
-      ) WHERE crn = 1
+      ) WHERE crn <= {nprobe}
     ),
     qsubs AS (
       SELECT q_vec_id, m, qe[m*{PQ_SUB}+1 : m*{PQ_SUB}+{PQ_SUB}] AS qsq
@@ -2048,18 +2050,19 @@ def _ivfpq_oracle() -> str:
       FROM qsubs s JOIN {cb} c ON c.m = s.m
     ),
     qdotc AS (
-      SELECT r.q_vec_id, {dot64.format(a="q.qe", b="g.cg")} AS qc
+      SELECT r.q_vec_id, r.label, {dot64.format(a="q.qe", b="g.cg")} AS qc
       FROM route r
       JOIN q ON q.q_vec_id = r.q_vec_id
       JOIN cg g ON g.label = r.label
     ),
     scores AS (
-      SELECT r.q_vec_id, k.vec_id, CAST(sum(l.dotq) AS BIGINT) AS rdot
+      SELECT r.q_vec_id, e.label, k.vec_id,
+             CAST(sum(l.dotq) AS BIGINT) AS rdot
       FROM route r
       JOIN eq e ON e.label = r.label AND e.vec_id <> r.q_vec_id
       JOIN codes k ON k.vec_id = e.vec_id
       JOIN lut l ON l.q_vec_id = r.q_vec_id AND l.m = k.m AND l.cid = k.cid
-      GROUP BY 1, 2
+      GROUP BY 1, 2, 3
     ),
     sims AS (
       SELECT s.q_vec_id, s.vec_id,
@@ -2067,7 +2070,7 @@ def _ivfpq_oracle() -> str:
                    / (sqrt(CAST(qn.qn2 AS DOUBLE)) * sqrt(CAST(x.n2hat AS DOUBLE))),
                    6) AS ivfpq_sim
       FROM scores s
-      JOIN qdotc qc ON qc.q_vec_id = s.q_vec_id
+      JOIN qdotc qc ON qc.q_vec_id = s.q_vec_id AND qc.label = s.label
       JOIN qn2 qn ON qn.q_vec_id = s.q_vec_id
       JOIN xn2 x ON x.vec_id = s.vec_id
     ),
@@ -2082,8 +2085,7 @@ def _ivfpq_oracle() -> str:
     """
 
 
-@register("ann_ivfpq_topk", oracle=_ivfpq_oracle(), bench=True)
-def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivfpq_topk_plan(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
     """Residual IVF-PQ — the composed FAISS-IVFPQ serving shape, and
     the rung the ledger's ANN family was missing between
     `ann_ivf_int8_topk` (cell pruning + scalar codes) and
@@ -2110,7 +2112,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
          table, so no per-vector arithmetic touches the vector;
       5. routing: cosine(q, c_cell) on the grid (exact integer dot and
          norms into one sqrt/divide, round-before-rank, label
-         tie-break), nprobe=1 — the dial is `ann_ivf_nprobe_topk`'s;
+         tie-break), top-``nprobe`` cells — the `ann_ivf_nprobe_topk`
+         dial composed into the PQ chain; the ADC constant term
+         dot(q, c_cell) is PER-CELL, so it rides the route rows;
       6. ADC on cell members only: dot(q, x̂) = dot(q, c_cell) +
          Σ_m LUT_q(m, code_m), every term BIGINT; approximate cosine =
          round(dot / (‖q‖·‖x̂‖), 6), top-5, (sim desc, vec_id) ties.
@@ -2244,7 +2248,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("q_label"),
             F.row_number().over(assign_w).alias("crn"),
         )
-        .where(F.col("crn") == 1)
+        .where(F.col("crn") <= nprobe)
         .drop("crn")
     )
     # 6. ADC: per-query LUT map + the kept query·centroid term
@@ -2289,6 +2293,39 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rn") <= IVF_TOP_K)
     )
+
+
+@register("ann_ivfpq_topk", oracle=_ivfpq_oracle(), bench=True)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ at nprobe=1 — see ``_ivfpq_topk_plan`` for the
+    full centroid→residual→train→encode→route→ADC contract."""
+    return _ivfpq_topk_plan(spark, sf_dir, nprobe=1)
+
+
+@register("ann_ivfpq_nprobe_topk", oracle=_ivfpq_oracle(IVF_NPROBE))
+def ann_ivfpq_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ with multi-cell probing (nprobe=2) — the actual
+    FAISS serving configuration, composing the `ann_ivf_nprobe_topk`
+    recall dial into the `ann_ivfpq_topk` residual-PQ chain: each query
+    routes to its top-IVF_NPROBE cells by grid-cosine (round-before-
+    rank, label tie-break) and ADC-scores the union of their members.
+    Because codebooks are trained on residuals r = x − c_cell, the ADC
+    constant term dot(q, c_cell) and the reconstructed norm are both
+    per-cell — the probed cells cannot share them — so the route rows
+    carry their own qc, and candidates join their OWN cell's terms.
+
+    Recall is monotone in nprobe by construction (the candidate set at
+    nprobe=2 is a superset of nprobe=1) — pinned in pytest against the
+    exact cosine top-k; scan cost is nprobe/|cells| of the corpus, the
+    frontier FAISS tunes per deployment.
+
+    Scale posture: identical to `ann_ivfpq_topk` (bounded broadcast
+    codebooks/LUTs, partition-pruned cell scan) with the scan ×nprobe;
+    all other stages are query-bounded. Reference-capability anchor:
+    the parallel-work-split engine property of main/test-mr.sh:102-129
+    applied to the ANN recall/cost frontier.
+    """
+    return _ivfpq_topk_plan(spark, sf_dir, nprobe=IVF_NPROBE)
 
 
 KC_K = 6  # coreset size for the registered query

@@ -107,7 +107,10 @@ DRIVER_PRIORITY: list[str] = [
     "q1_pricing_summary",               # operators.relational (+ money grid)
     "join_bloom_pruned_revenue",        # operators.scale
     "decimal_exact_revenue",            # operators.semantics
-    "ann_ivf_nprobe_topk",              # operators.similarity
+    # operators.similarity — the round-7 flagship replaces the planned
+    # ann_ivf_nprobe_topk canary: same module sampled, and the nprobe
+    # dial is now exercised through the composed IVF-PQ chain
+    "ann_ivfpq_nprobe_topk",
     "inverted_index",                   # operators.text
     "text_bm25_topk",                   # operators.text_analysis
     "q14_promo_revenue_share",          # operators.tpch_more
