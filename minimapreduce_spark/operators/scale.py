@@ -1214,3 +1214,99 @@ def hilbert_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("day").alias("max_day"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Salting under a PLANTED 90%-hot key — the skew ladder demonstrated
+# ---------------------------------------------------------------------------
+
+HOTKEY_SALTS = 16  # reducers a hot key's rows spread over
+HOTKEY_COLD = 97   # cold-key cardinality alongside the hot key
+
+
+def planted_hotkey(col: Column) -> Column:
+    """Deterministic 90%-hot key derivation: rows whose ``col % 10 < 9``
+    (90% by construction on a dense-ish key) collapse onto ONE key;
+    the rest spread over HOTKEY_COLD cold keys. Engine-shared
+    arithmetic (`%` on BIGINT), so the oracle derives the identical
+    key column."""
+    return (
+        F.when(col % 10 < 9, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("cold_"), (col % HOTKEY_COLD).cast("string")))
+    )
+
+
+@register(
+    "agg_salted_hotkey_planted",
+    oracle=f"""
+    SELECT hot_key,
+           count(*) AS n_rows,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_c_sum,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty
+    FROM (
+      SELECT CASE WHEN l_orderkey % 10 < 9 THEN 'HOT'
+                  ELSE 'cold_' || CAST(l_orderkey % {HOTKEY_COLD} AS VARCHAR)
+             END AS hot_key,
+             l_extendedprice, l_quantity
+      FROM lineitem
+    )
+    GROUP BY hot_key
+    """,
+)
+def agg_salted_hotkey_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted aggregation under a PLANTED 90%-hot key (round-6 verdict
+    stretch 9): `agg_salted_skew` demonstrates the two-stage shape on a
+    natural 3-value key; THIS query plants the adversarial case — one
+    synthetic key owning 90% of the fact table (l_orderkey % 10 < 9),
+    the load profile where an unsalted shuffle funnels 90% of the scan
+    into ONE reducer task. Stage 1 groups by (hot_key, salt) with the
+    salt drawn from xxhash64 of the row identity (deterministic —
+    retried tasks recompute identical partials), so the hot key's rows
+    spread over HOTKEY_SALTS=16 reducers; stage 2 merges 16 partials
+    per key. The oracle is the PLAIN group-by over the identically
+    derived key: salting must be invisible in the result.
+
+    Sums run on the cents grid (BIGINT) so partial order — which
+    salting deliberately scrambles — cannot move a result; min/max and
+    count are order-free. The bounded-per-task contract is pinned in
+    pytest arithmetically: the stage-1 frame must contain all 16
+    (HOT, salt) groups and the largest group may exceed the ideal
+    hot_rows/16 split by at most 2x (xxhash64 uniformity on ~90% of
+    the fixture's rows), i.e. no reducer sees more than ~1/8 of the
+    hot key's volume instead of all of it.
+
+    Scale posture: at 100 TB this IS the mitigation for skewed
+    aggregation pipelines whose partial step cannot map-side-combine
+    (collect_list / UDAF states); for built-in sums Spark's
+    partial+final agg already spreads the load, which is why the
+    planted key, not the machinery, is the point of this query.
+    Reference anchor: the reference has no skew story at all — one hot
+    key = one slow reduce task (mr/worker.go:40-44 FNV partitioner,
+    SURVEY §4 'Skew handling: None').
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        planted_hotkey(F.col("l_orderkey")).alias("hot_key"),
+        grid_c("l_extendedprice").alias("price_c"),
+        F.col("l_quantity"),
+        "l_orderkey", "l_linenumber",
+    )
+    return salted_agg(
+        keyed,
+        keys=["hot_key"],
+        salt=salt_col(HOTKEY_SALTS, "l_orderkey", "l_linenumber"),
+        partials={
+            "p_n": F.count("*"),
+            "p_price": F.sum("price_c"),
+            "p_min_qty": F.min("l_quantity"),
+            "p_max_qty": F.max("l_quantity"),
+        },
+        finals={
+            "n_rows": F.sum("p_n"),
+            "price_c_sum": F.sum("p_price"),
+            "min_qty": F.min("p_min_qty"),
+            "max_qty": F.max("p_max_qty"),
+        },
+        n_salts=HOTKEY_SALTS,
+    )

@@ -105,7 +105,9 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_features",              # operators.multimodal
     "gdpr_erase_cascade",               # operators.pipeline
     "q1_pricing_summary",               # operators.relational (+ money grid)
-    "join_bloom_pruned_revenue",        # operators.scale
+    # operators.scale — the round-7 planted-skew flagship replaces the
+    # planned join_bloom_pruned_revenue canary (same module sampled)
+    "agg_salted_hotkey_planted",
     "decimal_exact_revenue",            # operators.semantics
     # operators.similarity — the round-7 flagship replaces the planned
     # ann_ivf_nprobe_topk canary: same module sampled, and the nprobe

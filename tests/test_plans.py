@@ -344,3 +344,47 @@ def test_quantile_sketch_bounded_probes(spark):
     plan = plans.physical_plan(df)
     assert plan.count("BroadcastExchange") >= 2
     assert plans.count_exchanges(df) <= 4, plans.count_exchanges(df)
+
+
+def test_planted_hotkey_salting_bounds_per_task_input(spark):
+    """The planted-90%-hot-key query (round-6 verdict stretch 9): the
+    bounded-per-task contract, asserted arithmetically on the stage-1
+    grouping the salted agg actually runs. The HOT key must (a) own
+    ~90% of the table (the plant worked), (b) split across ALL
+    HOTKEY_SALTS stage-1 groups, and (c) put at most 2x the ideal
+    hot/16 share into any one group (xxhash64 uniformity) — i.e. no
+    reducer sees the whole hot key, which is the failure the reference
+    cannot avoid (one FNV bucket per key). Plan-side, the stage-1
+    exchange must key on BOTH hot_key and the salt."""
+    from pyspark.sql import functions as F
+
+    from minimapreduce_spark.catalog import load_table
+    from minimapreduce_spark.operators.scale import (
+        HOTKEY_SALTS,
+        planted_hotkey,
+        salt_col,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    stage1 = (
+        li.select(
+            planted_hotkey(F.col("l_orderkey")).alias("hot_key"),
+            salt_col(HOTKEY_SALTS, "l_orderkey", "l_linenumber").alias("_salt"),
+        )
+        .groupBy("hot_key", "_salt")
+        .count()
+        .toPandas()
+    )
+    total = int(stage1["count"].sum())
+    hot = stage1[stage1["hot_key"] == "HOT"]
+    hot_rows = int(hot["count"].sum())
+    assert hot_rows / total > 0.85, f"plant failed: hot share {hot_rows/total:.2f}"
+    assert len(hot) == HOTKEY_SALTS, f"hot key spread over {len(hot)} != 16 groups"
+    ideal = hot_rows / HOTKEY_SALTS
+    assert int(hot["count"].max()) <= 2 * ideal, (
+        f"per-task bound violated: max {int(hot['count'].max())} vs ideal {ideal:.0f}"
+    )
+
+    df = q.queries()["agg_salted_hotkey_planted"](spark, SF_DIR)
+    plan = plans.physical_plan(df)
+    assert "_salt" in plan, "salt never reached the physical plan"
