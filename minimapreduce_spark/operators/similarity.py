@@ -3105,3 +3105,160 @@ def hybrid_ivf_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _hybrid_fuse(lexk, _hybrid_sem_topk(sims))
+
+
+# ---------------------------------------------------------------------------
+# Bitext margin mining — parallel-corpus pair extraction
+# ---------------------------------------------------------------------------
+
+BM_K = 4  # neighborhood size for the margin denominators
+
+
+def _bitext_oracle() -> str:
+    """Unrolled margin mining as DuckDB SQL: parity split → all A×B
+    integer-quantized cosines → per-side top-K neighborhoods → margin =
+    cos·2K / (Σtop-K(a) + Σtop-K(b)) on candidate pairs → mutual
+    argmax. Every ranking input is a BIGINT or a double computed from
+    the same two BIGINTs on both engines."""
+    return f"""
+    WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+               WHERE vec_id % 2 = 0),
+    b AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+          WHERE vec_id % 2 = 1),
+    pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             CAST(round(list_cosine_similarity(a.e, b.e) * 1000000) AS BIGINT)
+               AS cos_u
+      FROM a, b
+    ),
+    ra AS (SELECT *, row_number() OVER (PARTITION BY a_id
+                                        ORDER BY cos_u DESC, b_id) AS rn
+           FROM pairs),
+    rb AS (SELECT *, row_number() OVER (PARTITION BY b_id
+                                        ORDER BY cos_u DESC, a_id) AS rn
+           FROM pairs),
+    sx AS (SELECT a_id, sum(cos_u) AS sum_x FROM ra WHERE rn <= {BM_K}
+           GROUP BY 1),
+    sy AS (SELECT b_id, sum(cos_u) AS sum_y FROM rb WHERE rn <= {BM_K}
+           GROUP BY 1),
+    cand AS (
+      SELECT a_id, b_id, cos_u FROM ra WHERE rn <= {BM_K}
+      UNION
+      SELECT a_id, b_id, cos_u FROM rb WHERE rn <= {BM_K}
+    ),
+    m AS (
+      SELECT c.a_id, c.b_id, c.cos_u, sx.sum_x, sy.sum_y,
+             round(CAST(c.cos_u AS DOUBLE) * {2 * BM_K}
+                   / (sx.sum_x + sy.sum_y), 6) AS margin
+      FROM cand c JOIN sx USING (a_id) JOIN sy USING (b_id)
+    ),
+    ba AS (SELECT *, row_number() OVER (PARTITION BY a_id
+             ORDER BY margin DESC, cos_u DESC, b_id) AS ka FROM m),
+    bb AS (SELECT a_id, b_id, row_number() OVER (PARTITION BY b_id
+             ORDER BY margin DESC, cos_u DESC, a_id) AS kb FROM m)
+    SELECT ba.a_id AS src_vec_id, ba.b_id AS tgt_vec_id,
+           round(CAST(ba.cos_u AS DOUBLE) / 1000000, 6) AS cosine_sim,
+           ba.margin AS margin,
+           ba.sum_x AS sum_x, ba.sum_y AS sum_y
+    FROM ba JOIN bb ON ba.a_id = bb.a_id AND ba.b_id = bb.b_id
+    WHERE ba.ka = 1 AND bb.kb = 1
+    """
+
+
+@register("bitext_margin_mining", oracle=_bitext_oracle())
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext mining with the MARGIN criterion (Artetxe & Schwenk,
+    "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    Embeddings"; the LASER/CCMatrix pipeline) — the curation operator
+    that EXTRACTS aligned pairs from two unaligned collections, where
+    raw cosine fails because some sentences are "hubs" close to
+    everything. The corpus splits by vec_id parity into collections A
+    and B (the two "languages"); for every cross pair the margin
+    rescales cosine by the mean of both endpoints' top-BM_K
+    neighborhood cosines:
+
+        margin(a, b) = cos(a, b) · 2K / (Σ topK cos(a, B) +
+                                         Σ topK cos(b, A))
+
+    and a pair is MINED iff it is the margin-argmax of BOTH endpoints
+    over the candidate union (mutual-best), yielding a partial
+    matching — each src and tgt appears at most once (pytest-pinned,
+    with a full numpy replay of the algorithm).
+
+    Exactness: cosines quantize once to BIGINT millionths (the family's
+    round-before-rank discipline); neighborhood sums are exact BIGINT
+    sums of those; the margin is ONE double expression from two BIGINTs
+    — identical cross-engine — rounded to 6 dp before the mutual
+    ranking, ties broken (cos_u DESC, id ASC). Midpoint margins for
+    both quantizations are pinned in pytest next to the hybrid ones.
+
+    Scale posture: the A×B score matrix is brute here (the correctness
+    baseline, exactly like `ann_cosine_topk`); candidate pairs after
+    the top-K cut are bounded at K·(|A|+|B|) and everything downstream
+    is per-endpoint bounded aggregation + two partitioned rank windows.
+    At 100 TB the score matrix is the part you replace — route both
+    sides through the IVF machinery (`_ivf_cell_sims`) or the LSH
+    bands (`dedup.py`) so each vector scores only its cell/bucket, the
+    standard CCMatrix sharding; the margin/mutual stages are unchanged
+    because they only ever see the bounded candidate frame. No
+    reference analog (closest surface: the indexer app's posting
+    fan-in, mrapps/indexer.go:20-39 — this is its geometric twin).
+    """
+    emb = _emb(spark, sf_dir)
+    A = emb.where(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("a_id"), F.col("emb").alias("ae")
+    )
+    B = emb.where(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("b_id"), F.col("emb").alias("be")
+    )
+    pairs = (
+        B.join(F.broadcast(A))
+        .select(
+            "a_id", "b_id",
+            F.round(cosine(F.col("ae"), F.col("be")) * 1_000_000, 0)
+            .cast("bigint")
+            .alias("cos_u"),
+        )
+        .localCheckpoint(eager=False)  # scored once; read by 4 consumers
+    )
+    wa = W.partitionBy("a_id").orderBy(F.desc("cos_u"), F.asc("b_id"))
+    wb = W.partitionBy("b_id").orderBy(F.desc("cos_u"), F.asc("a_id"))
+    ra = pairs.withColumn("rn", F.row_number().over(wa)).where(F.col("rn") <= BM_K)
+    rb = pairs.withColumn("rn", F.row_number().over(wb)).where(F.col("rn") <= BM_K)
+    sx = ra.groupBy("a_id").agg(F.sum("cos_u").alias("sum_x"))
+    sy = rb.groupBy("b_id").agg(F.sum("cos_u").alias("sum_y"))
+    cand = ra.select("a_id", "b_id", "cos_u").union(
+        rb.select("a_id", "b_id", "cos_u")
+    ).distinct()
+    m = (
+        cand.join(F.broadcast(sx), "a_id")
+        .join(F.broadcast(sy), "b_id")
+        .select(
+            "a_id", "b_id", "cos_u", "sum_x", "sum_y",
+            F.round(
+                F.col("cos_u").cast("double") * (2 * BM_K)
+                / (F.col("sum_x") + F.col("sum_y")),
+                6,
+            ).alias("margin"),
+        )
+        .localCheckpoint(eager=False)  # read by both mutual-rank sides
+    )
+    mwa = W.partitionBy("a_id").orderBy(
+        F.desc("margin"), F.desc("cos_u"), F.asc("b_id")
+    )
+    mwb = W.partitionBy("b_id").orderBy(
+        F.desc("margin"), F.desc("cos_u"), F.asc("a_id")
+    )
+    ba = m.withColumn("ka", F.row_number().over(mwa)).where(F.col("ka") == 1)
+    bb = m.withColumn("kb", F.row_number().over(mwb)).where(F.col("kb") == 1)
+    return (
+        ba.join(bb.select("a_id", "b_id"), ["a_id", "b_id"])
+        .select(
+            F.col("a_id").cast("bigint").alias("src_vec_id"),
+            F.col("b_id").cast("bigint").alias("tgt_vec_id"),
+            F.round(F.col("cos_u").cast("double") / 1_000_000, 6).alias("cosine_sim"),
+            F.col("margin"),
+            F.col("sum_x").cast("bigint").alias("sum_x"),
+            F.col("sum_y").cast("bigint").alias("sum_y"),
+        )
+    )

@@ -124,8 +124,10 @@ DRIVER_PRIORITY: list[str] = [
     "stream_user_stats_stateful",       # streaming.stateful
     "stream_upsert_latest_state",       # streaming.upsert
     "stream_static_enrich",             # streaming.windows
-    # flagship re-checks (two-phase global window; sessionization)
-    "window_rolling_median",
+    # round-7 flagship (replaces the window_rolling_median re-check —
+    # a new capability driver-verified beats a fourth re-verification)
+    "bitext_margin_mining",
+    # flagship re-check (sessionization)
     "events_sessionization",
 ]
 

@@ -1604,3 +1604,99 @@ def test_ivfpq_nprobe_recall_monotone(spark):
     truth = bf[bf["rn"] <= 5]
     r1, r2 = recall(np1, truth), recall(np2, truth)
     assert r2 >= r1, f"recall not monotone in nprobe: {r1:.3f} -> {r2:.3f}"
+
+
+def test_bitext_margin_mining_replay_and_matching(spark):
+    """Full numpy replay of the margin-mining algorithm (the
+    test_ivfpq_exact_decomposition_replay discipline) plus the
+    structural contracts:
+
+      - output is a PARTIAL MATCHING: every src (even id) and tgt
+        (odd id) appears at most once;
+      - the mined set, cosines, margins and neighborhood sums equal an
+        independent numpy implementation EXACTLY (same quantization,
+        same tie-breaks);
+      - midpoint margins: no raw parity cosine sits within 1e-9 of a
+        .5 millionth midpoint, and no margin within 1e-9 of a .5e-6
+        midpoint — the cross-engine flip guard, same pin as the hybrid
+        channels'."""
+    import numpy as np
+    import pyarrow.parquet as pa
+
+    from minimapreduce_spark.operators.similarity import BM_K, bitext_margin_mining
+
+    out = bitext_margin_mining(spark, SF_DIR).toPandas()
+
+    assert (out["src_vec_id"] % 2 == 0).all() and (out["tgt_vec_id"] % 2 == 1).all()
+    assert out["src_vec_id"].is_unique and out["tgt_vec_id"].is_unique, (
+        "mutual-best must yield a partial matching"
+    )
+
+    tbl = pa.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl["vec_id"])
+    E = np.stack([np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()])
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    a_mask = ids % 2 == 0
+    a_ids, b_ids = ids[a_mask], ids[~a_mask]
+    S = En[a_mask] @ En[~a_mask].T  # (|A|, |B|) raw cosines
+
+    # midpoint pins (raw cosine in millionths)
+    frac = np.abs(np.mod(S.ravel() * 1e6, 1.0) - 0.5)
+    assert frac.min() > 1e-9, "parity cosine near a .5 millionth midpoint"
+
+    def q_half_away(x):  # round half away from zero, the SQL round()
+        return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+    cos_u = q_half_away(S * 1e6)
+
+    def topk_desc(row_vals, other_ids, k):
+        # order: cos_u desc, id asc — argsort on (-cos_u, id)
+        order = np.lexsort((other_ids, -row_vals))[:k]
+        return order
+
+    sum_x = {}
+    cand = set()
+    for i, aid in enumerate(a_ids):
+        sel = topk_desc(cos_u[i], b_ids, BM_K)
+        sum_x[aid] = int(cos_u[i][sel].sum())
+        cand.update((aid, b_ids[j]) for j in sel)
+    sum_y = {}
+    for j, bid in enumerate(b_ids):
+        sel = topk_desc(cos_u[:, j], a_ids, BM_K)
+        sum_y[bid] = int(cos_u[:, j][sel].sum())
+        cand.update((a_ids[i], bid) for i in sel)
+
+    ai = {v: i for i, v in enumerate(a_ids)}
+    bi = {v: i for i, v in enumerate(b_ids)}
+    rows = []
+    for aid, bid in cand:
+        cu = int(cos_u[ai[aid], bi[bid]])
+        marg_raw = cu * 2 * BM_K / (sum_x[aid] + sum_y[bid])
+        f = abs((marg_raw * 1e6) % 1.0 - 0.5)
+        assert f > 1e-9, "margin near a .5e-6 midpoint"
+        marg = float(np.sign(marg_raw) * np.floor(np.abs(marg_raw) * 1e6 + 0.5) / 1e6)
+        rows.append((aid, bid, cu, marg))
+    best_a, best_b = {}, {}
+    for aid, bid, cu, marg in rows:
+        key = (-marg, -cu, bid)
+        if aid not in best_a or key < best_a[aid][0]:
+            best_a[aid] = (key, bid)
+        key_b = (-marg, -cu, aid)
+        if bid not in best_b or key_b < best_b[bid][0]:
+            best_b[bid] = (key_b, aid)
+    mined = {
+        (aid, bid, cu, marg, sum_x[aid], sum_y[bid])
+        for aid, bid, cu, marg in rows
+        if best_a[aid][1] == bid and best_b[bid][1] == aid
+    }
+    got = {
+        (int(r.src_vec_id), int(r.tgt_vec_id),
+         int(round(r.cosine_sim * 1e6)), float(r.margin),
+         int(r.sum_x), int(r.sum_y))
+        for r in out.itertuples()
+    }
+    assert got == mined, (
+        f"replay mismatch: {len(got)} vs {len(mined)}; "
+        f"spark-only {sorted(got - mined)[:3]}, "
+        f"numpy-only {sorted(mined - got)[:3]}"
+    )
