@@ -1310,3 +1310,196 @@ def agg_salted_hotkey_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         n_salts=HOTKEY_SALTS,
     )
+
+
+@register(
+    "sketch_kmv_set_ops",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT event_type, {_KMV_HASH60} AS h FROM events
+    ),
+    r AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM d
+    ),
+    ks AS (SELECT event_type, h FROM r WHERE rn <= {KMV_K}),
+    tn AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS type_a, a.n AS n_a,
+             b.event_type AS type_b, b.n AS n_b
+      FROM tn a JOIN tn b ON a.event_type < b.event_type
+    ),
+    u AS (
+      SELECT p.type_a, p.type_b, k.h
+      FROM pairs p JOIN ks k ON k.event_type IN (p.type_a, p.type_b)
+      GROUP BY 1, 2, 3
+    ),
+    ur AS (
+      SELECT type_a, type_b, h,
+             row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+      FROM u
+    ),
+    theta AS (
+      SELECT type_a, type_b,
+             max(CASE WHEN rn = {KMV_K} THEN h END) AS th,
+             count(*) AS usz
+      FROM ur GROUP BY 1, 2
+    ),
+    common AS (
+      SELECT p.type_a, p.type_b, ka.h
+      FROM pairs p
+      JOIN ks ka ON ka.event_type = p.type_a
+      JOIN ks kb ON kb.event_type = p.type_b AND kb.h = ka.h
+    ),
+    cb AS (
+      SELECT c.type_a, c.type_b,
+             count(*) FILTER (WHERE c.h < t.th) AS below,
+             count(*) AS common_all
+      FROM common c JOIN theta t USING (type_a, type_b)
+      GROUP BY 1, 2
+    ),
+    ei AS (
+      SELECT p.type_a, p.type_b, count(*) AS exact_inter
+      FROM pairs p
+      JOIN d da ON da.event_type = p.type_a
+      JOIN d db ON db.event_type = p.type_b AND db.h = da.h
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(p.n_a AS BIGINT) AS n_a, CAST(p.n_b AS BIGINT) AS n_b,
+           CAST(p.n_a + p.n_b - coalesce(ei.exact_inter, 0) AS BIGINT)
+             AS exact_union,
+           CAST(coalesce(ei.exact_inter, 0) AS BIGINT) AS exact_inter,
+           round(CASE WHEN t.usz < {KMV_K} THEN CAST(t.usz AS DOUBLE)
+                      ELSE ({KMV_K} - 1.0) * 1152921504606846976.0 / t.th
+                 END, 4) AS union_est,
+           round(CASE WHEN t.usz < {KMV_K}
+                        THEN CAST(coalesce(cb.common_all, 0) AS DOUBLE)
+                      ELSE coalesce(cb.below, 0) * 1152921504606846976.0 / t.th
+                 END, 4) AS inter_est,
+           round(CASE WHEN t.usz < {KMV_K}
+                        THEN CAST(coalesce(ei.exact_inter, 0) AS DOUBLE)
+                             / (p.n_a + p.n_b - coalesce(ei.exact_inter, 0))
+                      ELSE CAST(coalesce(cb.below, 0) AS DOUBLE) / ({KMV_K} - 1)
+                 END, 4) AS jaccard_est
+    FROM pairs p
+    JOIN theta t USING (type_a, type_b)
+    LEFT JOIN cb USING (type_a, type_b)
+    LEFT JOIN ei USING (type_a, type_b)
+    """,
+)
+def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET OPERATIONS on KMV sketches — the theta-sketch composition
+    (Dasgupta et al., "Theta Sketch Framework") that completes the
+    mergeable-sketch family: KMV answers "how many distinct", CMS "how
+    often", the quantile sketch "where do values sit"; THIS answers
+    "how do two distinct sets RELATE" (union, intersection, Jaccard)
+    from two bounded sketches alone — audience-overlap over every pair
+    of event types, without ever materializing a user set.
+
+    The theta trick, and why it stays EXACT w.r.t. the sketches: for a
+    pair (A, B), θ = the K-th smallest of ks_A ∪ ks_B. Because the
+    union of bottom-Ks contains ALL of ks_A, θ ≤ θ_A (and ≤ θ_B), so
+    every true A∩B member hashing below θ is RETAINED in both arrays —
+    the common-below count is exact, not sampled-from-a-sample. Then
+    |union| ≈ (K−1)·2⁶⁰/θ, |inter| ≈ below·2⁶⁰/θ, Jaccard ≈
+    below/(K−1). Groups under K distinct fall back to the exact
+    retained values (sf0.001 exercises the fallback, sf0.01 the
+    estimator — the `sketch_kmv_distinct_users` discipline).
+
+    Exactness: hashes, bottom-Ks, θ, and the below/common counts are
+    integers; each estimate is ONE division of exact doubles rounded
+    to 4 dp — the whole row hash-matches DuckDB. The exact union/inter
+    columns are the measured-guarantee twin (the quantile sketch's
+    bracket discipline): at 100 TB you keep only the sketch columns.
+
+    Scale posture: the per-type sketch build is `kmv_sketch` (two-phase
+    bucketed bottom-K, B×K longs of state); the pair stage is a
+    self-join of 5 sketch ROWS (T types → T(T−1)/2 pairs of K-long
+    arrays) — driver-trivial at any corpus size. The exact twin joins
+    distinct-hash frames (bounded by true cardinality, dropped in
+    production). Reference anchor: the reference cannot express ANY
+    of this — its only aggregation is the sorted-run reduce
+    (mr/worker.go:136-157)."""
+    ev = load_table(spark, sf_dir, "events")
+    hashed = ev.select("event_type", kmv_hash60(F.col("user_id")).alias("h"))
+    sk = kmv_sketch(hashed, ["event_type"]).localCheckpoint(eager=False)
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("ks").alias("ks_a"),
+        F.col("n_exact").alias("n_a"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("ks").alias("ks_b"),
+        F.col("n_exact").alias("n_b"),
+    )
+    dist = hashed.distinct().localCheckpoint(eager=False)
+    ei = (
+        dist.alias("da")
+        .join(
+            dist.alias("db"),
+            (F.col("da.h") == F.col("db.h"))
+            & (F.col("da.event_type") < F.col("db.event_type")),
+        )
+        .groupBy(
+            F.col("da.event_type").alias("type_a"),
+            F.col("db.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    two60 = 1152921504606846976.0
+    paired = (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .join(ei, ["type_a", "type_b"], "left")
+        .withColumn("exact_inter", F.coalesce("exact_inter", F.lit(0)).cast("bigint"))
+        .withColumn(
+            "uks",
+            F.slice(F.array_sort(F.array_union("ks_a", "ks_b")), 1, KMV_K),
+        )
+        .withColumn("usz", F.size(F.array_distinct(F.array_union("ks_a", "ks_b"))))
+        .withColumn("th", F.try_element_at("uks", F.lit(KMV_K)))
+        .withColumn(
+            "below",
+            F.when(
+                F.col("th").isNotNull(),
+                F.size(
+                    F.filter(
+                        F.array_intersect("ks_a", "ks_b"), lambda x: x < F.col("th")
+                    )
+                ),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("common_all", F.size(F.array_intersect("ks_a", "ks_b")))
+    )
+    est_path = F.col("usz") >= KMV_K
+    return paired.select(
+        "type_a",
+        "type_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        (F.col("n_a") + F.col("n_b") - F.col("exact_inter"))
+        .cast("bigint")
+        .alias("exact_union"),
+        "exact_inter",
+        F.round(
+            F.when(est_path, F.lit(KMV_K - 1.0) * F.lit(two60) / F.col("th"))
+            .otherwise(F.col("usz").cast("double")),
+            4,
+        ).alias("union_est"),
+        F.round(
+            F.when(est_path, F.col("below") * F.lit(two60) / F.col("th"))
+            .otherwise(F.col("common_all").cast("double")),
+            4,
+        ).alias("inter_est"),
+        F.round(
+            F.when(
+                est_path, F.col("below").cast("double") / F.lit(float(KMV_K - 1))
+            ).otherwise(
+                F.col("exact_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("exact_inter"))
+            ),
+            4,
+        ).alias("jaccard_est"),
+    )

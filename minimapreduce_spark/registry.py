@@ -124,11 +124,10 @@ DRIVER_PRIORITY: list[str] = [
     "stream_user_stats_stateful",       # streaming.stateful
     "stream_upsert_latest_state",       # streaming.upsert
     "stream_static_enrich",             # streaming.windows
-    # round-7 flagship (replaces the window_rolling_median re-check —
+    # round-7 flagships (replace the two planned flagship re-checks —
     # a new capability driver-verified beats a fourth re-verification)
     "bitext_margin_mining",
-    # flagship re-check (sessionization)
-    "events_sessionization",
+    "sketch_kmv_set_ops",
 ]
 
 # Queries registered AFTER the current (round-7) window was pinned. Any

@@ -576,3 +576,54 @@ def test_quantile_sketch_mergeable_and_planted(spark, tmp_path):
         target = -(-pct * 100 // 100)
         assert out.loc[pct].exact_cents == target * 100, (pct, out.loc[pct])
         assert out.loc[pct].est_lo_cents <= target * 100 <= out.loc[pct].est_hi_cents
+
+
+def test_kmv_set_ops_theta_exactness(spark):
+    """The theta-sketch correctness claim behind sketch_kmv_set_ops:
+    with θ = the K-th smallest of ks_A ∪ ks_B, θ ≤ min(θ_A, θ_B), so
+    every FULL-SET intersection member hashing below θ is retained in
+    BOTH bottom-K arrays — the sketch's common-below count equals the
+    exact count of true A∩B hashes below θ (not an estimate of one).
+    Verified per pair against the full distinct hash sets, plus the
+    estimator identities inter_est = below·2⁶⁰/θ and
+    jaccard_est = below/(K−1) recomputed from the printed columns."""
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.catalog import load_table
+    from minimapreduce_spark.operators.scale import KMV_K, kmv_hash60, kmv_sketch
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    hashed = ev.select("event_type", kmv_hash60(F.col("user_id")).alias("h"))
+    full = {}
+    for r in hashed.distinct().collect():
+        full.setdefault(r.event_type, set()).add(r.h)
+    ks = {
+        r.event_type: sorted(r.ks)
+        for r in kmv_sketch(hashed, ["event_type"]).collect()
+    }
+
+    out = q.queries()["sketch_kmv_set_ops"](spark, SF_DIR).toPandas()
+    assert len(out) == len(ks) * (len(ks) - 1) // 2, "missing pairs"
+    for r in out.itertuples():
+        A, B = full[r.type_a], full[r.type_b]
+        union_sketch = sorted(set(ks[r.type_a]) | set(ks[r.type_b]))
+        assert int(r.exact_inter) == len(A & B)
+        assert int(r.exact_union) == len(A | B)
+        if len(union_sketch) >= KMV_K:
+            th = union_sketch[KMV_K - 1]
+            assert th <= max(ks[r.type_a]) and th <= max(ks[r.type_b]), (
+                "theta above a side's retention horizon"
+            )
+            true_below = sum(1 for h in (A & B) if h < th)
+            sketch_below = sum(
+                1 for h in set(ks[r.type_a]) & set(ks[r.type_b]) if h < th
+            )
+            assert sketch_below == true_below, (r.type_a, r.type_b)
+            assert abs(r.inter_est - round(true_below * 2**60 / th, 4)) < 1e-9
+            assert abs(r.jaccard_est - round(true_below / (KMV_K - 1), 4)) < 1e-9
+        else:
+            # exact fallback: estimates ARE the exact values
+            assert r.inter_est == len(A & B)
+            assert abs(
+                r.jaccard_est - round(len(A & B) / len(A | B), 4)
+            ) < 1e-9
