@@ -2029,3 +2029,198 @@ def sample_dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data valuation: per-source leave-one-out influence on the probe
+# ---------------------------------------------------------------------------
+
+
+def _influence_sql_parts() -> tuple[str, str, str, str]:
+    """(pairs, tgts, sub, a_cols): the per-source moment aggregates,
+    the LOO subtraction list (total − source), and the moment column
+    list — shared text between the Spark plan and the oracle."""
+    pairs = ", ".join(
+        f"sum(CAST(round(x{i} * x{j} * {PROBE_GRID}.0) AS BIGINT)) AS s{i}{j}"
+        for i in range(4)
+        for j in range(i, 4)
+    )
+    tgts = ", ".join(
+        f"sum(CAST(round(x{i} * y * {PROBE_GRID}.0) AS BIGINT)) AS t{i}"
+        for i in range(4)
+    )
+    names = [f"s{i}{j}" for i in range(4) for j in range(i, 4)] + [
+        f"t{i}" for i in range(4)
+    ] + ["n"]
+    sub = ", ".join(f"t.{c} - p.{c} AS {c}" for c in names)
+    return pairs, tgts, sub, ", ".join(names)
+
+
+def _influence_oracle() -> str:
+    from minimapreduce_spark.operators.text_analysis import EN_STOP
+
+    a_exprs, w_exprs = _probe_solve_exprs()
+    pairs, tgts, sub, _ = _influence_sql_parts()
+    correct = (
+        f"CASE WHEN (CASE WHEN {_PROBE_SCORE} >= 0.5 THEN 1 ELSE 0 END) = f.y"
+        " THEN 1 ELSE 0 END"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, source,
+             CASE WHEN 0.5 * least(len(ws) / 100.0, 1.0)
+                     + 0.3 * (1.0 - len(list_filter(ws, w -> w IN {EN_STOP!r})) * 1.0 / len(ws))
+                     + 0.2 * (len(list_distinct(ws)) * 1.0 / len(ws)) >= {PROBE_QUALITY_CUT}
+                  THEN 1 ELSE 0 END AS y,
+             1.0 AS x0,
+             least(len(ws), 200) / 200.0 AS x1,
+             len(list_filter(ws, w -> w IN {EN_STOP!r})) * 1.0 / len(ws) AS x2,
+             len(list_distinct(ws)) * 1.0 / len(ws) AS x3
+      FROM toks WHERE len(ws) > 0
+    ),
+    psrc AS (SELECT source, {pairs}, {tgts}, count(*) AS n FROM feats GROUP BY source),
+    tot AS (SELECT {pairs}, {tgts}, count(*) AS n FROM feats),
+    loo AS (SELECT p.source, p.n AS nd, {sub} FROM psrc p, tot t),
+    aloo AS (SELECT source, nd, {", ".join(a_exprs)}, n FROM loo),
+    wloo AS (SELECT source, nd, {", ".join(w_exprs)} FROM aloo),
+    afull AS (SELECT {", ".join(a_exprs)}, n FROM tot),
+    wfull AS (SELECT {", ".join(w_exprs)} FROM afull),
+    accf AS (
+      SELECT CAST(sum({correct}) AS DOUBLE) / count(*) AS acc_full
+      FROM feats f, wfull
+    ),
+    accl AS (
+      SELECT w.source, w.nd,
+             CAST(sum({correct}) AS DOUBLE) / count(*) AS acc_loo
+      FROM feats f, wloo w GROUP BY w.source, w.nd
+    )
+    SELECT l.source,
+           CAST(l.nd AS BIGINT) AS n_docs,
+           round(a.acc_full, 6) AS acc_full,
+           round(l.acc_loo, 6) AS acc_loo,
+           round(a.acc_full - l.acc_loo, 6) AS influence
+    FROM accl l, accf a
+    """
+
+
+@register("source_influence_loo", oracle=_influence_oracle())
+def source_influence_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA VALUATION — per-source leave-one-out influence on the
+    in-engine quality probe (the Data-Shapley idea at its cheapest
+    useful point; Ghorbani & Zou's LOO baseline): for every source s,
+    retrain `quality_linear_probe` WITHOUT s's documents and measure
+    how corpus-wide accuracy moves. influence(s) = acc(full model) −
+    acc(model trained without s), evaluated on the full corpus against
+    the weak label — positive influence = the source's removal HURTS
+    (valuable data), negative = removal helps (noisy data, the thing
+    curation wants to find). The retrain-equivalence pytest pins the
+    whole shortcut: for sampled sources, PHYSICALLY dropping the
+    source's rows and retraining from scratch yields the exact same
+    acc_loo the moment-subtraction computes (BIGINT moments of a
+    subset ≡ total − source; identical Cramer text ⇒ bit-identical
+    weights ⇒ identical per-doc keep decisions).
+
+    Why LOO is FREE here when it costs S retrainings elsewhere: the
+    probe's training state is 15 BIGINT grid moments, which are
+    decomposable — per-source moments aggregate once (map-side
+    combinable), and source s's LOO moments are total − s, EXACT
+    integer subtraction. Every LOO solve is then the same shared
+    Cramer expression text over its own 15 numbers (bit-identical
+    doubles on both engines), so S models cost ONE corpus aggregation
+    plus S O(1) solves. Scoring all S models is one corpus scan
+    against an S-row broadcast (S×N bounded projections).
+
+    Exactness: moments/subtractions are BIGINT; weights and scores are
+    the probe's shared-text IEEE trees; accuracies are one INT/COUNT
+    division; influence is one subtraction of those doubles, rounded
+    once — the whole row hash-matches DuckDB.
+
+    Scale posture: one tokenize pass → per-source 15-number partials
+    (S×15 longs of state), one scoring scan with S broadcast weight
+    rows, no corpus shuffle anywhere — at 100 TB this prices every
+    crawl dump's marginal value in a single pass. No reference analog
+    (the reference cannot even express the probe's training agg).
+    """
+    from minimapreduce_spark.operators.text_analysis import EN_STOP
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), r"[^A-Za-z]+"), lambda w: w != "")
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOP])
+    n_tokens = F.size(ws)
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w)))
+    n_distinct = F.size(F.array_distinct(ws))
+    stop_ratio = n_stop * F.lit(1.0) / n_tokens
+    quality = (
+        0.5 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (1.0 - stop_ratio)
+        + 0.2 * (n_distinct * F.lit(1.0) / n_tokens)
+    )
+    feats = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.when(quality >= float(PROBE_QUALITY_CUT), 1).otherwise(0).alias("y"),
+            F.lit(1.0).alias("x0"),
+            (F.least(n_tokens, F.lit(200)) / F.lit(200.0)).alias("x1"),
+            stop_ratio.alias("x2"),
+            (n_distinct * F.lit(1.0) / n_tokens).alias("x3"),
+            n_tokens.alias("_nt"),
+        )
+        .where(F.col("_nt") > 0)
+        .drop("_nt")
+        .localCheckpoint(eager=False)  # moment agg + two scoring scans
+    )
+    grid = float(PROBE_GRID)
+    moms = [
+        F.sum(
+            F.round(F.col(f"x{i}") * F.col(f"x{j}") * grid).cast("bigint")
+        ).alias(f"s{i}{j}")
+        for i in range(4)
+        for j in range(i, 4)
+    ] + [
+        F.sum(F.round(F.col(f"x{i}") * F.col("y") * grid).cast("bigint")).alias(f"t{i}")
+        for i in range(4)
+    ] + [F.count(F.lit(1)).alias("n")]
+
+    a_exprs, w_exprs = _probe_solve_exprs()
+    pairs_, tgts_, sub, _names = _influence_sql_parts()
+    psrc = feats.groupBy("source").agg(*moms)
+    tot = feats.agg(*moms)
+    loo = (
+        psrc.alias("p")
+        .crossJoin(F.broadcast(tot.alias("t")))
+        .selectExpr("p.source AS source", "p.n AS nd", *sub.split(", "))
+    )
+    wloo = (
+        loo.selectExpr("source", "nd", *a_exprs, "n")
+        .selectExpr("source", "nd", *w_exprs)
+    )
+    wfull = tot.selectExpr(*a_exprs, "n").selectExpr(*w_exprs)
+    correct = (
+        f"CASE WHEN (CASE WHEN {_PROBE_SCORE} >= 0.5 THEN 1 ELSE 0 END) = y"
+        " THEN 1 ELSE 0 END"
+    )
+    accf = (
+        feats.crossJoin(F.broadcast(wfull))
+        .selectExpr(f"{correct} AS c")
+        .agg((F.sum("c").cast("double") / F.count(F.lit(1))).alias("acc_full_raw"))
+    )
+    accl = (
+        feats.drop("source")
+        .crossJoin(F.broadcast(wloo.withColumnRenamed("source", "wsrc")))
+        .selectExpr("wsrc", "nd", f"{correct} AS c")
+        .groupBy("wsrc", "nd")
+        .agg((F.sum("c").cast("double") / F.count(F.lit(1))).alias("acc_loo_raw"))
+    )
+    return accl.crossJoin(F.broadcast(accf)).select(
+        F.col("wsrc").alias("source"),
+        F.col("nd").cast("bigint").alias("n_docs"),
+        F.round("acc_full_raw", 6).alias("acc_full"),
+        F.round("acc_loo_raw", 6).alias("acc_loo"),
+        F.round(F.col("acc_full_raw") - F.col("acc_loo_raw"), 6).alias("influence"),
+    )

@@ -1241,7 +1241,8 @@ def planted_hotkey(col: Column) -> Column:
     oracle=f"""
     SELECT hot_key,
            count(*) AS n_rows,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_c_sum,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_c_sum,
            min(l_quantity) AS min_qty,
            max(l_quantity) AS max_qty
     FROM (

@@ -3137,10 +3137,10 @@ def _bitext_oracle() -> str:
     rb AS (SELECT *, row_number() OVER (PARTITION BY b_id
                                         ORDER BY cos_u DESC, a_id) AS rn
            FROM pairs),
-    sx AS (SELECT a_id, sum(cos_u) AS sum_x FROM ra WHERE rn <= {BM_K}
-           GROUP BY 1),
-    sy AS (SELECT b_id, sum(cos_u) AS sum_y FROM rb WHERE rn <= {BM_K}
-           GROUP BY 1),
+    sx AS (SELECT a_id, CAST(sum(cos_u) AS BIGINT) AS sum_x FROM ra
+           WHERE rn <= {BM_K} GROUP BY 1),
+    sy AS (SELECT b_id, CAST(sum(cos_u) AS BIGINT) AS sum_y FROM rb
+           WHERE rn <= {BM_K} GROUP BY 1),
     cand AS (
       SELECT a_id, b_id, cos_u FROM ra WHERE rn <= {BM_K}
       UNION
@@ -3204,20 +3204,56 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference analog (closest surface: the indexer app's posting
     fan-in, mrapps/indexer.go:20-39 — this is its geometric twin).
     """
+    import numpy as np
+
     emb = _emb(spark, sf_dir)
-    A = emb.where(F.col("vec_id") % 2 == 0).select(
-        F.col("vec_id").alias("a_id"), F.col("emb").alias("ae")
+    # Arrow/numpy matmul scoring — the `_brute_sims_numpy` shape, NOT
+    # the zip_with fold: at 1M+ pairs the codegen'd fold pays per-pair
+    # boxed-array costs (the round-6 hybrid fold-cliff: 115→13 s at
+    # 40×), while one BLAS matmul per Arrow batch amortizes the whole
+    # batch. Side A collects and broadcasts once per executor;
+    # quantization to millionths stays JVM-side (HALF_UP, matching the
+    # oracle's round()).
+    a_rows = emb.where(F.col("vec_id") % 2 == 0).select("vec_id", "emb").collect()
+    if not a_rows:
+        return spark.createDataFrame(
+            [],
+            "src_vec_id bigint, tgt_vec_id bigint, cosine_sim double, "
+            "margin double, sum_x bigint, sum_y bigint",
+        )
+    a_ids = np.array([r.vec_id for r in a_rows], dtype=np.int64)
+    Amat = np.stack([np.asarray(r.emb, dtype=np.float64) for r in a_rows])
+    bc = spark.sparkContext.broadcast(
+        (a_ids, Amat / np.linalg.norm(Amat, axis=1, keepdims=True))
     )
-    B = emb.where(F.col("vec_id") % 2 == 1).select(
-        F.col("vec_id").alias("b_id"), F.col("emb").alias("be")
-    )
+
+    def score(batches):
+        import pandas as pd
+
+        a_ids, An = bc.value
+        for pdf in batches:
+            Bm = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+            Bn = Bm / np.linalg.norm(Bm, axis=1, keepdims=True)
+            S = Bn @ An.T  # (batch, |A|)
+            n, m = S.shape
+            yield pd.DataFrame(
+                {
+                    "a_id": np.tile(a_ids, n),
+                    "b_id": np.repeat(pdf["vec_id"].to_numpy(dtype=np.int64), m),
+                    "cos_raw": S.ravel(),
+                }
+            )
+
+    from minimapreduce_spark._pickle import register_self_by_value
+
+    register_self_by_value()
     pairs = (
-        B.join(F.broadcast(A))
+        emb.where(F.col("vec_id") % 2 == 1)
+        .select("vec_id", "emb")
+        .mapInPandas(score, "a_id long, b_id long, cos_raw double")
         .select(
             "a_id", "b_id",
-            F.round(cosine(F.col("ae"), F.col("be")) * 1_000_000, 0)
-            .cast("bigint")
-            .alias("cos_u"),
+            F.round(F.col("cos_raw") * 1_000_000, 0).cast("bigint").alias("cos_u"),
         )
         .localCheckpoint(eager=False)  # scored once; read by 4 consumers
     )

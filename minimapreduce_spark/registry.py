@@ -103,7 +103,9 @@ DRIVER_PRIORITY: list[str] = [
     "pagerank_nation_trade",            # operators.graph
     "mr_wordcount",                     # operators.mr_compat
     "multimodal_features",              # operators.multimodal
-    "gdpr_erase_cascade",               # operators.pipeline
+    # operators.pipeline — the round-7 data-valuation flagship replaces
+    # the planned gdpr_erase_cascade canary (same module sampled)
+    "source_influence_loo",
     "q1_pricing_summary",               # operators.relational (+ money grid)
     # operators.scale — the round-7 planted-skew flagship replaces the
     # planned join_bloom_pruned_revenue canary (same module sampled)

@@ -1700,3 +1700,130 @@ def test_bitext_margin_mining_replay_and_matching(spark):
         f"spark-only {sorted(got - mined)[:3]}, "
         f"numpy-only {sorted(mined - got)[:3]}"
     )
+
+
+def test_source_influence_loo_equals_physical_retrain(spark):
+    """The LOO shortcut's whole claim: moment subtraction ≡ physical
+    retrain. For three sources, WRITE a corpus with that source's rows
+    actually removed, retrain the probe on it from scratch (the
+    registered quality_linear_probe plan), score the FULL corpus with
+    those weights, and the accuracy must equal the registered query's
+    acc_loo EXACTLY (BIGINT subset moments ≡ total − source; same
+    Cramer expression text ⇒ bit-identical weights ⇒ identical keep
+    decisions — no tolerance needed). Also pins the output identities
+    influence = round(acc_full − acc_loo, 6) and Σ n_docs = corpus."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.catalog import TABLES, table_path
+    from minimapreduce_spark.operators.pipeline import (
+        _PROBE_SCORE,
+        quality_linear_probe,
+    )
+
+    out = q.queries()["source_influence_loo"](spark, SF_DIR).toPandas()
+    full_probe = quality_linear_probe(spark, SF_DIR).toPandas()
+    acc_full_raw = float((full_probe["keep"] == full_probe["y"]).mean())
+    assert (out["acc_full"] == round(acc_full_raw, 6)).all()
+    n_corpus = len(full_probe)
+    assert int(out["n_docs"].sum()) == n_corpus
+
+    docs = spark.read.parquet(table_path(SF_DIR, "documents"))
+    tmp = tempfile.mkdtemp(prefix="loo_retrain_")
+    try:
+        for src in sorted(out["source"])[:3]:
+            d = os.path.join(tmp, src)
+            os.makedirs(d)
+            for t in TABLES:
+                if t == "documents":
+                    docs.where(F.col("source") != src).write.parquet(
+                        os.path.join(d, "documents.parquet")
+                    )
+                else:
+                    os.symlink(
+                        table_path(SF_DIR, t), os.path.join(d, f"{t}.parquet")
+                    )
+            # retrain on the reduced corpus, keep ONLY the weights...
+            # which live inside the probe plan — so score the reduced
+            # corpus, then re-derive the full-corpus accuracy by
+            # scoring the full corpus with the same weights: easiest
+            # exact route is to re-run the probe on the reduced corpus
+            # and join its weights-applied scores back. The probe
+            # scores only its own training rows, so instead rebuild
+            # the weights frame exactly as the probe does and apply to
+            # the full corpus.
+            from minimapreduce_spark.operators.pipeline import (
+                PROBE_GRID,
+                PROBE_QUALITY_CUT,
+                _probe_solve_exprs,
+            )
+            from minimapreduce_spark.operators.text_analysis import EN_STOP
+            from minimapreduce_spark.catalog import load_table
+
+            def feats_of(sf_dir):
+                dd = load_table(spark, sf_dir, "documents")
+                ws = F.filter(F.split(F.col("text"), r"[^A-Za-z]+"), lambda w: w != "")
+                stop_arr = F.array(*[F.lit(s) for s in EN_STOP])
+                n_tokens = F.size(ws)
+                n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w)))
+                n_distinct = F.size(F.array_distinct(ws))
+                stop_ratio = n_stop * F.lit(1.0) / n_tokens
+                quality = (
+                    0.5 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+                    + 0.3 * (1.0 - stop_ratio)
+                    + 0.2 * (n_distinct * F.lit(1.0) / n_tokens)
+                )
+                return (
+                    dd.select(
+                        "doc_id",
+                        F.when(quality >= float(PROBE_QUALITY_CUT), 1)
+                        .otherwise(0)
+                        .alias("y"),
+                        F.lit(1.0).alias("x0"),
+                        (F.least(n_tokens, F.lit(200)) / F.lit(200.0)).alias("x1"),
+                        stop_ratio.alias("x2"),
+                        (n_distinct * F.lit(1.0) / n_tokens).alias("x3"),
+                        n_tokens.alias("_nt"),
+                    )
+                    .where(F.col("_nt") > 0)
+                    .drop("_nt")
+                )
+
+            grid = float(PROBE_GRID)
+            moms = [
+                F.sum(
+                    F.round(F.col(f"x{i}") * F.col(f"x{j}") * grid).cast("bigint")
+                ).alias(f"s{i}{j}")
+                for i in range(4)
+                for j in range(i, 4)
+            ] + [
+                F.sum(
+                    F.round(F.col(f"x{i}") * F.col("y") * grid).cast("bigint")
+                ).alias(f"t{i}")
+                for i in range(4)
+            ] + [F.count(F.lit(1)).alias("n")]
+            a_exprs, w_exprs = _probe_solve_exprs()
+            wts = (
+                feats_of(d).agg(*moms).selectExpr(*a_exprs, "n").selectExpr(*w_exprs)
+            )
+            rescored = (
+                feats_of(SF_DIR)
+                .crossJoin(F.broadcast(wts))
+                .selectExpr(
+                    "y",
+                    f"CASE WHEN {_PROBE_SCORE} >= 0.5 THEN 1 ELSE 0 END AS k",
+                )
+                .toPandas()
+            )
+            acc_retrain = float((rescored["k"] == rescored["y"]).mean())
+            row = out[out["source"] == src].iloc[0]
+            assert round(acc_retrain, 6) == row.acc_loo, (
+                src, acc_retrain, row.acc_loo
+            )
+            assert row.influence == round(acc_full_raw - acc_retrain, 6), src
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

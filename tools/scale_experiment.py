@@ -64,6 +64,8 @@ QUERIES = [
     "embedding_pca_power_iteration",
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
+    "ann_ivfpq_nprobe_topk",
+    "bitext_margin_mining",
     "contamination_test_train",
     "mixture_token_budget_sample",
     "quality_linear_probe",
@@ -94,7 +96,14 @@ QUERIES = [
 #   with the corpus (real builds use nlist ∝ √N); the fixture's label
 #   column is FIXED at 10 cells, so cells grow linearly and the
 #   within-cell self-join becomes a fixture artifact past ~10×.
-EXCLUDE_PAST_10X = {"ann_knn_graph_edges"}
+# - bitext_margin_mining — the registered query scores the full A×B
+#   matrix BY CONTRACT (the correctness baseline, like
+#   ann_cosine_topk): |A|·|B| grows quadratically under replication
+#   (1.6e9 pairs at 40×), which is the documented reason the 100 TB
+#   path swaps the score matrix for IVF cells / LSH bands (whose
+#   components carry their own octaves); the 10× row measures the
+#   brute baseline honestly.
+EXCLUDE_PAST_10X = {"ann_knn_graph_edges", "bitext_margin_mining"}
 
 # Oracle skipped (timing + rows only) past 10×: these oracles compute
 # the FULL id-level exact-Jaccard join (or its recursive-CTE closure) —
@@ -243,6 +252,13 @@ RELATIONAL_QUERIES = [
     "sketch_kmv_distinct_users",
     "sketch_cms_heavy_hitters",
     "sketch_quantile_prices",
+    # round-7: theta set-ops — replicas share user_ids, so the sketch
+    # columns must be SCALE-INVARIANT (same 10 rows at any mult) while
+    # the scan grows linearly: the bounded-state claim, measured
+    "sketch_kmv_set_ops",
+    # round-7: planted 90%-hot-key salted agg — the skew mitigation
+    # under 40x the hot volume
+    "agg_salted_hotkey_planted",
     # streaming twins: the events table replayed through 4 real
     # micro-batches at fixture scale — bounded state at 16M events
     "stream_cms_heavy_hitters",
