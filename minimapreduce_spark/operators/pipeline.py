@@ -2108,7 +2108,7 @@ def _influence_oracle() -> str:
     """
 
 
-@register("source_influence_loo", oracle=_influence_oracle())
+@register("source_influence_loo", oracle=_influence_oracle(), bench=True)
 def source_influence_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DATA VALUATION — per-source leave-one-out influence on the
     in-engine quality probe (the Data-Shapley idea at its cheapest

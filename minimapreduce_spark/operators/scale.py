@@ -1238,6 +1238,7 @@ def planted_hotkey(col: Column) -> Column:
 
 @register(
     "agg_salted_hotkey_planted",
+    bench=True,  # the planted-skew mitigation must stay visible in BENCH
     oracle=f"""
     SELECT hot_key,
            count(*) AS n_rows,
@@ -1315,6 +1316,7 @@ def agg_salted_hotkey_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sketch_kmv_set_ops",
+    bench=True,  # bounded-state set-ops: sketch build + 10-pair compose
     oracle=f"""
     WITH d AS (
       SELECT DISTINCT event_type, {_KMV_HASH60} AS h FROM events

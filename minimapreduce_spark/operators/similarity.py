@@ -3298,3 +3298,91 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_y").cast("bigint").alias("sum_y"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining — contrastive-training data construction
+# ---------------------------------------------------------------------------
+
+HN_K = 5  # positives and hard negatives kept per query
+
+
+_HN_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id AS q_vec_id, label AS q_label, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (SELECT vec_id, label, embedding::DOUBLE[] AS ce FROM embeddings),
+    sims AS (
+      SELECT q_vec_id, vec_id,
+             CASE WHEN c.label = q.q_label THEN 'pos' ELSE 'neg' END AS kind,
+             round(list_cosine_similarity(qe, ce), 6) AS cosine_sim
+      FROM q, c
+      WHERE c.vec_id <> q.q_vec_id
+    ),
+    ranked AS (
+      SELECT q_vec_id, vec_id, kind, cosine_sim,
+             row_number() OVER (
+               PARTITION BY q_vec_id, kind
+               ORDER BY cosine_sim DESC, vec_id
+             ) AS rn
+      FROM sims
+    )
+    SELECT q_vec_id, vec_id AS cand_id, kind, cosine_sim, rn
+    FROM ranked WHERE rn <= {HN_K}
+    """
+
+
+@register("ann_hard_negative_mining", oracle=_HN_ORACLE)
+def ann_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING — the contrastive-training data builder
+    (the DPR/SBERT recipe: a retriever trains fastest on negatives it
+    currently confuses with positives): for each query vector, the
+    top-5 most-similar SAME-label vectors (positives) and the
+    top-5 most-similar DIFFERENT-label vectors (the hard
+    negatives — maximally confusable, the rows a random-negative
+    sampler almost never finds). One brute cosine pass (the
+    ann_cosine_topk machinery — query side broadcast, corpus scanned
+    once, never shuffled pairwise), then ONE window per (query, kind)
+    with the family's round-before-rank 6-dp discipline and vec_id
+    tie-break.
+
+    Scale posture: linear in the corpus (queries broadcast, one scan,
+    (Q × 2K) result rows through the top-k window); at 100 TB the scan
+    swaps for IVF routing exactly as ann_ivf_topk does — mining
+    negatives from the routed cell is how production systems bound the
+    candidate pool, and makes the negatives HARDER (same-cell = more
+    confusable), not weaker. No reference analog (the reference has no
+    vector surface at all).
+    """
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("label").alias("q_label"),
+        F.col("emb").alias("q_emb"),
+    )
+    sims = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_vec_id"))
+        .select(
+            "q_vec_id",
+            "vec_id",
+            F.when(F.col("label") == F.col("q_label"), "pos")
+            .otherwise("neg")
+            .alias("kind"),
+            F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("q_vec_id", "kind").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= HN_K)
+        .select(
+            "q_vec_id",
+            F.col("vec_id").alias("cand_id"),
+            "kind",
+            "cosine_sim",
+            "rn",
+        )
+    )

@@ -117,7 +117,10 @@ DRIVER_PRIORITY: list[str] = [
     "ann_ivfpq_nprobe_topk",
     "inverted_index",                   # operators.text
     "text_bm25_topk",                   # operators.text_analysis
-    "q14_promo_revenue_share",          # operators.tpch_more
+    # round-7 flagship replaces the tpch_more canary (13/13 of that
+    # module are multi-round driver-verified and the adjacent tpch_rest
+    # canary keeps the TPC-H class sampled)
+    "ann_hard_negative_mining",
     "q2_min_cost_supplier",             # operators.tpch_rest
     "binaryfile_manifest",              # sources.pydatasource
     "stream_view_purchase_join",        # streaming.dedup_join

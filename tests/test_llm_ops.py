@@ -1827,3 +1827,51 @@ def test_source_influence_loo_equals_physical_retrain(spark):
             assert row.influence == round(acc_full_raw - acc_retrain, 6), src
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_hard_negative_mining_semantics(spark):
+    """Hard-negative mining contracts: exactly HN_K rows per (query,
+    kind); kinds agree with the label table; no self-candidates; and a
+    numpy replay confirms the negatives really are the HARDEST — the
+    top-HN_K different-label vectors by rounded cosine with vec_id
+    tie-break (same for positives)."""
+    import numpy as np
+    import pyarrow.parquet as pa
+
+    from minimapreduce_spark.operators.similarity import (
+        HN_K,
+        N_QUERIES,
+        ann_hard_negative_mining,
+    )
+
+    out = ann_hard_negative_mining(spark, SF_DIR).toPandas()
+    counts = out.groupby(["q_vec_id", "kind"]).size()
+    assert (counts == HN_K).all()
+    assert out.groupby("q_vec_id").ngroups == N_QUERIES
+    assert (out["q_vec_id"] != out["cand_id"]).all()
+
+    tbl = pa.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = np.asarray(tbl["vec_id"])
+    labels = dict(zip(ids.tolist(), np.asarray(tbl["label"]).tolist()))
+    E = np.stack([np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()])
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    idx = {v: i for i, v in enumerate(ids.tolist())}
+
+    for qid, grp in out.groupby("q_vec_id"):
+        ql = labels[qid]
+        for r in grp.itertuples():
+            want = "pos" if labels[r.cand_id] == ql else "neg"
+            assert r.kind == want, (qid, r.cand_id)
+        sims = En @ En[idx[qid]]
+        cos6 = np.round(sims * 1e6) / 1e6
+        for kind in ("pos", "neg"):
+            mask = np.array(
+                [
+                    v != qid and (labels[v] == ql) == (kind == "pos")
+                    for v in ids.tolist()
+                ]
+            )
+            order = np.lexsort((ids[mask], -cos6[mask]))[:HN_K]
+            want_ids = ids[mask][order].tolist()
+            got = grp[grp["kind"] == kind].sort_values("rn")["cand_id"].tolist()
+            assert got == want_ids, (qid, kind, got, want_ids)
