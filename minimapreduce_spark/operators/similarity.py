@@ -3386,3 +3386,119 @@ def ann_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka dimension-truncation recall frontier
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = (8, 16, 32, 64)  # truncation prefixes; 64 = the full vector
+
+
+_MRL_ORACLE = f"""
+    WITH dims AS (SELECT unnest({list(MRL_DIMS)}) AS dim),
+    q AS (
+      SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+    sims AS (
+      SELECT d.dim, q.q_vec_id, c.vec_id,
+             round(list_cosine_similarity(qe[1:d.dim], ce[1:d.dim]), 6)
+               AS cosine_sim
+      FROM dims d, q, c
+      WHERE c.vec_id <> q.q_vec_id
+    ),
+    ranked AS (
+      SELECT dim, q_vec_id, vec_id,
+             row_number() OVER (
+               PARTITION BY dim, q_vec_id
+               ORDER BY cosine_sim DESC, vec_id
+             ) AS rn
+      FROM sims
+    ),
+    topk AS (SELECT dim, q_vec_id, vec_id FROM ranked WHERE rn <= {IVF_TOP_K}),
+    truth AS (SELECT q_vec_id, vec_id FROM topk WHERE dim = 64),
+    hits AS (
+      SELECT t.dim, count(*) AS hits
+      FROM topk t JOIN truth u
+        ON u.q_vec_id = t.q_vec_id AND u.vec_id = t.vec_id
+      GROUP BY t.dim
+    )
+    SELECT h.dim AS dim,
+           CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           CAST(h.hits AS BIGINT) AS hits,
+           round(CAST(h.hits AS DOUBLE) / {N_QUERIES * IVF_TOP_K}, 6) AS recall
+    FROM hits h
+    """
+
+
+@register("ann_dim_truncation_recall", oracle=_MRL_ORACLE)
+def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA dimension-truncation frontier (Kusupati et al.,
+    "Matryoshka Representation Learning" — the eval that decides how
+    many leading dimensions a vector store actually needs): for each
+    prefix length d ∈ (8, 16, 32, 64), run exact cosine top-5 on the
+    TRUNCATED embeddings and report recall against the full-64-dim
+    ranking — the storage/recall trade curve, measured in-engine. One
+    corpus scan serves all four dims (the dim axis is a 4-row literal
+    explode; slicing is free projection), queries broadcast, and the
+    per-(dim, query) top-k window is the only shuffle.
+
+    Recall is an exact fraction of integers (hits / Q·K with rounded-
+    cosine-then-id ranks fixed on both engines), so the whole frontier
+    hash-matches DuckDB. The fixture's embeddings are synthetic and
+    near-isotropic, so recall climbs steeply with d (the d=64 row is
+    1.0 by construction — a pytest-pinned identity); on MRL-trained
+    embeddings the interesting region is the knee.
+
+    Scale posture: linear in the corpus per dim (4 scans' worth of
+    flops in one pass); at 100 TB the truncated scan IS the win being
+    measured — a d=16 store reads 4× less than d=64 — and this query
+    prices the recall cost of that read savings before you commit to
+    it. No reference analog.
+    """
+    emb = _emb(spark, sf_dir)
+    dims = spark.createDataFrame([(d,) for d in MRL_DIMS], "dim: int")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("emb").alias("q_emb")
+    )
+    sims = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_vec_id"))
+        .join(F.broadcast(dims))
+        .select(
+            "dim",
+            "q_vec_id",
+            "vec_id",
+            F.round(
+                cosine(
+                    F.slice("q_emb", F.lit(1), F.col("dim")),
+                    F.slice("emb", F.lit(1), F.col("dim")),
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("dim", "q_vec_id").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    topk = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= IVF_TOP_K)
+        .select("dim", "q_vec_id", "vec_id")
+        .localCheckpoint(eager=False)  # read twice: truth + all dims
+    )
+    truth = topk.where(F.col("dim") == 64).select("q_vec_id", "vec_id")
+    return (
+        topk.join(truth, ["q_vec_id", "vec_id"])
+        .groupBy("dim")
+        .agg(F.count("*").alias("hits"))
+        .select(
+            "dim",
+            F.lit(N_QUERIES).cast("bigint").alias("n_queries"),
+            F.col("hits").cast("bigint").alias("hits"),
+            F.round(
+                F.col("hits").cast("double") / (N_QUERIES * IVF_TOP_K), 6
+            ).alias("recall"),
+        )
+    )

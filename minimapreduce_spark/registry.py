@@ -101,7 +101,10 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_minhash",                    # operators.dedup
     "events_asof_join",                 # operators.events
     "pagerank_nation_trade",            # operators.graph
-    "mr_wordcount",                     # operators.mr_compat
+    # round-7 flagship replaces the mr_compat canary (3/3 of that
+    # module are multi-round driver-verified; the text-module canary
+    # keeps the wordcount semantics sampled)
+    "ann_dim_truncation_recall",
     "multimodal_features",              # operators.multimodal
     # operators.pipeline — the round-7 data-valuation flagship replaces
     # the planned gdpr_erase_cascade canary (same module sampled)

@@ -1875,3 +1875,31 @@ def test_hard_negative_mining_semantics(spark):
             want_ids = ids[mask][order].tolist()
             got = grp[grp["kind"] == kind].sort_values("rn")["cand_id"].tolist()
             assert got == want_ids, (qid, kind, got, want_ids)
+
+
+def test_dim_truncation_recall_invariants(spark):
+    """Matryoshka frontier contracts: one row per dim; the full-dim row
+    is recall 1.0 BY CONSTRUCTION (truth vs itself); recall is the
+    printed hits/(Q*K) exactly; hits are bounded by Q*K; and the
+    frontier is weakly better at full dim than at the shortest prefix
+    (the only ordering the isotropic fixture guarantees)."""
+    from minimapreduce_spark.operators.similarity import (
+        IVF_TOP_K,
+        MRL_DIMS,
+        N_QUERIES,
+        ann_dim_truncation_recall,
+    )
+
+    out = (
+        ann_dim_truncation_recall(spark, SF_DIR)
+        .toPandas()
+        .sort_values("dim")
+        .reset_index(drop=True)
+    )
+    assert list(out["dim"]) == sorted(MRL_DIMS)
+    full = out[out["dim"] == 64].iloc[0]
+    assert full.hits == N_QUERIES * IVF_TOP_K and full.recall == 1.0
+    assert (out["hits"] <= N_QUERIES * IVF_TOP_K).all()
+    for r in out.itertuples():
+        assert r.recall == round(r.hits / (N_QUERIES * IVF_TOP_K), 6)
+    assert full.recall >= out.iloc[0].recall
