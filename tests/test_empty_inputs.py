@@ -51,6 +51,14 @@ REPRESENTATIVE = [
     "sample_dsir_importance_topk",
     "bpe_train_merges",
     "unigram_train_pieces",
+    # round-7 registrations
+    "ann_ivfpq_nprobe_topk",
+    "agg_salted_hotkey_planted",
+    "sketch_kmv_set_ops",
+    "bitext_margin_mining",
+    "source_influence_loo",
+    "ann_hard_negative_mining",
+    "ann_dim_truncation_recall",
 ]
 
 

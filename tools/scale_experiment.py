@@ -66,6 +66,8 @@ QUERIES = [
     "ann_ivfpq_topk",
     "ann_ivfpq_nprobe_topk",
     "bitext_margin_mining",
+    "ann_hard_negative_mining",
+    "ann_dim_truncation_recall",
     "contamination_test_train",
     "mixture_token_budget_sample",
     "quality_linear_probe",
