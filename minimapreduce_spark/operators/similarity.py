@@ -3356,20 +3356,23 @@ def ann_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector surface at all).
     """
     emb = _emb(spark, sf_dir)
-    q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_vec_id"),
-        F.col("label").alias("q_label"),
-        F.col("emb").alias("q_emb"),
+    # Arrow matmul scoring (`_brute_sims_numpy`) — the fold path paid
+    # 32.6 s at 40× where one BLAS pass is scan-bound; labels join back
+    # from two bounded/broadcastable projections
+    q_labels = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("label").alias("q_label")
     )
     sims = (
-        emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_vec_id"))
+        _brute_sims_numpy(spark, emb, N_QUERIES)
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .join(F.broadcast(q_labels), "q_vec_id")
         .select(
             "q_vec_id",
             "vec_id",
             F.when(F.col("label") == F.col("q_label"), "pos")
             .otherwise("neg")
             .alias("kind"),
-            F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cosine_sim"),
+            F.round("cosine_sim_raw", 6).alias("cosine_sim"),
         )
     )
     w = W.partitionBy("q_vec_id", "kind").orderBy(
@@ -3458,25 +3461,57 @@ def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     prices the recall cost of that read savings before you commit to
     it. No reference analog.
     """
+    import numpy as np
+
     emb = _emb(spark, sf_dir)
-    dims = spark.createDataFrame([(d,) for d in MRL_DIMS], "dim: int")
-    q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_vec_id"), F.col("emb").alias("q_emb")
-    )
+    # Arrow matmul scoring: ONE mapInPandas stage emits all four dims'
+    # raw cosines per batch (4 BLAS matmuls on prefix slices — the fold
+    # path paid 103 s at 40× for the same numbers); quantization stays
+    # JVM-side (HALF_UP, matching the oracle)
+    q_rows = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "emb").collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "dim int, n_queries bigint, hits bigint, recall double"
+        )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r.emb, dtype=np.float64) for r in q_rows])
+    bc = spark.sparkContext.broadcast((q_ids, Q))
+
+    def score(batches):
+        import pandas as pd
+
+        q_ids, Q = bc.value
+        for pdf in batches:
+            E = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            frames = []
+            for d in MRL_DIMS:
+                Qd = Q[:, :d] / np.linalg.norm(Q[:, :d], axis=1, keepdims=True)
+                Ed = E[:, :d] / np.linalg.norm(E[:, :d], axis=1, keepdims=True)
+                S = Ed @ Qd.T  # (batch, n_queries)
+                n, m = S.shape
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "dim": np.int32(d),
+                            "q_vec_id": np.tile(q_ids, n),
+                            "vec_id": np.repeat(vec_ids, m),
+                            "cos_raw": S.ravel(),
+                        }
+                    )
+                )
+            out = pd.concat(frames, ignore_index=True)
+            yield out[out["q_vec_id"] != out["vec_id"]]
+
+    from minimapreduce_spark._pickle import register_self_by_value
+
+    register_self_by_value()
     sims = (
-        emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_vec_id"))
-        .join(F.broadcast(dims))
+        emb.select("vec_id", "emb")
+        .mapInPandas(score, "dim int, q_vec_id long, vec_id long, cos_raw double")
         .select(
-            "dim",
-            "q_vec_id",
-            "vec_id",
-            F.round(
-                cosine(
-                    F.slice("q_emb", F.lit(1), F.col("dim")),
-                    F.slice("emb", F.lit(1), F.col("dim")),
-                ),
-                6,
-            ).alias("cosine_sim"),
+            "dim", "q_vec_id", "vec_id",
+            F.round("cos_raw", 6).alias("cosine_sim"),
         )
     )
     w = W.partitionBy("dim", "q_vec_id").orderBy(
