@@ -1816,3 +1816,98 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cluster_size").cast("bigint").alias("n_docs"),
         F.sum(F.col("cluster_size") - 1).cast("bigint").alias("n_removable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment — excerpt/quote detection
+# ---------------------------------------------------------------------------
+
+CONTAIN_THRESHOLD = 0.8  # fraction of the smaller doc's shingles contained
+
+
+_CONTAIN_ORACLE = f"""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    pos AS (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i FROM words),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+{SHINGLE_K - 1}], ' ') AS shingle
+      FROM pos WHERE i <= len(ws) - {SHINGLE_K - 1}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+             count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT contained_id, container_id, n_common,
+           CAST(sa.n AS BIGINT) AS n_contained_shingles,
+           round(n_common * 1.0 / sa.n, 6) AS containment
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = contained_id
+    JOIN sizes sb ON sb.doc_id = container_id
+    WHERE sa.n < sb.n
+      AND n_common * 1.0 / sa.n >= {CONTAIN_THRESHOLD}
+    """
+
+
+@register("dedup_ngram_containment", oracle=_CONTAIN_ORACLE)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment detection — the near-dup shape Jaccard
+    structurally misses (Broder's containment coefficient): a short
+    document quoted or excerpted inside a much longer one has
+    containment(small→big) = |sh(a) ∩ sh(b)| / |sh(a)| ≈ 1 while its
+    Jaccard ≈ |a|/|b| ≈ 0, so the whole `dedup_ngram_jaccard` /
+    `dedup_minhash` family scores it as unrelated. Training-data
+    curation needs this lane for provenance/licensing (is this doc a
+    fragment of that one?) and for eval decontamination (a benchmark
+    item PASTED INTO a long crawl page is a containment hit, not a
+    Jaccard hit — the `contamination_test_train` n-gram check is the
+    windowed version of the same idea). Directed output: (contained,
+    container) with strict size ordering |sh(a)| < |sh(b)|, so
+    symmetric near-dups stay the Jaccard family's business.
+
+    Exactness: shingle sets are the family's distinct 5-gram frames
+    (64-bit hashes engine-side, the literal strings oracle-side — the
+    dedup_ngram_jaccard equivalence); n_common and sizes are integers;
+    containment is one division rounded at 6 dp.
+
+    Scale posture: the same inverted-index self-join discipline as
+    `jaccard_pairs` (both sides shuffle on the shingle hash; the
+    post-agg pairs frame broadcasts into the size joins via AQE), so
+    the bucket bound is the shingle document frequency — at 100 TB
+    run it behind the content-group front end and the df-cap ladder
+    exactly as dedup_ngram_jaccard does, or generate candidates with
+    MinHash-LSH over the SMALLER side's shingles and verify
+    containment on candidates only (the `jaccard_pairs(candidates=…)`
+    shape). Reference anchor: none (the indexer app,
+    mrapps/indexer.go:20-39, builds the posting lists this join
+    consumes but cannot express the join)."""
+    sh = shingle_hashes(spark, sf_dir).localCheckpoint(eager=False)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("contained_id"), "h")
+    b = sh.select(F.col("doc_id").alias("container_id"), "h")
+    pairs = (
+        a.join(b, "h")
+        .where(F.col("contained_id") != F.col("container_id"))
+        .groupBy("contained_id", "container_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("contained_id"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("container_id"), F.col("n").alias("n_b"))
+    cont = F.col("n_common") / F.col("n_a")
+    return (
+        pairs.join(sa, "contained_id")
+        .join(sb, "container_id")
+        .where((F.col("n_a") < F.col("n_b")) & (cont >= CONTAIN_THRESHOLD))
+        .select(
+            "contained_id",
+            "container_id",
+            "n_common",
+            F.col("n_a").cast("bigint").alias("n_contained_shingles"),
+            F.round(cont, 6).alias("containment"),
+        )
+    )

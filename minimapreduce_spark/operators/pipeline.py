@@ -2224,3 +2224,70 @@ def source_influence_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("acc_loo_raw", 6).alias("acc_loo"),
         F.round(F.col("acc_full_raw") - F.col("acc_loo_raw"), 6).alias("influence"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Privacy audit: k-anonymity / l-diversity over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+KANON_K = 5   # minimum group size for k-anonymity
+KANON_L = 3   # minimum distinct sensitive values for l-diversity
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle=f"""
+    SELECT c_nationkey,
+           c_mktsegment,
+           count(*) AS n_rows,
+           count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS l_distinct,
+           count(*) >= {KANON_K} AS k_ok,
+           count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) >= {KANON_L}
+             AS l_ok
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIVACY AUDIT — k-anonymity and l-diversity (Sweeney; Machanavajjhala
+    et al.) over the release-candidate quasi-identifier combination
+    (nation, market segment): a record is k-anonymous when at least k−1
+    other records share its quasi-identifier tuple (group size ≥ k,
+    here 5), and a group is l-diverse when its SENSITIVE attribute
+    (account balance, generalized to $1000 bands — the generalization
+    step of the framework) takes ≥ l distinct values (here 3), so
+    membership in the group doesn't reveal the sensitive value. The
+    audit that must PASS before a per-group aggregate release of this
+    table — the governance sibling of `text_pii_scrub` (row-level
+    redaction) and `gdpr_erase_cascade` (subject erasure): those
+    remove/forget, this PROVES a release shape safe.
+
+    Exactness: group sizes and distinct band counts are integers;
+    banding is exact floor division on both engines; the pass/fail
+    booleans compare those integers to literal thresholds.
+
+    Scale posture: ONE partial+final aggregation over the table
+    (count + distinct-band per group — the distinct collapses map-side
+    to the band set, bounded by the banding grid, never the row
+    count); output is bounded by the quasi-identifier domain
+    (|nations| × |segments|), a broadcast-sized audit report at any
+    corpus size. Violating groups feed straight into a suppression/
+    generalization loop (coarsen a quasi-identifier, re-audit) — each
+    pass is the same single aggregation. No reference analog."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000.0).cast("bigint")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct(band).alias("l_distinct"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("l_distinct").cast("bigint").alias("l_distinct"),
+            (F.col("n_rows") >= KANON_K).alias("k_ok"),
+            (F.col("l_distinct") >= KANON_L).alias("l_ok"),
+        )
+    )

@@ -96,9 +96,14 @@ DRIVER_PRIORITY: list[str] = [
     "stream_kmv_distinct_users",
     # -- canaries: one per module (module noted), all previously
     #    driver-verified, re-checked deliberately --
-    "cogroup_customer_activity",        # functions.udfs
+    # round-7 flagship replaces the udfs canary (6/6 of that module are
+    # multi-round driver-verified, and the windowed round-7 flagships
+    # bitext/MRL/hard-negative all exercise the mapInPandas lane)
+    "privacy_k_anonymity",
     "customer_rfm_segments",            # operators.analytics
-    "dedup_minhash",                    # operators.dedup
+    # round-7 flagship replaces the dedup canary (same module sampled;
+    # containment is the asymmetric lane Jaccard misses)
+    "dedup_ngram_containment",
     "events_asof_join",                 # operators.events
     "pagerank_nation_trade",            # operators.graph
     # round-7 flagship replaces the mr_compat canary (3/3 of that
