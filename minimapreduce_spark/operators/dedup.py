@@ -1877,16 +1877,22 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: the same inverted-index self-join discipline as
     `jaccard_pairs` (both sides shuffle on the shingle hash; the
-    post-agg pairs frame broadcasts into the size joins via AQE), so
-    the bucket bound is the shingle document frequency — at 100 TB
-    run it behind the content-group front end and the df-cap ladder
-    exactly as dedup_ngram_jaccard does, or generate candidates with
-    MinHash-LSH over the SMALLER side's shingles and verify
-    containment on candidates only (the `jaccard_pairs(candidates=…)`
-    shape). Reference anchor: none (the indexer app,
-    mrapps/indexer.go:20-39, builds the posting lists this join
-    consumes but cannot express the join)."""
-    sh = shingle_hashes(spark, sf_dir).localCheckpoint(eager=False)
+    post-agg pairs frame broadcasts into the size joins via AQE), RUN
+    BEHIND the duplication-gated content-group front end — byte-copies
+    never enter the inverted index, and verified rep-level pairs
+    expand to members through a DIRECTION-PRESERVING twin of
+    `expand_doc_pairs` (members are byte-identical, so sizes and
+    containment carry over and the strict size ordering holds for
+    every combo; within-group pairs have equal sizes and are excluded
+    by both engines identically). The remaining bucket bound is the
+    per-CONTENT shingle document frequency — the df-cap ladder and the
+    MinHash-LSH candidate shape (`jaccard_pairs(candidates=…)` over
+    the smaller side) stay the knobs past that. Reference anchor: none
+    (the indexer app, mrapps/indexer.go:20-39, builds the posting
+    lists this join consumes but cannot express the join)."""
+    doc_src, groups = content_group_frontend(spark, sf_dir)
+    rep_docs = fan_out(spark, doc_src)
+    sh = shingle_hashes(spark, sf_dir, docs=rep_docs).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("contained_id"), "h")
     b = sh.select(F.col("doc_id").alias("container_id"), "h")
@@ -1899,7 +1905,7 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("contained_id"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("container_id"), F.col("n").alias("n_b"))
     cont = F.col("n_common") / F.col("n_a")
-    return (
+    rep_pairs = (
         pairs.join(sa, "contained_id")
         .join(sb, "container_id")
         .where((F.col("n_a") < F.col("n_b")) & (cont >= CONTAIN_THRESHOLD))
@@ -1909,5 +1915,33 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_common",
             F.col("n_a").cast("bigint").alias("n_contained_shingles"),
             F.round(cont, 6).alias("containment"),
+        )
+    )
+    if groups is None:  # duplication gate: pairs are already doc-level
+        return rep_pairs
+    # direction-preserving member expansion (expand_doc_pairs would
+    # least/greatest-normalize the ids, destroying the contained→
+    # container direction); values carry over — members are
+    # byte-identical, so every combo's sizes equal its reps'
+    mem = groups.select("rep", F.explode("members").alias("did"))
+    return (
+        rep_pairs.join(
+            mem.select(
+                F.col("rep").alias("contained_id"), F.col("did").alias("ida")
+            ),
+            "contained_id",
+        )
+        .join(
+            mem.select(
+                F.col("rep").alias("container_id"), F.col("did").alias("idb")
+            ),
+            "container_id",
+        )
+        .select(
+            F.col("ida").alias("contained_id"),
+            F.col("idb").alias("container_id"),
+            "n_common",
+            "n_contained_shingles",
+            "containment",
         )
     )

@@ -59,6 +59,8 @@ REPRESENTATIVE = [
     "source_influence_loo",
     "ann_hard_negative_mining",
     "ann_dim_truncation_recall",
+    "dedup_ngram_containment",
+    "privacy_k_anonymity",
 ]
 
 

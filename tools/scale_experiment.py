@@ -50,6 +50,7 @@ COPIES = 10  # exact copies per content variant — fixed across scales
 QUERIES = [
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_ngram_containment",
     "dedup_minhash",
     "dedup_minhash_incremental",
     "dedup_simhash",
@@ -126,6 +127,11 @@ ORACLE_SKIP_PAST_10X = {
     # (tools/incremental_scale_probe.py)
     "dedup_minhash_incremental",
     "dedup_ngram_jaccard",
+    # same full doc-level shingle self-join oracle shape as
+    # dedup_ngram_jaccard's — intractable oracle-side at 40× for the
+    # same Σ bucket² reason; the engine side runs behind the
+    # content-group front end and stays measured
+    "dedup_ngram_containment",
     "dedup_clusters",
 }
 
