@@ -202,6 +202,7 @@ def decode_ppm(payload: bytes) -> dict:
         "height": height,
         "maxval": maxval,
         "n_pixel_bytes": len(pixels),
+        "pixels": pixels,  # raw plane for downstream feature stages
         "pixel_checksum": sum(pixels) % 1000000007,
     }
 
@@ -1071,3 +1072,145 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ppms = docs.mapInPandas(encode_ppm, schema="doc_id bigint, payload binary")
     return ppms.mapInPandas(ppm_features, schema=PPM_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup — the media twin of dedup_simhash
+# ---------------------------------------------------------------------------
+
+PHASH_BITS = 60
+PHASH_HAMMING_MAX = 3  # 4 × 15-bit bands: pigeonhole-complete at ≤ 3
+
+
+def encode_ppm_textured(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """mapInPandas ingest stage: a REAL binary PPM (P6) per document
+    whose pixel plane is the document's bytes CYCLED to fill w·h·3 —
+    unlike ``encode_ppm``'s solid fill, the image carries the text's
+    structure, so perceptually-similar documents produce
+    perceptually-similar images (the property the pHash lane needs)."""
+    for pdf in batches:
+        payloads = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            _require_ascii(text)
+            n = len(text)
+            w, h = 1 + n % 64, 1 + n % 32
+            nb = w * h * 3
+            data = (text.encode("ascii") * (nb // n + 1))[:nb]
+            header = f"P6\n# doc {doc_id}\n{w} {h}\n255\n".encode()
+            payloads.append(header + data)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def phash_features(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """mapInPandas decode stage: REAL P6 parse (``decode_ppm``) → 60-bit
+    average-hash over a deterministic 60-point sample of the DECODED
+    pixel plane (sample i reads byte ⌊i·nb/60⌋; threshold = the exact
+    integer mean of the samples; bit i set iff sample_i > mean)."""
+    for pdf in batches:
+        hashes = []
+        for p in pdf["payload"]:
+            d = decode_ppm(p)
+            px = d["pixels"]
+            nb = len(px)
+            samples = [px[(i * nb) // PHASH_BITS] for i in range(PHASH_BITS)]
+            mean = sum(samples) // PHASH_BITS
+            hv = 0
+            for i, b in enumerate(samples):
+                if b > mean:
+                    hv |= 1 << i
+            hashes.append(hv)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": hashes})
+
+
+_PHASH_ORACLE = f"""
+    WITH f AS (
+      SELECT doc_id, text, length(text) AS n,
+             (1 + length(text) % 64) * (1 + length(text) % 32) * 3 AS nb
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, {PHASH_BITS - 1}),
+               i -> ascii(substr(text,
+                      CAST(((i * nb) // {PHASH_BITS}) % n AS INT) + 1, 1))) AS bs
+      FROM f
+    ),
+    hs AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(generate_series(1, {PHASH_BITS}),
+               i -> CASE WHEN bs[i] > CAST(list_sum(bs) // {PHASH_BITS} AS BIGINT)
+                         THEN CAST(1 AS BIGINT) << (i - 1)
+                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ph
+      FROM s
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+    FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ph, b.ph)) <= {PHASH_HAMMING_MAX}
+    """
+
+
+@register("multimodal_phash_dedup", oracle=_PHASH_ORACLE)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-dup detection by PERCEPTUAL HASH — the media twin of
+    `dedup_simhash`, closing the gap that every dedup lane so far reads
+    text or embeddings: encode a REAL textured P6 image per document
+    (pixel plane = the document's bytes cycled — structure-carrying,
+    unlike the solid-fill decode lane), REALLY decode it, average-hash
+    a 60-point sample of the decoded pixel plane into a 60-bit
+    fingerprint, then find pairs within Hamming ≤ 3 by the simhash
+    banding discipline (4 × 15-bit bands — pigeonhole-complete at this
+    radius — then exact bit_count(XOR) verification). In production
+    the encode/decode pair is the codec boundary (`decode_image`
+    documents it) and the sample/threshold step is the classic aHash
+    over an 8×8 downsample; every stage downstream of the hash is
+    byte-identical to the text-simhash plan.
+
+    Exactness: the oracle recomputes the fingerprint arithmetic from
+    the source text (the multimodal-family discipline: a header,
+    framing, or sampling bug anywhere in encode→decode→hash fails the
+    hash compare); sampling positions, the mean threshold, and the bit
+    pack are all integer.
+
+    Scale posture: two narrow mapInPandas stages (zero shuffles, bytes
+    stay on the executor), one (doc_id | band) hash shuffle for
+    candidates, exact verification on candidates only — nothing
+    pairwise over the corpus. Hot band buckets under byte-duplication
+    are the simhash story; run behind the content-group front end
+    there. Reference scope: the reference has no media surface at all.
+    """
+    from minimapreduce_spark._pickle import register_self_by_value
+
+    register_self_by_value()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ppms = docs.mapInPandas(encode_ppm_textured, schema="doc_id bigint, payload binary")
+    fp = ppms.mapInPandas(phash_features, schema="doc_id bigint, phash bigint")
+    fp = fp.localCheckpoint(eager=False)  # both band-join sides read it
+    bands = fp.select(
+        "doc_id",
+        "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).select(
+        "doc_id",
+        "phash",
+        "band",
+        F.expr("shiftrightunsigned(phash, band * 15)")
+        .bitwiseAND(F.lit(0x7FFF))
+        .alias("band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a"), "band", "band_val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b"), "band", "band_val"
+    )
+    pairs = (
+        a.join(b, ["band", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return pairs.select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    ).where(F.col("hamming") <= PHASH_HAMMING_MAX)

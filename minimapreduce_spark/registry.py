@@ -110,7 +110,10 @@ DRIVER_PRIORITY: list[str] = [
     # module are multi-round driver-verified; the text-module canary
     # keeps the wordcount semantics sampled)
     "ann_dim_truncation_recall",
-    "multimodal_features",              # operators.multimodal
+    # round-7 flagship replaces the multimodal canary (same module
+    # sampled; the pHash lane exercises the full encode->decode->hash
+    # plumbing the features canary samples a subset of)
+    "multimodal_phash_dedup",
     # operators.pipeline — the round-7 data-valuation flagship replaces
     # the planned gdpr_erase_cascade canary (same module sampled)
     "source_influence_loo",

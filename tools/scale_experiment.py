@@ -54,6 +54,7 @@ QUERIES = [
     "dedup_minhash",
     "dedup_minhash_incremental",
     "dedup_simhash",
+    "multimodal_phash_dedup",
     "dedup_clusters",
     "dedup_embedding_lsh",
     "dedup_embedding_clusters",
@@ -132,6 +133,9 @@ ORACLE_SKIP_PAST_10X = {
     # same Σ bucket² reason; the engine side runs behind the
     # content-group front end and stays measured
     "dedup_ngram_containment",
+    # full pairwise bit_count(xor) over every doc pair — 4e10 xors at
+    # 40×; the engine's banded path stays measured
+    "multimodal_phash_dedup",
     "dedup_clusters",
 }
 
