@@ -125,6 +125,23 @@ CANDIDATES = [
     # Hilbert layout: integer state machine on the distinct grid +
     # broadcast join — tiles must not depend on task layout
     "hilbert_tile_stats",
+    # round-7 additions: multi-cell IVF-PQ routing (per-cell ADC
+    # terms), salted two-stage agg under the planted hot key, theta
+    # set-ops on bottom-K arrays, margin mining (matmul batch
+    # boundaries + mutual ranks), LOO moment subtraction + shared-text
+    # solves, hard-negative windows, the 4-dim truncation frontier,
+    # directed containment expansion, the QI-domain privacy agg, and
+    # the banded pHash lane
+    "ann_ivfpq_nprobe_topk",
+    "agg_salted_hotkey_planted",
+    "sketch_kmv_set_ops",
+    "bitext_margin_mining",
+    "source_influence_loo",
+    "ann_hard_negative_mining",
+    "ann_dim_truncation_recall",
+    "dedup_ngram_containment",
+    "privacy_k_anonymity",
+    "multimodal_phash_dedup",
 ]
 
 
