@@ -119,7 +119,7 @@ def main() -> None:
         json.dump(detail, f, indent=1, sort_keys=True)
     print(json.dumps(detail), file=sys.stderr)  # full record, off stdout
 
-    limit = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_LIMIT", "1800"))
+    limit = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_LIMIT", "1900"))
     line = json.dumps(out)
     if len(line) > limit:
         by_cost = sorted(timings, key=timings.get, reverse=True)

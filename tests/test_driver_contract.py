@@ -120,3 +120,33 @@ def test_driver_priority_closes_coverage():
     assert window & set(LATE_REGISTERED) == set()
     # late registrations still carry full pytest-oracle coverage
     assert all(REGISTRY[n].oracle for n in LATE_REGISTERED)
+
+
+def test_bench_final_line_fits_driver_tail_buffer():
+    """BENCH_r06's `parsed: null` root cause, pinned: the driver keeps
+    only ~2000 chars of stdout and parses the final JSON line, so the
+    line bench.py prints — at the CURRENT headliner count, with
+    worst-case-width timings — must fit under the elision limit with
+    margin. If a future round adds enough headliners to breach it, the
+    elision path keeps the line parseable, but this test forces the
+    author to notice and decide deliberately."""
+    import json
+
+    from minimapreduce_spark import queries as _q
+
+    worst = {name: 9999.999 for name in _q.bench_queries()}
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "unit": "sec",
+            "sf": 0.1,
+            "ab_drift_pct": -99.9,
+            "queries": worst,
+            "value": round(sum(worst.values()), 3),
+        }
+    )
+    assert len(line) <= 1900, (
+        f"bench final line would be {len(line)} chars at the current "
+        f"{len(worst)}-headliner count — raise the elision limit "
+        "deliberately or trim the bench set"
+    )
