@@ -1288,15 +1288,22 @@ def agg_salted_hotkey_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY §4 'Skew handling: None').
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # group on an INTEGER surrogate (-1 = HOT, else the cold residue)
+    # and render the string key only on the ≤98 final rows: at the 640×
+    # octave the per-row string concat was ~1/3 of the wall (44.8 s →
+    # grouping 384M strings), pure overhead the aggregation never needed
+    ikey = F.when(F.col("l_orderkey") % 10 < 9, F.lit(-1).cast("bigint")).otherwise(
+        (F.col("l_orderkey") % HOTKEY_COLD).cast("bigint")
+    )
     keyed = li.select(
-        planted_hotkey(F.col("l_orderkey")).alias("hot_key"),
+        ikey.alias("ik"),
         grid_c("l_extendedprice").alias("price_c"),
         F.col("l_quantity"),
         "l_orderkey", "l_linenumber",
     )
-    return salted_agg(
+    agged = salted_agg(
         keyed,
-        keys=["hot_key"],
+        keys=["ik"],
         salt=salt_col(HOTKEY_SALTS, "l_orderkey", "l_linenumber"),
         partials={
             "p_n": F.count("*"),
@@ -1311,6 +1318,12 @@ def agg_salted_hotkey_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_qty": F.max("p_max_qty"),
         },
         n_salts=HOTKEY_SALTS,
+    )
+    return agged.select(
+        F.when(F.col("ik") == -1, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("cold_"), F.col("ik").cast("string")))
+        .alias("hot_key"),
+        "n_rows", "price_c_sum", "min_qty", "max_qty",
     )
 
 

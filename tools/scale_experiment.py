@@ -299,6 +299,13 @@ MONEY_QUERIES = [
     # lineitem-only and integer end to end — the exact class the money
     # probe exists for; its B-counter state bound is scale-independent
     "sketch_quantile_prices",
+    # round-7: the planted 90%-hot key at 384M rows (~346M on ONE key)
+    # — the skew mitigation's largest octave; integer grid sums, so
+    # bit-identical at any scale
+    "agg_salted_hotkey_planted",
+    # round-7: theta set-ops — events-only; the 10-row output must be
+    # byte-stable at 640× while the scan does 640× the work
+    "sketch_kmv_set_ops",
 ]
 
 # (table, key column, per-replica key offset) — ONE structure drives the
