@@ -2681,3 +2681,102 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_late",
         F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout: Welch's t-test from decomposable moments
+# ---------------------------------------------------------------------------
+
+# Shared expression text (valid in BOTH Spark SQL and DuckDB), evaluated
+# over the six exact integers (sa, qa, na, sb, qb, nb): identical IEEE
+# trees => identical doubles => the t statistic and df hash-compare.
+_AB_VAR = (
+    "((CAST({q} AS DOUBLE) - CAST({s} AS DOUBLE) * CAST({s} AS DOUBLE)"
+    " / {n}) / ({n} - 1))"
+)
+_AB_SE2 = (
+    f"({_AB_VAR.format(q='qa', s='sa', n='na')} / na"
+    f" + {_AB_VAR.format(q='qb', s='sb', n='nb')} / nb)"
+)
+_AB_T = (
+    f"((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)"
+    f" / sqrt({_AB_SE2}))"
+)
+_AB_DF = (
+    f"({_AB_SE2} * {_AB_SE2} / ("
+    f"{_AB_VAR.format(q='qa', s='sa', n='na')} / na"
+    f" * ({_AB_VAR.format(q='qa', s='sa', n='na')} / na) / (na - 1)"
+    f" + {_AB_VAR.format(q='qb', s='sb', n='nb')} / nb"
+    f" * ({_AB_VAR.format(q='qb', s='sb', n='nb')} / nb) / (nb - 1)))"
+)
+_AB_OUT = (
+    "event_type",
+    "CAST(na AS BIGINT) AS n_a",
+    "CAST(nb AS BIGINT) AS n_b",
+    "round(CAST(sa AS DOUBLE) / na / 10000, 6) AS mean_a",
+    "round(CAST(sb AS DOUBLE) / nb / 10000, 6) AS mean_b",
+    f"round({_AB_T}, 6) AS t_stat",
+    f"round({_AB_DF}, 2) AS welch_df",
+    f"abs({_AB_T}) > 1.96 AS significant",
+)
+
+
+@register(
+    "ab_welch_ttest",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type,
+             sum(CASE WHEN user_id % 2 = 0
+                      THEN CAST(round(value * 10000) AS BIGINT) END) AS sa,
+             sum(CASE WHEN user_id % 2 = 0
+                      THEN CAST(round(value * 10000) AS BIGINT)
+                           * CAST(round(value * 10000) AS BIGINT) END) AS qa,
+             count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS na,
+             sum(CASE WHEN user_id % 2 = 1
+                      THEN CAST(round(value * 10000) AS BIGINT) END) AS sb,
+             sum(CASE WHEN user_id % 2 = 1
+                      THEN CAST(round(value * 10000) AS BIGINT)
+                           * CAST(round(value * 10000) AS BIGINT) END) AS qb,
+             count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS nb
+      FROM events GROUP BY event_type
+    )
+    SELECT {", ".join(_AB_OUT)} FROM m
+    """,
+)
+def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B EXPERIMENT READOUT — Welch's unequal-variance t-test per
+    event_type, with assignment by the standard deterministic hash
+    bucket (user_id parity here; production uses a salted hash of the
+    unit id — same property: stable, uniform, assignment-time-free).
+    This is the missing READOUT rung of the product-analytics family
+    (funnel/retention/attribution measure behavior; this decides
+    whether variant B moved the metric): difference of means over the
+    1e-4 grid, Welch standard error, the Welch–Satterthwaite df, and a
+    |t| > 1.96 significance flag.
+
+    Exactness: the six per-group inputs (Σc, Σc², n per variant) are
+    exact BIGINT grid moments computed by ONE conditional aggregation
+    (Σc² stays double-side exact: both factors ≤ 2²⁶, products ≤ 2⁵²);
+    every downstream number is the SAME expression text parsed by both
+    engines (`_AB_T`/`_AB_DF` — the quality_linear_probe shared-text
+    discipline), so t, df, means, and the flag hash-match DuckDB. On
+    the fixture the parity split is a true A/A test — t hovers near 0
+    and nothing is significant, which the pytest pins along with a
+    planted-effect positive control.
+
+    Scale posture: one partial+final hash aggregation to 6 numbers per
+    (event_type, variant) — the cheapest possible experiment readout
+    at any corpus size; CUPED or stratified variants add more moment
+    columns to the same single pass. No reference analog."""
+    ev = load_table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 10000).cast("bigint")
+    is_a = F.col("user_id") % 2 == 0
+    m = ev.groupBy("event_type").agg(
+        F.sum(F.when(is_a, c)).alias("sa"),
+        F.sum(F.when(is_a, c * c)).alias("qa"),
+        F.count(F.when(is_a, F.lit(1))).alias("na"),
+        F.sum(F.when(~is_a, c)).alias("sb"),
+        F.sum(F.when(~is_a, c * c)).alias("qb"),
+        F.count(F.when(~is_a, F.lit(1))).alias("nb"),
+    )
+    return m.selectExpr(*_AB_OUT)

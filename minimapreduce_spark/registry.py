@@ -100,7 +100,10 @@ DRIVER_PRIORITY: list[str] = [
     # multi-round driver-verified, and the windowed round-7 flagships
     # bitext/MRL/hard-negative all exercise the mapInPandas lane)
     "privacy_k_anonymity",
-    "customer_rfm_segments",            # operators.analytics
+    # round-7 flagship replaces the analytics canary (same module
+    # sampled; the Welch readout is the experiment-analysis rung the
+    # product-analytics family was missing)
+    "ab_welch_ttest",
     # round-7 flagship replaces the dedup canary (same module sampled;
     # containment is the asymmetric lane Jaccard misses)
     "dedup_ngram_containment",

@@ -795,3 +795,60 @@ def test_ts_similarity_pruned_path_is_lossless(spark):
     plan = plans.simple_plan(ts_similarity_topk(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "bkt" in plan  # candidate equi-join on the norm bucket
+
+
+def test_ab_welch_ttest_planted_effect_and_replay(spark, tmp_path):
+    """Welch readout contracts: (a) numpy replay — the printed t and
+    df recompute from the raw values (sample variance, Welch SE,
+    Welch–Satterthwaite df) within 1e-6; (b) planted positive control —
+    a synthetic events table where variant B's 'buy' values sit a full
+    unit higher flags ONLY that type significant, with the right sign;
+    the fixture run itself is an A/A split, so the replay doubles as a
+    does-noise-stay-insignificant eyeball (not asserted — small-n
+    fixtures legitimately wander)."""
+    import numpy as np
+
+    import pyspark.sql.functions as F
+
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.catalog import TABLES, table_path
+    from tests.conftest import SF_DIR
+
+    out = q.queries()["ab_welch_ttest"](spark, SF_DIR).toPandas()
+    ev = spark.read.parquet(table_path(SF_DIR, "events")).select(
+        "event_type", "user_id", "value"
+    ).toPandas()
+    ev["c"] = (ev["value"] * 10000).round().astype("int64")
+    for r in out.itertuples():
+        grp = ev[ev["event_type"] == r.event_type]
+        a = grp[grp["user_id"] % 2 == 0]["c"].to_numpy(dtype=np.float64)
+        b = grp[grp["user_id"] % 2 == 1]["c"].to_numpy(dtype=np.float64)
+        va, vb = a.var(ddof=1), b.var(ddof=1)
+        se2 = va / len(a) + vb / len(b)
+        t = (a.mean() - b.mean()) / np.sqrt(se2)
+        df = se2 * se2 / (
+            (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+        )
+        assert abs(r.t_stat - t) < 1e-5, (r.event_type, r.t_stat, t)
+        assert abs(r.welch_df - df) < 0.02, (r.event_type, r.welch_df, df)
+
+    # planted effect: 400 users x ('buy' lifted for odd users, 'view' flat)
+    rows = []
+    for uid in range(400):
+        lift = 1.0 if uid % 2 == 1 else 0.0
+        rows.append((uid * 10 + 1, uid, "buy", 5.0 + (uid % 7) * 0.01 + lift))
+        rows.append((uid * 10 + 2, uid, "view", 3.0 + (uid % 5) * 0.01))
+    planted = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, value double"
+    ).withColumn("ts", F.current_timestamp()).withColumn("props", F.lit("{}"))
+    d = str(tmp_path / "planted")
+    import os
+    os.makedirs(d)
+    planted.write.parquet(os.path.join(d, "events.parquet"))
+    for t_ in TABLES:
+        if t_ != "events":
+            os.symlink(table_path(SF_DIR, t_), os.path.join(d, f"{t_}.parquet"))
+    got = q.queries()["ab_welch_ttest"](spark, d).toPandas().set_index("event_type")
+    assert bool(got.loc["buy", "significant"]) is True
+    assert got.loc["buy", "t_stat"] < -10  # A = even users = NO lift
+    assert bool(got.loc["view", "significant"]) is False

@@ -61,6 +61,8 @@ REPRESENTATIVE = [
     "ann_dim_truncation_recall",
     "dedup_ngram_containment",
     "privacy_k_anonymity",
+    "multimodal_phash_dedup",
+    "ab_welch_ttest",
 ]
 
 

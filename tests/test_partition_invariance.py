@@ -142,6 +142,7 @@ CANDIDATES = [
     "dedup_ngram_containment",
     "privacy_k_anonymity",
     "multimodal_phash_dedup",
+    "ab_welch_ttest",
 ]
 
 
