@@ -2723,6 +2723,7 @@ _AB_OUT = (
 
 @register(
     "ab_welch_ttest",
+    bench=True,  # the experiment readout must stay visible in BENCH
     oracle=f"""
     WITH m AS (
       SELECT event_type,
