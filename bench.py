@@ -45,6 +45,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from minimapreduce_spark import queries as q  # noqa: E402
 from minimapreduce_spark.session import get_spark  # noqa: E402
 
+# Max per-query entries on the FINAL stdout JSON line (the slowest
+# queries — the regression watchlist); the full record always lands in
+# bench_detail.json. 44 worst-case-width entries fit the 1900-char
+# driver tail-buffer contract with margin (test-pinned).
+FINAL_LINE_TOP_K = 44
+
 
 def sweep(spark, sf_dir: str, runs: int, tag: str) -> dict[str, float]:
     """One best-of-``runs`` timing pass over every bench=True query."""
@@ -120,10 +126,21 @@ def main() -> None:
     print(json.dumps(detail), file=sys.stderr)  # full record, off stdout
 
     limit = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_LIMIT", "1900"))
+    # hard cap FIRST (round-7): the headliner set grew past the point
+    # where all worst-case-width entries fit, so the final line always
+    # carries at most the FINAL_LINE_TOP_K slowest queries (the
+    # regression watchlist); the full per-query record lives in
+    # bench_detail.json either way. The elision loop below remains as
+    # the belt-and-braces fallback for pathological name lengths.
+    if len(timings) > FINAL_LINE_TOP_K:
+        by_cost = sorted(timings, key=timings.get, reverse=True)
+        out["queries"] = {n: timings[n] for n in by_cost[:FINAL_LINE_TOP_K]}
+        out["queries_elided"] = len(timings) - FINAL_LINE_TOP_K
+        out["detail"] = "bench_detail.json"
     line = json.dumps(out)
     if len(line) > limit:
-        by_cost = sorted(timings, key=timings.get, reverse=True)
-        kept = dict(timings)
+        kept = dict(out["queries"])
+        by_cost = sorted(kept, key=kept.get, reverse=True)
         for name in reversed(by_cost):  # drop fastest first
             if len(line) <= limit:
                 break

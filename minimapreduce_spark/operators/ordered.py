@@ -200,3 +200,39 @@ def ntile_expr(rn: Column, n: Column, k: int) -> Column:
         .otherwise(r + ((rn - big - 1) / F.greatest(q, F.lit(1))).cast("bigint") + 1)
         .cast("int")
     )
+
+
+def with_global_prefix_max(
+    df: DataFrame,
+    order_cols: list[Column],
+    value: Column,
+    out: str = "pmax",
+    n_ranges: int | None = DEFAULT_RANGES,
+) -> DataFrame:
+    """df + a column ``out`` = max of ``value`` over all STRICTLY
+    EARLIER rows in the total order of ``order_cols`` (frame: unbounded
+    preceding .. 1 preceding; NULL for the global first row), two-phase
+    — no single-partition window over the data. The max member of the
+    running-quantity family: phase 1 takes the local prefix max within
+    each range partition, the offset table carries one per-partition
+    max prefix-maxed over ≤ n_ranges rows, and the global value is
+    greatest(local, offset) (both engines' greatest skips NULLs, so
+    partition 0 / first-row NULLs compose correctly)."""
+    staged = _staged(df, order_cols, n_ranges).withColumn("__tp_v", value)
+    wloc = (
+        W.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    staged = staged.withColumn(_LOCAL, F.max("__tp_v").over(wloc)).localCheckpoint(
+        eager=False
+    )
+    counts = staged.groupBy(_PID).agg(F.max("__tp_v").alias("_n"))
+    one, w = bounded_ordered(counts, _PID)
+    wf = w.rowsBetween(W.unboundedPreceding, -1)
+    offs = one.select(_PID, F.max("_n").over(wf).alias(_OFF))
+    return (
+        staged.join(F.broadcast(offs), _PID)
+        .withColumn(out, F.greatest(F.col(_LOCAL), F.col(_OFF)))
+        .drop(_PID, _LOCAL, _OFF, "__tp_v")
+    )

@@ -2291,3 +2291,112 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_distinct") >= KANON_L).alias("l_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Model evaluation: ROC-AUC of the in-engine probe, exact tied ranks
+# ---------------------------------------------------------------------------
+
+# Shared final-expression text over the exact BIGINT aggregates
+# (r2 = Σ pos·(2·rank_sum numerator), n_pos, n_neg): the tied-rank
+# Mann-Whitney identity AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻), carried in
+# DOUBLED integer units so every rank arithmetic stays in BIGINT and
+# the only doubles are one shared-text division (plus the Gini affine).
+_AUC_EXPR = (
+    "((CAST(r2 AS DOUBLE) - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0))"
+    " / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)))"
+)
+_AUC_OUT = (
+    "CAST(n_pos AS BIGINT) AS n_pos",
+    "CAST(n_neg AS BIGINT) AS n_neg",
+    "CAST(r2 AS BIGINT) AS rank_sum_x2",
+    f"CASE WHEN n_pos > 0 AND n_neg > 0 THEN round({_AUC_EXPR}, 6) END AS auc",
+    f"CASE WHEN n_pos > 0 AND n_neg > 0 THEN round(2.0 * {_AUC_EXPR} - 1.0, 6) END"
+    " AS gini",
+)
+
+
+def _probe_scored_oracle_cte() -> str:
+    """The quality_linear_probe oracle as a named CTE body (doc_id, y,
+    score) — evaluation composes on the probe's own registered output."""
+    probe = _probe_oracle().strip()
+    return f"(\n{probe}\n)"
+
+
+@register(
+    "probe_auc_roc",
+    oracle=f"""
+    WITH probe AS {_probe_scored_oracle_cte()},
+    g AS (
+      SELECT score, count(*) AS cnt, sum(y) AS pos
+      FROM probe GROUP BY score
+    ),
+    c AS (
+      SELECT score, cnt, pos,
+             sum(cnt) OVER (ORDER BY score
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_le
+      FROM g
+    ),
+    tot AS (
+      SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
+             CAST(sum(pos * (2 * (cum_le - cnt) + cnt + 1)) AS BIGINT) AS r2
+      FROM c
+    )
+    SELECT {", ".join(_AUC_OUT)} FROM tot
+    """,
+)
+def probe_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL EVALUATION readout — exact tied-rank ROC-AUC of the
+    in-engine trained quality probe against its weak label, closing the
+    train → value → EVALUATE loop (`quality_linear_probe` trains,
+    `source_influence_loo` attributes, THIS grades): AUC is THE
+    threshold-free metric for a filtering classifier, and at 100 TB it
+    must come out of the engine, not a sklearn sample.
+
+    The Mann-Whitney identity with ties, made integer-exact: group the
+    scored corpus by (6-dp) score, take the cumulative count over the
+    ascending distinct-score frame (two-phase running sum — no
+    single-partition window), and give every member of a tie cluster
+    the cluster's AVERAGE rank. Doubling removes the halves:
+    r2 = Σ_clusters pos·(2·cum_before + cnt + 1) is a pure BIGINT sum,
+    and AUC = (r2 − n⁺(n⁺+1)) / (2·n⁺·n⁻) is ONE shared-text division
+    of exactly-representable integers — Spark and DuckDB compute the
+    identical double, so the metric itself hash-matches (the Welch
+    discipline applied to ranking metrics). Gini = 2·AUC − 1 rides the
+    same expression. Empty classes yield NULL, not a crash.
+
+    Scale posture: one corpus-sized group-by collapses to the
+    distinct-score frame (≤ 10⁶·score-range clusters by the 6-dp grid,
+    corpus-independent), the prefix sum runs two-phase over that frame,
+    and the readout is a 3-number aggregation. The probe's scores are
+    recomputed by its registered plan — broadcast weights, one scan.
+    Pytests: numpy replay of the tied-rank AUC on the fixture, plus
+    planted perfect / inverted / constant scorers pinning AUC = 1, 0,
+    exactly 0.5. No reference analog."""
+    scored = quality_linear_probe(spark, sf_dir).select("y", "score")
+    return auc_from_scores(scored)
+
+
+def auc_from_scores(scored: DataFrame) -> DataFrame:
+    """Exact tied-rank ROC-AUC over a (y ∈ {0,1}, score) frame — the
+    reusable evaluation kernel behind ``probe_auc_roc`` (and the unit
+    the planted-scorer pytests drive directly)."""
+    from minimapreduce_spark.operators.ordered import with_global_running_sum
+
+    g = scored.groupBy("score").agg(
+        F.count("*").alias("cnt"), F.sum("y").alias("pos")
+    )
+    c = with_global_running_sum(g, [F.col("score")], F.col("cnt"), out="cum_le")
+    tot = c.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        (F.sum("cnt") - F.sum("pos")).cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("pos")
+            * (2 * (F.col("cum_le") - F.col("cnt")) + F.col("cnt") + 1)
+        )
+        .cast("bigint")
+        .alias("r2"),
+    )
+    return tot.selectExpr(*_AUC_OUT)

@@ -423,11 +423,16 @@ def join_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def write_bucketed(
-    df: DataFrame, table: str, bucket_col: str, n_buckets: int = 8
+    df: DataFrame, table: str, bucket_col: str, n_buckets: int = 8,
+    path: str | None = None,
 ) -> None:
     """Persist a frame bucketed+sorted by the join key. At 100 TB this
     is the write-once/join-many contract: both sides bucketed the same
-    way join with no exchange (only per-bucket sorts if needed)."""
+    way join with no exchange (only per-bucket sorts if needed).
+    ``path`` pins the table data to an explicit location (external
+    table) — the registered query uses a /tmp staging root so a driver
+    running from an arbitrary (possibly read-only) cwd never depends on
+    the default cwd-relative warehouse."""
     import os
     import shutil
 
@@ -435,44 +440,95 @@ def write_bucketed(
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # an in-memory catalog forgets tables between sessions but leaves the
     # warehouse directory behind; clear the orphan so overwrite succeeds
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    loc = os.path.join(warehouse.removeprefix("file:"), table)
+    if path is None:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(warehouse.removeprefix("file:"), table)
+    else:
+        loc = path
     if os.path.isdir(loc):
         shutil.rmtree(loc)
-    (
+    w = (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, bucket_col)
         .sortBy(bucket_col)
         .format("parquet")
-        .saveAsTable(table)
     )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
 
 
+@register(
+    "join_bucketed_smb",
+    oracle="""
+    SELECT o_orderpriority,
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                      AS DOUBLE) / 100, 2) AS total_price,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
 def bucketed_join(
     spark: SparkSession, sf_dir: str, n_buckets: int = 8
 ) -> DataFrame:
-    """orders ⋈ lineitem with both sides pre-bucketed on the order key:
-    writes bucketed tables into the session warehouse, then joins the
-    bucketed relations — the resulting plan has ZERO shuffle exchanges
-    (asserted in tests/test_plans.py). Repeated/iterative joins against
-    the same fact tables amortize the one-time bucketed write."""
+    """SORT-MERGE-BUCKET JOIN — THE 100 TB fact⋈fact strategy, now a
+    registered query under the driver's hard signal (it was previously
+    only a plan-asserted helper): orders ⋈ lineitem with both sides
+    pre-bucketed+sorted on the order key, so the join itself has ZERO
+    shuffle exchanges — tests/test_plans.py pins no hashpartitioning on
+    either key and exactly one exchange total (the final groupBy's).
+    Write once, join many: every subsequent join on the bucket key
+    reads co-located buckets instead of re-shuffling 100 TB — the
+    contract behind Hive/Iceberg bucket layouts and Spark's own
+    bucketed tables. The bucketed data lands under an explicit /tmp
+    staging root (external table), so a driver running from any cwd
+    exercises the same plan.
+
+    Exactness: revenue is the money-grid BIGINT sum (``exact_sum`` —
+    int128 emulation, order-free), so total_price hash-matches DuckDB
+    at any scale, unlike a float sum whose accumulation-order noise
+    reaches the 2-dp boundary at ~1e11 sums (the 160× q1 lesson).
+
+    Scale posture: the one-time bucketed write is the only shuffle of
+    the fact tables; n_buckets scales with cluster width (8 here, ~2-4k
+    at 100 TB). AQE never coalesces bucket reads, and the sortBy makes
+    the merge side zero-sort. Reference anchor: the reference
+    co-locates by nReduce partitioning only (mr/worker.go:40-44) —
+    every job re-partitions; bucketing is the persisted generalization
+    it cannot express."""
+    import os
+
+    base = "/tmp/minimapreduce_spark_bucketed"
     write_bucketed(
-        load_table(spark, sf_dir, "orders"), "orders_b", "o_orderkey", n_buckets
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ),
+        "orders_b",
+        "o_orderkey",
+        n_buckets,
+        path=os.path.join(base, "orders_b"),
     )
     write_bucketed(
         load_table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_extendedprice", "l_discount"
+            "l_orderkey", "l_extendedprice"
         ),
         "lineitem_b",
         "l_orderkey",
         n_buckets,
+        path=os.path.join(base, "lineitem_b"),
     )
     o = spark.table("orders_b")
     li = spark.table("lineitem_b")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
-        .agg(F.round(F.sum("l_extendedprice"), 2).alias("total_price"))
+        .agg(
+            F.round(exact_sum(grid_c("l_extendedprice"), 100), 2).alias(
+                "total_price"
+            ),
+            F.count("*").alias("n_items"),
+        )
     )
 
 # ---------------------------------------------------------------------------
@@ -1518,4 +1574,158 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             4,
         ).alias("jaccard_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: the register-form distinct sketch, exactly reproducible
+# ---------------------------------------------------------------------------
+
+HLL_P = 6  # 2^6 = 64 registers; rse ≈ 1.04/sqrt(64) ≈ 13%
+HLL_M = 64
+_HLL_HASH60 = "CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+# Shared estimator text (parsed by BOTH engines over the exact BIGINT
+# columns v_zero / z_reg): raw HLL estimate alpha_64 * m^2 * 2^55 / Z
+# (0.709 * 4096 * 2^55 = 0.709 * 2^67; the 2^67 literal is a power of
+# two, exactly representable), with Flajolet's small-range linear-
+# counting correction m * ln(m / V) when the raw estimate <= 2.5m and
+# empty registers remain. The ln() site is midpoint-margin-pinned over
+# its ENTIRE 64-value input domain by test_hll_small_range_margins.
+_HLL_RAW = "(0.709 * 147573952589676412928.0 / CAST(z_reg AS DOUBLE))"
+_HLL_EST = (
+    f"(CASE WHEN v_zero > 0 AND {_HLL_RAW} <= 160.0"
+    f" THEN 64.0 * ln(64.0 / v_zero) ELSE {_HLL_RAW} END)"
+)
+
+
+def hll_rho(h: Column) -> Column:
+    """Rank of the first 1-bit in the 54-bit suffix of a 60-bit hash
+    (register update value), via length(bin(w)) — identical string
+    semantics in Spark and DuckDB (both strip leading zeros)."""
+    w = F.shiftright(h, HLL_P)
+    return F.when(w == 0, F.lit(55)).otherwise(F.lit(55) - F.length(F.bin(w)))
+
+
+def hll_registers(hashed: DataFrame, groups: list[str]) -> DataFrame:
+    """(groups..., j, mj, nb): the HLL register frame over a
+    (groups..., h) hash frame — register j in [0, HLL_M) holds the max
+    first-1-bit rank of the distinct hashes routed to it; nb carries
+    the exact per-register distinct count for the measured twin.
+
+    This IS the mergeable state: merging two shards' register frames is
+    an element-wise max (plus nb sum when shards are hash-disjoint),
+    which test_hll_registers_merge_equals_whole proves equals sketching
+    the union. Per group the state is <= HLL_M tiny integers regardless
+    of cardinality — at 100 TB only register rows cross the wire after
+    the first distinct, and partial aggregation combines map-side."""
+    return (
+        hashed.distinct()
+        .groupBy(*groups, (F.col("h") % HLL_M).alias("j"))
+        .agg(F.max(hll_rho(F.col("h"))).alias("mj"), F.count("*").alias("nb"))
+    )
+
+
+@register(
+    "sketch_hll_distinct_users",
+    bench=True,  # the register-form sketch completes the mergeable family
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT event_type, {_HLL_HASH60} AS h FROM events
+    ),
+    p AS (
+      SELECT event_type, h % {HLL_M} AS j,
+             max(CASE WHEN (h >> {HLL_P}) = 0 THEN 55
+                      ELSE 55 - length(bin(h >> {HLL_P})) END) AS mj,
+             count(*) AS nb
+      FROM d GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(sum(nb) AS BIGINT) AS n_exact,
+             CAST({HLL_M} - count(*) AS BIGINT) AS v_zero,
+             CAST(sum(CAST(pow(2.0, 55 - mj) AS BIGINT))
+                  + ({HLL_M} - count(*)) * 36028797018963968 AS BIGINT)
+               AS z_reg,
+             CAST(sum(mj) AS BIGINT) AS sum_rho
+      FROM p GROUP BY 1
+    )
+    SELECT event_type, n_exact, v_zero, sum_rho, z_reg,
+           round({_HLL_EST}, 4) AS hll_est
+    FROM g
+    """,
+)
+def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-REPRODUCIBLE HyperLogLog (Flajolet et al. 2007) — the
+    REGISTER-form distinct sketch that completes the mergeable family:
+    KMV keeps the K smallest hash VALUES (state = K longs, merge =
+    union + re-bottom-K); HLL keeps only the max first-1-bit RANK per
+    hash bucket (state = m 6-bit registers, merge = element-wise max)
+    — the form every production engine ships (Spark's own
+    approx_count_distinct is HLL++), here rebuilt over the portable
+    60-bit md5 hash so the ESTIMATE ITSELF hash-matches DuckDB instead
+    of being banded like ``agg_approx_sketch``'s engine-internal one.
+
+    Per event_type: route each distinct user hash to register
+    j = h mod 64, update the register to the max rank of the first
+    1-bit of the 54-bit suffix (rho, via length(bin(w)) — both engines
+    strip leading zeros), then estimate alpha_64·m²/Z with
+    Z = Σ 2^(−M_j). Z is carried as the EXACT integer
+    Z·2^55 = Σ 2^(55−M_j) (each term ≤ 2^54, 64 terms — order-free
+    BIGINT sum, immune to float accumulation order), so the only
+    doubles are one shared-text division and, in the small range, the
+    linear-counting correction m·ln(m/V) whose 64-value input domain
+    test_hll_small_range_margins pins clear of rounding midpoints.
+    sf0.001 (15 distinct users/type) exercises the corrected path,
+    larger sfs the raw path; both appear at sf0.01 (~150/type, the
+    2.5m crossover).
+
+    Scale posture: distinct → one partial+final agg to ≤ 64 register
+    rows per group → one agg to a 5-number row. Register rows combine
+    map-side (max/count are algebraic), so post-distinct traffic is
+    O(groups × 64) at ANY corpus size; the mergeability pytest proves
+    shard register frames element-wise-max to the whole. n_exact/nb
+    are the measured-guarantee twin, dropped in production. Reference
+    anchor: the reference's only aggregate is the sorted-run reduce
+    (mr/worker.go:136-157) — no sketch surface at all."""
+    ev = load_table(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_type",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    regs = hll_registers(hashed, ["event_type"])
+    roll = regs.groupBy("event_type").agg(
+        F.sum("nb").cast("bigint").alias("n_exact"),
+        F.count("*").alias("nj"),
+        F.sum(F.expr("CAST(pow(2.0, 55 - mj) AS BIGINT)")).alias("zp"),
+        F.sum("mj").cast("bigint").alias("sum_rho"),
+    )
+    return roll.select(
+        "event_type",
+        "n_exact",
+        (F.lit(HLL_M) - F.col("nj")).cast("bigint").alias("v_zero"),
+        "sum_rho",
+        (
+            F.col("zp")
+            + (F.lit(HLL_M) - F.col("nj")) * F.lit(36028797018963968)
+        )
+        .cast("bigint")
+        .alias("z_reg"),
+    ).selectExpr(
+        "event_type",
+        "n_exact",
+        "v_zero",
+        "sum_rho",
+        "z_reg",
+        f"round({_HLL_EST}, 4) AS hll_est",
     )

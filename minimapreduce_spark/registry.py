@@ -107,8 +107,14 @@ DRIVER_PRIORITY: list[str] = [
     # round-7 flagship replaces the dedup canary (same module sampled;
     # containment is the asymmetric lane Jaccard misses)
     "dedup_ngram_containment",
-    "events_asof_join",                 # operators.events
-    "pagerank_nation_trade",            # operators.graph
+    # round-7 flagship replaces the events canary (that module is
+    # multi-round driver-verified): the skyline operator is a NEW
+    # operator class (Pareto-dominance) under the hard signal
+    "skyline_price_size",
+    # round-7 flagship replaces the graph canary (that module is
+    # multi-round driver-verified): the zero-shuffle SMB join was a
+    # plan-test-only helper until now — put it under the hard signal
+    "join_bucketed_smb",
     # round-7 flagship replaces the mr_compat canary (3/3 of that
     # module are multi-round driver-verified; the text-module canary
     # keeps the wordcount semantics sampled)
@@ -121,10 +127,13 @@ DRIVER_PRIORITY: list[str] = [
     # the planned gdpr_erase_cascade canary (same module sampled)
     "source_influence_loo",
     "q1_pricing_summary",               # operators.relational (+ money grid)
+    # round-7 flagship replaces the semantics canary (that module is
+    # multi-round driver-verified): the exact tied-rank AUC readout
+    # closes the train→value→evaluate loop under the hard signal
+    "probe_auc_roc",
     # operators.scale — the round-7 planted-skew flagship replaces the
     # planned join_bloom_pruned_revenue canary (same module sampled)
     "agg_salted_hotkey_planted",
-    "decimal_exact_revenue",            # operators.semantics
     # operators.similarity — the round-7 flagship replaces the planned
     # ann_ivf_nprobe_topk canary: same module sampled, and the nprobe
     # dial is now exercised through the composed IVF-PQ chain
@@ -135,7 +144,10 @@ DRIVER_PRIORITY: list[str] = [
     # module are multi-round driver-verified and the adjacent tpch_rest
     # canary keeps the TPC-H class sampled)
     "ann_hard_negative_mining",
-    "q2_min_cost_supplier",             # operators.tpch_rest
+    # round-7 flagship replaces the tpch_rest canary (13/13 of that
+    # module are multi-round driver-verified): the register-form HLL
+    # completes the mergeable-sketch family under the hard signal
+    "sketch_hll_distinct_users",
     "binaryfile_manifest",              # sources.pydatasource
     "stream_view_purchase_join",        # streaming.dedup_join
     "stream_psi_drift",                 # streaming.drift

@@ -852,3 +852,33 @@ def test_ab_welch_ttest_planted_effect_and_replay(spark, tmp_path):
     assert bool(got.loc["buy", "significant"]) is True
     assert got.loc["buy", "t_stat"] < -10  # A = even users = NO lift
     assert bool(got.loc["view", "significant"]) is False
+
+
+def test_skyline_matches_bruteforce_dominance(spark):
+    """Engine-independent replay: the sort-sweep skyline must equal the
+    O(n²) dominance definition evaluated in pure Python over the raw
+    part rows — same check as the oracle but outside both engines. Also
+    pins frontier shape: sorted by price, sizes strictly increase."""
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    rows = load_table(spark, SF_DIR, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    ).collect()
+    pts = [(r.p_partkey, r.p_retailprice, r.p_size) for r in rows]
+    expect = {
+        (k, p, s)
+        for (k, p, s) in pts
+        if not any(
+            bp <= p and bs >= s and (bp < p or bs > s) for (_, bp, bs) in pts
+        )
+    }
+    got = {
+        (r.part_key, r.retail_price, r.size_units)
+        for r in q.queries()["skyline_price_size"](spark, SF_DIR).collect()
+    }
+    assert got == expect
+    frontier = sorted({(p, s) for (_, p, s) in got})
+    sizes = [s for _, s in frontier]
+    assert sizes == sorted(set(sizes)), "frontier sizes must strictly increase"

@@ -63,6 +63,10 @@ REPRESENTATIVE = [
     "privacy_k_anonymity",
     "multimodal_phash_dedup",
     "ab_welch_ttest",
+    "sketch_hll_distinct_users",
+    "skyline_price_size",
+    "join_bucketed_smb",
+    "probe_auc_roc",
 ]
 
 

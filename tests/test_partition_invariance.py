@@ -143,6 +143,18 @@ CANDIDATES = [
     "privacy_k_anonymity",
     "multimodal_phash_dedup",
     "ab_welch_ttest",
+    # HLL: element-wise register max + order-free BIGINT Z sum — the
+    # registers and the estimate must be identical at any width
+    "sketch_hll_distinct_users",
+    # skyline: the two-phase strictly-preceding prefix max — range
+    # boundaries must never change which prices survive the sweep
+    "skyline_price_size",
+    # SMB join: bucket layout + exact grid sums — values must not
+    # depend on bucket count vs shuffle width interplay
+    "join_bucketed_smb",
+    # AUC: distinct-score collapse + two-phase prefix sum + BIGINT
+    # rank algebra — the metric must be identical at any width
+    "probe_auc_roc",
 ]
 
 

@@ -607,3 +607,52 @@ def test_dsir_planted_selection(spark, tmp_path):
     by_id = out.set_index("doc_id")
     assert all(by_id.loc[i].weight > 0 for i in (100, 101, 102, 103, 104))
     assert all(by_id.loc[i].weight < 0 for i in (200, 201, 202, 203, 204))
+
+
+def test_probe_auc_numpy_replay_and_planted_scorers(spark):
+    """The tied-rank AUC kernel, pinned two ways: (a) numpy replay —
+    recompute AUC from the probe's own (y, score) output with
+    scipy-style average ranks and match the registered readout exactly
+    at 6 dp; (b) planted scorers through the same kernel — a perfect
+    scorer (score = y) must read AUC 1, an inverted one 0, and an
+    all-constant scorer EXACTLY 0.5 (every pair tied → the average-rank
+    identity collapses to n⁺n⁻/2, a closed form, not an approximation)."""
+    import numpy as np
+
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.operators.pipeline import (
+        auc_from_scores,
+        quality_linear_probe,
+    )
+    from tests.conftest import SF_DIR
+
+    out = q.queries()["probe_auc_roc"](spark, SF_DIR).collect()[0]
+    scored = quality_linear_probe(spark, SF_DIR).select("y", "score").toPandas()
+    y = scored.y.to_numpy()
+    s = scored.score.to_numpy()
+    order = np.argsort(s, kind="mergesort")
+    ranks = np.empty(len(s))
+    sorted_s = s[order]
+    i = 0
+    while i < len(s):
+        j = i
+        while j + 1 < len(s) and sorted_s[j + 1] == sorted_s[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j + 2) / 2.0  # 1-based average rank
+        i = j + 1
+    n_pos, n_neg = int(y.sum()), int((1 - y).sum())
+    auc = (ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    assert out.n_pos == n_pos and out.n_neg == n_neg
+    assert abs(out.auc - round(auc, 6)) < 1e-9
+
+    rows = [(i % 2, float(i % 2)) for i in range(40)]
+    perfect = spark.createDataFrame(rows, "y int, score double")
+    assert auc_from_scores(perfect).collect()[0].auc == 1.0
+    inverted = spark.createDataFrame(
+        [(yv, 1.0 - sv) for yv, sv in rows], "y int, score double"
+    )
+    assert auc_from_scores(inverted).collect()[0].auc == 0.0
+    constant = spark.createDataFrame(
+        [(yv, 0.25) for yv, _ in rows], "y int, score double"
+    )
+    assert auc_from_scores(constant).collect()[0].auc == 0.5

@@ -627,3 +627,100 @@ def test_kmv_set_ops_theta_exactness(spark):
             assert abs(
                 r.jaccard_est - round(len(A & B) / len(A | B), 4)
             ) < 1e-9
+
+
+def test_hll_registers_merge_equals_whole(spark):
+    """HLL mergeability — element-wise register max: sketching two
+    OVERLAPPING event shards (event-id parity, so most users appear in
+    both) and merging by max(mj) per (group, register) must equal the
+    register frame of the whole — the property that lets per-shard
+    profiles roll up with 64 tiny integers of state per group. Also
+    pins the registered estimate inside the HLL error envelope."""
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.catalog import load_table
+    from minimapreduce_spark.operators.scale import hll_registers
+    from tests.conftest import SF_DIR
+
+    def hll_hash(col):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit("hll:"), col.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+
+    ev = load_table(spark, SF_DIR, "events")
+    hashed = ev.select("event_type", hll_hash(F.col("user_id")).alias("h"))
+    whole = {
+        (r.event_type, r.j): r.mj
+        for r in hll_registers(hashed, ["event_type"]).collect()
+    }
+    ev2 = ev.select("event_id", "event_type", hll_hash(F.col("user_id")).alias("h"))
+    merged: dict[tuple, int] = {}
+    for par in (0, 1):
+        shard = hll_registers(
+            ev2.where(F.col("event_id") % 2 == par).select("event_type", "h"),
+            ["event_type"],
+        ).collect()
+        for r in shard:
+            k = (r.event_type, r.j)
+            merged[k] = max(merged.get(k, 0), r.mj)
+    assert merged == whole
+    for r in q.queries()["sketch_hll_distinct_users"](spark, SF_DIR).collect():
+        assert abs(r.hll_est - r.n_exact) <= 0.5 * r.n_exact, r
+
+
+def test_hll_small_range_margins():
+    """The ln() site of the HLL small-range correction has a FINITE
+    input domain — V in 1..64 — so pin every possible quantized value
+    64·ln(64/V)·10⁴ clear of a rounding midpoint: a 1-ulp JVM-vs-DuckDB
+    ln() disagreement can then never flip the 4-dp rounding."""
+    import math
+
+    import numpy as np
+
+    xs = np.array([64.0 * math.log(64.0 / v) * 1e4 for v in range(1, 65)])
+    margin = np.abs(np.mod(xs, 1.0) - 0.5).min()
+    assert margin > 1e-6, f"HLL ln correction near a midpoint: {margin}"
+
+
+def test_hll_raw_path_matches_python_replay(spark):
+    """The fixture cardinalities (15/150 distinct) land in the
+    small-range regime, so drive the RAW alpha·m²/Z path on a synthetic
+    4000-key frame: the registered pipeline's estimate must equal a
+    pure-Python replay of the register algebra bit-for-bit, and sit
+    inside 3 standard errors (1.04/√64 ≈ 13%) of the truth."""
+    import hashlib
+
+    from minimapreduce_spark.operators.scale import (
+        HLL_M,
+        HLL_P,
+        hll_registers,
+    )
+
+    n = 4000
+    df = spark.range(n).select(
+        F.lit("g").alias("grp"),
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("hll:"), F.col("id").cast("string"))), 1, 15),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    regs = {r.j: r.mj for r in hll_registers(df, ["grp"]).collect()}
+
+    # independent replay
+    ref: dict[int, int] = {}
+    for i in range(n):
+        h = int(hashlib.md5(f"hll:{i}".encode()).hexdigest()[:15], 16)
+        w = h >> HLL_P
+        rho = 55 if w == 0 else 55 - w.bit_length()
+        j = h % HLL_M
+        ref[j] = max(ref.get(j, 0), rho)
+    assert regs == ref
+
+    z_int = sum(1 << (55 - mj) for mj in regs.values()) + (HLL_M - len(regs)) * (1 << 55)
+    raw = 0.709 * 147573952589676412928.0 / float(z_int)
+    assert raw > 2.5 * HLL_M, "synthetic frame unexpectedly in small range"
+    assert abs(raw - n) <= 3 * 0.13 * n

@@ -271,6 +271,10 @@ RELATIONAL_QUERIES = [
     # round-7: planted 90%-hot-key salted agg — the skew mitigation
     # under 40x the hot volume
     "agg_salted_hotkey_planted",
+    # round-7: register-form HLL — replicas share user_ids, so the
+    # 5-number sketch row per type must be SCALE-INVARIANT while the
+    # scan grows linearly (the 64-register state bound, measured)
+    "sketch_hll_distinct_users",
     # streaming twins: the events table replayed through 4 real
     # micro-batches at fixture scale — bounded state at 16M events
     "stream_cms_heavy_hitters",
