@@ -2400,3 +2400,220 @@ def auc_from_scores(scored: DataFrame) -> DataFrame:
         .alias("r2"),
     )
     return tot.selectExpr(*_AUC_OUT)
+
+
+# ---------------------------------------------------------------------------
+# Model evaluation II: reliability bins and k-fold cross-validation
+# ---------------------------------------------------------------------------
+
+CALIB_BINS = 10
+
+
+@register(
+    "probe_calibration_bins",
+    oracle=f"""
+    WITH probe AS {_probe_scored_oracle_cte()},
+    b AS (
+      SELECT least(greatest(CAST(floor(score * {CALIB_BINS}) AS BIGINT), 0),
+                   {CALIB_BINS - 1}) AS bin,
+             y,
+             CAST(round(score * 1000000) AS BIGINT) AS s6
+      FROM probe
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           round(CAST(sum(s6) AS DOUBLE) / count(*) / 1000000.0, 6)
+             AS mean_score,
+           round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos,
+           round(CAST(sum(s6) AS DOUBLE) / count(*) / 1000000.0
+                 - CAST(sum(y) AS DOUBLE) / count(*), 6) AS calib_gap
+    FROM b GROUP BY bin
+    """,
+)
+def probe_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL EVALUATION — the reliability diagram for the in-engine
+    probe: decile score bins vs observed positive rate, the
+    calibration companion to `probe_auc_roc` (AUC says the RANKING is
+    good; calibration says the SCORES mean what they claim — the
+    property that lets a filtering threshold be chosen on the score
+    scale). Per bin: count, positives, mean score, empirical positive
+    rate, and the calibration gap (mean_score − frac_pos; the per-bin
+    term of Expected Calibration Error).
+
+    Exactness: scores enter on their 6-dp grid (s6 BIGINT), bins are
+    integer floor(score·10) clamped to [0, 9] (probe scores can leave
+    [0, 1] — it's a ridge regression, not a sigmoid), and every output
+    is a shared-text division of exact integer sums — the whole table
+    hash-matches DuckDB. Scale posture: ONE partial+final aggregation
+    to ≤ 10 rows; the probe's scoring scan is the only corpus pass.
+    No reference analog."""
+    s6 = F.round(F.col("score") * 1_000_000).cast("bigint")
+    binc = F.least(
+        F.greatest(F.floor(F.col("score") * CALIB_BINS).cast("bigint"), F.lit(0)),
+        F.lit(CALIB_BINS - 1),
+    )
+    scored = quality_linear_probe(spark, sf_dir).select(
+        binc.alias("bin"), "y", s6.alias("s6")
+    )
+    g = scored.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("n_pos"),
+        F.sum("s6").alias("ss6"),
+    )
+    return g.selectExpr(
+        "bin",
+        "CAST(n AS BIGINT) AS n",
+        "CAST(n_pos AS BIGINT) AS n_pos",
+        "round(CAST(ss6 AS DOUBLE) / n / 1000000.0, 6) AS mean_score",
+        "round(CAST(n_pos AS DOUBLE) / n, 6) AS frac_pos",
+        "round(CAST(ss6 AS DOUBLE) / n / 1000000.0"
+        " - CAST(n_pos AS DOUBLE) / n, 6) AS calib_gap",
+    )
+
+
+CV_FOLDS = 5
+
+
+def _kfold_oracle() -> str:
+    from minimapreduce_spark.operators.text_analysis import EN_STOP
+
+    a_exprs, w_exprs = _probe_solve_exprs()
+    pairs, tgts, sub, _ = _influence_sql_parts()
+    correct = (
+        f"CASE WHEN (CASE WHEN {_PROBE_SCORE} >= 0.5 THEN 1 ELSE 0 END) = f.y"
+        " THEN 1 ELSE 0 END"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, doc_id % {CV_FOLDS} AS fold,
+             CASE WHEN 0.5 * least(len(ws) / 100.0, 1.0)
+                     + 0.3 * (1.0 - len(list_filter(ws, w -> w IN {EN_STOP!r})) * 1.0 / len(ws))
+                     + 0.2 * (len(list_distinct(ws)) * 1.0 / len(ws)) >= {PROBE_QUALITY_CUT}
+                  THEN 1 ELSE 0 END AS y,
+             1.0 AS x0,
+             least(len(ws), 200) / 200.0 AS x1,
+             len(list_filter(ws, w -> w IN {EN_STOP!r})) * 1.0 / len(ws) AS x2,
+             len(list_distinct(ws)) * 1.0 / len(ws) AS x3
+      FROM toks WHERE len(ws) > 0
+    ),
+    pfold AS (SELECT fold AS source, {pairs}, {tgts}, count(*) AS n
+              FROM feats GROUP BY fold),
+    tot AS (SELECT {pairs}, {tgts}, count(*) AS n FROM feats),
+    train AS (SELECT p.source AS fold, p.n AS n_test, t.n - p.n AS n_train, {sub}
+              FROM pfold p, tot t),
+    atr AS (SELECT fold, n_test, n_train, {", ".join(a_exprs)}, n FROM train),
+    wtr AS (SELECT fold, n_test, n_train, {", ".join(w_exprs)} FROM atr)
+    SELECT w.fold,
+           CAST(w.n_train AS BIGINT) AS n_train,
+           CAST(w.n_test AS BIGINT) AS n_test,
+           round(CAST(sum({correct}) AS DOUBLE) / count(*), 6) AS acc_holdout
+    FROM feats f JOIN wtr w ON f.fold = w.fold
+    GROUP BY w.fold, w.n_train, w.n_test
+    """
+
+
+@register("probe_kfold_cv", oracle=_kfold_oracle())
+def probe_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL EVALUATION — k-fold cross-validation of the in-engine
+    probe, the honest generalization estimate `probe_auc_roc` and the
+    full-corpus accuracy cannot give (they evaluate on training data):
+    5 folds by doc_id mod 5, each fold's model trained on the OTHER
+    four folds and scored ONLY on its held-out fold.
+
+    Why 5 retrainings cost one aggregation (the `source_influence_loo`
+    decomposition applied to folds): training state is 15 BIGINT grid
+    moments, so fold f's training moments are total − fold_f by EXACT
+    integer subtraction, each solve is the same shared Cramer text
+    over its own 15 numbers, and scoring all K held-out models is one
+    corpus scan joined to a K-row broadcast weight table on fold id.
+    At 100 TB: proper CV for the price of two passes, no shuffles of
+    the corpus anywhere.
+
+    Exactness: moments/subtractions BIGINT, weights/scores shared-text
+    IEEE trees, accuracy one INT/COUNT division rounded once — the
+    table hash-matches DuckDB. The retrain-equivalence pytest pins the
+    shortcut: physically dropping a fold and retraining through the
+    same pipeline yields the identical held-out accuracy. No reference
+    analog."""
+    from minimapreduce_spark.operators.text_analysis import EN_STOP
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), r"[^A-Za-z]+"), lambda w: w != "")
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOP])
+    n_tokens = F.size(ws)
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w)))
+    n_distinct = F.size(F.array_distinct(ws))
+    stop_ratio = n_stop * F.lit(1.0) / n_tokens
+    quality = (
+        0.5 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (1.0 - stop_ratio)
+        + 0.2 * (n_distinct * F.lit(1.0) / n_tokens)
+    )
+    feats = (
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") % CV_FOLDS).alias("fold"),
+            F.when(quality >= float(PROBE_QUALITY_CUT), 1).otherwise(0).alias("y"),
+            F.lit(1.0).alias("x0"),
+            (F.least(n_tokens, F.lit(200)) / F.lit(200.0)).alias("x1"),
+            stop_ratio.alias("x2"),
+            (n_distinct * F.lit(1.0) / n_tokens).alias("x3"),
+            n_tokens.alias("_nt"),
+        )
+        .where(F.col("_nt") > 0)
+        .drop("_nt")
+        .localCheckpoint(eager=False)  # moment agg + held-out scoring scan
+    )
+    grid = float(PROBE_GRID)
+    moms = [
+        F.sum(
+            F.round(F.col(f"x{i}") * F.col(f"x{j}") * grid).cast("bigint")
+        ).alias(f"s{i}{j}")
+        for i in range(4)
+        for j in range(i, 4)
+    ] + [
+        F.sum(F.round(F.col(f"x{i}") * F.col("y") * grid).cast("bigint")).alias(f"t{i}")
+        for i in range(4)
+    ] + [F.count(F.lit(1)).alias("n")]
+
+    a_exprs, w_exprs = _probe_solve_exprs()
+    _pairs, _tgts, sub, _names = _influence_sql_parts()
+    pfold = feats.groupBy("fold").agg(*moms)
+    tot = feats.agg(*moms)
+    train = (
+        pfold.alias("p")
+        .crossJoin(F.broadcast(tot.alias("t")))
+        .selectExpr(
+            "p.fold AS fold",
+            "p.n AS n_test",
+            "t.n - p.n AS n_train",
+            *sub.replace("p.source", "p.fold").split(", "),
+        )
+    )
+    wtr = (
+        train.selectExpr("fold", "n_test", "n_train", *a_exprs, "n")
+        .selectExpr("fold", "n_test", "n_train", *w_exprs)
+        .withColumnRenamed("fold", "wfold")
+    )
+    correct = (
+        f"CASE WHEN (CASE WHEN {_PROBE_SCORE} >= 0.5 THEN 1 ELSE 0 END) = y"
+        " THEN 1 ELSE 0 END"
+    )
+    return (
+        feats.join(F.broadcast(wtr), feats["fold"] == wtr["wfold"])
+        .selectExpr("wfold", "n_train", "n_test", f"{correct} AS c")
+        .groupBy("wfold", "n_train", "n_test")
+        .agg((F.sum("c").cast("double") / F.count(F.lit(1))).alias("acc_raw"))
+        .select(
+            F.col("wfold").alias("fold"),
+            F.col("n_train").cast("bigint").alias("n_train"),
+            F.col("n_test").cast("bigint").alias("n_test"),
+            F.round("acc_raw", 6).alias("acc_holdout"),
+        )
+    )

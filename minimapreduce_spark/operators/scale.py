@@ -1729,3 +1729,121 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "z_reg",
         f"round({_HLL_EST}, 4) AS hll_est",
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS (Tug-of-War) F2 sketch — join/self-join size estimation
+# ---------------------------------------------------------------------------
+
+AMS_D = 8  # independent sign hashes; rse of the mean ≈ sqrt(2/D) ≈ 50%
+
+_AMS_SIGN_SQL = (
+    "(1 - 2 * (CAST(('0x' || substr(md5('ams' || d.d || ':'"
+    " || CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 2))"
+)
+
+
+def ams_sign(d: Column, key: Column) -> Column:
+    """Portable AMS sign: ±1 from the parity of the row-salted 60-bit
+    md5 hash (the ``cms_bucket`` discipline with W = 2, mapped to
+    {+1, −1}) — identical in Spark and DuckDB."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("ams"), d.cast("string"), F.lit(":"), key.cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return F.lit(1) - F.lit(2) * (h % 2)
+
+
+@register(
+    "sketch_ams_f2_join_size",
+    oracle=f"""
+    WITH x AS (
+      SELECT l_returnflag, d.d,
+             CAST(sum({_AMS_SIGN_SQL}) AS BIGINT) AS xd,
+             count(*) AS nr
+      FROM lineitem,
+           (SELECT unnest(generate_series(0, {AMS_D - 1})) AS d) d
+      GROUP BY 1, 2
+    ),
+    sk AS (
+      SELECT l_returnflag,
+             CAST(max(nr) AS BIGINT) AS n_rows,
+             CAST(sum(xd * xd) AS BIGINT) AS ams_sum
+      FROM x GROUP BY 1
+    ),
+    ex AS (
+      SELECT l_returnflag, CAST(sum(c * c) AS BIGINT) AS f2_exact
+      FROM (SELECT l_returnflag, l_orderkey, count(*) AS c
+            FROM lineitem GROUP BY 1, 2)
+      GROUP BY 1
+    )
+    SELECT sk.l_returnflag, sk.n_rows, ex.f2_exact, sk.ams_sum,
+           round(CAST(sk.ams_sum AS DOUBLE) / {AMS_D}, 2) AS f2_est
+    FROM sk JOIN ex USING (l_returnflag)
+    """,
+)
+def sketch_ams_f2_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE ESTIMATION — the AMS / Tug-of-War second-moment sketch
+    (Alon, Matias, Szegedy 1996), the member of the mergeable family
+    the others can't replace: KMV counts distinct keys, CMS point-
+    queries frequencies, HLL counts cheaply; THIS estimates
+    F₂ = Σ_k c_k² — the SELF-JOIN SIZE on the key, the number a
+    cost-based optimizer needs BEFORE running a join (|A ⋈_k A| = F₂;
+    for two relations the same sketches inner-product to Σ a_k·b_k).
+    Per returnflag over lineitem's order key: D = 8 sign-hash counters
+    X_d = Σ_rows s_d(key), estimate = mean of X_d² — E[X_d²] = F₂
+    exactly (pairwise-independent signs cancel cross terms).
+
+    Exactness as always: signs are parity bits of the row-salted
+    portable hash, X_d and Σ X_d² are BIGINT (X_d² ≤ ~10¹⁶ at 640×,
+    inside the envelope), and the single estimate division is shared
+    text — sketch AND estimate hash-match DuckDB. The exact F₂ twin
+    (Σ c² via one per-key agg) is the measured-guarantee column,
+    dropped in production. Mergeability is literal addition: X_d of a
+    union is the sum of shard X_d's (pytest, with the parity invariant
+    X_d ≡ n_rows mod 2 pinning the sign algebra).
+
+    Scale posture: D longs of state per group at ANY key cardinality;
+    one map-side-combinable agg over rows × D (no per-key grouping —
+    unlike the exact twin, the sketch NEVER shuffles on the key); the
+    rse dial is D (∝ 1/√D). Reference anchor: none — the reference has
+    no cardinality-estimation surface at all."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        "l_returnflag",
+        "l_orderkey",
+        F.explode(F.sequence(F.lit(0), F.lit(AMS_D - 1))).alias("d"),
+    )
+    x = rows.groupBy("l_returnflag", "d").agg(
+        F.sum(ams_sign(F.col("d"), F.col("l_orderkey"))).cast("bigint").alias("xd"),
+        F.count("*").alias("nr"),
+    )
+    sk = x.groupBy("l_returnflag").agg(
+        F.max("nr").cast("bigint").alias("n_rows"),
+        F.sum(F.col("xd") * F.col("xd")).cast("bigint").alias("ams_sum"),
+    )
+    ex = (
+        li.groupBy("l_returnflag", "l_orderkey")
+        .agg(F.count("*").alias("c"))
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2_exact"))
+    )
+    return (
+        sk.join(ex, "l_returnflag")
+        .selectExpr(
+            "l_returnflag",
+            "n_rows",
+            "f2_exact",
+            "ams_sum",
+            f"round(CAST(ams_sum AS DOUBLE) / {AMS_D}, 2) AS f2_est",
+        )
+    )

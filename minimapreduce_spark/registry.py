@@ -138,8 +138,12 @@ DRIVER_PRIORITY: list[str] = [
     # ann_ivf_nprobe_topk canary: same module sampled, and the nprobe
     # dial is now exercised through the composed IVF-PQ chain
     "ann_ivfpq_nprobe_topk",
-    "inverted_index",                   # operators.text
-    "text_bm25_topk",                   # operators.text_analysis
+    # round-7 flagships replace the text / text_analysis canaries
+    # (both modules multi-round driver-verified): k-fold CV and the
+    # reliability diagram complete the in-engine evaluation suite
+    # under the hard signal
+    "probe_kfold_cv",
+    "probe_calibration_bins",
     # round-7 flagship replaces the tpch_more canary (13/13 of that
     # module are multi-round driver-verified and the adjacent tpch_rest
     # canary keeps the TPC-H class sampled)
@@ -148,10 +152,19 @@ DRIVER_PRIORITY: list[str] = [
     # module are multi-round driver-verified): the register-form HLL
     # completes the mergeable-sketch family under the hard signal
     "sketch_hll_distinct_users",
-    "binaryfile_manifest",              # sources.pydatasource
-    "stream_view_purchase_join",        # streaming.dedup_join
+    # round-7 flagship replaces the pydatasource canary (that module is
+    # multi-round driver-verified): the AMS F2 sketch — join-size
+    # estimation — completes the mergeable family under the hard signal
+    "sketch_ams_f2_join_size",
+    # round-7 flagship replaces the streaming.dedup_join canary (same
+    # module sampled): the LEFT OUTER stream-stream join — finalized
+    # null emission — is the one SS join semantic the surface lacked
+    "stream_left_outer_views",
     "stream_psi_drift",                 # streaming.drift
-    "stream_cms_heavy_hitters",         # streaming.sketch
+    # round-7 flagship replaces the streaming.sketch canary (same
+    # module sampled): the streaming HLL completes the streaming-twin
+    # discipline across the whole mergeable family under the hard signal
+    "stream_hll_distinct_users",
     "stream_user_stats_stateful",       # streaming.stateful
     "stream_upsert_latest_state",       # streaming.upsert
     "stream_static_enrich",             # streaming.windows

@@ -211,3 +211,98 @@ def stream_exactly_once_watermarked(spark: SparkSession, sf_dir: str) -> DataFra
         F.count("*").alias("n_events"),
         F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("value_c_sum"),
     )
+
+
+@register(
+    "stream_left_outer_views",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id AS view_id, ts AS view_ts
+      FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (SELECT max(ts) AS mx FROM events)
+    SELECT v.user_id, v.view_id, p.purchase_id, v.view_ts, p.purchase_ts
+    FROM v JOIN p
+      ON v.user_id = p.user_id
+     AND p.purchase_ts >= v.view_ts
+     AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+    UNION ALL
+    SELECT v.user_id, v.view_id, NULL, v.view_ts, NULL
+    FROM v, m
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p
+      WHERE p.user_id = v.user_id
+        AND p.purchase_ts >= v.view_ts
+        AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+    )
+    AND v.view_ts + INTERVAL 1 HOUR < m.mx - INTERVAL 2 HOUR
+    """,
+)
+def stream_left_outer_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the missing join semantic after
+    the inner twin (`stream_view_purchase_join`): every view emits,
+    matched purchases immediately, and a view with NO purchase in its
+    hour emits ONCE with NULL purchase columns — but only after the
+    watermark passes the last instant it could still match
+    (view_ts + 1 h), because earlier emission could be contradicted by
+    a late purchase. This buffered-then-finalized null emission is the
+    semantic that makes outer joins deployable on streams at all
+    (funnel drop-off detection, abandoned-cart feeds, SLA breach
+    alerts — all "X happened and Y did NOT follow" shapes).
+
+    The oracle states the emission contract exactly (the
+    `stream_tumbling_append_finalized` discipline): over a drained
+    finite replay the output is the batch left join MINUS the
+    unmatched views still inside the un-finalizable tail — those with
+    view_ts + 1 h ≥ max(event time) − 2 h (the watermark delay),
+    withheld BY DESIGN (10 tail views at sf0.01). Matched pairs are
+    identical to the inner twin's.
+
+    Scale posture: identical state bound to the inner join — both
+    sides' buffers evicted by watermark + the range condition; the
+    null-emission adds no state, only an eviction-time emission. At
+    100 TB the watermark delay is the single knob trading completeness
+    against state size and result latency."""
+    views = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id
+            AND purchase_ts >= view_ts
+            AND purchase_ts <= view_ts + INTERVAL 1 HOUR
+            """
+        ),
+        "leftOuter",
+    )
+    out = run_to_memory(joined, "stream_left_outer_views", "append")
+    return out.select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+    )

@@ -199,3 +199,156 @@ def stream_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_retained").cast("bigint").alias("n_retained"),
         F.round(est, 4).alias("kmv_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming HLL — 64 registers per group in the state store
+# ---------------------------------------------------------------------------
+
+_HLL_OUT_SCHEMA = (
+    "event_type string, v_zero bigint, sum_rho bigint, z_reg bigint, n_rows bigint"
+)
+_HLL_STATE_SCHEMA = "regs array<int>, n_rows bigint"
+
+
+def _hll_update_factory(m: int, p: int):
+    """applyInPandasWithState kernel: per-group state is the m HLL
+    registers (index j = h mod m, value = max first-1-bit rank of the
+    54-bit hash suffix; 0 = empty) plus the processed-row counter that
+    selects the final emission batch-side. Folding a micro-batch is the
+    HLL merge itself — element-wise max — so the drained state is
+    bit-identical to the batch registers (python's int.bit_length() IS
+    length(bin(w)): both count to the highest set bit). The kernel also
+    emits the exact integer Z·2⁵⁵ so the estimator stays one shared-text
+    division JVM-side after the drain."""
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            regs, n_rows = list(state.get[0]), int(state.get[1])
+        else:
+            regs, n_rows = [0] * m, 0
+        for pdf in pdfs:
+            n_rows += len(pdf)
+            for h in pdf["h"]:
+                h = int(h)
+                w = h >> p
+                rho = 55 if w == 0 else 55 - w.bit_length()
+                j = h % m
+                if rho > regs[j]:
+                    regs[j] = rho
+        state.update((regs, n_rows))
+        v_zero = sum(1 for r in regs if r == 0)
+        z_reg = sum(1 << (55 - r) for r in regs if r > 0) + v_zero * (1 << 55)
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "v_zero": [v_zero],
+                "sum_rho": [sum(regs)],
+                "z_reg": [z_reg],
+                "n_rows": [n_rows],
+            }
+        )
+
+    return update
+
+
+def _stream_hll_oracle() -> str:
+    from minimapreduce_spark.operators.scale import (
+        _HLL_EST,
+        _HLL_HASH60,
+        HLL_M,
+        HLL_P,
+    )
+
+    return f"""
+    WITH d AS (
+      SELECT DISTINCT event_type, {_HLL_HASH60} AS h FROM events
+    ),
+    p AS (
+      SELECT event_type, h % {HLL_M} AS j,
+             max(CASE WHEN (h >> {HLL_P}) = 0 THEN 55
+                      ELSE 55 - length(bin(h >> {HLL_P})) END) AS mj
+      FROM d GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT event_type,
+             CAST({HLL_M} - count(*) AS BIGINT) AS v_zero,
+             CAST(sum(mj) AS BIGINT) AS sum_rho,
+             CAST(sum(CAST(pow(2.0, 55 - mj) AS BIGINT))
+                  + ({HLL_M} - count(*)) * 36028797018963968 AS BIGINT)
+               AS z_reg
+      FROM p GROUP BY 1
+    )
+    SELECT event_type, v_zero, sum_rho, z_reg,
+           round({_HLL_EST}, 4) AS hll_est
+    FROM g
+    """
+
+
+@register("stream_hll_distinct_users", oracle=_stream_hll_oracle())
+def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING HyperLogLog: the 64-register sketch lives in the state
+    store per event_type and folds each real micro-batch by
+    element-wise register max — the HLL merge operation itself — so the
+    drained state is BIT-IDENTICAL to the batch
+    ``sketch_hll_distinct_users`` registers over the same events
+    (pytest asserts register-by-register), and the shared estimator
+    text reads the same number off either engine. Completes the
+    streaming-twin discipline across the whole mergeable family: CMS
+    (built-in streaming sum), KMV (bottom-K custom state), and now the
+    register sketch every production monitor actually deploys.
+
+    The kernel is all-integer (registers, v_zero, Σrho, the exact
+    Z·2⁵⁵); the only doubles are the post-drain shared-text division
+    and the margin-pinned small-range ln. The oracle is the batch HLL
+    SQL minus its n_exact column — the number a bounded sketch cannot
+    know (same honesty as the KMV twin).
+
+    Scale posture: state = 64 small ints per group at ANY cardinality —
+    the cheapest stateful operator in the module; each micro-batch
+    ships one Arrow frame per group; estimator join over |groups| rows.
+    Production emits the running estimate per trigger; the memory-sink
+    drain exists to compare against the batch oracle exactly."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.window import Window as W
+
+    from minimapreduce_spark.operators.scale import _HLL_EST, HLL_M, HLL_P
+
+    sdf = events_stream_sharded(spark, sf_dir, n_shards=4)
+    hashed = sdf.select(
+        "event_type",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    updates = hashed.groupBy("event_type").applyInPandasWithState(
+        _hll_update_factory(HLL_M, HLL_P),
+        outputStructType=_HLL_OUT_SCHEMA,
+        stateStructType=_HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = run_to_memory(updates, "hll_stream", "update")
+    w = W.partitionBy("event_type").orderBy(F.desc("n_rows"))
+    final = (
+        drained.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn", "n_rows")
+    )
+    return final.selectExpr(
+        "event_type",
+        "v_zero",
+        "sum_rho",
+        "z_reg",
+        f"round({_HLL_EST}, 4) AS hll_est",
+    )

@@ -67,6 +67,9 @@ REPRESENTATIVE = [
     "skyline_price_size",
     "join_bucketed_smb",
     "probe_auc_roc",
+    "probe_calibration_bins",
+    "probe_kfold_cv",
+    "sketch_ams_f2_join_size",
 ]
 
 

@@ -155,6 +155,14 @@ CANDIDATES = [
     # AUC: distinct-score collapse + two-phase prefix sum + BIGINT
     # rank algebra — the metric must be identical at any width
     "probe_auc_roc",
+    # CV: per-fold moment partials + total−fold subtraction + K-row
+    # broadcast scoring — fold accuracies must be width-independent
+    "probe_kfold_cv",
+    # calibration: integer bin keys + exact grid sums per bin
+    "probe_calibration_bins",
+    # AMS: ±1 sign sums are plain integer addition — sketch and
+    # estimate must be identical at any width
+    "sketch_ams_f2_join_size",
 ]
 
 

@@ -656,3 +656,137 @@ def test_probe_auc_numpy_replay_and_planted_scorers(spark):
         [(yv, 0.25) for yv, _ in rows], "y int, score double"
     )
     assert auc_from_scores(constant).collect()[0].auc == 0.5
+
+
+def test_probe_kfold_cv_equals_physical_retrain(spark):
+    """The CV shortcut's claim (the LOO retrain-equivalence discipline
+    applied to folds): for one fold, WRITE a corpus with that fold's
+    rows physically removed, retrain the probe pipeline on it, score
+    the HELD-OUT fold with those weights — the accuracy must equal the
+    registered query's acc_holdout EXACTLY (subset BIGINT moments ≡
+    total − fold; same Cramer text ⇒ bit-identical weights). Also pins
+    Σ n_test = corpus and n_train + n_test = corpus per fold."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.catalog import TABLES, table_path
+    from minimapreduce_spark.operators.pipeline import (
+        _PROBE_SCORE,
+        _probe_solve_exprs,
+        CV_FOLDS,
+        PROBE_GRID,
+        PROBE_QUALITY_CUT,
+    )
+    from minimapreduce_spark.operators.text_analysis import EN_STOP
+    from minimapreduce_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    out = q.queries()["probe_kfold_cv"](spark, SF_DIR).toPandas()
+    n_corpus = int(out.n_test.sum())
+    assert ((out.n_train + out.n_test) == n_corpus).all()
+    assert sorted(out.fold) == list(range(CV_FOLDS))
+
+    def feats_of(sf_dir):
+        dd = load_table(spark, sf_dir, "documents")
+        ws = F.filter(F.split(F.col("text"), r"[^A-Za-z]+"), lambda w: w != "")
+        stop_arr = F.array(*[F.lit(s) for s in EN_STOP])
+        n_tokens = F.size(ws)
+        n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w)))
+        n_distinct = F.size(F.array_distinct(ws))
+        stop_ratio = n_stop * F.lit(1.0) / n_tokens
+        quality = (
+            0.5 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+            + 0.3 * (1.0 - stop_ratio)
+            + 0.2 * (n_distinct * F.lit(1.0) / n_tokens)
+        )
+        return (
+            dd.select(
+                "doc_id",
+                F.when(quality >= float(PROBE_QUALITY_CUT), 1).otherwise(0).alias("y"),
+                F.lit(1.0).alias("x0"),
+                (F.least(n_tokens, F.lit(200)) / F.lit(200.0)).alias("x1"),
+                stop_ratio.alias("x2"),
+                (n_distinct * F.lit(1.0) / n_tokens).alias("x3"),
+                n_tokens.alias("_nt"),
+            )
+            .where(F.col("_nt") > 0)
+            .drop("_nt")
+        )
+
+    fold = 2
+    docs = spark.read.parquet(table_path(SF_DIR, "documents"))
+    tmp = tempfile.mkdtemp(prefix="cv_retrain_")
+    try:
+        d = os.path.join(tmp, "minus_fold")
+        os.makedirs(d)
+        for t in TABLES:
+            if t == "documents":
+                docs.where(F.col("doc_id") % CV_FOLDS != fold).write.parquet(
+                    os.path.join(d, "documents.parquet")
+                )
+            else:
+                os.symlink(table_path(SF_DIR, t), os.path.join(d, f"{t}.parquet"))
+        grid = float(PROBE_GRID)
+        moms = [
+            F.sum(
+                F.round(F.col(f"x{i}") * F.col(f"x{j}") * grid).cast("bigint")
+            ).alias(f"s{i}{j}")
+            for i in range(4)
+            for j in range(i, 4)
+        ] + [
+            F.sum(F.round(F.col(f"x{i}") * F.col("y") * grid).cast("bigint")).alias(
+                f"t{i}"
+            )
+            for i in range(4)
+        ] + [F.count(F.lit(1)).alias("n")]
+        a_exprs, w_exprs = _probe_solve_exprs()
+        wts = feats_of(d).agg(*moms).selectExpr(*a_exprs, "n").selectExpr(*w_exprs)
+        held = (
+            feats_of(SF_DIR)
+            .where(F.col("doc_id") % CV_FOLDS == fold)
+            .crossJoin(F.broadcast(wts))
+            .selectExpr(
+                "y", f"CASE WHEN {_PROBE_SCORE} >= 0.5 THEN 1 ELSE 0 END AS k"
+            )
+            .toPandas()
+        )
+        acc_retrain = float((held["k"] == held["y"]).mean())
+        row = out[out.fold == fold].iloc[0]
+        assert round(acc_retrain, 6) == row.acc_holdout, (acc_retrain, row)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_probe_calibration_bins_identities(spark):
+    """Reliability-diagram identities on the fixture: bins partition
+    the corpus (Σn = probe rows), per-bin rates live in [0,1], the
+    count-weighted frac_pos reconstructs the corpus positive rate, and
+    a pandas replay of the binning (floor(score·10) clamped) matches
+    every bin's n and n_pos."""
+    import numpy as np
+
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.operators.pipeline import (
+        CALIB_BINS,
+        quality_linear_probe,
+    )
+    from tests.conftest import SF_DIR
+
+    out = q.queries()["probe_calibration_bins"](spark, SF_DIR).toPandas()
+    probe = quality_linear_probe(spark, SF_DIR).toPandas()
+    assert int(out.n.sum()) == len(probe)
+    assert ((out.frac_pos >= 0) & (out.frac_pos <= 1)).all()
+    rate = (out.frac_pos * out.n).sum() / out.n.sum()
+    assert abs(rate - probe.y.mean()) < 1e-6
+
+    bins = np.clip(
+        np.floor(probe.score.to_numpy() * CALIB_BINS), 0, CALIB_BINS - 1
+    ).astype(int)
+    for _, r in out.iterrows():
+        mask = bins == r.bin
+        assert int(mask.sum()) == r.n, r.bin
+        assert int(probe.y.to_numpy()[mask].sum()) == r.n_pos, r.bin

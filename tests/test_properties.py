@@ -724,3 +724,46 @@ def test_hll_raw_path_matches_python_replay(spark):
     raw = 0.709 * 147573952589676412928.0 / float(z_int)
     assert raw > 2.5 * HLL_M, "synthetic frame unexpectedly in small range"
     assert abs(raw - n) <= 3 * 0.13 * n
+
+
+def test_ams_f2_sketch_properties(spark):
+    """AMS invariants on the fixture: (a) the sign algebra — every X_d
+    has the parity of its row count (signs are ±1); (b) literal
+    mergeability — X_d over the whole equals the sum of X_d over an
+    even/odd orderkey shard split; (c) the estimate sits inside a wide
+    but honest envelope of the exact F₂ (rse of an 8-mean ≈ 50%; band
+    = 4 rse), and n_rows/f2_exact satisfy F₂ ≥ n (c ≥ 1 per key)."""
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.catalog import load_table
+    from minimapreduce_spark.operators.scale import AMS_D, ams_sign
+    from tests.conftest import SF_DIR
+
+    out = q.queries()["sketch_ams_f2_join_size"](spark, SF_DIR).toPandas()
+    assert (out.f2_exact >= out.n_rows).all()
+    for _, r in out.iterrows():
+        assert abs(r.f2_est - r.f2_exact) <= 2.0 * r.f2_exact, dict(r)
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    rows = li.select(
+        "l_returnflag",
+        "l_orderkey",
+        F.explode(F.sequence(F.lit(0), F.lit(AMS_D - 1))).alias("d"),
+    )
+
+    def xds(df):
+        return {
+            (r.l_returnflag, r.d): (int(r.xd), int(r.nr))
+            for r in df.groupBy("l_returnflag", "d")
+            .agg(
+                F.sum(ams_sign(F.col("d"), F.col("l_orderkey"))).alias("xd"),
+                F.count("*").alias("nr"),
+            )
+            .collect()
+        }
+
+    whole = xds(rows)
+    even = xds(rows.where(F.col("l_orderkey") % 2 == 0))
+    odd = xds(rows.where(F.col("l_orderkey") % 2 == 1))
+    for k, (xd, nr) in whole.items():
+        assert (xd - nr) % 2 == 0, k  # parity invariant
+        assert xd == even.get(k, (0, 0))[0] + odd.get(k, (0, 0))[0], k

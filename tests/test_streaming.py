@@ -446,3 +446,119 @@ def test_stream_kmv_state_bit_identical_and_multibatch(spark):
             shard = {h for j, h in enumerate(hs) if j % mod == i}
             ks = sorted(set(ks) | shard)[:KMV_K]
         assert ks == want, mod
+
+
+def test_stream_hll_registers_bit_identical_and_multibatch(spark):
+    """The streaming HLL's contract: cross-batch state genuinely
+    exercised (>1 update emission per group over the 4-shard replay),
+    and the drained state — v_zero / Σrho / the exact integer Z·2⁵⁵ —
+    BIT-IDENTICAL to the batch register frame over the same events
+    (element-wise max is the HLL merge, so any batch split folds to the
+    batch registers). The registered streaming output must equal the
+    batch twin minus its n_exact column."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.catalog import load_table
+    from minimapreduce_spark.operators.scale import HLL_M, HLL_P, hll_registers
+    from minimapreduce_spark.streaming.sketch import (
+        _HLL_OUT_SCHEMA,
+        _HLL_STATE_SCHEMA,
+        _hll_update_factory,
+    )
+    from minimapreduce_spark.streaming.source import (
+        events_stream_sharded,
+        run_to_memory,
+    )
+    from tests.conftest import SF_DIR, assert_frames_match
+
+    def hll_hash(col):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit("hll:"), col.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+
+    sdf = events_stream_sharded(spark, SF_DIR, n_shards=4)
+    hashed = sdf.select("event_type", hll_hash(F.col("user_id")).alias("h"))
+    updates = hashed.groupBy("event_type").applyInPandasWithState(
+        _hll_update_factory(HLL_M, HLL_P),
+        outputStructType=_HLL_OUT_SCHEMA,
+        stateStructType=_HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = run_to_memory(updates, "hll_state_test", "update").toPandas()
+    per_group = drained.groupby("event_type").size()
+    assert (per_group > 1).all(), per_group  # cross-batch state exercised
+
+    # batch registers → the same three state digests, computed in python
+    ev = load_table(spark, SF_DIR, "events")
+    bregs = hll_registers(
+        ev.select("event_type", hll_hash(F.col("user_id")).alias("h")),
+        ["event_type"],
+    ).collect()
+    digest: dict[str, dict[int, int]] = {}
+    for r in bregs:
+        digest.setdefault(r.event_type, {})[r.j] = r.mj
+    final = drained.sort_values("n_rows").groupby("event_type").last()
+    for et, row in final.iterrows():
+        regs = digest[et]
+        v_zero = HLL_M - len(regs)
+        z = sum(1 << (55 - mj) for mj in regs.values()) + v_zero * (1 << 55)
+        assert int(row.v_zero) == v_zero, et
+        assert int(row.sum_rho) == sum(regs.values()), et
+        assert int(row.z_reg) == z, et
+
+    s = q.queries()["stream_hll_distinct_users"](spark, SF_DIR).toPandas()
+    b = (
+        q.queries()["sketch_hll_distinct_users"](spark, SF_DIR)
+        .drop("n_exact")
+        .toPandas()
+    )
+    assert_frames_match(s, b, name="stream_vs_batch_hll")
+
+
+def test_stream_left_outer_contract(spark):
+    """The outer join's two-part contract, pinned against the batch
+    truth: (a) its matched rows are EXACTLY the inner twin's output;
+    (b) its null-emitted rows are EXACTLY the batch-unmatched views
+    whose match deadline (view_ts + 1 h) the final watermark
+    (max ts − 2 h) has passed — and the withheld remainder is nonempty
+    on the fixture, so the finalization semantic is genuinely
+    exercised, not vacuously true."""
+    import duckdb
+
+    from minimapreduce_spark import queries as q
+    from tests.conftest import SF_DIR, TABLES, assert_frames_match, table_path
+
+    out = q.queries()["stream_left_outer_views"](spark, SF_DIR).toPandas()
+    matched = out[out.purchase_id.notna()].reset_index(drop=True)
+    inner = q.queries()["stream_view_purchase_join"](spark, SF_DIR).toPandas()
+    assert_frames_match(matched, inner, name="outer_matched_vs_inner")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{table_path(SF_DIR, t)}'"
+        )
+    unmatched = con.execute("""
+        WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+                   FROM events WHERE event_type = 'view'),
+        p AS (SELECT user_id, ts AS purchase_ts
+              FROM events WHERE event_type = 'purchase'),
+        m AS (SELECT max(ts) AS mx FROM events)
+        SELECT v.view_id,
+               v.view_ts + INTERVAL 1 HOUR < m.mx - INTERVAL 2 HOUR AS finalized
+        FROM v, m
+        WHERE NOT EXISTS (
+          SELECT 1 FROM p
+          WHERE p.user_id = v.user_id
+            AND p.purchase_ts >= v.view_ts
+            AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR)
+    """).df()
+    emitted = set(out[out.purchase_id.isna()].view_id)
+    assert emitted == set(unmatched[unmatched.finalized].view_id)
+    withheld = set(unmatched[~unmatched.finalized].view_id)
+    assert withheld and not (withheld & emitted)

@@ -85,6 +85,11 @@ QUERIES = [
     "sample_dsir_importance_topk",
     "unigram_train_pieces",
     "unigram_apply_token_stats",
+    # round-7 evaluation suite: one corpus scan + tiny broadcast state
+    # each — the probe family's scale posture, measured on its metrics
+    "probe_auc_roc",
+    "probe_kfold_cv",
+    "probe_calibration_bins",
 ]
 
 # Excluded past 10×:
@@ -275,6 +280,21 @@ RELATIONAL_QUERIES = [
     # 5-number sketch row per type must be SCALE-INVARIANT while the
     # scan grows linearly (the 64-register state bound, measured)
     "sketch_hll_distinct_users",
+    # round-7: its streaming twin — the same 64-register bound held
+    # through 4 real micro-batches at fixture scale
+    "stream_hll_distinct_users",
+    # round-7: skyline — dominance work on the distinct-price frame,
+    # which the replicated fixture holds CONSTANT while parts grow
+    "skyline_price_size",
+    # round-7: the zero-shuffle SMB join — the one-time bucketed write
+    # plus the exchange-free join, timed end to end
+    "join_bucketed_smb",
+    # round-7: watermark-finalized LEFT OUTER stream-stream join —
+    # bounded join state across 4 micro-batches at 16M events
+    "stream_left_outer_views",
+    # round-7: AMS F2 — all-integer sign sums; the sketch never
+    # shuffles on the key, so wall should track the scan alone
+    "sketch_ams_f2_join_size",
     # streaming twins: the events table replayed through 4 real
     # micro-batches at fixture scale — bounded state at 16M events
     "stream_cms_heavy_hitters",
@@ -310,6 +330,9 @@ MONEY_QUERIES = [
     # round-7: theta set-ops — events-only; the 10-row output must be
     # byte-stable at 640× while the scan does 640× the work
     "sketch_kmv_set_ops",
+    # round-7: AMS F2 at 384M rows — X_d² approaches the documented
+    # ~1e16 envelope bound exactly where the probe should stress it
+    "sketch_ams_f2_join_size",
 ]
 
 # (table, key column, per-replica key offset) — ONE structure drives the
