@@ -2617,3 +2617,87 @@ def probe_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("acc_raw", 6).alias("acc_holdout"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Model evaluation III: Weight-of-Evidence / Information Value screening
+# ---------------------------------------------------------------------------
+
+WOE_BINS = 10
+
+# Shared-text WOE/IV over the exact integer bin counts (pos_b, neg_b)
+# and totals (POS, NEG): the DSIR-style add-one/add-B smoothing keeps
+# every ln() argument a strictly positive rational of integers, and the
+# IV term rides the same two share expressions. The ln() site is
+# midpoint-margin-pinned from the registered output's own counts by
+# test_feature_woe_iv (the pattern-(b) discipline).
+_WOE_PS = f"((CAST(n_pos AS DOUBLE) + 1.0) / (CAST(tot_pos AS DOUBLE) + {WOE_BINS}.0))"
+_WOE_NS = f"((CAST(n_neg AS DOUBLE) + 1.0) / (CAST(tot_neg AS DOUBLE) + {WOE_BINS}.0))"
+_WOE_EXPR = f"ln({_WOE_PS} / {_WOE_NS})"
+_WOE_OUT = (
+    "bin",
+    "CAST(n_pos + n_neg AS BIGINT) AS n",
+    "CAST(n_pos AS BIGINT) AS n_pos",
+    "CAST(n_neg AS BIGINT) AS n_neg",
+    f"round({_WOE_EXPR}, 6) AS woe",
+    f"round(({_WOE_PS} - {_WOE_NS}) * {_WOE_EXPR}, 6) AS iv_term",
+)
+
+
+@register(
+    "feature_woe_iv",
+    oracle=f"""
+    WITH probe AS {_probe_scored_oracle_cte()},
+    feats AS (
+      SELECT doc_id, y,
+             least(greatest(CAST(floor(x1 * {WOE_BINS}) AS BIGINT), 0),
+                   {WOE_BINS - 1}) AS bin
+      FROM (
+        SELECT p.doc_id, p.y,
+               least(len(list_filter(regexp_split_to_array(d.text, '[^A-Za-z]+'),
+                                     w -> w <> '')), 200) / 200.0 AS x1
+        FROM probe p JOIN documents d USING (doc_id)
+      )
+    ),
+    b AS (
+      SELECT bin, sum(y) AS n_pos, count(*) - sum(y) AS n_neg
+      FROM feats GROUP BY bin
+    ),
+    t AS (SELECT sum(n_pos) AS tot_pos, sum(n_neg) AS tot_neg FROM b)
+    SELECT {", ".join(_WOE_OUT)} FROM b, t
+    """,
+)
+def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE SCREENING — Weight of Evidence / Information Value of
+    the probe's length feature against its label, the credit-scoring
+    readout that ranks features BEFORE a model is trained (IV < 0.02
+    useless, > 0.3 strong — the corpus-curation analog: does document
+    length actually separate keep from drop?). Per decile bin of x1:
+    WOE_b = ln(smoothed positive share / smoothed negative share) and
+    the bin's IV contribution (share gap × WOE); Σ iv_term is the
+    feature's IV.
+
+    Exactness: bins are integer floor(x1·10) clamps, counts exact
+    BIGINTs, shares/WOE/IV one shared expression text over them with
+    DSIR-style add-one/add-B smoothing (no empty-bin ±∞); the only
+    libm site is ln over count rationals, midpoint-margin-pinned from
+    the output's own counts (the pattern-(b) ln discipline). Scale
+    posture: the probe label scan + ONE partial+final agg to ≤ 10
+    rows; totals ride a 1-row broadcast. No reference analog."""
+    labeled = quality_linear_probe(spark, sf_dir).select("doc_id", "y")
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), r"[^A-Za-z]+"), lambda w: w != "")
+    x1 = F.least(F.size(ws), F.lit(200)) / F.lit(200.0)
+    binc = F.least(
+        F.greatest(F.floor(x1 * WOE_BINS).cast("bigint"), F.lit(0)),
+        F.lit(WOE_BINS - 1),
+    )
+    feats = labeled.join(docs.select("doc_id", binc.alias("bin")), "doc_id")
+    b = feats.groupBy("bin").agg(
+        F.sum("y").alias("n_pos"),
+        (F.count("*") - F.sum("y")).alias("n_neg"),
+    )
+    t = b.agg(
+        F.sum("n_pos").alias("tot_pos"), F.sum("n_neg").alias("tot_neg")
+    )
+    return b.crossJoin(F.broadcast(t)).selectExpr(*_WOE_OUT)

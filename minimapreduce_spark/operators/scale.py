@@ -1735,50 +1735,36 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # AMS (Tug-of-War) F2 sketch — join/self-join size estimation
 # ---------------------------------------------------------------------------
 
-AMS_D = 8  # independent sign hashes; rse of the mean ≈ sqrt(2/D) ≈ 50%
+AMS_D = 8  # independent sign bits; rse of the mean ≈ sqrt(2/D) ≈ 50%
 
-_AMS_SIGN_SQL = (
-    "(1 - 2 * (CAST(('0x' || substr(md5('ams' || d.d || ':'"
-    " || CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 2))"
+_AMS_HASH60 = (
+    "CAST(('0x' || substr(md5('ams:' || CAST(l_orderkey AS VARCHAR)), 1, 15))"
+    " AS BIGINT)"
 )
 
 
-def ams_sign(d: Column, key: Column) -> Column:
-    """Portable AMS sign: ±1 from the parity of the row-salted 60-bit
-    md5 hash (the ``cms_bucket`` discipline with W = 2, mapped to
-    {+1, −1}) — identical in Spark and DuckDB."""
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit("ams"), d.cast("string"), F.lit(":"), key.cast("string")
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    return F.lit(1) - F.lit(2) * (h % 2)
+def ams_sign(d: int, h: Column) -> Column:
+    """Portable AMS sign d: ±1 from BIT d of the per-key 60-bit md5
+    hash — ONE hash per row feeds all D counters (a first cut salted
+    the hash per d, which put 8 md5s on every row and made the scan
+    md5-bound: 34 s → ~1 scan at the 40× octave; md5's bits are
+    pairwise independent to the precision the F₂ variance argument
+    needs, the same trust the CMS row-salt construction already
+    places in md5's avalanche)."""
+    return F.lit(1) - F.lit(2) * F.shiftright(h, d).bitwiseAND(F.lit(1))
 
 
 @register(
     "sketch_ams_f2_join_size",
     oracle=f"""
-    WITH x AS (
-      SELECT l_returnflag, d.d,
-             CAST(sum({_AMS_SIGN_SQL}) AS BIGINT) AS xd,
-             count(*) AS nr
-      FROM lineitem,
-           (SELECT unnest(generate_series(0, {AMS_D - 1})) AS d) d
-      GROUP BY 1, 2
+    WITH h AS (
+      SELECT l_returnflag, {_AMS_HASH60} AS h FROM lineitem
     ),
     sk AS (
       SELECT l_returnflag,
-             CAST(max(nr) AS BIGINT) AS n_rows,
-             CAST(sum(xd * xd) AS BIGINT) AS ams_sum
-      FROM x GROUP BY 1
+             CAST(count(*) AS BIGINT) AS n_rows,
+             {", ".join(f"CAST(sum(1 - 2 * ((h >> {d}) & 1)) AS BIGINT) AS x{d}" for d in range(AMS_D))}
+      FROM h GROUP BY 1
     ),
     ex AS (
       SELECT l_returnflag, CAST(sum(c * c) AS BIGINT) AS f2_exact
@@ -1786,8 +1772,11 @@ def ams_sign(d: Column, key: Column) -> Column:
             FROM lineitem GROUP BY 1, 2)
       GROUP BY 1
     )
-    SELECT sk.l_returnflag, sk.n_rows, ex.f2_exact, sk.ams_sum,
-           round(CAST(sk.ams_sum AS DOUBLE) / {AMS_D}, 2) AS f2_est
+    SELECT sk.l_returnflag, sk.n_rows, ex.f2_exact,
+           CAST({" + ".join(f"x{d} * x{d}" for d in range(AMS_D))} AS BIGINT)
+             AS ams_sum,
+           round(CAST({" + ".join(f"x{d} * x{d}" for d in range(AMS_D))}
+                      AS DOUBLE) / {AMS_D}, 2) AS f2_est
     FROM sk JOIN ex USING (l_returnflag)
     """,
 )
@@ -1803,33 +1792,39 @@ def sketch_ams_f2_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     X_d = Σ_rows s_d(key), estimate = mean of X_d² — E[X_d²] = F₂
     exactly (pairwise-independent signs cancel cross terms).
 
-    Exactness as always: signs are parity bits of the row-salted
-    portable hash, X_d and Σ X_d² are BIGINT (X_d² ≤ ~10¹⁶ at 640×,
-    inside the envelope), and the single estimate division is shared
-    text — sketch AND estimate hash-match DuckDB. The exact F₂ twin
-    (Σ c² via one per-key agg) is the measured-guarantee column,
-    dropped in production. Mergeability is literal addition: X_d of a
-    union is the sum of shard X_d's (pytest, with the parity invariant
+    Exactness as always: signs are bits of the per-key portable hash
+    (ONE md5 per row serves all D counters — see ``ams_sign``), X_d
+    and Σ X_d² are BIGINT (X_d² ≤ ~10¹⁶ at 640×, inside the envelope),
+    and the single estimate division is shared text — sketch AND
+    estimate hash-match DuckDB. The exact F₂ twin (Σ c² via one
+    per-key agg) is the measured-guarantee column, dropped in
+    production. Mergeability is literal addition: X_d of a union is
+    the sum of shard X_d's (pytest, with the parity invariant
     X_d ≡ n_rows mod 2 pinning the sign algebra).
 
     Scale posture: D longs of state per group at ANY key cardinality;
-    one map-side-combinable agg over rows × D (no per-key grouping —
-    unlike the exact twin, the sketch NEVER shuffles on the key); the
-    rse dial is D (∝ 1/√D). Reference anchor: none — the reference has
-    no cardinality-estimation surface at all."""
+    ONE map-side-combinable agg over the rows — no row multiplication
+    (the D counters are D aggregate columns of one scan), and no
+    per-key grouping: unlike the exact twin, the sketch NEVER shuffles
+    on the key. The rse dial is D (∝ 1/√D). Reference anchor: none —
+    the reference has no cardinality-estimation surface at all."""
     li = load_table(spark, sf_dir, "lineitem")
-    rows = li.select(
-        "l_returnflag",
-        "l_orderkey",
-        F.explode(F.sequence(F.lit(0), F.lit(AMS_D - 1))).alias("d"),
-    )
-    x = rows.groupBy("l_returnflag", "d").agg(
-        F.sum(ams_sign(F.col("d"), F.col("l_orderkey"))).cast("bigint").alias("xd"),
-        F.count("*").alias("nr"),
-    )
-    sk = x.groupBy("l_returnflag").agg(
-        F.max("nr").cast("bigint").alias("n_rows"),
-        F.sum(F.col("xd") * F.col("xd")).cast("bigint").alias("ams_sum"),
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ams:"), F.col("l_orderkey").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    hashed = li.select("l_returnflag", "l_orderkey", h.alias("h"))
+    sk = hashed.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        *[
+            F.sum(ams_sign(d, F.col("h"))).cast("bigint").alias(f"x{d}")
+            for d in range(AMS_D)
+        ],
     )
     ex = (
         li.groupBy("l_returnflag", "l_orderkey")
@@ -1837,13 +1832,14 @@ def sketch_ams_f2_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2_exact"))
     )
+    sq = " + ".join(f"x{d} * x{d}" for d in range(AMS_D))
     return (
         sk.join(ex, "l_returnflag")
         .selectExpr(
             "l_returnflag",
             "n_rows",
             "f2_exact",
-            "ams_sum",
-            f"round(CAST(ams_sum AS DOUBLE) / {AMS_D}, 2) AS f2_est",
+            f"CAST({sq} AS BIGINT) AS ams_sum",
+            f"round(CAST({sq} AS DOUBLE) / {AMS_D}, 2) AS f2_est",
         )
     )

@@ -160,7 +160,10 @@ DRIVER_PRIORITY: list[str] = [
     # module sampled): the LEFT OUTER stream-stream join — finalized
     # null emission — is the one SS join semantic the surface lacked
     "stream_left_outer_views",
-    "stream_psi_drift",                 # streaming.drift
+    # round-7 flagship replaces the streaming.drift canary (that module
+    # is multi-round driver-verified): WOE/IV feature screening — the
+    # pre-training readout of the evaluation suite — under the signal
+    "feature_woe_iv",
     # round-7 flagship replaces the streaming.sketch canary (same
     # module sampled): the streaming HLL completes the streaming-twin
     # discipline across the whole mergeable family under the hard signal

@@ -70,6 +70,7 @@ REPRESENTATIVE = [
     "probe_calibration_bins",
     "probe_kfold_cv",
     "sketch_ams_f2_join_size",
+    "feature_woe_iv",
 ]
 
 

@@ -163,6 +163,8 @@ CANDIDATES = [
     # AMS: ±1 sign sums are plain integer addition — sketch and
     # estimate must be identical at any width
     "sketch_ams_f2_join_size",
+    # WOE/IV: integer bin counts + 1-row totals broadcast
+    "feature_woe_iv",
 ]
 
 

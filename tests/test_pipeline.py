@@ -790,3 +790,39 @@ def test_probe_calibration_bins_identities(spark):
         mask = bins == r.bin
         assert int(mask.sum()) == r.n, r.bin
         assert int(probe.y.to_numpy()[mask].sum()) == r.n_pos, r.bin
+
+
+def test_feature_woe_iv_margins_and_identities(spark):
+    """(a) pattern-(b) ln margin: recompute every WOE/IV ln argument
+    from the registered output's own counts and pin the 6-dp quantized
+    values clear of rounding midpoints; (b) identities: bins partition
+    the corpus, WOE sign agrees with the smoothed share comparison,
+    and a numpy replay of WOE/IV from the counts matches at 6 dp."""
+    import math
+
+    import numpy as np
+
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.operators.pipeline import (
+        WOE_BINS,
+        quality_linear_probe,
+    )
+    from tests.conftest import SF_DIR
+
+    out = q.queries()["feature_woe_iv"](spark, SF_DIR).toPandas()
+    probe = quality_linear_probe(spark, SF_DIR).toPandas()
+    assert int(out.n.sum()) == len(probe)
+    tot_pos, tot_neg = int(out.n_pos.sum()), int(out.n_neg.sum())
+
+    xs = []
+    for _, r in out.iterrows():
+        ps = (r.n_pos + 1.0) / (tot_pos + WOE_BINS)
+        ns = (r.n_neg + 1.0) / (tot_neg + WOE_BINS)
+        woe = math.log(ps / ns)
+        assert abs(round(woe, 6) - r.woe) < 1e-9, r.bin
+        assert abs(round((ps - ns) * woe, 6) - r.iv_term) < 1e-9, r.bin
+        assert (r.woe > 0) == (ps > ns) or r.woe == 0, r.bin
+        xs.append(woe * 1e6)
+        xs.append((ps - ns) * woe * 1e6)
+    margin = np.abs(np.mod(np.array(xs), 1.0) - 0.5).min()
+    assert margin > 1e-9, f"WOE/IV quantization near a midpoint: {margin}"

@@ -226,6 +226,10 @@ WEAK_LIST_FIXED = [
     "sessions_peak_concurrency",
     "surrogate_keys_documents",
     "text_unigram_logprob",
+    # round-7: the two-phase prefix-max (skyline) and prefix-sum (AUC)
+    # consumers — global order, never a single-partition window
+    "skyline_price_size",
+    "probe_auc_roc",
 ]
 
 

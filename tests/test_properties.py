@@ -744,21 +744,30 @@ def test_ams_f2_sketch_properties(spark):
         assert abs(r.f2_est - r.f2_exact) <= 2.0 * r.f2_exact, dict(r)
 
     li = load_table(spark, SF_DIR, "lineitem")
-    rows = li.select(
-        "l_returnflag",
-        "l_orderkey",
-        F.explode(F.sequence(F.lit(0), F.lit(AMS_D - 1))).alias("d"),
-    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ams:"), F.col("l_orderkey").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    rows = li.select("l_returnflag", "l_orderkey", h.alias("h"))
 
     def xds(df):
         return {
-            (r.l_returnflag, r.d): (int(r.xd), int(r.nr))
-            for r in df.groupBy("l_returnflag", "d")
+            (r.l_returnflag, d): (int(r[f"x{d}"]), int(r.nr))
+            for r in df.groupBy("l_returnflag")
             .agg(
-                F.sum(ams_sign(F.col("d"), F.col("l_orderkey"))).alias("xd"),
                 F.count("*").alias("nr"),
+                *[
+                    F.sum(ams_sign(d, F.col("h"))).alias(f"x{d}")
+                    for d in range(AMS_D)
+                ],
             )
             .collect()
+            for d in range(AMS_D)
         }
 
     whole = xds(rows)

@@ -90,6 +90,7 @@ QUERIES = [
     "probe_auc_roc",
     "probe_kfold_cv",
     "probe_calibration_bins",
+    "feature_woe_iv",
 ]
 
 # Excluded past 10×:
