@@ -334,6 +334,9 @@ MONEY_QUERIES = [
     # round-7: AMS F2 at 384M rows — X_d² approaches the documented
     # ~1e16 envelope bound exactly where the probe should stress it
     "sketch_ams_f2_join_size",
+    # round-7: register-form HLL at 64M events — 64 registers per type
+    # regardless; the whole sketch row must be byte-stable vs 1×
+    "sketch_hll_distinct_users",
 ]
 
 # (table, key column, per-replica key offset) — ONE structure drives the
