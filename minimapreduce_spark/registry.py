@@ -168,8 +168,14 @@ DRIVER_PRIORITY: list[str] = [
     # module sampled): the streaming HLL completes the streaming-twin
     # discipline across the whole mergeable family under the hard signal
     "stream_hll_distinct_users",
-    "stream_user_stats_stateful",       # streaming.stateful
-    "stream_upsert_latest_state",       # streaming.upsert
+    # round-7 flagship replaces the streaming.stateful canary (that
+    # module is multi-round driver-verified): the streaming AMS twin
+    # closes "every sketch has a streaming twin" under the hard signal
+    "stream_ams_f2_user_pairs",
+    # round-7 flagship replaces the streaming.upsert canary (that
+    # module is multi-round driver-verified): the declared-grid
+    # streaming quantile histogram is the family's LAST streaming twin
+    "stream_quantile_event_values",
     "stream_static_enrich",             # streaming.windows
     # round-7 flagships (replace the two planned flagship re-checks —
     # a new capability driver-verified beats a fourth re-verification)

@@ -352,3 +352,263 @@ def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "z_reg",
         f"round({_HLL_EST}, 4) AS hll_est",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming AMS F2 — D sign counters per group via built-in streaming agg
+# ---------------------------------------------------------------------------
+
+_SAMS_HASH60 = (
+    "CAST(('0x' || substr(md5('ams:' || CAST(user_id AS VARCHAR)), 1, 15))"
+    " AS BIGINT)"
+)
+
+
+def _stream_ams_oracle() -> str:
+    from minimapreduce_spark.operators.scale import AMS_D
+
+    sq = " + ".join(f"x{d} * x{d}" for d in range(AMS_D))
+    xs = ", ".join(
+        f"CAST(sum(1 - 2 * ((h >> {d}) & 1)) AS BIGINT) AS x{d}"
+        for d in range(AMS_D)
+    )
+    return f"""
+    WITH h AS (
+      SELECT event_type, user_id, {_SAMS_HASH60} AS h FROM events
+    ),
+    sk AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows, {xs}
+      FROM h GROUP BY 1
+    ),
+    ex AS (
+      SELECT event_type, CAST(sum(c * c) AS BIGINT) AS f2_exact
+      FROM (SELECT event_type, user_id, count(*) AS c
+            FROM events GROUP BY 1, 2)
+      GROUP BY 1
+    )
+    SELECT sk.event_type, sk.n_rows, ex.f2_exact,
+           CAST({sq} AS BIGINT) AS ams_sum,
+           round(CAST({sq} AS DOUBLE) / {AMS_D}, 2) AS f2_est
+    FROM sk JOIN ex USING (event_type)
+    """
+
+
+@register("stream_ams_f2_user_pairs", oracle=_stream_ams_oracle())
+def stream_ams_f2_user_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING AMS F₂: the D = 8 sign counters accumulate by a plain
+    streaming aggregation across real micro-batches — X_d is a SUM, so
+    the built-in agg IS the merge (the CMS twin's deployment shape; no
+    custom state needed), and the drained counters are bit-identical
+    to the batch sketch over the same events. Estimates the self-join
+    size of the user column per event type on a live stream — Σ c_u²,
+    the number that prices any downstream per-user pairing
+    (sessionization, same-user joins) BEFORE running it. With this the
+    whole mergeable family carries a streaming twin: CMS and AMS fold
+    by built-in addition, KMV and HLL by custom bounded state.
+
+    Kernel all-integer (ONE md5 per row, signs from 8 hash bits —
+    `ams_sign`); the estimate division and the exact-F₂ twin (the
+    per-key number a bounded sketch cannot know) run batch-side after
+    the drain, mirroring the KMV/HLL twins' honesty about what the
+    sketch alone provides. State: 1 + D longs per group at ANY user
+    cardinality — the joint-cheapest stateful shape in the module
+    alongside the batch CMS row.
+
+    Scale posture: each micro-batch contributes map-side-combined
+    partials; complete-mode output is |groups| rows per trigger.
+    Production emits the running estimate per trigger; the drain
+    exists for the exact batch-oracle compare."""
+    from minimapreduce_spark.operators.scale import AMS_D, ams_sign
+
+    sdf = events_stream_sharded(spark, sf_dir, n_shards=4)
+    hashed = sdf.select(
+        "event_type",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ams:"), F.col("user_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    counters = hashed.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        *[
+            F.sum(ams_sign(d, F.col("h"))).cast("bigint").alias(f"x{d}")
+            for d in range(AMS_D)
+        ],
+    )
+    drained = run_to_memory(counters, "ams_stream", "complete")
+
+    ev = load_table(spark, sf_dir, "events")
+    ex = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("c"))
+        .groupBy("event_type")
+        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2_exact"))
+    )
+    sq = " + ".join(f"x{d} * x{d}" for d in range(AMS_D))
+    return (
+        drained.join(ex, "event_type")
+        .selectExpr(
+            "event_type",
+            "n_rows",
+            "f2_exact",
+            f"CAST({sq} AS BIGINT) AS ams_sum",
+            f"round(CAST({sq} AS DOUBLE) / {AMS_D}, 2) AS f2_est",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming quantile sketch — declared-grid histogram in streaming state
+# ---------------------------------------------------------------------------
+
+SQ_B = 128            # histogram buckets (state bound, as in the batch twin)
+SQ_LO_U = 0           # DECLARED grid lower bound (1e-4 dollar units)
+SQ_SPAN_U = 10_000_000  # DECLARED span: $0 .. $1000 in 1e-4 units
+SQ_PCTS = (1, 5, 25, 50, 75, 90, 99)
+
+# Spark parses DIV, DuckDB //; both floor on the nonnegative operands
+# that survive the clamp (for negative out-of-range units the two
+# differ — trunc vs floor — but greatest(..., 0) collapses both to
+# bucket 0, so the clamped results are identical by construction).
+_SQ_BUCKET_SPARK = (
+    f"least(greatest((CAST(round(value * 10000) AS BIGINT) - {SQ_LO_U})"
+    f" * {SQ_B} DIV {SQ_SPAN_U}, 0), {SQ_B - 1})"
+)
+
+
+def _stream_quantile_oracle() -> str:
+    return f"""
+    WITH u AS (
+      SELECT CAST(round(value * 10000) AS BIGINT) AS units FROM events
+    ),
+    n AS (SELECT count(*) AS n FROM u),
+    pcts(pct) AS (VALUES {", ".join(f"({p})" for p in SQ_PCTS)}),
+    sk AS (
+      SELECT least(greatest((units - {SQ_LO_U}) * {SQ_B} // {SQ_SPAN_U}, 0),
+                   {SQ_B - 1}) AS bucket,
+             count(*) AS cnt
+      FROM u GROUP BY 1
+    ),
+    cdf AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM sk),
+    targets AS (SELECT pct, (pct * n.n + 99) // 100 AS target, n.n FROM pcts, n),
+    est AS (
+      SELECT t.pct, t.n, t.target, min(cdf.bucket) AS bucket
+      FROM targets t JOIN cdf ON cdf.cum >= t.target
+      GROUP BY 1, 2, 3
+    ),
+    vals AS (SELECT units, count(*) AS vcnt FROM u GROUP BY 1),
+    vcdf AS (SELECT units, sum(vcnt) OVER (ORDER BY units) AS cum FROM vals),
+    exact AS (
+      SELECT t.pct, min(v.units) AS exact_units
+      FROM targets t JOIN vcdf v ON v.cum >= t.target GROUP BY 1
+    )
+    SELECT CAST(e.pct AS INT) AS pct,
+           CAST(e.n AS BIGINT) AS n,
+           CAST(e.target AS BIGINT) AS target_rank,
+           CAST(x.exact_units AS BIGINT) AS exact_units,
+           CAST(e.bucket AS INT) AS bucket,
+           CAST({SQ_LO_U} + e.bucket * {SQ_SPAN_U} // {SQ_B} AS BIGINT)
+             AS est_lo_units,
+           CAST({SQ_LO_U} + (e.bucket + 1) * {SQ_SPAN_U} // {SQ_B} - 1
+                AS BIGINT) AS est_hi_units
+    FROM est e JOIN exact x USING (pct)
+    """
+
+
+@register("stream_quantile_event_values", oracle=_stream_quantile_oracle())
+def stream_quantile_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING quantile sketch — the LAST member of the mergeable
+    family to get its streaming twin (CMS/AMS fold by built-in sums,
+    KMV/HLL by custom bounded state; a histogram is again a built-in
+    streaming count per bucket): event values bucketed on a DECLARED
+    integer grid ($0..$1000 in 1e-4 units, {SQ_B} buckets) accumulate
+    in streaming state across real micro-batches, and the drained
+    ≤{SQ_B}-row histogram answers p1..p99 with the batch twin's
+    guaranteed one-bucket brackets.
+
+    The DECLARED grid is the one honest difference from the batch
+    `sketch_quantile_prices`, and it is the production difference: a
+    stream cannot peek min/max before choosing bounds, so the grid is
+    part of the monitor's contract and out-of-range values CLAMP into
+    the edge buckets (both engines share the clamp text; the bracket
+    guarantee holds for in-range data — the fixture is fully in-range,
+    which the pytest asserts along with the bracket theorem per pct).
+    Estimates, targets (ceil-rank), bucket edges: all integer; the
+    exact-quantile twin runs batch-side (two-phase running sum over
+    the distinct-value frame) as the measured-guarantee column the
+    sketch alone cannot know.
+
+    Scale posture: streaming state ≤ {SQ_B} longs per (implicit
+    global) group — groupable by any key at the same bound; per-trigger
+    output is the histogram row set; the quantile probe is a
+    ≤{SQ_B}-row bounded computation after the drain."""
+    from minimapreduce_spark.operators.ordered import (
+        bounded_ordered,
+        with_global_running_sum,
+    )
+    from pyspark.sql.window import Window as W
+
+    sdf = events_stream_sharded(spark, sf_dir, n_shards=4)
+    counters_stream = (
+        sdf.selectExpr(f"{_SQ_BUCKET_SPARK} AS bucket")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sk = run_to_memory(counters_stream, "quantile_stream", "complete")
+
+    ev = load_table(spark, sf_dir, "events")
+    vals = (
+        ev.selectExpr("CAST(round(value * 10000) AS BIGINT) AS units")
+        .groupBy("units")
+        .agg(F.count("*").alias("vcnt"))
+        .localCheckpoint(eager=False)
+    )
+    n_row = vals.agg(F.sum("vcnt").alias("n")).head()
+    n = 0 if n_row.n is None else int(n_row.n)
+    if n == 0:
+        return spark.createDataFrame(
+            [],
+            "pct int, n bigint, target_rank bigint, exact_units bigint, "
+            "bucket int, est_lo_units bigint, est_hi_units bigint",
+        )
+    one, w = bounded_ordered(sk, "bucket")
+    cdf = one.select(
+        "bucket",
+        F.sum("cnt")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"),
+    )
+    targets = spark.createDataFrame(
+        [(p, (p * n + 99) // 100) for p in SQ_PCTS], "pct: int, target: bigint"
+    )
+    est = (
+        cdf.join(F.broadcast(targets), F.col("cum") >= F.col("target"))
+        .groupBy("pct", "target")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    vcdf = with_global_running_sum(vals, [F.col("units")], F.col("vcnt"), out="cum")
+    exact = (
+        vcdf.join(F.broadcast(targets), F.col("cum") >= F.col("target"))
+        .groupBy("pct")
+        .agg(F.min("units").alias("exact_units"))
+    )
+    return est.join(exact, "pct").select(
+        F.col("pct").cast("int").alias("pct"),
+        F.lit(n).cast("bigint").alias("n"),
+        F.col("target").cast("bigint").alias("target_rank"),
+        F.col("exact_units").cast("bigint").alias("exact_units"),
+        F.col("bucket").cast("int").alias("bucket"),
+        F.expr(f"{SQ_LO_U}L + bucket * {SQ_SPAN_U}L DIV {SQ_B}")
+        .cast("bigint")
+        .alias("est_lo_units"),
+        F.expr(f"{SQ_LO_U}L + (bucket + 1) * {SQ_SPAN_U}L DIV {SQ_B} - 1")
+        .cast("bigint")
+        .alias("est_hi_units"),
+    )

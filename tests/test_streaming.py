@@ -562,3 +562,100 @@ def test_stream_left_outer_contract(spark):
     assert emitted == set(unmatched[unmatched.finalized].view_id)
     withheld = set(unmatched[~unmatched.finalized].view_id)
     assert withheld and not (withheld & emitted)
+
+
+def test_stream_ams_counters_bit_identical_to_batch(spark):
+    """The streaming AMS twin's contract: the drained sign counters
+    equal a batch computation of the same X_d over the same events
+    (sum is the merge — additivity is the whole theorem), and the
+    registered output's ams_sum/f2_est satisfy the parity invariant
+    X_d ≡ n_rows (mod 2) indirectly via ams_sum ≡ D·n_rows (mod 2)...
+    pinned directly: recompute X_d batch-side and compare."""
+    from pyspark.sql import functions as F
+
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.catalog import load_table
+    from minimapreduce_spark.operators.scale import AMS_D, ams_sign
+    from tests.conftest import SF_DIR
+
+    out = q.queries()["stream_ams_f2_user_pairs"](spark, SF_DIR).toPandas()
+    ev = load_table(spark, SF_DIR, "events")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ams:"), F.col("user_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    batch = (
+        ev.select("event_type", h.alias("h"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            *[
+                F.sum(ams_sign(d, F.col("h"))).alias(f"x{d}")
+                for d in range(AMS_D)
+            ],
+        )
+        .toPandas()
+        .set_index("event_type")
+    )
+    for _, r in out.iterrows():
+        b = batch.loc[r.event_type]
+        assert int(r.n_rows) == int(b.n_rows), r.event_type
+        ams = sum(int(b[f"x{d}"]) ** 2 for d in range(AMS_D))
+        assert int(r.ams_sum) == ams, r.event_type
+        assert r.f2_est == round(ams / AMS_D, 2), r.event_type
+
+
+def test_stream_quantile_histogram_bit_identical_and_brackets(spark):
+    """The streaming quantile twin's contract: (a) the drained
+    declared-grid histogram equals the batch bucketization of the same
+    events bit-for-bit (streaming count IS the merge); (b) the fixture
+    is fully in-range for the declared $0..$1000 grid (so the bracket
+    guarantee applies, no clamping occurred); (c) the bracket theorem —
+    est_lo ≤ exact ≤ est_hi for every pct."""
+    from pyspark.sql import functions as F
+
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.catalog import load_table
+    from minimapreduce_spark.streaming.sketch import SQ_B, SQ_LO_U, SQ_SPAN_U
+    from tests.conftest import SF_DIR
+
+    out = q.queries()["stream_quantile_event_values"](spark, SF_DIR).toPandas()
+    assert ((out.est_lo_units <= out.exact_units)
+            & (out.exact_units <= out.est_hi_units)).all()
+
+    ev = load_table(spark, SF_DIR, "events")
+    units = ev.selectExpr("CAST(round(value * 10000) AS BIGINT) AS u")
+    lohi = units.agg(F.min("u").alias("lo"), F.max("u").alias("hi")).head()
+    assert lohi.lo >= SQ_LO_U and lohi.hi < SQ_LO_U + SQ_SPAN_U  # in-range
+
+    batch_hist = {
+        r.bucket: r.cnt
+        for r in units.selectExpr(
+            f"least(greatest((u - {SQ_LO_U}) * {SQ_B} DIV {SQ_SPAN_U}, 0),"
+            f" {SQ_B - 1}) AS bucket"
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    from minimapreduce_spark.streaming.source import (
+        events_stream_sharded,
+        run_to_memory,
+    )
+    from minimapreduce_spark.streaming.sketch import _SQ_BUCKET_SPARK
+
+    sdf = events_stream_sharded(spark, SF_DIR, n_shards=4)
+    drained = run_to_memory(
+        sdf.selectExpr(f"{_SQ_BUCKET_SPARK} AS bucket")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt")),
+        "quantile_stream_test",
+        "complete",
+    ).collect()
+    stream_hist = {r.bucket: r.cnt for r in drained}
+    assert stream_hist == batch_hist

@@ -300,6 +300,8 @@ RELATIONAL_QUERIES = [
     # micro-batches at fixture scale — bounded state at 16M events
     "stream_cms_heavy_hitters",
     "stream_kmv_distinct_users",
+    "stream_ams_f2_user_pairs",
+    "stream_quantile_event_values",
 ]
 
 RELATIONAL_TABLES = (
