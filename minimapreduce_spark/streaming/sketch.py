@@ -205,55 +205,6 @@ def stream_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Streaming HLL — 64 registers per group in the state store
 # ---------------------------------------------------------------------------
 
-_HLL_OUT_SCHEMA = (
-    "event_type string, v_zero bigint, sum_rho bigint, z_reg bigint, n_rows bigint"
-)
-_HLL_STATE_SCHEMA = "regs array<int>, n_rows bigint"
-
-
-def _hll_update_factory(m: int, p: int):
-    """applyInPandasWithState kernel: per-group state is the m HLL
-    registers (index j = h mod m, value = max first-1-bit rank of the
-    54-bit hash suffix; 0 = empty) plus the processed-row counter that
-    selects the final emission batch-side. Folding a micro-batch is the
-    HLL merge itself — element-wise max — so the drained state is
-    bit-identical to the batch registers (python's int.bit_length() IS
-    length(bin(w)): both count to the highest set bit). The kernel also
-    emits the exact integer Z·2⁵⁵ so the estimator stays one shared-text
-    division JVM-side after the drain."""
-
-    def update(key, pdfs, state):
-        import pandas as pd
-
-        if state.exists:
-            regs, n_rows = list(state.get[0]), int(state.get[1])
-        else:
-            regs, n_rows = [0] * m, 0
-        for pdf in pdfs:
-            n_rows += len(pdf)
-            for h in pdf["h"]:
-                h = int(h)
-                w = h >> p
-                rho = 55 if w == 0 else 55 - w.bit_length()
-                j = h % m
-                if rho > regs[j]:
-                    regs[j] = rho
-        state.update((regs, n_rows))
-        v_zero = sum(1 for r in regs if r == 0)
-        z_reg = sum(1 << (55 - r) for r in regs if r > 0) + v_zero * (1 << 55)
-        yield pd.DataFrame(
-            {
-                "event_type": [key[0]],
-                "v_zero": [v_zero],
-                "sum_rho": [sum(regs)],
-                "z_reg": [z_reg],
-                "n_rows": [n_rows],
-            }
-        )
-
-    return update
-
-
 def _stream_hll_oracle() -> str:
     from minimapreduce_spark.operators.scale import (
         _HLL_EST,
@@ -289,32 +240,31 @@ def _stream_hll_oracle() -> str:
 
 @register("stream_hll_distinct_users", oracle=_stream_hll_oracle())
 def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING HyperLogLog: the 64-register sketch lives in the state
-    store per event_type and folds each real micro-batch by
-    element-wise register max — the HLL merge operation itself — so the
-    drained state is BIT-IDENTICAL to the batch
+    """STREAMING HyperLogLog: the 64 registers per event_type live in
+    STREAMING-AGGREGATION state — register update is max(rho) per
+    (group, register), and max is algebraic, so the built-in streaming
+    agg IS the HLL merge. (A first cut used an applyInPandasWithState
+    kernel; profiling the 160× octave showed its wall was Arrow-
+    shipping every row to Python, and the kernel was pure max — so the
+    custom-state lane is reserved for state built-ins can't express,
+    KMV's bottom-K, and HLL rides the CMS lane: 42 s → built-in.) The
+    drained register frame is BIT-IDENTICAL to the batch
     ``sketch_hll_distinct_users`` registers over the same events
-    (pytest asserts register-by-register), and the shared estimator
-    text reads the same number off either engine. Completes the
-    streaming-twin discipline across the whole mergeable family: CMS
-    (built-in streaming sum), KMV (bottom-K custom state), and now the
-    register sketch every production monitor actually deploys.
+    (pytest asserts register by register), and the rollup + shared
+    estimator text read the same numbers off either engine.
 
-    The kernel is all-integer (registers, v_zero, Σrho, the exact
-    Z·2⁵⁵); the only doubles are the post-drain shared-text division
-    and the margin-pinned small-range ln. The oracle is the batch HLL
-    SQL minus its n_exact column — the number a bounded sketch cannot
-    know (same honesty as the KMV twin).
+    Everything is integer until the post-drain shared-text division
+    (and the margin-pinned small-range ln). The oracle is the batch
+    HLL SQL minus its n_exact column — the number a bounded sketch
+    cannot know (same honesty as the KMV twin).
 
-    Scale posture: state = 64 small ints per group at ANY cardinality —
-    the cheapest stateful operator in the module; each micro-batch
-    ships one Arrow frame per group; estimator join over |groups| rows.
-    Production emits the running estimate per trigger; the memory-sink
-    drain exists to compare against the batch oracle exactly."""
-    from pyspark.sql.streaming.state import GroupStateTimeout
-    from pyspark.sql.window import Window as W
-
-    from minimapreduce_spark.operators.scale import _HLL_EST, HLL_M, HLL_P
+    Scale posture: streaming state = ≤64 tiny rows per group at ANY
+    cardinality, map-side-combined per micro-batch — jointly with the
+    streaming CMS the cheapest stateful operator in the module; the
+    rollup and estimator run over |groups|×64 drained rows. Production
+    emits the running estimate per trigger; the memory-sink drain
+    exists to compare against the batch oracle exactly."""
+    from minimapreduce_spark.operators.scale import _HLL_EST, HLL_M, hll_rho
 
     sdf = events_stream_sharded(spark, sf_dir, n_shards=4)
     hashed = sdf.select(
@@ -331,21 +281,32 @@ def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("h"),
     )
-    updates = hashed.groupBy("event_type").applyInPandasWithState(
-        _hll_update_factory(HLL_M, HLL_P),
-        outputStructType=_HLL_OUT_SCHEMA,
-        stateStructType=_HLL_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    regs_stream = (
+        hashed.select(
+            "event_type",
+            (F.col("h") % HLL_M).alias("j"),
+            hll_rho(F.col("h")).alias("rho"),
+        )
+        .groupBy("event_type", "j")
+        .agg(F.max("rho").alias("mj"))
     )
-    drained = run_to_memory(updates, "hll_stream", "update")
-    w = W.partitionBy("event_type").orderBy(F.desc("n_rows"))
-    final = (
-        drained.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn", "n_rows")
+    regs = run_to_memory(regs_stream, "hll_stream", "complete")
+    roll = regs.groupBy("event_type").agg(
+        F.count("*").alias("nj"),
+        F.sum(F.expr("CAST(pow(2.0, 55 - mj) AS BIGINT)")).alias("zp"),
+        F.sum("mj").cast("bigint").alias("sum_rho"),
     )
-    return final.selectExpr(
+    return roll.select(
+        "event_type",
+        (F.lit(HLL_M) - F.col("nj")).cast("bigint").alias("v_zero"),
+        "sum_rho",
+        (
+            F.col("zp")
+            + (F.lit(HLL_M) - F.col("nj")) * F.lit(36028797018963968)
+        )
+        .cast("bigint")
+        .alias("z_reg"),
+    ).selectExpr(
         "event_type",
         "v_zero",
         "sum_rho",
@@ -403,8 +364,9 @@ def stream_ams_f2_user_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     size of the user column per event type on a live stream — Σ c_u²,
     the number that prices any downstream per-user pairing
     (sessionization, same-user joins) BEFORE running it. With this the
-    whole mergeable family carries a streaming twin: CMS and AMS fold
-    by built-in addition, KMV and HLL by custom bounded state.
+    whole mergeable family carries a streaming twin: CMS, AMS, and the
+    HLL register max fold by built-in streaming aggregation, KMV by
+    custom bounded state (bottom-K is not a built-in aggregate).
 
     Kernel all-integer (ONE md5 per row, signs from 8 hash bits —
     `ams_sign`); the estimate division and the exact-F₂ twin (the
@@ -525,9 +487,9 @@ def _stream_quantile_oracle() -> str:
 @register("stream_quantile_event_values", oracle=_stream_quantile_oracle())
 def stream_quantile_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING quantile sketch — the LAST member of the mergeable
-    family to get its streaming twin (CMS/AMS fold by built-in sums,
-    KMV/HLL by custom bounded state; a histogram is again a built-in
-    streaming count per bucket): event values bucketed on a DECLARED
+    family to get its streaming twin (CMS/AMS/HLL fold by built-in
+    streaming aggregation, KMV by custom bounded state; a histogram is
+    again a built-in streaming count per bucket): event values bucketed on a DECLARED
     integer grid ($0..$1000 in 1e-4 units, {SQ_B} buckets) accumulate
     in streaming state across real micro-batches, and the drained
     ≤{SQ_B}-row histogram answers p1..p99 with the batch twin's

