@@ -1843,3 +1843,225 @@ def sketch_ams_f2_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"round(CAST({sq} AS DOUBLE) / {AMS_D}, 2) AS f2_est",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — mergeable membership sketch, exactly reproducible
+# ---------------------------------------------------------------------------
+
+BLOOM_WORDS = 16       # bitset = 16 BIGINT words
+BLOOM_WORD_BITS = 62   # usable bits per word (DuckDB's checked << caps at 61)
+BLOOM_M = BLOOM_WORDS * BLOOM_WORD_BITS  # 992 positions
+BLOOM_K = 4            # positions per key — 4 disjoint 15-bit hash fields
+BLOOM_GHOSTS = 200     # disjoint non-member probe set (measures FPR)
+
+_BLOOM_HASH60 = (
+    "CAST(('0x' || substr(md5('bloom:' || k), 1, 15)) AS BIGINT)"
+)
+# position i = the i-th 15-bit field of the ONE 60-bit hash, mod M
+# (the AMS lesson: one md5 per key serves all K positions)
+_BLOOM_IDX = "(((h >> (15 * i.i)) & 32767) % 992)"
+
+
+def bloom_positions() -> Column:
+    """Position i in [0, BLOOM_M) from the shared 60-bit hash — reads
+    the columns ``h`` and ``i`` (F.shiftright only takes a literal
+    shift, so the column-shift goes through expression text)."""
+    return F.expr(f"(shiftright(h, CAST(i * 15 AS INT)) & 32767) % {BLOOM_M}")
+
+
+@register(
+    "sketch_bloom_membership",
+    oracle=f"""
+    WITH keys AS (
+      SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS k FROM events
+    ),
+    kh AS (SELECT event_type, k, {_BLOOM_HASH60} AS h FROM keys),
+    ii AS (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS i),
+    pos AS (
+      SELECT event_type, {_BLOOM_IDX} AS idx FROM kh, ii i
+    ),
+    sk AS (
+      SELECT event_type, idx // {BLOOM_WORD_BITS} AS word,
+             bit_or(1::BIGINT << (idx % {BLOOM_WORD_BITS})) AS bits
+      FROM pos GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT s.event_type, n.n_keys,
+             CAST(sum(bit_count(s.bits)) AS BIGINT) AS bits_set
+      FROM sk s JOIN (SELECT event_type, count(*) AS n_keys
+                      FROM keys GROUP BY 1) n USING (event_type)
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT event_type, k, 1 AS is_member FROM keys
+      WHERE CAST(k AS BIGINT) % 29 = 0
+      UNION ALL
+      SELECT t.event_type, 'ghost:' || g.g AS k, 0 AS is_member
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT unnest(generate_series(0, {BLOOM_GHOSTS - 1})) AS g) g
+    ),
+    ppos AS (
+      SELECT p.event_type, p.k, p.is_member,
+             {_BLOOM_IDX} AS idx
+      FROM (SELECT event_type, k, is_member, {_BLOOM_HASH60} AS h
+            FROM probes) p, ii i
+    ),
+    ptest AS (
+      SELECT p.event_type, p.k, p.is_member,
+             min(CASE WHEN s.bits IS NOT NULL
+                       AND (s.bits & (1::BIGINT
+                            << (p.idx % {BLOOM_WORD_BITS}))) <> 0
+                      THEN 1 ELSE 0 END) AS hit
+      FROM ppos p LEFT JOIN sk s
+        ON s.event_type = p.event_type
+       AND s.word = p.idx // {BLOOM_WORD_BITS}
+      GROUP BY 1, 2, 3
+    )
+    SELECT st.event_type,
+           st.n_keys,
+           st.bits_set,
+           CAST(sum(CASE WHEN t.is_member = 1 THEN 1 END) AS BIGINT)
+             AS n_member_probes,
+           CAST(sum(CASE WHEN t.is_member = 1 AND t.hit = 1 THEN 1 END)
+                AS BIGINT) AS members_found,
+           CAST(sum(CASE WHEN t.is_member = 0 AND t.hit = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS ghost_fp,
+           round(CAST(sum(CASE WHEN t.is_member = 0 AND t.hit = 1
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / {BLOOM_GHOSTS}, 6) AS fpr
+    FROM ptest t JOIN stats st USING (event_type)
+    GROUP BY 1, 2, 3
+    """,
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM FILTER as a first-class mergeable sketch (Bloom 1970) —
+    the membership member of the family: KMV/HLL answer "how many
+    distinct", CMS "how often", AMS "how big a join", the quantile
+    histogram "where do values sit"; THIS answers "might key x be in
+    the set" from BLOOM_WORDS BIGINTs per group, with NO false
+    negatives (the theorem) and a measured false-positive rate. The
+    100 TB uses are everywhere in this repo's domain: semijoin pruning
+    before a shuffle (`join_bloom_pruned_revenue` uses Catalyst's
+    internal one — this is the portable, cross-engine-exact form),
+    "have we crawled this URL" pre-filters in incremental dedup, and
+    shard-level key membership for partition pruning.
+
+    Construction, exactly reproducible end to end: per event_type the
+    DISTINCT user keys each set BLOOM_K = 4 positions — the 4 disjoint
+    15-bit fields of ONE 60-bit md5 (the AMS one-hash lesson) mod
+    BLOOM_M = 992; the bitset is 16 62-bit words (62, not 64: DuckDB's
+    checked shift caps at 1<<61) built by bit_or — a bitwise OR is
+    order-free and IS the Bloom merge, which the shard pytest proves
+    word by word. Probes: every true member with user_id ≡ 0 (mod 29)
+    (all must hit — no-false-negative, pinned) and 200 disjoint
+    'ghost:i' keys (hits = measured FPR, reported alongside the
+    sketch's fill ratio bits_set/992; with n≈150 keys per type, fill
+    ≈ 45% and expected FPR ≈ fill^4 ≈ 4% — the pytest bands the
+    measurement against the formula).
+
+    Scale posture: build = one distinct + one 4-way position explode +
+    a bit_or agg to ≤ groups×16 words (map-side-combinable); probes
+    join against the broadcast word frame. Everything integer/boolean
+    except the one shared-text FPR division. Reference anchor: none —
+    the reference has no membership surface."""
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.select(
+        "event_type", F.col("user_id").cast("string").alias("k")
+    ).distinct().localCheckpoint(eager=False)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("bloom:"), F.col("k"))), 1, 15), 16, 10
+    ).cast("bigint")
+    kh = keys.select("event_type", "k", h.alias("h"))
+    pos = kh.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("i"),
+        "h",
+    ).select("event_type", bloom_positions().alias("idx"))
+    sk = (
+        pos.groupBy(
+            "event_type", (F.col("idx") / BLOOM_WORD_BITS).cast("bigint").alias("word")
+        )
+        .agg(
+            F.bit_or(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(idx % {BLOOM_WORD_BITS} AS INT))")
+            ).alias("bits")
+        )
+        .localCheckpoint(eager=False)
+    )
+    stats = (
+        sk.groupBy("event_type")
+        .agg(F.sum(F.bit_count("bits")).cast("bigint").alias("bits_set"))
+        .join(
+            keys.groupBy("event_type").agg(F.count("*").alias("n_keys")),
+            "event_type",
+        )
+    )
+    members = keys.where(F.col("k").cast("bigint") % 29 == 0).select(
+        "event_type", "k", F.lit(1).alias("is_member")
+    )
+    ghosts = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(BLOOM_GHOSTS).select(
+                F.concat(F.lit("ghost:"), F.col("id").cast("string")).alias("k")
+            )
+        )
+        .select("event_type", "k", F.lit(0).alias("is_member"))
+    )
+    probes = members.unionByName(ghosts)
+    ptest = (
+        probes.select(
+            "event_type", "k", "is_member",
+            h.alias("h"),
+        )
+        .select(
+            "event_type", "k", "is_member",
+            F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("i"),
+            "h",
+        )
+        .select(
+            "event_type", "k", "is_member", bloom_positions().alias("idx")
+        )
+        .withColumn("word", (F.col("idx") / BLOOM_WORD_BITS).cast("bigint"))
+        .join(F.broadcast(sk), ["event_type", "word"], "left")
+        .withColumn(
+            "bit_hit",
+            F.when(
+                F.col("bits").isNotNull()
+                & (
+                    F.col("bits").bitwiseAND(
+                        F.expr(
+                            f"shiftleft(CAST(1 AS BIGINT), CAST(idx % {BLOOM_WORD_BITS} AS INT))"
+                        )
+                    )
+                    != 0
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("event_type", "k", "is_member")
+        .agg(F.min("bit_hit").alias("hit"))
+    )
+    agg = ptest.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_member") == 1, 1)).cast("bigint").alias("n_member_probes"),
+        F.sum(F.when((F.col("is_member") == 1) & (F.col("hit") == 1), 1))
+        .cast("bigint")
+        .alias("members_found"),
+        F.sum(F.when((F.col("is_member") == 0) & (F.col("hit") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ghost_fp"),
+    )
+    return (
+        stats.join(agg, "event_type")
+        .selectExpr(
+            "event_type",
+            "CAST(n_keys AS BIGINT) AS n_keys",
+            "bits_set",
+            "n_member_probes",
+            "members_found",
+            "ghost_fp",
+            f"round(CAST(ghost_fp AS DOUBLE) / {BLOOM_GHOSTS}, 6) AS fpr",
+        )
+    )

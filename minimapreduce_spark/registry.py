@@ -126,7 +126,10 @@ DRIVER_PRIORITY: list[str] = [
     # operators.pipeline — the round-7 data-valuation flagship replaces
     # the planned gdpr_erase_cascade canary (same module sampled)
     "source_influence_loo",
-    "q1_pricing_summary",               # operators.relational (+ money grid)
+    # round-7 flagship replaces the relational canary (q1 is the most
+    # driver-verified query in the repo): the portable Bloom filter —
+    # the membership member of the sketch family — under the signal
+    "sketch_bloom_membership",
     # round-7 flagship replaces the semantics canary (that module is
     # multi-round driver-verified): the exact tied-rank AUC readout
     # closes the train→value→evaluate loop under the hard signal
@@ -176,7 +179,10 @@ DRIVER_PRIORITY: list[str] = [
     # module is multi-round driver-verified): the declared-grid
     # streaming quantile histogram is the family's LAST streaming twin
     "stream_quantile_event_values",
-    "stream_static_enrich",             # streaming.windows
+    # round-7 flagship replaces the streaming.windows canary (that
+    # module is multi-round driver-verified): the streaming Bloom —
+    # the idempotent-OR twin that needs no dedup state
+    "stream_bloom_membership",
     # round-7 flagships (replace the two planned flagship re-checks —
     # a new capability driver-verified beats a fourth re-verification)
     "bitext_margin_mining",

@@ -574,3 +574,200 @@ def stream_quantile_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("est_hi_units"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Bloom filter — bitset words per group via built-in bit_or agg
+# ---------------------------------------------------------------------------
+
+
+def _stream_bloom_oracle() -> str:
+    from minimapreduce_spark.operators.scale import (
+        BLOOM_GHOSTS,
+        BLOOM_K,
+        BLOOM_M,
+        BLOOM_WORD_BITS,
+    )
+
+    hash60 = "CAST(('0x' || substr(md5('bloom:' || k), 1, 15)) AS BIGINT)"
+    idx = f"(((h >> (15 * i.i)) & 32767) % {BLOOM_M})"
+    return f"""
+    WITH keys AS (
+      SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS k FROM events
+    ),
+    kh AS (SELECT event_type, k, {hash60} AS h FROM keys),
+    ii AS (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS i),
+    pos AS (SELECT event_type, {idx} AS idx FROM kh, ii i),
+    sk AS (
+      SELECT event_type, idx // {BLOOM_WORD_BITS} AS word,
+             bit_or(1::BIGINT << (idx % {BLOOM_WORD_BITS})) AS bits
+      FROM pos GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, CAST(sum(bit_count(bits)) AS BIGINT) AS bits_set
+      FROM sk GROUP BY 1
+    ),
+    probes AS (
+      SELECT event_type, k, 1 AS is_member FROM keys
+      WHERE CAST(k AS BIGINT) % 29 = 0
+      UNION ALL
+      SELECT t.event_type, 'ghost:' || g.g AS k, 0 AS is_member
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT unnest(generate_series(0, {BLOOM_GHOSTS - 1})) AS g) g
+    ),
+    ppos AS (
+      SELECT p.event_type, p.k, p.is_member, {idx} AS idx
+      FROM (SELECT event_type, k, is_member, {hash60} AS h FROM probes) p, ii i
+    ),
+    ptest AS (
+      SELECT p.event_type, p.k, p.is_member,
+             min(CASE WHEN s.bits IS NOT NULL
+                       AND (s.bits & (1::BIGINT
+                            << (p.idx % {BLOOM_WORD_BITS}))) <> 0
+                      THEN 1 ELSE 0 END) AS hit
+      FROM ppos p LEFT JOIN sk s
+        ON s.event_type = p.event_type
+       AND s.word = p.idx // {BLOOM_WORD_BITS}
+      GROUP BY 1, 2, 3
+    )
+    SELECT st.event_type,
+           st.bits_set,
+           CAST(sum(CASE WHEN t.is_member = 1 THEN 1 END) AS BIGINT)
+             AS n_member_probes,
+           CAST(sum(CASE WHEN t.is_member = 1 AND t.hit = 1 THEN 1 END)
+                AS BIGINT) AS members_found,
+           CAST(sum(CASE WHEN t.is_member = 0 AND t.hit = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS ghost_fp,
+           round(CAST(sum(CASE WHEN t.is_member = 0 AND t.hit = 1
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / {BLOOM_GHOSTS}, 6) AS fpr
+    FROM ptest t JOIN stats st USING (event_type)
+    GROUP BY 1, 2
+    """
+
+
+@register("stream_bloom_membership", oracle=_stream_bloom_oracle())
+def stream_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Bloom filter: the bitset words accumulate by a plain
+    streaming bit_or aggregation — OR is the Bloom merge AND it is
+    IDEMPOTENT, so unlike every other twin this one needs no distinct
+    and no dedup state at all: every event just sets its key's bits,
+    repeats are absorbed, and the drained words are BIT-IDENTICAL to
+    the batch sketch built on the distinct key set (pytest, word by
+    word). This is the live form of the crawl-frontier / "seen this
+    key" membership monitor, at BLOOM_WORDS longs per group forever.
+
+    Probes (the batch twin's: every 29th true member must hit —
+    no-false-negative — plus 200 disjoint ghosts for the measured FPR)
+    run batch-side against the drained broadcast words; the oracle is
+    the batch Bloom SQL minus its n_keys column — the count a bitset
+    cannot know (the KMV/HLL honesty discipline).
+
+    Scale posture: streaming state ≤ 16 longs per group at ANY key
+    cardinality — with CMS/AMS/HLL the fourth member on the built-in
+    aggregation lane (KMV alone needs custom state); per-batch
+    map-side combine ORs partials before the shuffle."""
+    from minimapreduce_spark.operators.scale import (
+        BLOOM_GHOSTS,
+        BLOOM_K,
+        BLOOM_WORD_BITS,
+        bloom_positions,
+    )
+
+    sdf = events_stream_sharded(spark, sf_dir, n_shards=4)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("bloom:"), F.col("k"))), 1, 15), 16, 10
+    ).cast("bigint")
+    pos_stream = (
+        sdf.select(
+            "event_type", F.col("user_id").cast("string").alias("k")
+        )
+        .select("event_type", "k", h.alias("h"))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("i"),
+            "h",
+        )
+        .select("event_type", bloom_positions().alias("idx"))
+        .groupBy(
+            "event_type",
+            (F.col("idx") / BLOOM_WORD_BITS).cast("bigint").alias("word"),
+        )
+        .agg(
+            F.bit_or(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST(idx % {BLOOM_WORD_BITS} AS INT))"
+                )
+            ).alias("bits")
+        )
+    )
+    sk = run_to_memory(pos_stream, "bloom_stream", "complete").localCheckpoint(
+        eager=False
+    )
+    stats = sk.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("bits_set")
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.select(
+        "event_type", F.col("user_id").cast("string").alias("k")
+    ).distinct()
+    members = keys.where(F.col("k").cast("bigint") % 29 == 0).select(
+        "event_type", "k", F.lit(1).alias("is_member")
+    )
+    ghosts = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(BLOOM_GHOSTS).select(
+                F.concat(F.lit("ghost:"), F.col("id").cast("string")).alias("k")
+            )
+        )
+        .select("event_type", "k", F.lit(0).alias("is_member"))
+    )
+    ptest = (
+        members.unionByName(ghosts)
+        .select("event_type", "k", "is_member", h.alias("h"))
+        .select(
+            "event_type", "k", "is_member",
+            F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("i"),
+            "h",
+        )
+        .select("event_type", "k", "is_member", bloom_positions().alias("idx"))
+        .withColumn("word", (F.col("idx") / BLOOM_WORD_BITS).cast("bigint"))
+        .join(F.broadcast(sk), ["event_type", "word"], "left")
+        .withColumn(
+            "bit_hit",
+            F.when(
+                F.col("bits").isNotNull()
+                & (
+                    F.col("bits").bitwiseAND(
+                        F.expr(
+                            f"shiftleft(CAST(1 AS BIGINT), CAST(idx % {BLOOM_WORD_BITS} AS INT))"
+                        )
+                    )
+                    != 0
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("event_type", "k", "is_member")
+        .agg(F.min("bit_hit").alias("hit"))
+    )
+    agg = ptest.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_member") == 1, 1)).cast("bigint").alias("n_member_probes"),
+        F.sum(F.when((F.col("is_member") == 1) & (F.col("hit") == 1), 1))
+        .cast("bigint")
+        .alias("members_found"),
+        F.sum(F.when((F.col("is_member") == 0) & (F.col("hit") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ghost_fp"),
+    )
+    return stats.join(agg, "event_type").selectExpr(
+        "event_type",
+        "bits_set",
+        "n_member_probes",
+        "members_found",
+        "ghost_fp",
+        f"round(CAST(ghost_fp AS DOUBLE) / {BLOOM_GHOSTS}, 6) AS fpr",
+    )

@@ -71,6 +71,7 @@ REPRESENTATIVE = [
     "probe_kfold_cv",
     "sketch_ams_f2_join_size",
     "feature_woe_iv",
+    "sketch_bloom_membership",
 ]
 
 

@@ -165,6 +165,8 @@ CANDIDATES = [
     "sketch_ams_f2_join_size",
     # WOE/IV: integer bin counts + 1-row totals broadcast
     "feature_woe_iv",
+    # Bloom: bit_or is order-free; probes against the broadcast words
+    "sketch_bloom_membership",
 ]
 
 

@@ -776,3 +776,66 @@ def test_ams_f2_sketch_properties(spark):
     for k, (xd, nr) in whole.items():
         assert (xd - nr) % 2 == 0, k  # parity invariant
         assert xd == even.get(k, (0, 0))[0] + odd.get(k, (0, 0))[0], k
+
+
+def test_bloom_sketch_properties(spark):
+    """Bloom invariants on the fixture: (a) NO false negatives —
+    every true member key (not just the registered %29 probe subset)
+    hits all its positions; (b) literal mergeability — word-wise OR of
+    even/odd-key shard sketches equals the whole sketch; (c) the
+    measured ghost FPR sits in a generous band around the fill-ratio
+    prediction (bits_set/M)^K."""
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.catalog import load_table
+    from minimapreduce_spark.operators.scale import (
+        BLOOM_K,
+        BLOOM_M,
+        BLOOM_WORD_BITS,
+    )
+    from tests.conftest import SF_DIR
+
+    out = q.queries()["sketch_bloom_membership"](spark, SF_DIR).toPandas()
+    assert (out.members_found == out.n_member_probes).all()
+    for _, r in out.iterrows():
+        pred = (r.bits_set / BLOOM_M) ** BLOOM_K
+        assert r.fpr <= 4 * pred + 0.02 and (pred < 0.02 or r.fpr >= pred / 6), (
+            dict(r), pred
+        )
+
+    # python replay: build the bitset per type, check every member +
+    # shard-OR mergeability
+    import hashlib
+
+    ev = load_table(spark, SF_DIR, "events")
+    rows = ev.select("event_type", "user_id").distinct().collect()
+
+    def positions(k: str):
+        h = int(hashlib.md5(f"bloom:{k}".encode()).hexdigest()[:15], 16)
+        return [((h >> (15 * i)) & 32767) % BLOOM_M for i in range(BLOOM_K)]
+
+    whole: dict[str, list[int]] = {}
+    shards: dict[tuple, list[int]] = {}
+    for r in rows:
+        for target in (
+            whole.setdefault(r.event_type, [0] * 16),
+            shards.setdefault((r.event_type, r.user_id % 2), [0] * 16),
+        ):
+            for idx in positions(str(r.user_id)):
+                target[idx // BLOOM_WORD_BITS] |= 1 << (idx % BLOOM_WORD_BITS)
+    for et, words in whole.items():
+        merged = [
+            shards.get((et, 0), [0] * 16)[w] | shards.get((et, 1), [0] * 16)[w]
+            for w in range(16)
+        ]
+        assert merged == words, et
+        # no false negatives for EVERY member
+        for r in rows:
+            if r.event_type != et:
+                continue
+            for idx in positions(str(r.user_id)):
+                assert words[idx // BLOOM_WORD_BITS] & (
+                    1 << (idx % BLOOM_WORD_BITS)
+                ), (et, r.user_id)
+        # and the replay bitset matches the engine's popcount
+        row = out[out.event_type == et].iloc[0]
+        assert sum(bin(w).count("1") for w in words) == row.bits_set, et

@@ -663,3 +663,98 @@ def test_stream_quantile_histogram_bit_identical_and_brackets(spark):
     ).collect()
     stream_hist = {r.bucket: r.cnt for r in drained}
     assert stream_hist == batch_hist
+
+
+def test_stream_bloom_words_bit_identical_and_idempotent(spark):
+    """The streaming Bloom's contract: the drained word frame is
+    BIT-IDENTICAL to the batch sketch built on DISTINCT keys — even
+    though the stream sets bits for EVERY event (no dedup state): OR
+    is idempotent, which is the property that lets this twin skip the
+    distinct every other twin needs. Also pins the registered output
+    equal to the batch twin minus its n_keys column."""
+    from pyspark.sql import functions as F
+
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.catalog import load_table
+    from minimapreduce_spark.operators.scale import (
+        BLOOM_K,
+        BLOOM_WORD_BITS,
+        bloom_positions,
+    )
+    from minimapreduce_spark.streaming.source import (
+        events_stream_sharded,
+        run_to_memory,
+    )
+    from tests.conftest import SF_DIR, assert_frames_match
+
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("bloom:"), F.col("k"))), 1, 15), 16, 10
+    ).cast("bigint")
+
+    def words_of(df):
+        return {
+            (r.event_type, r.word): r.bits
+            for r in df.select(
+                "event_type", F.col("user_id").cast("string").alias("k")
+            )
+            .select("event_type", "k", h.alias("h"))
+            .select(
+                "event_type",
+                F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("i"),
+                "h",
+            )
+            .select("event_type", bloom_positions().alias("idx"))
+            .groupBy(
+                "event_type",
+                (F.col("idx") / BLOOM_WORD_BITS).cast("bigint").alias("word"),
+            )
+            .agg(
+                F.bit_or(
+                    F.expr(
+                        f"shiftleft(CAST(1 AS BIGINT), CAST(idx % {BLOOM_WORD_BITS} AS INT))"
+                    )
+                ).alias("bits")
+            )
+            .collect()
+        }
+
+    ev = load_table(spark, SF_DIR, "events")
+    batch_distinct = words_of(ev.select("event_type", "user_id").distinct())
+    batch_all_rows = words_of(ev)
+    assert batch_all_rows == batch_distinct  # OR idempotence, batch-side
+
+    sdf = events_stream_sharded(spark, SF_DIR, n_shards=4)
+    drained = run_to_memory(
+        sdf.select(
+            "event_type", F.col("user_id").cast("string").alias("k")
+        )
+        .select("event_type", "k", h.alias("h"))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("i"),
+            "h",
+        )
+        .select("event_type", bloom_positions().alias("idx"))
+        .groupBy(
+            "event_type",
+            (F.col("idx") / BLOOM_WORD_BITS).cast("bigint").alias("word"),
+        )
+        .agg(
+            F.bit_or(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST(idx % {BLOOM_WORD_BITS} AS INT))"
+                )
+            ).alias("bits")
+        ),
+        "bloom_state_test",
+        "complete",
+    ).collect()
+    assert {(r.event_type, r.word): r.bits for r in drained} == batch_distinct
+
+    s = q.queries()["stream_bloom_membership"](spark, SF_DIR).toPandas()
+    b = (
+        q.queries()["sketch_bloom_membership"](spark, SF_DIR)
+        .drop("n_keys")
+        .toPandas()
+    )
+    assert_frames_match(s, b, name="stream_vs_batch_bloom")

@@ -302,6 +302,8 @@ RELATIONAL_QUERIES = [
     "stream_kmv_distinct_users",
     "stream_ams_f2_user_pairs",
     "stream_quantile_event_values",
+    "sketch_bloom_membership",
+    "stream_bloom_membership",
 ]
 
 RELATIONAL_TABLES = (
