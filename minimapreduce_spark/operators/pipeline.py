@@ -2036,10 +2036,12 @@ def sample_dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _influence_sql_parts() -> tuple[str, str, str, str]:
-    """(pairs, tgts, sub, a_cols): the per-source moment aggregates,
-    the LOO subtraction list (total − source), and the moment column
-    list — shared text between the Spark plan and the oracle."""
+def _influence_sql_parts() -> tuple[str, str, list[str], str]:
+    """(pairs, tgts, sub_terms, a_cols): the per-source moment
+    aggregates, the LOO subtraction terms (total − source) as a LIST so
+    Spark callers consume them structurally (round-7 ADVICE: the old
+    single-string form was re-split on ", ", silently fragile), and the
+    moment column list — shared text between Spark plans and oracles."""
     pairs = ", ".join(
         f"sum(CAST(round(x{i} * x{j} * {PROBE_GRID}.0) AS BIGINT)) AS s{i}{j}"
         for i in range(4)
@@ -2052,7 +2054,7 @@ def _influence_sql_parts() -> tuple[str, str, str, str]:
     names = [f"s{i}{j}" for i in range(4) for j in range(i, 4)] + [
         f"t{i}" for i in range(4)
     ] + ["n"]
-    sub = ", ".join(f"t.{c} - p.{c} AS {c}" for c in names)
+    sub = [f"t.{c} - p.{c} AS {c}" for c in names]
     return pairs, tgts, sub, ", ".join(names)
 
 
@@ -2085,7 +2087,7 @@ def _influence_oracle() -> str:
     ),
     psrc AS (SELECT source, {pairs}, {tgts}, count(*) AS n FROM feats GROUP BY source),
     tot AS (SELECT {pairs}, {tgts}, count(*) AS n FROM feats),
-    loo AS (SELECT p.source, p.n AS nd, {sub} FROM psrc p, tot t),
+    loo AS (SELECT p.source, p.n AS nd, {", ".join(sub)} FROM psrc p, tot t),
     aloo AS (SELECT source, nd, {", ".join(a_exprs)}, n FROM loo),
     wloo AS (SELECT source, nd, {", ".join(w_exprs)} FROM aloo),
     afull AS (SELECT {", ".join(a_exprs)}, n FROM tot),
@@ -2194,7 +2196,7 @@ def source_influence_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     loo = (
         psrc.alias("p")
         .crossJoin(F.broadcast(tot.alias("t")))
-        .selectExpr("p.source AS source", "p.n AS nd", *sub.split(", "))
+        .selectExpr("p.source AS source", "p.n AS nd", *sub)
     )
     wloo = (
         loo.selectExpr("source", "nd", *a_exprs, "n")
@@ -2505,7 +2507,7 @@ def _kfold_oracle() -> str:
     pfold AS (SELECT fold AS source, {pairs}, {tgts}, count(*) AS n
               FROM feats GROUP BY fold),
     tot AS (SELECT {pairs}, {tgts}, count(*) AS n FROM feats),
-    train AS (SELECT p.source AS fold, p.n AS n_test, t.n - p.n AS n_train, {sub}
+    train AS (SELECT p.source AS fold, p.n AS n_test, t.n - p.n AS n_train, {", ".join(sub)}
               FROM pfold p, tot t),
     atr AS (SELECT fold, n_test, n_train, {", ".join(a_exprs)}, n FROM train),
     wtr AS (SELECT fold, n_test, n_train, {", ".join(w_exprs)} FROM atr)
@@ -2593,7 +2595,7 @@ def probe_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p.fold AS fold",
             "p.n AS n_test",
             "t.n - p.n AS n_train",
-            *sub.replace("p.source", "p.fold").split(", "),
+            *sub,
         )
     )
     wtr = (

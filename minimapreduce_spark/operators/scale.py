@@ -498,8 +498,15 @@ def bucketed_join(
     every job re-partitions; bucketing is the persisted generalization
     it cannot express."""
     import os
+    import tempfile
 
-    base = "/tmp/minimapreduce_spark_bucketed"
+    # per-session staging root (keyed by spark.app.id) — a fixed shared
+    # path would let two concurrent sessions rmtree each other's tables
+    # mid-query (round-7 ADVICE)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"minimapreduce_spark_bucketed_{spark.sparkContext.applicationId}",
+    )
     write_bucketed(
         load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderpriority"

@@ -1415,19 +1415,25 @@ def _bpe_train(spark: SparkSession, sf_dir: str, k: int):
             break
         c1, c2, w = top[0]["c1"], top[0]["c2"], int(top[0]["weight"])
         rows.append((r, c1, c2, w))
-        merged = F.aggregate(
-            F.transform(cs, lambda s: F.concat(F.lit(BPE_SEP), s)),
-            F.lit(""),
-            lambda acc, x: F.when(
-                F.endswith(acc, F.lit(BPE_SEP + c1))
-                & (x == F.lit(BPE_SEP + c2)),
-                F.concat(acc, F.lit(c2)),
-            ).otherwise(F.concat(acc, x)),
-        )
         seg = seg.select(
-            "word", "freq", merged.alias("seg")
+            "word", "freq", _merge_fold(cs, c1, c2).alias("seg")
         ).localCheckpoint(eager=False)  # round r never recomputes 1..r-1
     return rows, seg
+
+
+def _merge_fold(cs, c1: str, c2: str):
+    """Column: apply ONE (c1, c2) merge left-to-right over the symbol
+    list — the separator-prefixed fold shared by BPE and WordPiece
+    training (string replace is WRONG on shared-boundary repeats; see
+    bpe_train_merges)."""
+    return F.aggregate(
+        F.transform(cs, lambda s: F.concat(F.lit(BPE_SEP), s)),
+        F.lit(""),
+        lambda acc, x: F.when(
+            F.endswith(acc, F.lit(BPE_SEP + c1)) & (x == F.lit(BPE_SEP + c2)),
+            F.concat(acc, F.lit(c2)),
+        ).otherwise(F.concat(acc, x)),
+    )
 
 
 @register("bpe_train_merges", oracle=_bpe_train_oracle(BPE_MERGE_ROUNDS), bench=True)
@@ -1901,4 +1907,375 @@ def unigram_apply_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("cnt") * F.col("n_tok")) / F.sum("cnt"), 6).alias(
             "tokens_per_word"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer training (Schuster & Nakajima 2012; BERT's tokenizer)
+# ---------------------------------------------------------------------------
+
+WP_MERGE_ROUNDS = 8
+WP_SCORE_SCALE = 10**12  # quantized likelihood-score grid (BIGINT)
+WP_WALK_STEPS = 24  # static unroll bound for the serving oracle's greedy walk
+
+
+def _wp_chain_sql(k: int, upto_seg: int) -> str:
+    """WITH-clause chain for the WordPiece training oracle — the
+    `_bpe_chain_sql` structure with the ONE algorithmic difference:
+    each round's argmax is the LIKELIHOOD score
+    round(w·10¹² / (f1·f2)), where f1/f2 are the candidate symbols'
+    current weighted corpus frequencies, instead of BPE's raw pair
+    weight. Every multiply-referenced CTE is AS MATERIALIZED (the MMR
+    octave's DuckDB CTE-inlining lesson)."""
+    parts = [
+        """
+    WITH wf AS MATERIALIZED (
+      SELECT word, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' AND NOT contains(word, chr(31))
+      GROUP BY word
+    ),
+    seg0 AS MATERIALIZED (
+      SELECT word, freq,
+             list_reduce(list_transform(string_split(word, ''),
+                                        c -> chr(31) || c),
+                         (a, b) -> a || b) AS seg
+      FROM wf
+    )"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f""",
+    csr{r} AS MATERIALIZED (
+      SELECT string_split(substr(seg, 2), chr(31)) AS cs, freq
+      FROM seg{r - 1}
+    ),
+    syms{r} AS MATERIALIZED (
+      SELECT s.sym, CAST(sum(freq) AS BIGINT) AS f
+      FROM csr{r}, LATERAL (SELECT unnest(cs) AS sym) s
+      GROUP BY 1
+    ),
+    pairs{r} AS (
+      SELECT cs[i.i] AS c1, cs[i.i + 1] AS c2, CAST(sum(freq) AS BIGINT) AS w
+      FROM csr{r},
+           LATERAL (SELECT unnest(generate_series(1, len(cs) - 1)) AS i) i
+      GROUP BY 1, 2
+    ),
+    m{r} AS MATERIALIZED (
+      SELECT {r} AS rnd, c1, c2, w AS pair_weight,
+             CAST(round(CAST(w AS DOUBLE) * {WP_SCORE_SCALE}
+                        / (CAST(s1.f AS DOUBLE) * CAST(s2.f AS DOUBLE)))
+                  AS BIGINT) AS score_u
+      FROM pairs{r}
+      JOIN syms{r} s1 ON s1.sym = c1
+      JOIN syms{r} s2 ON s2.sym = c2
+      ORDER BY score_u DESC, c1, c2 LIMIT 1
+    )"""
+        )
+        if r <= upto_seg:
+            parts.append(
+                f""",
+    seg{r} AS MATERIALIZED (
+      SELECT s.word, s.freq,
+             list_reduce(
+               list_transform(string_split(substr(s.seg, 2), chr(31)),
+                              t -> chr(31) || t),
+               (acc, x) -> CASE
+                             WHEN ends_with(acc, chr(31) || m.c1)
+                              AND x = chr(31) || m.c2
+                             THEN acc || m.c2
+                             ELSE acc || x
+                           END) AS seg
+      FROM seg{r - 1} s, m{r} m
+    )"""
+            )
+    return "".join(parts)
+
+
+def _wp_train_oracle(k: int) -> str:
+    union = " UNION ALL ".join(f"SELECT * FROM m{r}" for r in range(1, k + 1))
+    return (
+        _wp_chain_sql(k, upto_seg=k - 1)
+        + f"""
+    SELECT CAST(rnd AS INT) AS rnd, c1, c2, pair_weight, score_u
+    FROM ({union}) ORDER BY rnd
+    """
+    )
+
+
+def _wp_apply_oracle(k: int) -> str:
+    """Serving oracle: GREEDY LONGEST-MATCH segmentation of every vocab
+    word over the trained WordPiece vocabulary (initial chars + the k
+    merged tokens) — precisely the maximal-munch serving algorithm
+    BERT's tokenizer runs. The walk is UNROLLED to WP_WALK_STEPS static
+    join steps instead of a recursive CTE: each greedy step consumes at
+    least one character, so max-word-length steps always terminate (the
+    fixture max is 8; the unroll carries 3× margin), and — the reason
+    for the shape — DuckDB silently evaluates chain-derived CTEs as
+    EMPTY inside a recursive CTE's recursive term (measured: a
+    hardcoded vocab recursed fine, any vocab referencing the merge
+    chain yielded zero matches), so a recursive walk over the trained
+    vocab cannot be expressed. A word needing more steps would miss
+    pos = len(word) and drop from the join — a visible row-count/hash
+    break, never a silent wrong answer. ``ml`` is the per-(word, pos)
+    greedy matched length, a pure join — position-independent, so it
+    can be computed set-wise even though the walk itself is
+    sequential."""
+    steps = []
+    for i in range(1, WP_WALK_STEPS + 1):
+        steps.append(
+            f""",
+    s{i} AS MATERIALIZED (
+      SELECT s.word, s.pos + ml.l AS pos, s.n + 1 AS n
+      FROM s{i - 1} s JOIN ml ON ml.word = s.word AND ml.pos = s.pos
+      WHERE s.pos < len(s.word)
+    )"""
+        )
+    allsteps = " UNION ALL ".join(
+        f"SELECT word, pos, n FROM s{i}" for i in range(0, WP_WALK_STEPS + 1)
+    )
+    return (
+        _wp_chain_sql(k, upto_seg=k - 1)
+        + f""",
+    vocab AS MATERIALIZED (
+      SELECT DISTINCT sym AS piece FROM syms1
+      UNION
+      SELECT c1 || c2 FROM ({" UNION ALL ".join(f"SELECT c1, c2 FROM m{r}" for r in range(1, k + 1))})
+    ),
+    ml AS MATERIALIZED (
+      SELECT wf.word, p.pos, max(len(v.piece)) AS l
+      FROM wf,
+           LATERAL (SELECT unnest(generate_series(0, len(word) - 1)) AS pos) p,
+           vocab v
+      WHERE v.piece = substr(wf.word, p.pos + 1, len(v.piece))
+      GROUP BY 1, 2
+    ),
+    s0 AS (SELECT word, 0 AS pos, 0 AS n FROM wf){"".join(steps)},
+    vt AS MATERIALIZED (
+      SELECT word, n AS n_tok FROM ({allsteps}) WHERE pos = len(word)
+    ),
+    sw AS MATERIALIZED (
+      SELECT source, word, count(*) AS cnt
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE word <> '' AND NOT contains(word, chr(31))
+      GROUP BY 1, 2
+    )
+    SELECT sw.source AS source,
+           CAST(sum(sw.cnt) AS BIGINT)                   AS n_words,
+           CAST(sum(sw.cnt * length(sw.word)) AS BIGINT) AS n_chars,
+           CAST(sum(sw.cnt * vt.n_tok) AS BIGINT)        AS n_tokens_wp,
+           round(sum(sw.cnt * length(sw.word)) * 1.0
+                 / sum(sw.cnt * vt.n_tok), 6)            AS chars_per_token,
+           round(sum(sw.cnt * vt.n_tok) * 1.0
+                 / sum(sw.cnt), 6)                       AS tokens_per_word
+    FROM sw JOIN vt USING (word)
+    GROUP BY 1
+    """
+    )
+
+
+def _wp_train(spark: SparkSession, sf_dir: str, k: int):
+    """Run k WordPiece likelihood-greedy merge rounds; returns
+    (merge_rows, vocab_pieces). Structure identical to `_bpe_train`
+    (corpus touched ONCE by the word-frequency agg; every round is
+    vocabulary-scale; driver carries one merge pair per round) — the
+    only change is the argmax: score = pair weight / (f1 · f2), the
+    likelihood gain of the merge under a unigram corpus model, which
+    is WordPiece's published selection rule (Schuster & Nakajima 2012
+    §III: "choose the unit pair that increases the likelihood the
+    most"). Quantized to BIGINT trillionths with the (score, c1, c2)
+    total-order tie-break; ONE double expression from three BIGINTs on
+    both engines."""
+    docs = _docs(spark, sf_dir)
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where((F.col("word") != "") & ~F.contains("word", F.lit(BPE_SEP)))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    seg = wf.select(
+        "word",
+        "freq",
+        F.aggregate(
+            F.filter(F.split("word", ""), lambda c: c != ""),
+            F.lit(""),
+            lambda acc, c: F.concat(acc, F.lit(BPE_SEP), c),
+        ).alias("seg"),
+    ).localCheckpoint(eager=False)
+
+    init_chars = [
+        r.sym
+        for r in seg.select(F.explode(_bpe_symbols()).alias("sym")).distinct().collect()
+    ]  # bounded: the character alphabet
+    rows = []
+    for r in range(1, k + 1):
+        cs = _bpe_symbols()
+        syms = (
+            seg.select("freq", F.explode(cs).alias("sym"))
+            .groupBy("sym")
+            .agg(F.sum("freq").cast("bigint").alias("f"))
+        )
+        pairs = (
+            seg.where(F.size(cs) >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(cs) - 2),
+                        lambda i: F.struct(
+                            F.get(cs, i).alias("c1"),
+                            F.get(cs, i + 1).alias("c2"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.c1", "p.c2")
+            .agg(F.sum("freq").cast("bigint").alias("w"))
+        )
+        scored = (
+            pairs.join(F.broadcast(syms.withColumnRenamed("sym", "c1")), "c1")
+            .withColumnRenamed("f", "f1")
+            .join(F.broadcast(syms.withColumnRenamed("sym", "c2")), "c2")
+            .withColumnRenamed("f", "f2")
+            .select(
+                "c1", "c2", "w",
+                F.round(
+                    F.col("w").cast("double") * WP_SCORE_SCALE
+                    / (F.col("f1").cast("double") * F.col("f2").cast("double"))
+                )
+                .cast("bigint")
+                .alias("score_u"),
+            )
+        )
+        top = (
+            scored.orderBy(F.desc("score_u"), F.asc("c1"), F.asc("c2"))
+            .limit(1)
+            .collect()  # bounded: 1 row per round
+        )
+        if not top:
+            break
+        c1, c2 = top[0]["c1"], top[0]["c2"]
+        rows.append((r, c1, c2, int(top[0]["w"]), int(top[0]["score_u"])))
+        seg = seg.select(
+            "word", "freq", _merge_fold(cs, c1, c2).alias("seg")
+        ).localCheckpoint(eager=False)
+    vocab = sorted(set(init_chars) | {c1 + c2 for _, c1, c2, _, _ in rows})
+    return rows, vocab
+
+
+@register("wordpiece_train_merges", oracle=_wp_train_oracle(WP_MERGE_ROUNDS))
+def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WORDPIECE tokenizer training — the third published tokenizer
+    family trained in-engine, completing the set next to greedy
+    frequency-merge BPE (`bpe_train_merges`) and hard-EM unigram-LM
+    (`unigram_train_pieces`): k rounds of (count adjacent symbol pairs
+    AND current symbol frequencies over the vocabulary) → merge the
+    pair maximizing the LIKELIHOOD score w/(f1·f2) — not BPE's raw w —
+    → re-segment. The score is the unigram-model likelihood gain of
+    the merge (Schuster & Nakajima 2012), which is why WordPiece
+    prefers a moderately-frequent pair of RARE symbols over a frequent
+    pair of ubiquitous ones — the trajectory-divergence pytest plants
+    exactly that corpus and checks both trainers' choices.
+
+    Exactness: pair weights and symbol frequencies are BIGINT sums;
+    the score quantizes once per candidate as
+    round(w·10¹²/(f1·f2)) — ONE double expression from three BIGINTs,
+    identically parenthesized cross-engine — and the argmax tie-breaks
+    (score_u DESC, c1, c2), a total order, so the whole k-round
+    trajectory hash-matches DuckDB replaying the same chain.
+
+    Scale posture: identical to BPE's — the corpus is read ONCE (the
+    word-frequency shuffle); every round is vocabulary-scale with the
+    bounded symbol-frequency table broadcast onto the pair frame;
+    driver traffic is one merge pair per round; per-round frames are
+    lineage-checkpointed. No reference analog (the closest reference
+    surface is wc's tokenize loop, mrapps/wc.go:21-44)."""
+    rows, _ = _wp_train(spark, sf_dir, WP_MERGE_ROUNDS)
+    return spark.createDataFrame(
+        rows, "rnd int, c1 string, c2 string, pair_weight bigint, score_u bigint"
+    )
+
+
+@register("wordpiece_apply_token_stats", oracle=_wp_apply_oracle(WP_MERGE_ROUNDS))
+def wordpiece_apply_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving path of the trained WordPiece tokenizer — GREEDY
+    LONGEST-MATCH (maximal munch), the algorithm BERT's tokenizer runs
+    at inference and the published WordPiece serving rule: per word,
+    repeatedly emit the longest vocabulary piece that prefixes the
+    remaining suffix (vocab = the character alphabet + the k trained
+    merges, so the walk never strands; a real deployment adds [UNK]
+    for out-of-alphabet bytes). Reports per-source corpus token
+    accounting under that segmentation — the same budget readout as
+    the BPE/unigram apply twins, so the three tokenizer families are
+    directly comparable on chars-per-token over the same corpus.
+
+    The serving trick is shared with `bpe_apply_token_stats`:
+    tokenization runs on the VOCABULARY (distinct words) via a
+    mapInPandas greedy matcher against the broadcast trained vocab,
+    and the corpus contributes only a per-(source, word) count joined
+    against the segmented vocab. The oracle replays maximal munch as a
+    linear recursive walk — one successor per (word, pos) — so the
+    greedy semantics, not just the counts, are cross-checked.
+
+    Scale posture: one corpus scan (the per-source word count), one
+    vocabulary mapInPandas pass with a ≤(alphabet+k)-entry broadcast
+    dict, one broadcast join. Ratios are 6-dp rounds of exact-BIGINT
+    quotients."""
+    import pandas as pd  # noqa: F401  (imported for the closure)
+
+    from minimapreduce_spark._pickle import register_self_by_value
+
+    register_self_by_value()
+    _, vocab = _wp_train(spark, sf_dir, WP_MERGE_ROUNDS)
+    max_len = max(len(p) for p in vocab)
+    vocab_bc = spark.sparkContext.broadcast(frozenset(vocab))
+
+    def tokenize(batches):
+        import pandas as pd
+
+        vs = vocab_bc.value
+        for pdf in batches:
+            n_toks = []
+            for word in pdf["word"]:
+                pos, n = 0, 0
+                while pos < len(word):
+                    for L in range(min(max_len, len(word) - pos), 0, -1):
+                        if word[pos : pos + L] in vs:
+                            pos += L
+                            n += 1
+                            break
+                    else:  # unreachable: all single chars are in vocab
+                        pos += 1
+                        n += 1
+                n_toks.append(n)
+            yield pd.DataFrame({"word": pdf["word"], "n_tok": n_toks})
+
+    docs = _docs(spark, sf_dir)
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where((F.col("word") != "") & ~F.contains("word", F.lit(BPE_SEP)))
+        .distinct()
+    )
+    vt = wf.mapInPandas(tokenize, "word string, n_tok long")
+    sw = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .where((F.col("word") != "") & ~F.contains("word", F.lit(BPE_SEP)))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    j = sw.join(F.broadcast(vt), "word")
+    return j.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_words"),
+        F.sum(F.col("cnt") * F.length("word")).cast("bigint").alias("n_chars"),
+        F.sum(F.col("cnt") * F.col("n_tok")).cast("bigint").alias("n_tokens_wp"),
+        F.round(
+            F.sum(F.col("cnt") * F.length("word"))
+            * 1.0
+            / F.sum(F.col("cnt") * F.col("n_tok")),
+            6,
+        ).alias("chars_per_token"),
+        F.round(
+            F.sum(F.col("cnt") * F.col("n_tok")) * 1.0 / F.sum("cnt"), 6
+        ).alias("tokens_per_word"),
     )

@@ -196,7 +196,17 @@ DRIVER_PRIORITY: list[str] = [
 # the window, displacing a canary (a flagship driver-verified beats a
 # canary re-verified) — use this ledger only when the driver may
 # already have run.
-LATE_REGISTERED: list[str] = []
+LATE_REGISTERED: list[str] = [
+    # round-8 in-progress ledger: swapped into the round-8 window at
+    # end-of-round rotation (verdict item 3); each is pytest-oracle
+    # verified on registration
+    "bitext_margin_mining_ivf",
+    "ann_ivfpq_served_topk",
+    "stream_full_outer_view_purchase",
+    "multimodal_audio_spectral",
+    "wordpiece_train_merges",
+    "wordpiece_apply_token_stats",
+]
 
 
 

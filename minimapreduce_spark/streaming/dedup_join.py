@@ -224,7 +224,12 @@ def stream_exactly_once_watermarked(spark: SparkSession, sf_dir: str) -> DataFra
       SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
       FROM events WHERE event_type = 'purchase'
     ),
-    m AS (SELECT max(ts) AS mx FROM events)
+    m AS (
+      -- the GLOBAL watermark: Spark's multi-watermark policy is the
+      -- MIN across inputs, each computed on its own filtered stream
+      SELECT least((SELECT max(view_ts) FROM v),
+                   (SELECT max(purchase_ts) FROM p)) - INTERVAL 2 HOUR AS wm
+    )
     SELECT v.user_id, v.view_id, p.purchase_id, v.view_ts, p.purchase_ts
     FROM v JOIN p
       ON v.user_id = p.user_id
@@ -239,7 +244,7 @@ def stream_exactly_once_watermarked(spark: SparkSession, sf_dir: str) -> DataFra
         AND p.purchase_ts >= v.view_ts
         AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
     )
-    AND v.view_ts + INTERVAL 1 HOUR < m.mx - INTERVAL 2 HOUR
+    AND v.view_ts + INTERVAL 1 HOUR < m.wm
     """,
 )
 def stream_left_outer_views(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -258,8 +263,10 @@ def stream_left_outer_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     `stream_tumbling_append_finalized` discipline): over a drained
     finite replay the output is the batch left join MINUS the
     unmatched views still inside the un-finalizable tail — those with
-    view_ts + 1 h ≥ max(event time) − 2 h (the watermark delay),
-    withheld BY DESIGN (10 tail views at sf0.01). Matched pairs are
+    view_ts + 1 h ≥ the global watermark, i.e. min over both sides of
+    (that side's max event time) − 2 h (Spark's multi-watermark MIN
+    policy; the full-outer twin's sf0.01 boundary measurement is what
+    pinned min-vs-max), withheld BY DESIGN. Matched pairs are
     identical to the inner twin's.
 
     Scale posture: identical state bound to the inner join — both
@@ -301,6 +308,126 @@ def stream_left_outer_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_memory(joined, "stream_left_outer_views", "append")
     return out.select(
         "user_id",
+        "view_id",
+        "purchase_id",
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+    )
+
+
+@register(
+    "stream_full_outer_view_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id AS view_id, ts AS view_ts
+      FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      -- the GLOBAL watermark: Spark's multi-watermark policy is the
+      -- MIN across inputs, each computed on its own filtered stream
+      SELECT least((SELECT max(view_ts) FROM v),
+                   (SELECT max(purchase_ts) FROM p)) - INTERVAL 2 HOUR AS wm
+    )
+    SELECT v.user_id, v.view_id, p.purchase_id, v.view_ts, p.purchase_ts
+    FROM v JOIN p
+      ON v.user_id = p.user_id
+     AND p.purchase_ts >= v.view_ts
+     AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+    UNION ALL
+    SELECT v.user_id, v.view_id, NULL, v.view_ts, NULL
+    FROM v, m
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p
+      WHERE p.user_id = v.user_id
+        AND p.purchase_ts >= v.view_ts
+        AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+    )
+    AND v.view_ts + INTERVAL 1 HOUR < m.wm
+    UNION ALL
+    SELECT p.user_id, NULL, p.purchase_id, NULL, p.purchase_ts
+    FROM p, m
+    WHERE NOT EXISTS (
+      SELECT 1 FROM v
+      WHERE v.user_id = p.user_id
+        AND p.purchase_ts >= v.view_ts
+        AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+    )
+    AND p.purchase_ts < m.wm
+    """,
+)
+def stream_full_outer_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join — the LAST Structured-Streaming
+    join semantic after inner (`stream_view_purchase_join`) and left
+    outer (`stream_left_outer_views`): matched view→purchase pairs emit
+    immediately; an unmatched VIEW emits once with NULL purchase
+    columns after the watermark passes view_ts + 1 h (no purchase can
+    still land in its window); an unmatched PURCHASE emits once with
+    NULL view columns after the watermark passes purchase_ts (the
+    latest event time a matching view could carry — the range
+    condition bounds view_ts ≤ purchase_ts). Both NULL finalizations are
+    watermark-driven evictions of the same state the inner join already
+    buffers — full outer adds emissions, not state.
+
+    The oracle states the emission contract exactly, both tails spelled
+    out (the `stream_left_outer_views` discipline): batch full outer
+    MINUS unmatched views with view_ts + 1 h ≥ wm and MINUS unmatched
+    purchases with purchase_ts ≥ wm, where wm is the GLOBAL watermark =
+    min over both sides of (that side's max event time) − 2 h (Spark's
+    multi-watermark MIN policy, measured here: the purchase stream's
+    max lags the view stream's by ~32 min at sf0.01, and the emission
+    boundary tracks the min, not the global max) — each withheld BY
+    DESIGN because a late row inside the watermark delay could still
+    contradict them. Matched pairs are identical to the inner twin's
+    (pinned in pytest, along with both NULL-side sets).
+
+    Why this completes the funnel surface: full outer is the shape of
+    reconciliation feeds — "every view AND every purchase, attributed
+    where possible" — the two-sided generalization of abandoned-cart
+    (left) and orphan-payment (right) detection in one pass.
+
+    Scale posture: state identical to the inner join (watermark + range
+    condition evict both buffers); output is |matches| + both
+    finalized-unmatched sets, each row emitted exactly once. At 100 TB
+    the watermark delay remains the single completeness/state/latency
+    knob."""
+    views = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id
+            AND purchase_ts >= view_ts
+            AND purchase_ts <= view_ts + INTERVAL 1 HOUR
+            """
+        ),
+        "fullOuter",
+    )
+    out = run_to_memory(joined, "stream_full_outer_view_purchase", "append")
+    return out.select(
+        F.coalesce("user_id", "p_user_id").alias("user_id"),
         "view_id",
         "purchase_id",
         F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),

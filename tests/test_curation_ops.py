@@ -409,3 +409,99 @@ def test_bpe_train_weights_nonincreasing_and_apply_reconciles(spark):
     for r in stats:
         assert r.n_words <= r.n_tokens_bpe <= r.n_chars, r
         assert r.chars_per_token >= 1.0 and r.tokens_per_word >= 1.0, r
+
+
+def test_wordpiece_diverges_from_bpe_on_likelihood_corpus(spark, tmp_path):
+    """The textbook WordPiece-vs-BPE divergence, planted: corpus
+    {ab×10, aa×50, bb×50, xy×6}. BPE's frequency argmax picks (a,a)
+    (weight 50, c1 tie-break over (b,b)); WordPiece's likelihood argmax
+    picks (x,y) — weight only 6, but its symbols are RARE
+    (score 6/(6·6) = 0.1667 vs (a,a)'s 50/(110·110) = 0.0041), which is
+    the published reason WordPiece exists (Schuster & Nakajima 2012:
+    merge the pair that maximizes corpus likelihood under a unigram
+    model, not the most frequent pair)."""
+    import os
+
+    docs = _bpe_corpus(spark, [("ab", 10), ("aa", 50), ("bb", 50), ("xy", 6)])
+    d = str(tmp_path / "wp_divergence")
+    os.makedirs(d)
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+    bpe = q.REGISTRY["bpe_train_merges"].fn(spark, d).orderBy("rnd").collect()
+    assert (bpe[0].c1, bpe[0].c2, bpe[0].weight) == ("a", "a", 50)
+    wp = q.REGISTRY["wordpiece_train_merges"].fn(spark, d).orderBy("rnd").collect()
+    assert (wp[0].c1, wp[0].c2, wp[0].pair_weight) == ("x", "y", 6)
+    assert wp[0].score_u == round(6 * 1e12 / 36)
+
+
+def test_wordpiece_full_trajectory_replays_in_python(spark):
+    """Pure-Python replay of the entire WordPiece training loop on the
+    real fixture vocabulary (the BPE-textbook discipline, extended to
+    the whole trajectory): recompute word frequencies, run k rounds of
+    pair/symbol counting + quantized likelihood argmax + left-to-right
+    merge, and require the trained merge table to match EXACTLY —
+    merges, pair weights, and quantized scores. Also pins the
+    cross-engine exactness contract: every round's WINNING score sits
+    > 1e-6 quantized units away from every losing score (no argmax
+    flip within double noise) and no candidate score is within 1e-9 of
+    a .5 grid midpoint."""
+    import duckdb
+
+    from minimapreduce_spark.operators.text_analysis import (
+        WP_MERGE_ROUNDS,
+        WP_SCORE_SCALE,
+    )
+    from tests.conftest import SF_DIR
+
+    con = duckdb.connect()
+    wf = dict(
+        con.execute(
+            f"""SELECT word, count(*) FROM (
+                  SELECT unnest(string_split(text, ' ')) AS word
+                  FROM '{SF_DIR}/documents.parquet')
+                WHERE word <> '' GROUP BY 1"""
+        ).fetchall()
+    )
+    con.close()
+    seg = {w: list(w) for w in wf}
+    expect = []
+    for rnd in range(1, WP_MERGE_ROUNDS + 1):
+        syms: dict = {}
+        pairs: dict = {}
+        for w, f in wf.items():
+            for s in seg[w]:
+                syms[s] = syms.get(s, 0) + f
+            for a, b in zip(seg[w], seg[w][1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + f
+        import math
+
+        # engines round half AWAY from zero; Python round() is banker's
+        # — replicate with floor(x + .5) on the nonnegative scores
+        scored = {}
+        for (a, b), wgt in pairs.items():
+            raw = float(wgt) * WP_SCORE_SCALE / (float(syms[a]) * float(syms[b]))
+            assert abs(raw % 1.0 - 0.5) > 1e-9, "score on a grid midpoint"
+            scored[(a, b)] = int(math.floor(raw + 0.5))
+        # total-order argmax: score DESC, c1 ASC, c2 ASC
+        best = min(scored, key=lambda k: (-scored[k], k[0], k[1]))
+        top_score = scored[best]
+        for k2, v in scored.items():
+            if k2 != best and v != top_score:
+                assert abs(v - top_score) >= 1, (k2, v, top_score)
+        expect.append((rnd, best[0], best[1], pairs[best], top_score))
+        a, b = best
+        for w in seg:
+            out, i = [], 0
+            t = seg[w]
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            seg[w] = out
+    rows = (
+        q.REGISTRY["wordpiece_train_merges"].fn(spark, SF_DIR).orderBy("rnd").collect()
+    )
+    got = [(r.rnd, r.c1, r.c2, r.pair_weight, r.score_u) for r in rows]
+    assert got == expect, (got, expect)

@@ -1023,6 +1023,84 @@ def test_ivfpq_clustered_corpus_routing_and_precision(spark, tmp_path):
     assert (pq["ivfpq_sim"] > 0.99).all(), pq["ivfpq_sim"].min()
 
 
+def test_ivfpq_served_artifact_equals_inline_and_plan_has_no_training(spark, tmp_path):
+    """The train-once/serve-many contract of `ann_ivfpq_served_topk`:
+
+      - the persisted artifact's three tables are ROW-IDENTICAL to a
+        fresh `_ivfpq_index_frames` recompute (the artifact is a pure
+        function of the fixture — what makes the shared recompute
+        oracle valid), cross-checked through DuckDB reading the
+        artifact parquet directly;
+      - the served top-k equals the inline-trained `ann_ivfpq_topk`
+        EXACTLY (same routing, same LUT, same ADC — only the index
+        source differs);
+      - the SERVING plan contains zero training: exactly ONE scan of
+        the embeddings parquet (the query vectors) vs the inline
+        twin's many, and it scans the artifact's codes/centroids/
+        codebook paths instead;
+      - a rebuild call with the artifact present is a no-op (returns
+        without retraining — mtimes unchanged)."""
+    import duckdb
+    import os as _os
+
+    from minimapreduce_spark import plans
+    from minimapreduce_spark.operators.similarity import (
+        _ivfpq_index_frames,
+        ann_ivfpq_served_topk,
+        ann_ivfpq_topk,
+        ivfpq_index_build,
+    )
+
+    root = ivfpq_index_build(spark, SF_DIR, root=str(tmp_path / "ivfpq_idx"))
+
+    # artifact ≡ recompute, frame by frame, via DuckDB on the parquet
+    cg, cb, code_arr = _ivfpq_index_frames(spark, SF_DIR)
+    con = duckdb.connect()
+    for sub, frame, key in (
+        ("centroids", cg, "label"),
+        ("codebook", cb, "m, cid"),
+        ("codes", code_arr, "vec_id"),
+    ):
+        art = con.execute(
+            f"SELECT * FROM '{root}/{sub}/**/*.parquet' ORDER BY {key}"
+        ).df()
+        fresh = frame.toPandas().sort_values(key.split(", ")).reset_index(drop=True)
+        art = art[fresh.columns].reset_index(drop=True)
+        for c in fresh.columns:
+            fa = [tuple(v) if hasattr(v, "__len__") else v for v in fresh[c]]
+            aa = [tuple(v) if hasattr(v, "__len__") else v for v in art[c]]
+            assert fa == aa, f"artifact {sub}.{c} diverges from recompute"
+    con.close()
+
+    # served ≡ inline end-to-end
+    served = {
+        tuple(r) for r in ann_ivfpq_served_topk(spark, SF_DIR).collect()
+    }
+    inline = {tuple(r) for r in ann_ivfpq_topk(spark, SF_DIR).collect()}
+    assert served == inline
+
+    # zero training in the serving plan: exactly ONE embeddings scan
+    # (the 20 query vectors), the index read from the artifact parquet,
+    # and NO Python stage at all — the training chain's `_pq_assign`
+    # encode runs in MapInPandas, so its absence is the structural
+    # "no training jobs" witness (the inline twin's plan carries it)
+    plan = plans.physical_plan(ann_ivfpq_served_topk(spark, SF_DIR))
+    # every parquet scan in the serving plan is an ARTIFACT scan; the
+    # embeddings table appears only behind the bounded checkpointed
+    # query frame (Scan ExistingRDD), never as a corpus scan
+    assert plan.count("embeddings.parquet") == 0
+    assert plan.count("minimapreduce_ivfpq_") == plan.count("Location: InMemoryFileIndex")
+    assert plan.count("minimapreduce_ivfpq_") >= 3  # codes + codebook + centroids
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+    inline_plan = plans.physical_plan(ann_ivfpq_topk(spark, SF_DIR))
+    assert "MapInPandas" in inline_plan
+
+    # rebuild is a no-op when present
+    before = _os.stat(root).st_mtime_ns
+    assert ivfpq_index_build(spark, SF_DIR, root=root) == root
+    assert _os.stat(root).st_mtime_ns == before
+
+
 def test_quality_linear_probe_learns_and_solve_is_faithful(spark):
     """The trained probe must actually LEARN (accuracy vs the weak
     label well above the majority class — a degenerate all-keep model
@@ -1700,6 +1778,144 @@ def test_bitext_margin_mining_replay_and_matching(spark):
         f"spark-only {sorted(got - mined)[:3]}, "
         f"numpy-only {sorted(mined - got)[:3]}"
     )
+
+
+def test_audio_spectral_planted_tone_and_centroid_midpoints(spark, tmp_path):
+    """The spectral lane's physics check: a planted PERIOD-4 square
+    wave (samples cycling HHLL) concentrates its AC power at bin
+    k = N/4 = 4, so every window of the planted doc must report
+    dominant_bin == 4 — through the REAL encode→wave-decode→DFT chain,
+    not a shortcut on the text. Also pins the exactness contract on
+    the real fixture: no window's centroid expression sits within 1e-9
+    of a .5 milli-bin midpoint (the cross-engine rounding flip guard),
+    and re/im recompute exactly in numpy from the shared twiddle
+    tables."""
+    import numpy as np
+    import pandas as pd
+
+    from minimapreduce_spark.operators.multimodal import (
+        DFT_N,
+        dft_twiddles,
+        multimodal_audio_spectral,
+    )
+
+    # planted tone: 'zzaa' repeated — period 4 → bin 16/4 = 4
+    tone = "zzaa" * 32  # 128 samples = 8 full windows
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.array([0], dtype=np.int64),
+            "text": [tone],
+            "source": ["planted"],
+        }
+    )
+    d = tmp_path / "tone_corpus"
+    d.mkdir()
+    pdf.to_parquet(str(d / "documents.parquet"), index=False)
+    out = multimodal_audio_spectral(spark, str(d)).toPandas()
+    assert len(out) == len(tone) // DFT_N
+    assert (out["dominant_bin"] == DFT_N // 4).all(), out["dominant_bin"].tolist()
+
+    # real-fixture exactness pins
+    real = multimodal_audio_spectral(spark, SF_DIR).toPandas()
+    assert len(real) > 0
+    # centroid midpoint guard: recompute kp/tp from dominant/total is
+    # not enough — rebuild the full spectrum for a sample of windows
+    import duckdb
+
+    C, S = dft_twiddles()
+    Wc = np.array(C[1:], dtype=np.int64)
+    Ws = np.array(S[1:], dtype=np.int64)
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet' LIMIT 25"
+    ).df()
+    ks = np.arange(1, DFT_N // 2 + 1, dtype=np.int64)
+    checked = 0
+    for r in docs.itertuples():
+        arr = np.frombuffer(r.text.encode(), dtype=np.uint8).astype(np.int64)
+        n_win = len(arr) // DFT_N
+        if n_win == 0:
+            continue
+        X = arr[: n_win * DFT_N].reshape(n_win, DFT_N)
+        p = (X @ Wc.T) ** 2 + (X @ Ws.T) ** 2
+        kp = (p * ks).sum(axis=1)
+        tp = p.sum(axis=1)
+        c_raw = kp.astype(np.float64) * 1000 / tp.astype(np.float64)
+        frac = np.abs(np.mod(c_raw, 1.0) - 0.5)
+        assert frac.min() > 1e-9, "centroid near a .5 milli-bin midpoint"
+        sub = real[real.doc_id == r.doc_id].sort_values("window_id")
+        assert (sub["total_power"].to_numpy() == tp).all()
+        dom = p.argmax(axis=1)  # numpy first-occurrence == (p desc, k asc)
+        assert (sub["dominant_bin"].to_numpy() == ks[dom]).all()
+        checked += n_win
+    assert checked > 100
+    con.close()
+
+
+def test_bitext_ivf_score_stage_equals_brute_on_in_cell_pairs(spark):
+    """The IVF-routed bitext twin's whole claim: the SCORER changes
+    (same-cell equi-join + codegen cosine fold vs driver-broadcast
+    numpy matmul), the scores do not. Pins:
+
+      - the routed candidate frame is EXACTLY the brute A×B score set
+        restricted to same-cell pairs (cells from an independent numpy
+        replay of the centroid routing), with bit-identical cos_u —
+        fold vs matmul agree after the millionths quantization;
+      - every cell holds vectors of both parities or contributes no
+        pairs (no phantom cells);
+      - the mined output is still a partial matching on both sides."""
+    import numpy as np
+    import pyarrow.parquet as pa
+
+    from minimapreduce_spark.operators.similarity import (
+        _bitext_ivf_pairs,
+        _emb,
+        bitext_margin_mining_ivf,
+    )
+
+    emb = _emb(spark, SF_DIR)
+    got_pairs = {
+        (int(r.a_id), int(r.b_id)): int(r.cos_u)
+        for r in _bitext_ivf_pairs(emb).collect()
+    }
+
+    tbl = pa.read_table(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    ids = np.asarray(tbl["vec_id"])
+    labels = np.asarray(tbl["label"])
+    E = np.stack([np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()])
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    # centroid routing replay: per-label means, assign by rounded
+    # cosine desc then label asc — the _ivf_cell_sims text
+    uniq = np.unique(labels)
+    C = np.stack([E[labels == lab].mean(axis=0) for lab in uniq])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    sims = np.round(En @ Cn.T, 6)  # numpy half-even, but ties pinned below
+    order = np.lexsort((uniq[None, :].repeat(len(ids), 0), -sims), axis=-1)
+    cell = uniq[order[:, 0]]
+    frac = np.abs(np.mod((En @ Cn.T).ravel() * 1e6, 1.0) - 0.5)
+    assert frac.min() > 1e-9, "routing cosine near a .5 millionth midpoint"
+
+    a_mask, b_mask = ids % 2 == 0, ids % 2 == 1
+    S = En[a_mask] @ En[b_mask].T
+    cos_u = (np.sign(S) * np.floor(np.abs(S * 1e6) + 0.5)).astype(np.int64)
+    want_pairs = {
+        (int(ai), int(bi)): int(cos_u[i, j])
+        for i, ai in enumerate(ids[a_mask])
+        for j, bi in enumerate(ids[b_mask])
+        if cell[a_mask][i] == cell[b_mask][j]
+    }
+    assert got_pairs == want_pairs, (
+        f"in-cell score stage diverged: {len(got_pairs)} vs {len(want_pairs)} pairs"
+    )
+
+    out = bitext_margin_mining_ivf(spark, SF_DIR).toPandas()
+    assert (out["src_vec_id"] % 2 == 0).all() and (out["tgt_vec_id"] % 2 == 1).all()
+    assert out["src_vec_id"].is_unique and out["tgt_vec_id"].is_unique
+    # every mined pair is an in-cell pair
+    mined = {(int(r.src_vec_id), int(r.tgt_vec_id)) for r in out.itertuples()}
+    assert mined <= set(want_pairs)
 
 
 def test_source_influence_loo_equals_physical_retrain(spark):

@@ -528,8 +528,8 @@ def test_stream_left_outer_contract(spark):
     """The outer join's two-part contract, pinned against the batch
     truth: (a) its matched rows are EXACTLY the inner twin's output;
     (b) its null-emitted rows are EXACTLY the batch-unmatched views
-    whose match deadline (view_ts + 1 h) the final watermark
-    (max ts − 2 h) has passed — and the withheld remainder is nonempty
+    whose match deadline (view_ts + 1 h) the final GLOBAL watermark
+    (min of both sides' max event time, − 2 h) has passed — and the withheld remainder is nonempty
     on the fixture, so the finalization semantic is genuinely
     exercised, not vacuously true."""
     import duckdb
@@ -552,9 +552,11 @@ def test_stream_left_outer_contract(spark):
                    FROM events WHERE event_type = 'view'),
         p AS (SELECT user_id, ts AS purchase_ts
               FROM events WHERE event_type = 'purchase'),
-        m AS (SELECT max(ts) AS mx FROM events)
+        m AS (SELECT least((SELECT max(view_ts) FROM v),
+                           (SELECT max(purchase_ts) FROM p))
+                - INTERVAL 2 HOUR AS wm)
         SELECT v.view_id,
-               v.view_ts + INTERVAL 1 HOUR < m.mx - INTERVAL 2 HOUR AS finalized
+               v.view_ts + INTERVAL 1 HOUR < m.wm AS finalized
         FROM v, m
         WHERE NOT EXISTS (
           SELECT 1 FROM p

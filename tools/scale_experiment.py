@@ -67,7 +67,9 @@ QUERIES = [
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
     "ann_ivfpq_nprobe_topk",
+    "ann_ivfpq_served_topk",
     "bitext_margin_mining",
+    "bitext_margin_mining_ivf",
     "ann_hard_negative_mining",
     "ann_dim_truncation_recall",
     "contamination_test_train",
@@ -143,6 +145,15 @@ ORACLE_SKIP_PAST_10X = {
     # 40×; the engine's banded path stays measured
     "multimodal_phash_dedup",
     "dedup_clusters",
+    # the IVF-routed bitext twin's ENGINE side stays measured at 40x
+    # (the whole point of the octave: the brute twin is excluded there
+    # by its |A|x|B| contract, the routed twin is not), but the oracle
+    # recomputes every in-cell cosine serially in DuckDB -- ~1.6e8
+    # list_cosine_similarity calls at 40x on this fixture's FIXED
+    # 10-label cell structure (real IVF grows nlist with the corpus;
+    # the ann_knn_graph_edges exclusion note documents the same
+    # fixture artifact). Hash-matched at 1x and 10x.
+    "bitext_margin_mining_ivf",
 }
 
 # Oracle skipped past 40×: the registered dedup_embedding_lsh's full
