@@ -53,141 +53,77 @@ def register(name: str, oracle: str | None = None, bench: bool = False) -> Calla
 # rest follows in module registration order. tests/test_driver_contract.py
 # pins the rotation discipline.
 #
-# ROUND-7 ROTATION — FULL CLOSURE + MODULE CANARIES (round-6 verdict
-# item 1): the committed artifacts (r01-r04 + r06; r05 never landed)
-# cumulatively hash-verify 228 of the 253 registered queries. This
-# window leads with EXACTLY the 25-query never-driver-verified
-# remainder — the 22 audited trivial shapes the round-6 window dropped
-# plus the 3 round-6 LATE_REGISTERED entries — so a green
-# CORRECTNESS_r07 closes cumulative driver-hash coverage at the full
-# registry. The other 25 slots are canaries: one previously-verified
-# representative per module (all 23 registering modules are sampled),
-# plus two flagship re-checks, so every module keeps a fresh driver
-# signal each round. test_driver_contract.py derives the closure set
-# from the committed artifacts and pins window == closure + verified
-# canaries.
+# ROUND-8 ROTATION — FRESHNESS UNDER CLOSURE (round-7 verdict item 3):
+# cumulative driver-hash coverage closed at the full registry in round
+# 7, so the window's job changes from closure to FRESHNESS. Two rules,
+# both encoded in tests/test_driver_contract.py:
+#   (a) every round-8 registration leads the window (a new capability
+#       driver-verified beats any re-verification);
+#   (b) the remaining slots re-verify the queries whose last
+#       driver-hash verification is OLDEST — the staleness rule: no
+#       canary may be fresher than any non-window verified query
+#       (ties allowed; the 45 r01-verified queries are six rounds
+#       stale against a moving Spark/DuckDB pair, and 44 fit).
 DRIVER_PRIORITY: list[str] = [
-    # -- closure: the 25 never-driver-verified queries, in the round-6
-    #    registration order the judge enumerated --
-    "events_json_extract",
-    "extract_numbers_table",
-    "dim_date_generate",
-    "customer_existence_flags",
-    "events_usage_heatmap",
-    "profile_qty_discount_grid",
-    "basket_size_histogram",
-    "text_top_bigrams",
-    "text_sentiment_lexicon",
-    "text_readability_flesch",
-    "corpus_source_profile",
-    "hybrid_ivf_rrf_retrieval",
-    "hilbert_tile_stats",
-    "split_train_test",
-    "percentile_quantity",
-    "histogram_order_prices",
-    "snapshot_diff_customers",
-    "tier_migration_matrix",
-    "datetime_arithmetic_showcase",
-    "array_set_ops",
-    "agg_grouping_id",
-    "agg_filter_clause",
-    "window_first_last_nth",
-    "page_orders_offset",
-    "stream_kmv_distinct_users",
-    # -- canaries: one per module (module noted), all previously
-    #    driver-verified, re-checked deliberately --
-    # round-7 flagship replaces the udfs canary (6/6 of that module are
-    # multi-round driver-verified, and the windowed round-7 flagships
-    # bitext/MRL/hard-negative all exercise the mapInPandas lane)
-    "privacy_k_anonymity",
-    # round-7 flagship replaces the analytics canary (same module
-    # sampled; the Welch readout is the experiment-analysis rung the
-    # product-analytics family was missing)
-    "ab_welch_ttest",
-    # round-7 flagship replaces the dedup canary (same module sampled;
-    # containment is the asymmetric lane Jaccard misses)
-    "dedup_ngram_containment",
-    # round-7 flagship replaces the events canary (that module is
-    # multi-round driver-verified): the skyline operator is a NEW
-    # operator class (Pareto-dominance) under the hard signal
-    "skyline_price_size",
-    # round-7 flagship replaces the graph canary (that module is
-    # multi-round driver-verified): the zero-shuffle SMB join was a
-    # plan-test-only helper until now — put it under the hard signal
-    "join_bucketed_smb",
-    # round-7 flagship replaces the mr_compat canary (3/3 of that
-    # module are multi-round driver-verified; the text-module canary
-    # keeps the wordcount semantics sampled)
-    "ann_dim_truncation_recall",
-    # round-7 flagship replaces the multimodal canary (same module
-    # sampled; the pHash lane exercises the full encode->decode->hash
-    # plumbing the features canary samples a subset of)
-    "multimodal_phash_dedup",
-    # operators.pipeline — the round-7 data-valuation flagship replaces
-    # the planned gdpr_erase_cascade canary (same module sampled)
-    "source_influence_loo",
-    # round-7 flagship replaces the relational canary (q1 is the most
-    # driver-verified query in the repo): the portable Bloom filter —
-    # the membership member of the sketch family — under the signal
-    "sketch_bloom_membership",
-    # round-7 flagship replaces the semantics canary (that module is
-    # multi-round driver-verified): the exact tied-rank AUC readout
-    # closes the train→value→evaluate loop under the hard signal
-    "probe_auc_roc",
-    # operators.scale — the round-7 planted-skew flagship replaces the
-    # planned join_bloom_pruned_revenue canary (same module sampled)
-    "agg_salted_hotkey_planted",
-    # operators.similarity — the round-7 flagship replaces the planned
-    # ann_ivf_nprobe_topk canary: same module sampled, and the nprobe
-    # dial is now exercised through the composed IVF-PQ chain
-    "ann_ivfpq_nprobe_topk",
-    # round-7 flagships replace the text / text_analysis canaries
-    # (both modules multi-round driver-verified): k-fold CV and the
-    # reliability diagram complete the in-engine evaluation suite
-    # under the hard signal
-    "probe_kfold_cv",
-    "probe_calibration_bins",
-    # round-7 flagship replaces the tpch_more canary (13/13 of that
-    # module are multi-round driver-verified and the adjacent tpch_rest
-    # canary keeps the TPC-H class sampled)
-    "ann_hard_negative_mining",
-    # round-7 flagship replaces the tpch_rest canary (13/13 of that
-    # module are multi-round driver-verified): the register-form HLL
-    # completes the mergeable-sketch family under the hard signal
-    "sketch_hll_distinct_users",
-    # round-7 flagship replaces the pydatasource canary (that module is
-    # multi-round driver-verified): the AMS F2 sketch — join-size
-    # estimation — completes the mergeable family under the hard signal
-    "sketch_ams_f2_join_size",
-    # round-7 flagship replaces the streaming.dedup_join canary (same
-    # module sampled): the LEFT OUTER stream-stream join — finalized
-    # null emission — is the one SS join semantic the surface lacked
-    "stream_left_outer_views",
-    # round-7 flagship replaces the streaming.drift canary (that module
-    # is multi-round driver-verified): WOE/IV feature screening — the
-    # pre-training readout of the evaluation suite — under the signal
-    "feature_woe_iv",
-    # round-7 flagship replaces the streaming.sketch canary (same
-    # module sampled): the streaming HLL completes the streaming-twin
-    # discipline across the whole mergeable family under the hard signal
-    "stream_hll_distinct_users",
-    # round-7 flagship replaces the streaming.stateful canary (that
-    # module is multi-round driver-verified): the streaming AMS twin
-    # closes "every sketch has a streaming twin" under the hard signal
-    "stream_ams_f2_user_pairs",
-    # round-7 flagship replaces the streaming.upsert canary (that
-    # module is multi-round driver-verified): the declared-grid
-    # streaming quantile histogram is the family's LAST streaming twin
-    "stream_quantile_event_values",
-    # round-7 flagship replaces the streaming.windows canary (that
-    # module is multi-round driver-verified): the streaming Bloom —
-    # the idempotent-OR twin that needs no dedup state
-    "stream_bloom_membership",
-    # round-7 flagships (replace the two planned flagship re-checks —
-    # a new capability driver-verified beats a fourth re-verification)
-    "bitext_margin_mining",
-    "sketch_kmv_set_ops",
+    # -- round-8 registrations: every query new this round goes under
+    #    the hard signal first (rotation rule (a)) --
+    "bitext_margin_mining_ivf",
+    "ann_ivfpq_served_topk",
+    "stream_full_outer_view_purchase",
+    "multimodal_audio_spectral",
+    "wordpiece_train_merges",
+    "wordpiece_apply_token_stats",
+    # -- staleness canaries: the 44 queries whose last driver-hash
+    #    verification is OLDEST (all r01 — six rounds stale against a
+    #    moving Spark/DuckDB pair); rotation rule (b), encoded in
+    #    tests/test_driver_contract.py. The one remaining r01 query
+    #    (window_trailing_30d_spend) leads the round-9 queue. --
+    "agg_conditional_pivot",
+    "agg_corr_covar",
+    "agg_cube_orders",
+    "agg_distinct_priority",
+    "agg_mode_deterministic",
+    "agg_rollup_lineitem",
+    "array_hof_embedding_stats",
+    "correlated_above_avg_spend",
+    "crash_agg",
+    "distinct_words_per_doc",
+    "filter_project",
+    "inverted_index",
+    "join_anti_no_urgent",
+    "join_broadcast_dims",
+    "join_left_order_counts",
+    "join_semi_big_spenders",
+    "mr_inverted_index",
+    "mr_reduce_side_join",
+    "pivot_status_revenue",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_by_linestatus",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "scalar_functions_showcase",
+    "set_ops_customers",
+    "stats_summary",
+    "topk_global_lineitems",
+    "unpivot_returnflag_metrics",
+    "window_order_gaps",
+    "window_rank_family",
+    "window_running_spend",
+    "window_topk_per_customer",
 ]
+
 
 # Queries registered AFTER the current (round-7) window was pinned. Any
 # new registration must be appended here in the same commit, so the
@@ -196,17 +132,8 @@ DRIVER_PRIORITY: list[str] = [
 # the window, displacing a canary (a flagship driver-verified beats a
 # canary re-verified) — use this ledger only when the driver may
 # already have run.
-LATE_REGISTERED: list[str] = [
-    # round-8 in-progress ledger: swapped into the round-8 window at
-    # end-of-round rotation (verdict item 3); each is pytest-oracle
-    # verified on registration
-    "bitext_margin_mining_ivf",
-    "ann_ivfpq_served_topk",
-    "stream_full_outer_view_purchase",
-    "multimodal_audio_spectral",
-    "wordpiece_train_merges",
-    "wordpiece_apply_token_stats",
-]
+LATE_REGISTERED: list[str] = []
+
 
 
 

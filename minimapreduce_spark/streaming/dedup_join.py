@@ -156,6 +156,13 @@ def stream_exactly_once_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 11 of 30 days — the eviction the state-peak pytest asserts.
 EXACTLY_ONCE_WM_DELAY = "4 days"
 
+# state partitions for the exactly-once drain: sized to the per-batch
+# volume (~10k rows/slice at sf0.1), NOT the session's batch-shuffle
+# width — per-batch state-store commits are one file per partition per
+# batch, so over-sharding multiplies pure commit overhead (measured
+# 32→8 partitions: 10.3-15.5 s → 4.7 s at sf0.1, identical output)
+EXACTLY_ONCE_STATE_PARTITIONS = 8
+
 
 def exactly_once_watermarked_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming plan behind ``stream_exactly_once_watermarked``,
@@ -201,12 +208,33 @@ def stream_exactly_once_watermarked(spark: SparkSession, sf_dir: str) -> DataFra
     the oracle checks. The planted-redelivery pytest asserts both the
     dedup (sink equals batch DISTINCT despite nonzero redelivery) and
     the eviction (max stateOperators rows stays well under the stream's
-    distinct-key count)."""
-    drained = run_to_memory(
-        exactly_once_watermarked_plan(spark, sf_dir),
-        "stream_exactly_once_watermarked",
-        "append",
+    distinct-key count).
+
+    State-store SIZING (round-7 verdict item 5, measured): the wall of
+    this drain is per-batch state-store COMMIT fan-out, not dedup work
+    — every micro-batch commits one state file per state partition, so
+    11 batches × 32 partitions = 352 commits for ~10k-row batches
+    (~30 ms of actual work each). Profiled at sf0.1: 32 state
+    partitions → 10.3-15.5 s wall; 8 → 4.7 s — same answer, same
+    eviction (dedup is partition-count invariant, pytest-pinned
+    repo-wide). So the query SIZES its state partitioning to the
+    per-batch volume (EXACTLY_ONCE_STATE_PARTITIONS) instead of
+    inheriting the batch session's width — the real deployment
+    discipline: state shards scale with streaming throughput, not with
+    the cluster's batch-shuffle width; SCALING.md carries the per-batch
+    timing table."""
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(EXACTLY_ONCE_STATE_PARTITIONS)
     )
+    try:
+        drained = run_to_memory(
+            exactly_once_watermarked_plan(spark, sf_dir),
+            "stream_exactly_once_watermarked",
+            "append",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return drained.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("value_c_sum"),

@@ -84,38 +84,63 @@ def test_driver_priority_tier_leads_with_oracles():
     assert all(REGISTRY[n].oracle for n in names[:50])
 
 
-def test_driver_priority_closes_coverage():
-    """Round-7 rotation — full closure, artifact-derived: the committed
-    CORRECTNESS artifacts (r01-r04 + r06; r05 never landed) cumulatively
-    hash-verify 228/253 queries. Pins:
+def _last_verified() -> dict[str, int]:
+    """name -> most recent round whose committed CORRECTNESS artifact
+    hash-verified it (r05 never landed; absent = never verified)."""
+    import glob
+    import json
 
-    - the window CONTAINS every registered query absent from all
-      committed artifacts (the closure set — a green r07 run closes
-      cumulative coverage at the full registry);
-    - every other window slot is a canary that IS previously verified
-      (no slot is wasted on a query that is neither closure nor a
-      deliberate re-check);
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))):
+        r = int(path.rsplit("_r", 1)[1][:2])
+        for name, row in json.load(open(path)).items():
+            if row.get("hash_match"):
+                last[name] = max(last.get(name, 0), r)
+    return last
+
+
+def test_driver_priority_closes_coverage():
+    """Round-8 rotation — FRESHNESS under closure (round-7 closed
+    cumulative driver-hash coverage at the full registry, so the
+    window's job changes from closure to staleness rotation). Pins:
+
+    - closure first: any registered query absent from EVERY committed
+      artifact must be in the window (new registrations lead);
+    - the staleness rule: every other window slot re-verifies a query
+      whose last verification is no FRESHER than that of any verified
+      query left outside the window (ties allowed — the r01 cohort is
+      45 queries for 44 slots);
     - nothing registered falls outside window ∪ verified ∪
       LATE_REGISTERED, and late registrations carry oracles."""
+    import minimapreduce_spark.queries  # noqa: F401 — populate REGISTRY
     from minimapreduce_spark.registry import (
         DRIVER_PRIORITY,
         LATE_REGISTERED,
         REGISTRY,
     )
 
-    checked = _round_coverage((1, 2, 3, 4, 5, 6))
+    last = _last_verified()
     window = set(DRIVER_PRIORITY)
-    closure = set(REGISTRY) - checked - set(LATE_REGISTERED)
+    closure = set(REGISTRY) - set(last) - set(LATE_REGISTERED)
 
     assert closure <= window, (
         f"never-driver-verified queries missing from the window: "
         f"{sorted(closure - window)}"
     )
     canaries = window - closure
-    assert canaries <= checked, (
+    assert canaries <= set(last), (
         f"window slots that are neither closure nor previously verified: "
-        f"{sorted(canaries - checked)}"
+        f"{sorted(canaries - set(last))}"
     )
+    outside = {n: r for n, r in last.items() if n in REGISTRY and n not in window}
+    if canaries and outside:
+        stalest_out = min(outside.values())
+        freshest_in = max(last[c] for c in canaries)
+        assert freshest_in <= stalest_out, (
+            f"staleness rule violated: a canary last verified in round "
+            f"{freshest_in} occupies a slot while a query last verified "
+            f"in round {stalest_out} waits outside"
+        )
     assert set(LATE_REGISTERED) <= set(REGISTRY)
     assert window & set(LATE_REGISTERED) == set()
     # late registrations still carry full pytest-oracle coverage
