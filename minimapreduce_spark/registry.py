@@ -63,7 +63,8 @@ def register(name: str, oracle: str | None = None, bench: bool = False) -> Calla
 #       driver-hash verification is OLDEST — the staleness rule: no
 #       canary may be fresher than any non-window verified query
 #       (ties allowed; the 45 r01-verified queries are six rounds
-#       stale against a moving Spark/DuckDB pair, and 44 fit).
+#       stale against a moving Spark/DuckDB pair, and 43 fit after
+#       the late sessionizer registration took a slot).
 DRIVER_PRIORITY: list[str] = [
     # -- round-8 registrations: every query new this round goes under
     #    the hard signal first (rotation rule (a)) --
@@ -73,11 +74,13 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_audio_spectral",
     "wordpiece_train_merges",
     "wordpiece_apply_token_stats",
+    "stream_sessions_timer_finalized",
     # -- staleness canaries: the 44 queries whose last driver-hash
     #    verification is OLDEST (all r01 — six rounds stale against a
     #    moving Spark/DuckDB pair); rotation rule (b), encoded in
-    #    tests/test_driver_contract.py. The one remaining r01 query
-    #    (window_trailing_30d_spend) leads the round-9 queue. --
+    #    tests/test_driver_contract.py. The two remaining r01 queries
+    #    (filter_project, window_trailing_30d_spend) lead the round-9
+    #    queue. --
     "agg_conditional_pivot",
     "agg_corr_covar",
     "agg_cube_orders",
@@ -88,7 +91,6 @@ DRIVER_PRIORITY: list[str] = [
     "correlated_above_avg_spend",
     "crash_agg",
     "distinct_words_per_doc",
-    "filter_project",
     "inverted_index",
     "join_anti_no_urgent",
     "join_broadcast_dims",

@@ -223,7 +223,7 @@ def events_stream_time_sliced_redelivered(
         sl = np.minimum((ts - ts[0]) * n_slices // span, n_slices - 1)
         for i in range(n_slices):
             parts = [t.filter(pa.array(sl == i))]
-            if i > 0:
+            if i > 0 and redeliver_mod:
                 parts.append(
                     t.filter(pa.array((sl == i - 1) & (ids % redeliver_mod == 0)))
                 )
@@ -309,3 +309,17 @@ def run_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def events_stream_time_sliced(
+    spark: SparkSession, sf_dir: str, n_slices: int = 10
+) -> DataFrame:
+    """Clean (exactly-once) time-ordered replay: the redelivered
+    builder with redelivery disabled — ``n_slices`` contiguous
+    time slices, one micro-batch each, arriving in event-time order.
+    The source shape for operators whose STATE depends on event-time
+    progression (timer-driven sessionization): slices respect the
+    watermark contract by construction, so nothing is late-dropped."""
+    return events_stream_time_sliced_redelivered(
+        spark, sf_dir, n_slices=n_slices, redeliver_mod=0
+    )

@@ -760,3 +760,62 @@ def test_stream_bloom_words_bit_identical_and_idempotent(spark):
         .toPandas()
     )
     assert_frames_match(s, b, name="stream_vs_batch_bloom")
+
+
+def test_stream_sessions_timer_finalized_contract(spark):
+    """The timer-finalized sessionizer's three-part contract against
+    batch truth: (a) emissions are ONCE-ONLY (no session key appears
+    twice — the append-feed property); (b) the emitted set is EXACTLY
+    the batch gaps-and-islands sessions whose close deadline
+    (end + gap) the final watermark has passed — computed here
+    independently from the events table, with the ms-floored watermark
+    Spark uses; (c) the withheld tail is NONEMPTY on the fixture, so
+    the finalization semantic is genuinely exercised. Also pins
+    value_c sums against the batch recompute (exact integers)."""
+    import duckdb
+
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.streaming.stateful import SESSION_GAP_US
+    from tests.conftest import SF_DIR, TABLES, table_path
+
+    out = q.queries()["stream_sessions_timer_finalized"](spark, SF_DIR).toPandas()
+    keys = list(zip(out.user_id, out.session_start_us))
+    assert len(keys) == len(set(keys)), "a session emitted more than once"
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{table_path(SF_DIR, t)}'"
+        )
+    batch = con.execute(f"""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                          CAST(round(value * 10000) AS BIGINT) AS value_c
+                   FROM events),
+        wm AS (SELECT ((max(ts_us) // 1000) - 7200000) * 1000 AS wm_us FROM e),
+        gaps AS (SELECT user_id, ts_us, value_c,
+                        ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS g
+                 FROM e),
+        sess AS (SELECT user_id, ts_us, value_c,
+                        sum(CASE WHEN g IS NULL OR g > {SESSION_GAP_US} THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                 FROM gaps)
+        SELECT user_id, min(ts_us) s0, max(ts_us) s1, count(*) n,
+               CAST(sum(value_c) AS BIGINT) vc,
+               max(ts_us) + {SESSION_GAP_US} < (SELECT wm_us FROM wm) AS finalized
+        FROM sess GROUP BY user_id, sid
+    """).df()
+    con.close()
+    want = {
+        (int(r.user_id), int(r.s0), int(r.s1), int(r.n), int(r.vc))
+        for r in batch.itertuples()
+        if r.finalized
+    }
+    got = {
+        (int(r.user_id), int(r.session_start_us), int(r.session_end_us),
+         int(r.n_events), int(r.value_c_sum))
+        for r in out.itertuples()
+    }
+    assert got == want
+    withheld = (~batch.finalized).sum()
+    assert withheld > 0, "no withheld tail — finalization vacuous on fixture"
