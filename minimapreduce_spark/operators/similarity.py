@@ -2486,6 +2486,13 @@ def ann_ivfpq_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     only — the min-of-runs bench protocol therefore reports the
     steady-state serving cost, which is the number a 100 TB deployment
     sees per query batch."""
+    # Degenerate-input policy: an empty embeddings table yields an
+    # empty result frame (a partitioned parquet write of zero rows
+    # produces no readable files, so the artifact path cannot exist)
+    if load_table(spark, sf_dir, "embeddings").head(1) == []:
+        return spark.createDataFrame(
+            [], "q_vec_id bigint, neighbor_id bigint, ivfpq_sim double, rn int"
+        )
     root = ivfpq_index_build(spark, sf_dir)
     cg = spark.read.parquet(os.path.join(root, "centroids"))
     cb = spark.read.parquet(os.path.join(root, "codebook"))

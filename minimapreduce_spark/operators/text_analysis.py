@@ -2228,6 +2228,13 @@ def wordpiece_apply_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_self_by_value()
     _, vocab = _wp_train(spark, sf_dir, WP_MERGE_ROUNDS)
+    if not vocab:
+        # Degenerate-input policy: empty corpus → empty accounting
+        return spark.createDataFrame(
+            [],
+            "source string, n_words bigint, n_chars bigint, n_tokens_wp bigint, "
+            "chars_per_token double, tokens_per_word double",
+        )
     max_len = max(len(p) for p in vocab)
     vocab_bc = spark.sparkContext.broadcast(frozenset(vocab))
 

@@ -72,6 +72,12 @@ REPRESENTATIVE = [
     "sketch_ams_f2_join_size",
     "feature_woe_iv",
     "sketch_bloom_membership",
+    # round-8 registrations
+    "bitext_margin_mining_ivf",
+    "ann_ivfpq_served_topk",
+    "multimodal_audio_spectral",
+    "wordpiece_train_merges",
+    "wordpiece_apply_token_stats",
 ]
 
 

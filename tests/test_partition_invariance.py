@@ -167,6 +167,20 @@ CANDIDATES = [
     "feature_woe_iv",
     # Bloom: bit_or is order-free; probes against the broadcast words
     "sketch_bloom_membership",
+    # round-8 additions: cell-routed bitext (cogroup matmul batch
+    # boundaries + cell join layout), artifact-served IVFPQ (the
+    # build-then-serve chain must be layout-free end to end), the
+    # fixed-point DFT lane (mapInPandas batch boundaries), WordPiece
+    # training (likelihood argmax + merge fold across k rounds) and
+    # its greedy longest-match serving, and the timer-finalized
+    # sessionizer (buffer order + timeout firing must not depend on
+    # state-partition layout)
+    "bitext_margin_mining_ivf",
+    "ann_ivfpq_served_topk",
+    "multimodal_audio_spectral",
+    "wordpiece_train_merges",
+    "wordpiece_apply_token_stats",
+    "stream_sessions_timer_finalized",
 ]
 
 
