@@ -1916,7 +1916,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_oracle(nprobe: int = 1) -> str:
+def _ivfpq_oracle(nprobe: int = 1, train_pred: str | None = None) -> str:
     """Unrolled residual IVF-PQ as DuckDB SQL: grid-quantize → per-label
     grid centroids (exact-floor means) → residuals → per-subspace
     codebooks on residuals (seed + PQ_ITERS Lloyd refinements, the
@@ -1925,7 +1925,15 @@ def _ivfpq_oracle(nprobe: int = 1) -> str:
     routed cells' members only, with the exact decomposition
     dot(q, x̂) = dot(q, c_cell) + Σ_m LUT_q(m, code_m) and
     ‖x̂‖² = ‖c‖² + 2·Σ_m c_m·ce + Σ_m ‖ce‖² (the constant term is
-    per-cell, so it rides the route rows)."""
+    per-cell, so it rides the route rows).
+
+    ``train_pred`` (SQL predicate on vec_id/label) restricts the
+    TRAINING population — centroid means, seed membership (seeds are
+    numbered over the full id range, absent ones drop out, keeping cid
+    numbering engine-identical), and every Lloyd assignment — while
+    encoding, routing and serving still cover the full corpus: the
+    frozen-index append contract of `ann_ivfpq_append_serve`."""
+    tp = train_pred or "TRUE"
     d2 = (
         "list_sum(list_transform(generate_series(1, {n}),"
         " i -> (s.sq[i] - c.ce[i]) * (s.sq[i] - c.ce[i])))"
@@ -1936,7 +1944,7 @@ def _ivfpq_oracle(nprobe: int = 1) -> str:
         SELECT s.vec_id, s.m, c.cid, s.sq,
                row_number() OVER (PARTITION BY s.vec_id, s.m
                                   ORDER BY {d2}, c.cid) AS rn
-        FROM sub s JOIN c{{p}} c ON c.m = s.m
+        FROM sub_t s JOIN c{{p}} c ON c.m = s.m
       ) WHERE rn = 1
     )"""
     update = f"""
@@ -1964,7 +1972,7 @@ def _ivfpq_oracle(nprobe: int = 1) -> str:
         SELECT label, dim,
                CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS mu
         FROM (SELECT label, generate_subscripts(eq, 1) AS dim, unnest(eq) AS v
-              FROM eq)
+              FROM eq WHERE {tp})
         GROUP BY label, dim
       ) GROUP BY label
     ),
@@ -1977,11 +1985,15 @@ def _ivfpq_oracle(nprobe: int = 1) -> str:
       SELECT vec_id, m, rq[m*{PQ_SUB}+1 : m*{PQ_SUB}+{PQ_SUB}] AS sq
       FROM res CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)
     ),
+    sub_t AS (
+      SELECT s.vec_id, s.m, s.sq
+      FROM sub s JOIN (SELECT vec_id FROM eq WHERE {tp}) t USING (vec_id)
+    ),
     seeds AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS cid, vec_id
       FROM eq WHERE vec_id < {PQ_K}
     ),
-    c0 AS (SELECT s.m, d.cid, s.sq AS ce FROM sub s JOIN seeds d USING (vec_id))"""]
+    c0 AS (SELECT s.m, d.cid, s.sq AS ce FROM sub_t s JOIN seeds d USING (vec_id))"""]
     for it in range(PQ_ITERS):
         parts.append(assign.format(n=it + 1, p=it))
         parts.append(update.format(n=it + 1))
@@ -2143,14 +2155,20 @@ def _ivfpq_topk_plan(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataF
 
 
 def _ivfpq_index_frames(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, train_pred: Column | None = None
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Steps 1-4 of the IVF-PQ chain — the INDEX-BUILD half: returns
     (cell centroids ``cg(label, cg)``, residual codebooks
     ``cb(m, cid, ce)``, encoded corpus ``code_arr(vec_id, label, code,
     n2hat)``). `_ivfpq_topk_plan` composes these inline with
     `_ivfpq_serve`; `ivfpq_index_build` persists them as the parquet
-    artifact that `ann_ivfpq_served_topk` serves from."""
+    artifact that `ann_ivfpq_served_topk` serves from.
+
+    ``train_pred`` restricts the TRAINING population (centroid means,
+    seed membership, Lloyd assignments) while the encode still covers
+    the full corpus — the frozen-index append contract: vectors
+    outside the predicate are quantized under codebooks that never saw
+    them, exactly what appending a batch to a persisted index does."""
     embq = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
@@ -2159,9 +2177,10 @@ def _ivfpq_index_frames(
             lambda x: F.round(x.cast("double") * KMEANS_SCALE).cast("bigint"),
         ).alias("eq"),
     )
-    # 1. per-label grid centroids: exact-floor integer means
+    embq_t = embq.where(train_pred) if train_pred is not None else embq
+    # 1. per-label grid centroids: exact-floor integer means (TRAIN set)
     cg = (
-        embq.select("label", F.posexplode("eq").alias("pos", "v"))
+        embq_t.select("label", F.posexplode("eq").alias("pos", "v"))
         .groupBy("label", "pos")
         .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
         .select(
@@ -2187,7 +2206,13 @@ def _ivfpq_index_frames(
         "vec_id", "label", "m",
         F.expr(f"slice(rq, m * {PQ_SUB} + 1, {PQ_SUB})").alias("sq"),
     )
-    cb = _pq_train(spark, sf_dir, rsub.drop("label"))
+    rsub_t = (
+        rsub.where(train_pred) if train_pred is not None else rsub
+    )
+    # seeds are numbered over the full id range inside _pq_train and
+    # simply drop out where the train frame lacks them — cid numbering
+    # stays oracle-identical under any predicate
+    cb = _pq_train(spark, sf_dir, rsub_t.drop("label"))
     # 3. encode, with the cell id riding along (no corpus-side re-join)
     codes = _pq_assign(rsub, cb, keep_sq=False, extra=("label",))
     # 4. exact reconstructed norm², fused into ONE per-label broadcast
@@ -2499,6 +2524,56 @@ def ann_ivfpq_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     code_arr = spark.read.parquet(os.path.join(root, "codes")).select(
         "vec_id", F.col("label").cast("int").alias("label"), "code", "n2hat"
     )
+    return _ivfpq_serve(spark, sf_dir, cg, cb, code_arr, nprobe=1)
+
+
+APPEND_MOD = 13  # every 13th corpus vector is the "appended" batch
+
+
+@register(
+    "ann_ivfpq_append_serve",
+    oracle=_ivfpq_oracle(
+        1, train_pred=f"NOT (vec_id % {APPEND_MOD} = 0 AND vec_id >= {N_QUERIES})"
+    ),
+)
+def ann_ivfpq_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL INDEX APPEND — the third rung of the index
+    lifecycle after build (`ivfpq_index_build`) and serve
+    (`ann_ivfpq_served_topk`): a batch of NEW vectors (every
+    ``APPEND_MOD``-th corpus id, the `dedup_minhash_incremental`
+    batch discipline) is encoded under the FROZEN base-trained
+    centroids and codebooks — training never sees the batch — and
+    serving answers over base + batch together. This is what appending
+    to a persisted IVF-PQ index actually does at 100 TB: quantize the
+    new rows with the existing quantizers, write their cell partitions
+    into the codes table, never retrain (FAISS `add` after `train`);
+    periodic re-trains are a separate offline rebuild.
+
+    The oracle is `_ivfpq_oracle` with the SAME train predicate —
+    centroid means, seed membership and every Lloyd assignment range
+    over the base only, while encode/route/serve cover the full
+    corpus — so the frozen-quantizer contract is hash-checked end to
+    end, and the physical-freeze pytest additionally pins that the
+    codebook CONTENT equals a from-scratch train on a corpus with the
+    batch rows physically absent (cid numbering aside: seeds number
+    over the full id range and excluded ones drop out as a gap).
+
+    Recall note: appended vectors are quantized by codebooks that
+    never saw their residual distribution — the honest drift cost of
+    append-without-retrain that makes production indexes schedule
+    periodic rebuilds; on this fixture the batch is distribution-
+    identical so the cost is invisible, and the pytest instead pins
+    the mechanism (frozen frames).
+
+    Scale posture: identical to the served twin, plus the append cost
+    is ONE narrow encode pass over the batch (broadcast codebooks,
+    Arrow matmul assign) — independent of base-corpus size, the
+    property `tools/incremental_scale_probe.py` measures for the
+    minhash analog."""
+    pred = ~(
+        (F.col("vec_id") % APPEND_MOD == 0) & (F.col("vec_id") >= N_QUERIES)
+    )
+    cg, cb, code_arr = _ivfpq_index_frames(spark, sf_dir, train_pred=pred)
     return _ivfpq_serve(spark, sf_dir, cg, cb, code_arr, nprobe=1)
 
 

@@ -1101,6 +1101,65 @@ def test_ivfpq_served_artifact_equals_inline_and_plan_has_no_training(spark, tmp
     assert _os.stat(root).st_mtime_ns == before
 
 
+def test_ivfpq_append_codebooks_are_physically_frozen(spark, tmp_path):
+    """The append rung's whole claim: training NEVER sees the batch.
+    Write a corpus with the appended rows physically removed, run the
+    full index build on it, and the centroids AND codebooks must equal
+    the predicate-trained frames on the complete corpus EXACTLY (same
+    integer grids, same seeds, same Lloyd trajectory — zero tolerance).
+    Also pins: the appended vectors ARE encoded (code_arr covers the
+    full corpus) and the batch is nonempty on the fixture."""
+    import duckdb
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from minimapreduce_spark.operators.similarity import (
+        APPEND_MOD,
+        N_QUERIES,
+        _ivfpq_index_frames,
+    )
+
+    pred = ~((F.col("vec_id") % APPEND_MOD == 0) & (F.col("vec_id") >= N_QUERIES))
+    cg_p, cb_p, codes_p = _ivfpq_index_frames(spark, SF_DIR, train_pred=pred)
+
+    con = duckdb.connect()
+    base = con.execute(
+        f"""SELECT * FROM '{SF_DIR}/embeddings.parquet'
+            WHERE NOT (vec_id % {APPEND_MOD} = 0 AND vec_id >= {N_QUERIES})"""
+    ).df()
+    n_all, = con.execute(
+        f"SELECT count(*) FROM '{SF_DIR}/embeddings.parquet'"
+    ).fetchone()
+    con.close()
+    assert 0 < len(base) < n_all, "append batch empty — pin is vacuous"
+    d = tmp_path / "frozen_base"
+    d.mkdir()
+    base.to_parquet(str(d / "embeddings.parquet"), index=False)
+    cg_f, cb_f, _ = _ivfpq_index_frames(spark, str(d))
+
+    def rows(df, keys):
+        return sorted(
+            tuple(tuple(v) if hasattr(v, "__len__") else v for v in r)
+            for r in df.toPandas().sort_values(keys).itertuples(index=False)
+        )
+
+    assert rows(cg_p, ["label"]) == rows(cg_f, ["label"])
+    # codebook CONTENT must be identical per subspace; cid labels may
+    # differ (the predicate path numbers seeds over the full id range
+    # and lets excluded ones drop out — a gap — while the physical
+    # corpus numbers the survivors contiguously; the quantizer, and
+    # therefore every encoded vector, is the same either way)
+    def cb_content(df):
+        out: dict = {}
+        for r in df.toPandas().itertuples(index=False):
+            out.setdefault(int(r.m), []).append(tuple(r.ce))
+        return {m: sorted(v) for m, v in out.items()}
+
+    assert cb_content(cb_p) == cb_content(cb_f)
+    assert codes_p.count() == n_all  # the batch IS encoded
+
+
 def test_quality_linear_probe_learns_and_solve_is_faithful(spark):
     """The trained probe must actually LEARN (accuracy vs the weak
     label well above the majority class — a degenerate all-keep model
