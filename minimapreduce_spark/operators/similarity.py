@@ -3967,3 +3967,186 @@ def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality evaluation — recall@K / MRR / NDCG@K in-engine
+# ---------------------------------------------------------------------------
+
+NDCG_SCALE = 10**6
+
+
+def ndcg_discounts(k: int = IVF_TOP_K) -> list[int]:
+    """Integer DCG discount table disc[i] = round(10⁶ / log2(i + 1))
+    for positions i = 1..k — computed ONCE here in Python and inlined
+    into both engines (the `dft_twiddles` discipline), so no log is
+    ever evaluated cross-engine and every DCG sum is exact BIGINT."""
+    import math
+
+    return [round(NDCG_SCALE / math.log2(i + 1)) for i in range(1, k + 1)]
+
+
+def _retrieval_eval_oracle() -> str:
+    disc = ndcg_discounts()
+    idcg = sum(disc)
+    disc_rows = ", ".join(f"({i + 1}, {d})" for i, d in enumerate(disc))
+    return f"""
+    WITH disc(pos, d) AS (VALUES {disc_rows}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+    tq AS (SELECT vec_id AS q_vec_id, emb AS qe FROM e WHERE vec_id < {N_QUERIES}),
+    tsims AS (
+      SELECT q_vec_id, vec_id,
+             round(list_cosine_similarity(qe, emb), 6) AS cs
+      FROM tq, e WHERE vec_id <> q_vec_id
+    ),
+    truth AS (
+      SELECT q_vec_id, vec_id FROM (
+        SELECT q_vec_id, vec_id,
+               row_number() OVER (PARTITION BY q_vec_id
+                                  ORDER BY cs DESC, vec_id) AS rn
+        FROM tsims
+      ) WHERE rn <= {IVF_TOP_K}
+    ),
+    dims AS (
+      SELECT label, generate_subscripts(emb, 1) AS dim, unnest(emb) AS v FROM e
+    ),
+    cent AS (
+      SELECT label, list(av ORDER BY dim) AS centroid
+      FROM (SELECT label, dim, avg(v) AS av FROM dims GROUP BY label, dim)
+      GROUP BY label
+    ),
+    assign AS (
+      SELECT q_vec_id, qe, label,
+             row_number() OVER (
+               PARTITION BY q_vec_id
+               ORDER BY round(list_cosine_similarity(qe, centroid), 6) DESC, label
+             ) AS crn
+      FROM tq, cent
+    ),
+    routed AS (SELECT q_vec_id, qe, label FROM assign WHERE crn = 1),
+    isims AS (
+      SELECT r.q_vec_id, e.vec_id,
+             round(list_cosine_similarity(r.qe, e.emb), 6) AS cs
+      FROM routed r JOIN e ON e.label = r.label AND e.vec_id <> r.q_vec_id
+    ),
+    sys AS (
+      SELECT q_vec_id, vec_id, rn FROM (
+        SELECT q_vec_id, vec_id,
+               row_number() OVER (PARTITION BY q_vec_id
+                                  ORDER BY cs DESC, vec_id) AS rn
+        FROM isims
+      ) WHERE rn <= {IVF_TOP_K}
+    ),
+    hits AS (
+      SELECT s.q_vec_id, s.rn,
+             CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM sys s LEFT JOIN truth t
+        ON t.q_vec_id = s.q_vec_id AND t.vec_id = s.vec_id
+    )
+    SELECT h.q_vec_id,
+           CAST(sum(h.hit) AS BIGINT) AS n_hits,
+           round(CAST(sum(h.hit) AS DOUBLE) / {IVF_TOP_K}, 6) AS recall_at_k,
+           CAST(min(CASE WHEN h.hit = 1 THEN h.rn END) AS BIGINT) AS rank_first,
+           CASE WHEN sum(h.hit) = 0 THEN 0.0
+                ELSE round(1.0 / min(CASE WHEN h.hit = 1 THEN h.rn END), 6)
+           END AS mrr,
+           round(CAST(sum(CASE WHEN h.hit = 1 THEN d.d ELSE 0 END) AS DOUBLE)
+                 / {idcg}, 6) AS ndcg_at_k
+    FROM hits h JOIN disc d ON d.pos = h.rn
+    GROUP BY h.q_vec_id
+    """
+
+
+@register("retrieval_eval_ivf", oracle=_retrieval_eval_oracle())
+def retrieval_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRIEVAL-QUALITY EVALUATION in-engine — the IR-metric readout
+    the evaluation suite (AUC/CV/calibration/WOE for classifiers) had
+    no counterpart for on the retrieval side: per query, recall@K, MRR
+    (reciprocal rank of the first relevant result) and binary NDCG@K
+    of the IVF-routed system (`ann_ivf_topk`'s plan) against the
+    exact-cosine top-K ground truth (`ann_cosine_topk`'s plan) — the
+    standard offline eval loop every vector-search deployment runs
+    before turning a routing/recall dial (the nprobe/IVFPQ variants
+    trade exactly what this measures).
+
+    Exactness discipline: both rankings use the family's
+    round-6dp-then-id tie-break, so truth and system sets are
+    cross-engine identical; DCG discounts 1/log2(pos+1) are quantized
+    ONCE in Python (`ndcg_discounts`, BIGINT millionths — no log
+    evaluated cross-engine); DCG sums are exact BIGINT; NDCG and
+    recall are one double each from two exact integers, rounded once;
+    MRR is 1/rank from a BIGINT rank. The pytest replays all three
+    metrics in numpy from the raw frames and pins the
+    identity-system sanity (evaluating brute against itself → all
+    metrics 1).
+
+    Scale posture: truth is the brute pass (the eval-time cost every
+    offline recall measurement pays — ground truth IS exact search,
+    run on a query SAMPLE at 100 TB); the system pass is cell-routed;
+    metrics are per-query bounded aggregations over Q×K rows. No
+    reference analog."""
+    disc = ndcg_discounts()
+    idcg = sum(disc)
+    disc_map = F.create_map(
+        *[F.lit(x) for i, d in enumerate(disc) for x in (i + 1, d)]
+    )
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("emb").alias("q_emb")
+    )
+    tsims = emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_vec_id")).select(
+        "q_vec_id",
+        "vec_id",
+        F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cs"),
+    )
+    w = W.partitionBy("q_vec_id").orderBy(F.desc("cs"), F.asc("vec_id"))
+    truth = (
+        tsims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= IVF_TOP_K)
+        .select("q_vec_id", "vec_id")
+    )
+    sys_ = (
+        _ivf_cell_sims(emb)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("q_vec_id").orderBy(
+                    F.desc("cosine_sim"), F.asc("vec_id")
+                )
+            ),
+        )
+        .where(F.col("rn") <= IVF_TOP_K)
+        .select("q_vec_id", "vec_id", "rn")
+    )
+    hits = sys_.join(
+        truth.withColumnRenamed("vec_id", "t_vec_id"),
+        (sys_.q_vec_id == truth.q_vec_id)
+        & (sys_.vec_id == F.col("t_vec_id")),
+        "left",
+    ).select(
+        sys_.q_vec_id.alias("q_vec_id"),
+        "rn",
+        F.when(F.col("t_vec_id").isNotNull(), 1).otherwise(0).alias("hit"),
+    )
+    rank_first = F.min(F.when(F.col("hit") == 1, F.col("rn")))
+    return (
+        hits.withColumn("d", disc_map[F.col("rn")])
+        .groupBy("q_vec_id")
+        .agg(
+            F.sum("hit").cast("bigint").alias("n_hits"),
+            F.round(F.sum("hit").cast("double") / IVF_TOP_K, 6).alias(
+                "recall_at_k"
+            ),
+            rank_first.cast("bigint").alias("rank_first"),
+            F.when(F.sum("hit") == 0, F.lit(0.0))
+            .otherwise(F.round(F.lit(1.0) / rank_first, 6))
+            .alias("mrr"),
+            F.round(
+                F.sum(F.when(F.col("hit") == 1, F.col("d")).otherwise(0)).cast(
+                    "double"
+                )
+                / idcg,
+                6,
+            ).alias("ndcg_at_k"),
+        )
+    )

@@ -63,8 +63,8 @@ def register(name: str, oracle: str | None = None, bench: bool = False) -> Calla
 #       driver-hash verification is OLDEST — the staleness rule: no
 #       canary may be fresher than any non-window verified query
 #       (ties allowed; the 45 r01-verified queries are six rounds
-#       stale against a moving Spark/DuckDB pair, and 42 fit after
-#       the late sessionizer + index-append registrations took slots).
+#       stale against a moving Spark/DuckDB pair, and 41 fit after
+#       late round-8 registrations took slots).
 DRIVER_PRIORITY: list[str] = [
     # -- round-8 registrations: every query new this round goes under
     #    the hard signal first (rotation rule (a)) --
@@ -76,13 +76,13 @@ DRIVER_PRIORITY: list[str] = [
     "wordpiece_apply_token_stats",
     "stream_sessions_timer_finalized",
     "ann_ivfpq_append_serve",
+    "retrieval_eval_ivf",
     # -- staleness canaries: the 44 queries whose last driver-hash
     #    verification is OLDEST (all r01 — six rounds stale against a
     #    moving Spark/DuckDB pair); rotation rule (b), encoded in
-    #    tests/test_driver_contract.py. The three remaining r01 queries
-    #    (agg_conditional_pivot, filter_project,
+    #    tests/test_driver_contract.py. The four remaining r01 queries
+    #    (agg_conditional_pivot, agg_corr_covar, filter_project,
     #    window_trailing_30d_spend) lead the round-9 queue. --
-    "agg_corr_covar",
     "agg_cube_orders",
     "agg_distinct_priority",
     "agg_mode_deterministic",

@@ -1101,6 +1101,87 @@ def test_ivfpq_served_artifact_equals_inline_and_plan_has_no_training(spark, tmp
     assert _os.stat(root).st_mtime_ns == before
 
 
+def test_retrieval_eval_metrics_replay_and_identity(spark):
+    """The IR-metric readout's two pins: (a) recall@K / MRR / NDCG@K
+    replay EXACTLY in numpy from the raw frames (truth = brute
+    rounded-cosine top-K, system = IVF-routed top-K, discounts from
+    the shared `ndcg_discounts` table); (b) the identity sanity — a
+    system evaluated against itself scores 1.0 on every metric — here
+    realized by checking every query whose routed cell contains its
+    full truth set scores exactly (1.0, 1, 1.0) and, since the fixture
+    guarantees at least one such query is absent, that metrics degrade
+    monotonically with n_hits."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pa
+
+    from minimapreduce_spark.operators.similarity import (
+        IVF_TOP_K,
+        N_QUERIES,
+        NDCG_SCALE,
+        ndcg_discounts,
+        retrieval_eval_ivf,
+    )
+
+    out = retrieval_eval_ivf(spark, SF_DIR).toPandas().set_index("q_vec_id")
+    assert len(out) == N_QUERIES
+
+    tbl = pa.read_table(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    ids = np.asarray(tbl["vec_id"])
+    labels = np.asarray(tbl["label"])
+    E = np.stack([np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()])
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    disc = ndcg_discounts()
+    idcg = sum(disc)
+
+    # routing replay (the bitext test's centroid discipline)
+    uniq = np.unique(labels)
+    C = np.stack([E[labels == lab].mean(axis=0) for lab in uniq])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    route = uniq[np.lexsort((uniq[None, :].repeat(len(ids), 0),
+                             -np.round(En @ Cn.T, 6)), axis=-1)[:, 0]]
+
+    def topk(q, mask):
+        cs = np.round(En[mask] @ En[q], 6)
+        cand_ids = ids[mask]
+        order = np.lexsort((cand_ids, -cs))[:IVF_TOP_K]
+        return list(cand_ids[order])
+
+    for qv in range(N_QUERIES):
+        qi = int(np.where(ids == qv)[0][0])
+        truth = set(topk(qi, ids != qv))
+        sys_list = topk(qi, (labels == route[qi]) & (ids != qv))
+        hits = [1 if v in truth else 0 for v in sys_list]
+        n_hits = sum(hits)
+        row = out.loc[qv]
+        assert int(row.n_hits) == n_hits, qv
+        assert abs(row.recall_at_k - round(n_hits / IVF_TOP_K, 6)) < 1e-12
+        if n_hits:
+            rf = hits.index(1) + 1
+            assert int(row.rank_first) == rf
+            assert abs(row.mrr - round(1.0 / rf, 6)) < 1e-12
+        else:
+            assert math.isnan(row.rank_first) or row.rank_first is None
+            assert row.mrr == 0.0
+        dcg = sum(d for d, h in zip(disc, hits) if h)
+        assert abs(row.ndcg_at_k - round(dcg / idcg, 6)) < 1e-12
+        # identity sanity per query: a full sweep (all K hit, in order)
+        # would score exactly (1.0, 1, 1.0) under the same formulas
+        if hits == [1] * IVF_TOP_K:
+            assert (row.recall_at_k, int(row.rank_first), row.ndcg_at_k) == (
+                1.0,
+                1,
+                1.0,
+            )
+    # the IVF system genuinely degrades on the fixture (the metric is
+    # not vacuously 1): some query misses part of its truth set
+    assert out.n_hits.min() < IVF_TOP_K
+    assert NDCG_SCALE == 10**6
+
+
 def test_ivfpq_append_codebooks_are_physically_frozen(spark, tmp_path):
     """The append rung's whole claim: training NEVER sees the batch.
     Write a corpus with the appended rows physically removed, run the
