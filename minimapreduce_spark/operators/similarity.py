@@ -2274,6 +2274,7 @@ def _ivfpq_serve(
     cb: DataFrame,
     code_arr: DataFrame,
     nprobe: int = 1,
+    query_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Steps 5-6 of the IVF-PQ chain — the SERVING half: route each
     query to its top-``nprobe`` cells by grid cosine, build the
@@ -2281,7 +2282,13 @@ def _ivfpq_serve(
     members via the code arrays. Touches the embeddings table only for
     the query vectors; the corpus is represented entirely by the
     (cg, cb, code_arr) index frames — inline-trained in
-    `_ivfpq_topk_plan`, artifact-loaded in `ann_ivfpq_served_topk`."""
+    `_ivfpq_topk_plan`, artifact-loaded in `ann_ivfpq_served_topk`.
+
+    ``query_frame`` (q_vec_id, qe grid-BIGINT array) overrides the
+    default query source (embeddings rows with vec_id < N_QUERIES) —
+    the hook that lets the ONLINE serving path
+    (`stream_ann_serve_ivfpq`) score each micro-batch of arriving
+    queries through the identical routing/LUT/ADC half."""
     embq = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
@@ -2310,15 +2317,16 @@ def _ivfpq_serve(
     # The query frame is bounded (N_QUERIES rows) and feeds routing AND
     # the LUT build — checkpoint so the serving plan scans the
     # embeddings table exactly once (plan-pinned for the served twin).
-    q = (
-        embq.where(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("q_vec_id"),
-            F.col("eq").alias("qe"),
-            arr_n2("eq").alias("qn2"),
+    qsrc = (
+        query_frame.select("q_vec_id", "qe")
+        if query_frame is not None
+        else embq.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("q_vec_id"), F.col("eq").alias("qe")
         )
-        .localCheckpoint(eager=False)
     )
+    q = qsrc.select(
+        "q_vec_id", "qe", arr_n2("qe").alias("qn2")
+    ).localCheckpoint(eager=False)
     assign_w = W.partitionBy("q_vec_id").orderBy(F.desc("c_sim"), F.asc("label"))
     routed = (
         q.crossJoin(F.broadcast(cg))

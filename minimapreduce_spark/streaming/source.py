@@ -323,3 +323,32 @@ def events_stream_time_sliced(
     return events_stream_time_sliced_redelivered(
         spark, sf_dir, n_slices=n_slices, redeliver_mod=0
     )
+
+
+def table_stream_sharded(
+    spark: SparkSession, sf_dir: str, table: str, n_shards: int = 4
+) -> DataFrame:
+    """Generic multi-micro-batch replay of ANY fixture table — the
+    ``events_stream_sharded`` staging discipline (hash shards, one file
+    per trigger, mtime/size-keyed staging) without the events-specific
+    timestamp handling. Used by the online ANN serving path to replay
+    the query vectors as a real query STREAM."""
+    path = table_path(sf_dir, table)
+    st = os.stat(path)
+    key = (
+        f"{os.path.abspath(path).strip(os.sep).replace(os.sep, '_')}"
+        f"_{st.st_mtime_ns}_{st.st_size}"
+    )
+    d = os.path.join(
+        tempfile.gettempdir(), "minimapreduce_stream_tbl", f"{key}_{n_shards}"
+    )
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        spark.read.parquet(path).repartition(n_shards).write.mode(
+            "overwrite"
+        ).parquet(d)
+    schema = spark.read.parquet(d).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )

@@ -118,3 +118,124 @@ def stream_upsert_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "stream_ann_serve_ivfpq",
+    oracle=None,  # set just below via registry surgery-free import: see
+    # _set_serve_oracle — the oracle IS the batch served twin's
+)
+def stream_ann_serve_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE ANN SERVING — the query-stream half of the index
+    lifecycle (build → serve → append → SERVE ONLINE): query vectors
+    arrive as a real multi-micro-batch stream, and each micro-batch is
+    routed/LUT-built/ADC-scored against the PERSISTED IVF-PQ artifact
+    (`ivfpq_index_build`) inside ``foreachBatch`` — the streaming
+    pattern for per-batch logic that needs rank windows (unsupported
+    in pure append streams), and exactly how a micro-batch vector
+    search tier works: the index is the static side, queries are the
+    stream, scoring is stateless per batch.
+
+    Each query lives in exactly one shard and scoring is
+    query-independent, so the drained union over batches equals the
+    batch served twin row-for-row — the oracle is `_ivfpq_oracle`
+    verbatim (shared with `ann_ivfpq_served_topk`), and the pytest
+    additionally pins the multi-batch replay really happened (>1
+    non-empty micro-batch) and frame-equality with the batch twin.
+
+    Scale posture: per trigger, work = |batch queries| routed cells
+    scanned from the CELL-PARTITIONED codes artifact + bounded
+    broadcast codebook/centroid joins; no streaming state at all
+    (stateless enrichment — the serving tier's whole point); results
+    append to the sink. Latency is the micro-batch trigger, capacity
+    is executors × cells-per-second — both independent of index build."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from minimapreduce_spark.operators.similarity import (
+        KMEANS_SCALE,
+        N_QUERIES,
+        _ivfpq_serve,
+        ivfpq_index_build,
+    )
+    from minimapreduce_spark.streaming.source import table_stream_sharded
+
+    root = ivfpq_index_build(spark, sf_dir)
+    cg = spark.read.parquet(os.path.join(root, "centroids"))
+    cb = spark.read.parquet(os.path.join(root, "codebook"))
+    code_arr = spark.read.parquet(os.path.join(root, "codes")).select(
+        "vec_id", F.col("label").cast("int").alias("label"), "code", "n2hat"
+    )
+
+    work = os.path.join(
+        tempfile.gettempdir(), "minimapreduce_ann_serve", uuid.uuid4().hex
+    )
+    out_dir = os.path.join(work, "results")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(out_dir, exist_ok=True)
+    n_batches = {"nonempty": 0}
+
+    qstream = (
+        table_stream_sharded(spark, sf_dir, "embeddings", n_shards=4)
+        .where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * KMEANS_SCALE).cast("bigint"),
+            ).alias("qe"),
+        )
+    )
+
+    def serve_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        n_batches["nonempty"] += 1
+        res = _ivfpq_serve(
+            batch_df.sparkSession,
+            sf_dir,
+            cg,
+            cb,
+            code_arr,
+            nprobe=1,
+            query_frame=batch_df,
+        )
+        res.write.mode("append").parquet(out_dir)
+
+    q = (
+        qstream.writeStream.foreachBatch(serve_batch)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_ann_serve_ivfpq.last_nonempty_batches = n_batches["nonempty"]
+    out = (
+        spark.read.schema(
+            "q_vec_id bigint, neighbor_id bigint, ivfpq_sim double, rn int"
+        )
+        .parquet(out_dir)
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def _set_serve_oracle() -> None:
+    """The online serve's oracle IS the batch served twin's (drained
+    union over independent per-batch scoring ≡ one batch serve);
+    registered after the fact because the oracle text lives in
+    operators.similarity and importing it at module top would cycle."""
+    from dataclasses import replace
+
+    from minimapreduce_spark.operators.similarity import _ivfpq_oracle
+    from minimapreduce_spark.registry import REGISTRY
+
+    REGISTRY["stream_ann_serve_ivfpq"] = replace(
+        REGISTRY["stream_ann_serve_ivfpq"], oracle=_ivfpq_oracle()
+    )
+
+
+_set_serve_oracle()

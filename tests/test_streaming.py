@@ -819,3 +819,26 @@ def test_stream_sessions_timer_finalized_contract(spark):
     assert got == want
     withheld = (~batch.finalized).sum()
     assert withheld > 0, "no withheld tail — finalization vacuous on fixture"
+
+
+def test_stream_ann_serve_equals_batch_twin_across_real_batches(spark):
+    """The online serving tier's contract: (a) the query stream really
+    replays through MULTIPLE non-empty micro-batches (each scored
+    independently inside foreachBatch against the persisted index);
+    (b) the drained union equals the BATCH served twin
+    (`ann_ivfpq_served_topk`) row-for-row — same routing, same LUTs,
+    same ADC, only the arrival pattern differs."""
+    import minimapreduce_spark.streaming.upsert as up
+    from minimapreduce_spark import queries as q
+    from tests.conftest import SF_DIR
+
+    online = {
+        tuple(r)
+        for r in q.queries()["stream_ann_serve_ivfpq"](spark, SF_DIR).collect()
+    }
+    assert up.stream_ann_serve_ivfpq.last_nonempty_batches > 1
+    batch = {
+        tuple(r)
+        for r in q.queries()["ann_ivfpq_served_topk"](spark, SF_DIR).collect()
+    }
+    assert online == batch
