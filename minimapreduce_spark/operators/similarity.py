@@ -2213,6 +2213,20 @@ def _ivfpq_index_frames(
     # simply drop out where the train frame lacks them — cid numbering
     # stays oracle-identical under any predicate
     cb = _pq_train(spark, sf_dir, rsub_t.drop("label"))
+    return cg, cb, _ivfpq_encode(spark, rsub, cg, cb)
+
+
+def _ivfpq_encode(
+    spark: SparkSession, rsub: DataFrame, cg: DataFrame, cb: DataFrame
+) -> DataFrame:
+    """ENCODE under FROZEN quantizers: (vec_id, label, code, n2hat)
+    for the residual-subvector frame ``rsub(vec_id, label, m, sq)``
+    given fixed centroids + codebooks. Steps 3-4 of the chain, factored
+    so the append path and the append-cost probe can encode an
+    ARBITRARY frame (a daily arrival batch) without touching the
+    corpus — the encode's inputs are the batch rows plus two bounded
+    broadcasts, so its cost is ∝ batch at any corpus size."""
+    ms = spark.range(PQ_M).select(F.col("id").cast("bigint").alias("m"))
     # 3. encode, with the cell id riding along (no corpus-side re-join)
     codes = _pq_assign(rsub, cb, keep_sq=False, extra=("label",))
     # 4. exact reconstructed norm², fused into ONE per-label broadcast
@@ -2250,7 +2264,7 @@ def _ivfpq_index_frames(
             m.cast("bigint") * (PQ_K + 1) + F.element_at("code", m + 1),
         ),
     )
-    code_arr = (
+    return (
         codes.groupBy("vec_id", "label")
         .agg(
             F.transform(
@@ -2264,7 +2278,6 @@ def _ivfpq_index_frames(
             (F.col("cn2cell") + code_fold("vmap")).alias("n2hat"),
         )
     )
-    return cg, cb, code_arr
 
 
 def _ivfpq_serve(
