@@ -4106,11 +4106,6 @@ def retrieval_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     run on a query SAMPLE at 100 TB); the system pass is cell-routed;
     metrics are per-query bounded aggregations over Q×K rows. No
     reference analog."""
-    disc = ndcg_discounts()
-    idcg = sum(disc)
-    disc_map = F.create_map(
-        *[F.lit(x) for i, d in enumerate(disc) for x in (i + 1, d)]
-    )
     emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_vec_id"), F.col("emb").alias("q_emb")
@@ -4138,6 +4133,20 @@ def retrieval_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rn") <= IVF_TOP_K)
         .select("q_vec_id", "vec_id", "rn")
+    )
+    return _retrieval_metrics(sys_, truth)
+
+
+def _retrieval_metrics(sys_: DataFrame, truth: DataFrame) -> DataFrame:
+    """Per-query recall@K / MRR / NDCG@K of ``sys_(q_vec_id, vec_id,
+    rn)`` against ``truth(q_vec_id, vec_id)`` — the shared metric tail
+    of `retrieval_eval_ivf` (routing loss) and `retrieval_eval_ivfpq`
+    (routing + quantization loss): exact BIGINT DCG sums over the
+    Python-inlined discount table, one rounded double per metric."""
+    disc = ndcg_discounts()
+    idcg = sum(disc)
+    disc_map = F.create_map(
+        *[F.lit(x) for i, d in enumerate(disc) for x in (i + 1, d)]
     )
     hits = sys_.join(
         truth.withColumnRenamed("vec_id", "t_vec_id"),
@@ -4171,3 +4180,98 @@ def retrieval_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg_at_k"),
         )
     )
+
+
+def _retrieval_eval_ivfpq_oracle() -> str:
+    """Oracle for `retrieval_eval_ivfpq`: the FULL residual-IVFPQ
+    chain (`_ivfpq_oracle`, its final SELECT swapped for a system CTE)
+    + an independent brute-truth chain + the shared metric CTEs —
+    so routing AND quantization losses are both inside the hash."""
+    disc = ndcg_discounts()
+    idcg = sum(disc)
+    disc_rows = ", ".join(f"({i + 1}, {d})" for i, d in enumerate(disc))
+    base = _ivfpq_oracle(1)
+    cut = base.rindex("SELECT q_vec_id, vec_id AS neighbor_id")
+    head = base[:cut].rstrip()
+    return f"""{head}
+    , disc(pos, d) AS (VALUES {disc_rows}),
+    sysv AS (
+      SELECT q_vec_id, vec_id, rn FROM ranked WHERE rn <= {IVF_TOP_K}
+    ),
+    te AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    ttq AS (SELECT vec_id AS q_vec_id, emb AS qe FROM te
+            WHERE vec_id < {N_QUERIES}),
+    ttsims AS (
+      SELECT q_vec_id, vec_id,
+             round(list_cosine_similarity(qe, emb), 6) AS cs
+      FROM ttq, te WHERE vec_id <> q_vec_id
+    ),
+    ttruth AS (
+      SELECT q_vec_id, vec_id FROM (
+        SELECT q_vec_id, vec_id,
+               row_number() OVER (PARTITION BY q_vec_id
+                                  ORDER BY cs DESC, vec_id) AS rn
+        FROM ttsims
+      ) WHERE rn <= {IVF_TOP_K}
+    ),
+    hits AS (
+      SELECT s.q_vec_id, s.rn,
+             CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM sysv s LEFT JOIN ttruth t
+        ON t.q_vec_id = s.q_vec_id AND t.vec_id = s.vec_id
+    )
+    SELECT h.q_vec_id,
+           CAST(sum(h.hit) AS BIGINT) AS n_hits,
+           round(CAST(sum(h.hit) AS DOUBLE) / {IVF_TOP_K}, 6) AS recall_at_k,
+           CAST(min(CASE WHEN h.hit = 1 THEN h.rn END) AS BIGINT) AS rank_first,
+           CASE WHEN sum(h.hit) = 0 THEN 0.0
+                ELSE round(1.0 / min(CASE WHEN h.hit = 1 THEN h.rn END), 6)
+           END AS mrr,
+           round(CAST(sum(CASE WHEN h.hit = 1 THEN d.d ELSE 0 END) AS DOUBLE)
+                 / {idcg}, 6) AS ndcg_at_k
+    FROM hits h JOIN disc d ON d.pos = h.rn
+    GROUP BY h.q_vec_id
+    """
+
+
+@register("retrieval_eval_ivfpq", oracle=_retrieval_eval_ivfpq_oracle())
+def retrieval_eval_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR metrics for the COMPRESSED system — `retrieval_eval_ivf`'s
+    twin over the residual-IVFPQ serving chain, so the readout now
+    prices routing loss AND quantization loss together (recall@K, MRR,
+    binary NDCG@K vs exact-cosine truth): the pair of eval queries is
+    the offline dashboard a deployment reads before trading memory
+    (PQ codes) or scan cost (nprobe) against quality, and the pytest
+    pins the expected dominance direction on the fixture (the
+    compressed system cannot beat the uncompressed router it
+    approximates in total hits).
+
+    Exactness: the system ranking is the full `_ivfpq_topk_plan`
+    (integer-exact ADC chain, round-6dp-then-id); truth and the metric
+    tail are shared with the IVF eval (`_retrieval_metrics`, inlined
+    integer DCG discounts). The oracle embeds the complete IVFPQ SQL
+    chain with its final SELECT swapped for a system CTE, plus an
+    independent brute-truth chain — both losses inside one hash.
+
+    Scale posture: system pass = the served IVFPQ cost; truth = the
+    exact-search pass every offline recall eval pays (sampled queries
+    at 100 TB); metrics bounded at Q×K rows."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("emb").alias("q_emb")
+    )
+    tsims = emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_vec_id")).select(
+        "q_vec_id",
+        "vec_id",
+        F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cs"),
+    )
+    w = W.partitionBy("q_vec_id").orderBy(F.desc("cs"), F.asc("vec_id"))
+    truth = (
+        tsims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= IVF_TOP_K)
+        .select("q_vec_id", "vec_id")
+    )
+    sys_ = _ivfpq_topk_plan(spark, sf_dir, 1).select(
+        "q_vec_id", F.col("neighbor_id").alias("vec_id"), "rn"
+    )
+    return _retrieval_metrics(sys_, truth)

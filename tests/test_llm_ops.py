@@ -1182,6 +1182,38 @@ def test_retrieval_eval_metrics_replay_and_identity(spark):
     assert NDCG_SCALE == 10**6
 
 
+def test_retrieval_eval_ivfpq_dominance_and_consistency(spark):
+    """The compressed-system eval's sanity pins: (a) the IVFPQ system
+    cannot beat the exact-within-cell IVF router it approximates in
+    TOTAL hits (same routing, lossy scores — ADC can only reorder or
+    lose in-cell truth, never add out-of-cell truth); (b) per-query
+    n_hits/recall agree with a direct set comparison of the registered
+    system output vs the brute truth; (c) both evals cover all
+    N_QUERIES queries."""
+    from minimapreduce_spark.operators.similarity import (
+        IVF_TOP_K,
+        N_QUERIES,
+        ann_cosine_topk,
+        ann_ivfpq_topk,
+        retrieval_eval_ivf,
+        retrieval_eval_ivfpq,
+    )
+
+    pq_eval = retrieval_eval_ivfpq(spark, SF_DIR).toPandas().set_index("q_vec_id")
+    ivf_eval = retrieval_eval_ivf(spark, SF_DIR).toPandas().set_index("q_vec_id")
+    assert len(pq_eval) == len(ivf_eval) == N_QUERIES
+    assert pq_eval.n_hits.sum() <= ivf_eval.n_hits.sum()
+
+    truth = ann_cosine_topk(spark, SF_DIR).toPandas()
+    truth = truth[truth.rn <= IVF_TOP_K]
+    tsets = truth.groupby("q_vec_id")["neighbor_id"].apply(set)
+    sysout = ann_ivfpq_topk(spark, SF_DIR).toPandas()
+    ssets = sysout.groupby("q_vec_id")["neighbor_id"].apply(set)
+    for qv in range(N_QUERIES):
+        n = len(ssets.get(qv, set()) & tsets.get(qv, set()))
+        assert int(pq_eval.loc[qv].n_hits) == n, qv
+
+
 def test_ivfpq_append_codebooks_are_physically_frozen(spark, tmp_path):
     """The append rung's whole claim: training NEVER sees the batch.
     Write a corpus with the appended rows physically removed, run the
