@@ -2591,6 +2591,11 @@ def ann_ivfpq_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow matmul assign) — independent of base-corpus size, the
     property `tools/incremental_scale_probe.py` measures for the
     minhash analog."""
+    if load_table(spark, sf_dir, "embeddings").head(1) == []:
+        # Degenerate-input policy: no corpus → no index → empty result
+        return spark.createDataFrame(
+            [], "q_vec_id bigint, neighbor_id bigint, ivfpq_sim double, rn int"
+        )
     pred = ~(
         (F.col("vec_id") % APPEND_MOD == 0) & (F.col("vec_id") >= N_QUERIES)
     )

@@ -161,6 +161,13 @@ def stream_ann_serve_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from minimapreduce_spark.streaming.source import table_stream_sharded
 
+    from minimapreduce_spark.catalog import load_table
+
+    if load_table(spark, sf_dir, "embeddings").head(1) == []:
+        # Degenerate-input policy: no corpus → no index, no queries
+        return spark.createDataFrame(
+            [], "q_vec_id bigint, neighbor_id bigint, ivfpq_sim double, rn int"
+        )
     root = ivfpq_index_build(spark, sf_dir)
     cg = spark.read.parquet(os.path.join(root, "centroids"))
     cb = spark.read.parquet(os.path.join(root, "codebook"))

@@ -75,9 +75,12 @@ REPRESENTATIVE = [
     # round-8 registrations
     "bitext_margin_mining_ivf",
     "ann_ivfpq_served_topk",
+    "ann_ivfpq_append_serve",
     "multimodal_audio_spectral",
     "wordpiece_train_merges",
     "wordpiece_apply_token_stats",
+    "retrieval_eval_ivf",
+    "retrieval_eval_ivfpq",
 ]
 
 

@@ -181,6 +181,13 @@ CANDIDATES = [
     "wordpiece_train_merges",
     "wordpiece_apply_token_stats",
     "stream_sessions_timer_finalized",
+    # round-8 second wave: frozen-quantizer append chain, both IR-metric
+    # evals (truth + system + metric tail), the online per-micro-batch
+    # serve (batch arrival layout must not change the drained union)
+    "ann_ivfpq_append_serve",
+    "retrieval_eval_ivf",
+    "retrieval_eval_ivfpq",
+    "stream_ann_serve_ivfpq",
 ]
 
 
