@@ -3696,18 +3696,27 @@ def bitext_margin_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bitext_ivf_pairs(emb: DataFrame) -> DataFrame:
-    """(a_id, b_id, cos_u) scored ONLY for same-cell cross-parity pairs
-    — the IVF-routed candidate stage of `bitext_margin_mining_ivf`,
-    exposed so pytest can pin score-stage equality with the brute twin
-    restricted to in-cell pairs.
+    """(a_id, b_id, cos_u) — the CANDIDATE UNION of same-cell
+    cross-parity pairs: for every endpoint, its within-cell top-BM_K
+    opposite-parity neighbors (cos_u DESC, id ASC — the shared
+    quantized tie-break), deduplicated. The IVF-routed candidate stage
+    of `bitext_margin_mining_ivf`, exposed so pytest can pin exact
+    equality with a numpy replay of the same reduction.
 
     Scoring is a COGROUPED per-cell BLAS matmul (cogroup both parities
-    on the cell id → one |Aᵢ|×|Bᵢ| dense product per cell), not an
-    equi-join + codegen cosine fold: at 40× the in-cell pair volume
-    reaches ~10⁸ and the boxed per-pair fold hits the round-6 hybrid
-    fold-cliff, while the matmul amortizes each cell to one Arrow
-    exchange + one dgemm. Quantization to BIGINT millionths stays
-    JVM-side (HALF_UP `F.round`, the `_brute_sims_numpy` discipline)."""
+    on the cell id → one |Aᵢ|×|Bᵢ| dense product per cell), and the
+    TOP-K REDUCTION HAPPENS INSIDE THE KERNEL: the score matrix never
+    leaves the Python worker — only ≤ K·(|Aᵢ|+|Bᵢ|) candidate rows per
+    cell are emitted, so the shuffled frame is K·N-bounded at ANY cell
+    size (the first cut emitted all Σ|Aᵢ|·|Bᵢ| in-cell pairs — ~10⁸
+    rows at 40× — and paid checkpoint + four windows over them; the
+    margin/mutual stages are CLOSED under this union, because every
+    stage only ever reads each endpoint's top-K rows and their sums,
+    all of which survive the cut). Quantization to BIGINT millionths
+    happens in the kernel with SQL HALF_UP semantics
+    (sign·floor(|x·10⁶|+0.5) — the brute replay pytest's q_half_away),
+    BEFORE ranking, preserving the family's round-before-rank
+    discipline bit-for-bit."""
     import numpy as np
 
     assigned = _ivf_assign(emb).localCheckpoint(eager=False)  # both parities read
@@ -3726,18 +3735,38 @@ def _bitext_ivf_pairs(emb: DataFrame) -> DataFrame:
         import pandas as pd
 
         if a_pdf.empty or b_pdf.empty:
-            return pd.DataFrame({"a_id": [], "b_id": [], "cos_raw": []})
+            return pd.DataFrame({"a_id": [], "b_id": [], "cos_u": []})
+        a_ids = a_pdf["a_vid"].to_numpy(dtype=np.int64)
+        b_ids = b_pdf["b_vid"].to_numpy(dtype=np.int64)
         A = np.stack([np.asarray(v, dtype=np.float64) for v in a_pdf["a_emb"]])
         B = np.stack([np.asarray(v, dtype=np.float64) for v in b_pdf["b_emb"]])
         An = A / np.linalg.norm(A, axis=1, keepdims=True)
         Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
         S = An @ Bn.T  # (|A_cell|, |B_cell|)
-        n, m = S.shape
+        # quantize BEFORE ranking — SQL HALF_UP, the brute replay's
+        # q_half_away, so ranks/ties are grid-exact
+        cos_u = (np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5)).astype(np.int64)
+        k = min(BM_K, cos_u.shape[1])
+        # per-a top-K over (cos_u DESC, b_id ASC)
+        rows_a = np.lexsort((b_ids[None, :].repeat(len(a_ids), 0), -cos_u),
+                            axis=1)[:, :k]
+        kb = min(BM_K, cos_u.shape[0])
+        cols_b = np.lexsort((a_ids[:, None].repeat(len(b_ids), 1), -cos_u),
+                            axis=0)[:kb, :]
+        idx = set()
+        for i in range(len(a_ids)):
+            for j in rows_a[i]:
+                idx.add((i, int(j)))
+        for j in range(len(b_ids)):
+            for i in cols_b[:, j]:
+                idx.add((int(i), j))
+        ii = np.fromiter((p[0] for p in idx), dtype=np.int64, count=len(idx))
+        jj = np.fromiter((p[1] for p in idx), dtype=np.int64, count=len(idx))
         return pd.DataFrame(
             {
-                "a_id": np.repeat(a_pdf["a_vid"].to_numpy(dtype=np.int64), m),
-                "b_id": np.tile(b_pdf["b_vid"].to_numpy(dtype=np.int64), n),
-                "cos_raw": S.ravel(),
+                "a_id": a_ids[ii],
+                "b_id": b_ids[jj],
+                "cos_u": cos_u[ii, jj],
             }
         )
 
@@ -3747,12 +3776,7 @@ def _bitext_ivf_pairs(emb: DataFrame) -> DataFrame:
     return (
         a.groupBy("cell")
         .cogroup(b.groupBy("b_cell"))
-        .applyInPandas(score, "a_id long, b_id long, cos_raw double")
-        .select(
-            "a_id",
-            "b_id",
-            F.round(F.col("cos_raw") * 1_000_000, 0).cast("bigint").alias("cos_u"),
-        )
+        .applyInPandas(score, "a_id long, b_id long, cos_u long")
     )
 
 

@@ -2029,10 +2029,11 @@ def test_bitext_ivf_score_stage_equals_brute_on_in_cell_pairs(spark):
     (same-cell equi-join + codegen cosine fold vs driver-broadcast
     numpy matmul), the scores do not. Pins:
 
-      - the routed candidate frame is EXACTLY the brute A×B score set
-        restricted to same-cell pairs (cells from an independent numpy
+      - the routed candidate frame is EXACTLY the per-side top-BM_K
+        union over same-cell pairs (cells from an independent numpy
         replay of the centroid routing), with bit-identical cos_u —
-        fold vs matmul agree after the millionths quantization;
+        the in-kernel HALF_UP quantization and (cos_u DESC, id ASC)
+        reduction agree with the replay pair for pair;
       - every cell holds vectors of both parities or contributes no
         pairs (no phantom cells);
       - the mined output is still a partial matching on both sides."""
@@ -2072,14 +2073,31 @@ def test_bitext_ivf_score_stage_equals_brute_on_in_cell_pairs(spark):
     a_mask, b_mask = ids % 2 == 0, ids % 2 == 1
     S = En[a_mask] @ En[b_mask].T
     cos_u = (np.sign(S) * np.floor(np.abs(S * 1e6) + 0.5)).astype(np.int64)
-    want_pairs = {
+    a_ids_, b_ids_ = ids[a_mask], ids[b_mask]
+    in_cell = {
         (int(ai), int(bi)): int(cos_u[i, j])
-        for i, ai in enumerate(ids[a_mask])
-        for j, bi in enumerate(ids[b_mask])
+        for i, ai in enumerate(a_ids_)
+        for j, bi in enumerate(b_ids_)
         if cell[a_mask][i] == cell[b_mask][j]
     }
+    # candidate-union replay: per endpoint, its within-cell top-BM_K
+    # by (cos_u DESC, id ASC) — the kernel's in-worker reduction
+    from minimapreduce_spark.operators.similarity import BM_K
+
+    by_a: dict = {}
+    by_b: dict = {}
+    for (ai, bi), cu in in_cell.items():
+        by_a.setdefault(ai, []).append((-cu, bi))
+        by_b.setdefault(bi, []).append((-cu, ai))
+    want_pairs = {}
+    for ai, lst in by_a.items():
+        for negcu, bi in sorted(lst)[:BM_K]:
+            want_pairs[(ai, bi)] = -negcu
+    for bi, lst in by_b.items():
+        for negcu, ai in sorted(lst)[:BM_K]:
+            want_pairs[(ai, bi)] = -negcu
     assert got_pairs == want_pairs, (
-        f"in-cell score stage diverged: {len(got_pairs)} vs {len(want_pairs)} pairs"
+        f"candidate union diverged: {len(got_pairs)} vs {len(want_pairs)} pairs"
     )
 
     out = bitext_margin_mining_ivf(spark, SF_DIR).toPandas()
