@@ -3447,11 +3447,13 @@ def _bitext_oracle() -> str:
     ),{_bitext_tail_sql()}"""
 
 
-def _bitext_ivf_oracle() -> str:
+def _bitext_ivf_oracle(nprobe: int = 1) -> str:
     """The IVF-routed bitext oracle: ann_ivf_topk's centroid/routing
-    SQL assigns EVERY vector (both parities) to its nearest per-label
-    mean centroid, the pairs CTE scores only same-cell A×B pairs, and
-    the margin/mutual tail is `_bitext_tail_sql()` verbatim."""
+    SQL assigns EVERY vector (both parities) to its ``nprobe`` nearest
+    per-label mean centroids, the pairs CTE scores A×B pairs sharing
+    at least one routed cell (DISTINCT — a two-shared-cell pair scores
+    identically in both), and the margin/mutual tail is
+    `_bitext_tail_sql()` verbatim."""
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
     dims AS (
@@ -3471,12 +3473,12 @@ def _bitext_ivf_oracle() -> str:
                    DESC, c.label
                ) AS crn
         FROM e, cent c
-      ) WHERE crn = 1
+      ) WHERE crn <= {nprobe}
     ),
     a AS (SELECT vec_id, emb AS e, cell FROM assign WHERE vec_id % 2 = 0),
     b AS (SELECT vec_id, emb AS e, cell FROM assign WHERE vec_id % 2 = 1),
     pairs AS (
-      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
              CAST(round(list_cosine_similarity(a.e, b.e) * 1000000) AS BIGINT)
                AS cos_u
       FROM a JOIN b ON a.cell = b.cell
@@ -3632,14 +3634,43 @@ def _bitext_margin_stages(pairs: DataFrame) -> DataFrame:
     )
 
 
-def _ivf_assign(emb: DataFrame) -> DataFrame:
-    """(vec_id, emb, cell): EVERY vector routed to its single nearest
-    per-label mean centroid — the corpus-side counterpart of
+@register(
+    "bitext_margin_mining_ivf_nprobe",
+    oracle=_bitext_ivf_oracle(IVF_NPROBE),
+)
+def bitext_margin_mining_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RECALL DIAL on routed bitext mining — `ann_ivf_nprobe_topk`'s
+    multi-probe composition applied to the CCMatrix shard: every vector
+    (both parities) routes to its top-IVF_NPROBE cells, pairs sharing
+    ANY routed cell are scored (DISTINCT — a two-shared-cell pair
+    scores identically in both cells), and the margin/mutual stages
+    run verbatim on the union. A true pair split across two single-
+    probe cells — the nprobe=1 twin's documented miss mode — is now
+    scored whenever either endpoint's second-nearest centroid is the
+    other's cell, at 2× the scan (the standard multi-probe trade; the
+    per-cell top-K candidate reduction keeps the shuffled frame
+    K-per-(vector, probe)-bounded either way, so the dial moves scan
+    cost, never the pipeline's shape).
+
+    Pytests pin the dial's structure by FULL numpy replay of the
+    multi-probe candidate union (a superset claim would be wrong:
+    replication grows per-cell membership, so per-cell top-K cuts can
+    rotate candidates, not just add them — measured on the fixture),
+    plus the partial-matching property. Exactness discipline identical
+    to the nprobe=1 twin."""
+    return _bitext_margin_stages(_bitext_ivf_pairs(_emb(spark, sf_dir), IVF_NPROBE))
+
+
+def _ivf_assign(emb: DataFrame, nprobe: int = 1) -> DataFrame:
+    """(vec_id, emb, cell): EVERY vector routed to its ``nprobe``
+    nearest per-label mean centroids — the corpus-side counterpart of
     `_ivf_cell_sims`' query routing (same rounded-cosine-then-label
-    assignment text). At 100 TB this is the index-build pass: one scan
-    of the corpus against a broadcast centroid table, after which the
-    corpus is written bucketed by cell and every cell-local operator
-    (bitext, ANN serve, dedup) reads co-located buckets."""
+    assignment text; one output row per routed cell). At 100 TB this
+    is the index-build pass: one scan of the corpus against a
+    broadcast centroid table, after which the corpus is written
+    bucketed by cell and every cell-local operator (bitext, ANN serve,
+    dedup) reads co-located buckets; nprobe > 1 is the multi-probe
+    replication dial (each vector lands in nprobe buckets)."""
     cent = _ivf_centroids(emb)
     assign_w = W.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("cell"))
     return (
@@ -3652,7 +3683,7 @@ def _ivf_assign(emb: DataFrame) -> DataFrame:
             F.round(cosine(F.col("emb"), F.col("centroid")), 6).alias("c_sim"),
         )
         .withColumn("crn", F.row_number().over(assign_w))
-        .where(F.col("crn") == 1)
+        .where(F.col("crn") <= nprobe)
         .select("vec_id", "emb", "cell")
     )
 
@@ -3695,7 +3726,7 @@ def bitext_margin_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bitext_margin_stages(_bitext_ivf_pairs(_emb(spark, sf_dir)))
 
 
-def _bitext_ivf_pairs(emb: DataFrame) -> DataFrame:
+def _bitext_ivf_pairs(emb: DataFrame, nprobe: int = 1) -> DataFrame:
     """(a_id, b_id, cos_u) — the CANDIDATE UNION of same-cell
     cross-parity pairs: for every endpoint, its within-cell top-BM_K
     opposite-parity neighbors (cos_u DESC, id ASC — the shared
@@ -3719,7 +3750,7 @@ def _bitext_ivf_pairs(emb: DataFrame) -> DataFrame:
     discipline bit-for-bit."""
     import numpy as np
 
-    assigned = _ivf_assign(emb).localCheckpoint(eager=False)  # both parities read
+    assigned = _ivf_assign(emb, nprobe).localCheckpoint(eager=False)  # both parities read
     # per-side projections with distinct column names: both sides share
     # the `assigned` lineage, and cogroup's analyzer rejects ambiguous
     # self-references on identically-named attributes
@@ -3773,11 +3804,16 @@ def _bitext_ivf_pairs(emb: DataFrame) -> DataFrame:
     from minimapreduce_spark._pickle import register_self_by_value
 
     register_self_by_value()
-    return (
+    out = (
         a.groupBy("cell")
         .cogroup(b.groupBy("b_cell"))
         .applyInPandas(score, "a_id long, b_id long, cos_u long")
     )
+    if nprobe > 1:
+        # a pair sharing MORE than one routed cell is scored (with the
+        # identical cos_u — same two vectors) once per shared cell
+        out = out.distinct()
+    return out
 
 
 # ---------------------------------------------------------------------------

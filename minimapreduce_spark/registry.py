@@ -63,7 +63,7 @@ def register(name: str, oracle: str | None = None, bench: bool = False) -> Calla
 #       driver-hash verification is OLDEST — the staleness rule: no
 #       canary may be fresher than any non-window verified query
 #       (ties allowed; the 45 r01-verified queries are six rounds
-#       stale against a moving Spark/DuckDB pair, and 39 fit after
+#       stale against a moving Spark/DuckDB pair, and 38 fit after
 #       late round-8 registrations took slots).
 DRIVER_PRIORITY: list[str] = [
     # -- round-8 registrations: every query new this round goes under
@@ -79,14 +79,14 @@ DRIVER_PRIORITY: list[str] = [
     "retrieval_eval_ivf",
     "stream_ann_serve_ivfpq",
     "retrieval_eval_ivfpq",
+    "bitext_margin_mining_ivf_nprobe",
     # -- staleness canaries: the 44 queries whose last driver-hash
     #    verification is OLDEST (all r01 — six rounds stale against a
     #    moving Spark/DuckDB pair); rotation rule (b), encoded in
-    #    tests/test_driver_contract.py. The six remaining r01 queries
+    #    tests/test_driver_contract.py. The seven remaining r01 queries
     #    (agg_conditional_pivot, agg_corr_covar, agg_cube_orders,
-    #    agg_distinct_priority, filter_project,
+    #    agg_distinct_priority, agg_mode_deterministic, filter_project,
     #    window_trailing_30d_spend) lead the round-9 queue. --
-    "agg_mode_deterministic",
     "agg_rollup_lineitem",
     "array_hof_embedding_stats",
     "correlated_above_avg_spend",

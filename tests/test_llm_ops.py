@@ -2309,3 +2309,74 @@ def test_dim_truncation_recall_invariants(spark):
     for r in out.itertuples():
         assert r.recall == round(r.hits / (N_QUERIES * IVF_TOP_K), 6)
     assert full.recall >= out.iloc[0].recall
+
+
+def test_bitext_nprobe_candidate_union_replays_and_matching(spark):
+    """The multi-probe dial's structural pins: (a) the nprobe=2
+    candidate frame replays EXACTLY in numpy — route every vector to
+    its top-2 centroids (rounded-cosine DESC, label ASC), form each
+    cell's replicated membership, take each endpoint's per-cell
+    top-BM_K, union, dedupe; (b) the frame is NOT merely the nprobe=1
+    set (the dial genuinely engages — and per-cell membership growth
+    means it can both add AND rotate candidates, which is why the pin
+    is a full replay, not a superset claim); (c) the mined output is
+    still a partial matching."""
+    import numpy as np
+    import pyarrow.parquet as pa
+
+    from minimapreduce_spark.operators.similarity import (
+        BM_K,
+        IVF_NPROBE,
+        _bitext_ivf_pairs,
+        _emb,
+        bitext_margin_mining_ivf_nprobe,
+    )
+
+    emb = _emb(spark, SF_DIR)
+    p1 = {
+        (int(r.a_id), int(r.b_id)): int(r.cos_u)
+        for r in _bitext_ivf_pairs(emb, 1).collect()
+    }
+    p2 = {
+        (int(r.a_id), int(r.b_id)): int(r.cos_u)
+        for r in _bitext_ivf_pairs(emb, IVF_NPROBE).collect()
+    }
+    assert p2 != p1  # the dial engages on the fixture
+
+    tbl = pa.read_table(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    ids = np.asarray(tbl["vec_id"])
+    labels = np.asarray(tbl["label"])
+    E = np.stack([np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()])
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    uniq = np.unique(labels)
+    C = np.stack([E[labels == lab].mean(axis=0) for lab in uniq])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    order = np.lexsort((uniq[None, :].repeat(len(ids), 0),
+                        -np.round(En @ Cn.T, 6)), axis=-1)
+    cells = uniq[order[:, :IVF_NPROBE]]  # (n, nprobe) routed cells
+
+    def q_half_away(x):
+        return (np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5)).astype(np.int64)
+
+    want = {}
+    for cell in uniq:
+        am = (ids % 2 == 0) & (cells == cell).any(axis=1)
+        bm = (ids % 2 == 1) & (cells == cell).any(axis=1)
+        if not am.any() or not bm.any():
+            continue
+        a_ids, b_ids = ids[am], ids[bm]
+        cu = q_half_away(En[am] @ En[bm].T)
+        for i in range(len(a_ids)):
+            sel = np.lexsort((b_ids, -cu[i]))[:BM_K]
+            for j in sel:
+                want[(int(a_ids[i]), int(b_ids[j]))] = int(cu[i, j])
+        for j in range(len(b_ids)):
+            sel = np.lexsort((a_ids, -cu[:, j]))[:BM_K]
+            for i in sel:
+                want[(int(a_ids[i]), int(b_ids[j]))] = int(cu[i, j])
+    assert p2 == want, (len(p2), len(want))
+
+    out = bitext_margin_mining_ivf_nprobe(spark, SF_DIR).toPandas()
+    assert out["src_vec_id"].is_unique and out["tgt_vec_id"].is_unique

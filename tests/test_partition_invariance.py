@@ -188,6 +188,9 @@ CANDIDATES = [
     "retrieval_eval_ivf",
     "retrieval_eval_ivfpq",
     "stream_ann_serve_ivfpq",
+    # multi-probe bitext: replicated cell membership + per-cell cuts +
+    # distinct — the dial must not depend on task layout
+    "bitext_margin_mining_ivf_nprobe",
 ]
 
 

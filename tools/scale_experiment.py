@@ -70,6 +70,7 @@ QUERIES = [
     "ann_ivfpq_served_topk",
     "bitext_margin_mining",
     "bitext_margin_mining_ivf",
+    "bitext_margin_mining_ivf_nprobe",
     "ann_hard_negative_mining",
     "ann_dim_truncation_recall",
     "contamination_test_train",
