@@ -3773,33 +3773,55 @@ def _bitext_ivf_pairs(emb: DataFrame, nprobe: int = 1) -> DataFrame:
         B = np.stack([np.asarray(v, dtype=np.float64) for v in b_pdf["b_emb"]])
         An = A / np.linalg.norm(A, axis=1, keepdims=True)
         Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
-        S = An @ Bn.T  # (|A_cell|, |B_cell|)
-        # quantize BEFORE ranking — SQL HALF_UP, the brute replay's
-        # q_half_away, so ranks/ties are grid-exact
-        cos_u = (np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5)).astype(np.int64)
-        k = min(BM_K, cos_u.shape[1])
-        # per-a top-K over (cos_u DESC, b_id ASC)
-        rows_a = np.lexsort((b_ids[None, :].repeat(len(a_ids), 0), -cos_u),
-                            axis=1)[:, :k]
-        kb = min(BM_K, cos_u.shape[0])
-        cols_b = np.lexsort((a_ids[:, None].repeat(len(b_ids), 1), -cos_u),
-                            axis=0)[:kb, :]
-        idx = set()
-        for i in range(len(a_ids)):
-            for j in rows_a[i]:
-                idx.add((i, int(j)))
-        for j in range(len(b_ids)):
-            for i in cols_b[:, j]:
-                idx.add((int(i), j))
-        ii = np.fromiter((p[0] for p in idx), dtype=np.int64, count=len(idx))
-        jj = np.fromiter((p[1] for p in idx), dtype=np.int64, count=len(idx))
-        return pd.DataFrame(
-            {
-                "a_id": a_ids[ii],
-                "b_id": b_ids[jj],
-                "cos_u": cos_u[ii, jj],
-            }
-        )
+
+        def quant(S):
+            # SQL HALF_UP, the brute replay's q_half_away — quantize
+            # BEFORE ranking so ranks/ties are grid-exact
+            return (np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5)).astype(np.int64)
+
+        # Blocked top-K per query row over (cos_u DESC, other_id ASC):
+        # pack both sort keys into ONE int64 (−cos_u·2⁴¹ + id; |cos_u|
+        # ≤ 10⁶ < 2²⁰ and ids < 2⁴¹ by far) and argpartition instead of
+        # a full lexsort — the first cut's lexsort materialized an
+        # n×m repeated-id tie array PER CELL (gigabytes at 40×·nprobe2)
+        # and dominated the wall; blocks bound peak memory to
+        # blk×m regardless of cell size.
+        BLK = 2048
+
+        def topk_rows(Q, C, c_ids, k):
+            iis, jjs, uus = [], [], []
+            for lo in range(0, Q.shape[0], BLK):
+                S = quant(Q[lo : lo + BLK] @ C.T)
+                kk = min(k, S.shape[1])
+                if kk < S.shape[1]:
+                    key = -S * (1 << 41) + c_ids[None, :]
+                    part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+                else:
+                    part = np.broadcast_to(
+                        np.arange(S.shape[1]), (S.shape[0], S.shape[1])
+                    )
+                r = np.arange(S.shape[0])
+                iis.append(np.repeat(r + lo, part.shape[1]))
+                jjs.append(part.ravel())
+                uus.append(S[r[:, None], part].ravel())
+            return (
+                np.concatenate(iis),
+                np.concatenate(jjs).astype(np.int64),
+                np.concatenate(uus),
+            )
+
+        k = min(BM_K, len(b_ids))
+        kb = min(BM_K, len(a_ids))
+        ai1, bj1, u1 = topk_rows(An, Bn, b_ids, k)
+        bj2, ai2, u2 = topk_rows(Bn, An, a_ids, kb)
+        ii = np.concatenate([ai1, ai2])
+        jj = np.concatenate([bj1, bj2])
+        uu = np.concatenate([u1, u2])
+        # dedupe on packed (i, j) — both sides score identical cos_u
+        packed = ii * (len(b_ids) + 1) + jj
+        _, keep = np.unique(packed, return_index=True)
+        ii, jj, uu = ii[keep], jj[keep], uu[keep]
+        return pd.DataFrame({"a_id": a_ids[ii], "b_id": b_ids[jj], "cos_u": uu})
 
     from minimapreduce_spark._pickle import register_self_by_value
 
