@@ -2176,7 +2176,10 @@ def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the merge (Schuster & Nakajima 2012), which is why WordPiece
     prefers a moderately-frequent pair of RARE symbols over a frequent
     pair of ubiquitous ones — the trajectory-divergence pytest plants
-    exactly that corpus and checks both trainers' choices.
+    exactly that corpus and checks both trainers' choices. This variant
+    trains on ONE flat alphabet (word-initial and mid-word occurrences
+    of a character share a symbol); the published position-marked form
+    is `wordpiece_train_marked`.
 
     Exactness: pair weights and symbol frequencies are BIGINT sums;
     the score quantizes once per candidate as
@@ -2205,7 +2208,9 @@ def wordpiece_apply_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeatedly emit the longest vocabulary piece that prefixes the
     remaining suffix (vocab = the character alphabet + the k trained
     merges, so the walk never strands; a real deployment adds [UNK]
-    for out-of-alphabet bytes). Reports per-source corpus token
+    for out-of-alphabet bytes). Position-BLIND over the flat vocab —
+    the position-aware published form (unmarked pieces at position 0,
+    '##' pieces after) is `wordpiece_apply_marked_stats`. Reports per-source corpus token
     accounting under that segmentation — the same budget readout as
     the BPE/unigram apply twins, so the three tokenizer families are
     directly comparable on chars-per-token over the same corpus.
@@ -2268,6 +2273,428 @@ def wordpiece_apply_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sw = (
         docs.select("source", F.explode(F.split("text", " ")).alias("word"))
         .where((F.col("word") != "") & ~F.contains("word", F.lit(BPE_SEP)))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    j = sw.join(F.broadcast(vt), "word")
+    return j.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_words"),
+        F.sum(F.col("cnt") * F.length("word")).cast("bigint").alias("n_chars"),
+        F.sum(F.col("cnt") * F.col("n_tok")).cast("bigint").alias("n_tokens_wp"),
+        F.round(
+            F.sum(F.col("cnt") * F.length("word"))
+            * 1.0
+            / F.sum(F.col("cnt") * F.col("n_tok")),
+            6,
+        ).alias("chars_per_token"),
+        F.round(
+            F.sum(F.col("cnt") * F.col("n_tok")) * 1.0 / F.sum("cnt"), 6
+        ).alias("tokens_per_word"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece with POSITION-MARKED continuation symbols — the published form.
+#
+# The unmarked pair above ("wordpiece_train_merges"/"..._apply_token_stats")
+# trains on one flat alphabet, conflating word-initial and continuation
+# occurrences of the same character — a documented fidelity gap (round-8
+# verdict item 2). The published algorithm (Schuster & Nakajima 2012; the
+# BERT tokenizer) position-marks continuation symbols with "##": "abc"
+# segments as [a, ##b, ##c], so "a" word-initial and "##a" mid-word are
+# DISTINCT vocabulary units with independent frequencies, merges preserve
+# the left symbol's marking (c1 + strip_##(c2)), and serving's greedy
+# longest match is position-aware (unmarked pieces match only at pos 0,
+# ##-pieces only at pos > 0).
+#
+# Scoping: words containing a literal '#' are excluded from training and
+# accounting (both engines), exactly like the BPE_SEP exclusion — otherwise
+# a corpus word starting with '#' could mint an UNMARKED piece that is
+# string-identical to a marked one and corrupt the position classes.
+
+WP_MARK = "##"
+
+
+def _wpm_chain_sql(k: int, upto_seg: int) -> str:
+    """WITH-clause chain for the MARKED WordPiece training oracle —
+    `_wp_chain_sql` with the published position discipline: seg0 marks
+    every non-initial character with '##' (via list_reduce from the raw
+    first char, so no positional lambda is needed), and each round's
+    re-segmentation concatenates c1 with substr(c2, 3) — the merge
+    output keeps c1's marking and drops c2's, which is always present
+    because a right-neighbour symbol is by construction mid-word."""
+    parts = [
+        """
+    WITH wf AS MATERIALIZED (
+      SELECT word, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' AND NOT contains(word, chr(31))
+        AND NOT contains(word, '#')
+      GROUP BY word
+    ),
+    seg0 AS MATERIALIZED (
+      SELECT word, freq,
+             chr(31) || list_reduce(string_split(word, ''),
+                                    (a, b) -> a || chr(31) || '##' || b) AS seg
+      FROM wf
+    )"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f""",
+    csr{r} AS MATERIALIZED (
+      SELECT string_split(substr(seg, 2), chr(31)) AS cs, freq
+      FROM seg{r - 1}
+    ),
+    syms{r} AS MATERIALIZED (
+      SELECT s.sym, CAST(sum(freq) AS BIGINT) AS f
+      FROM csr{r}, LATERAL (SELECT unnest(cs) AS sym) s
+      GROUP BY 1
+    ),
+    pairs{r} AS (
+      SELECT cs[i.i] AS c1, cs[i.i + 1] AS c2, CAST(sum(freq) AS BIGINT) AS w
+      FROM csr{r},
+           LATERAL (SELECT unnest(generate_series(1, len(cs) - 1)) AS i) i
+      GROUP BY 1, 2
+    ),
+    m{r} AS MATERIALIZED (
+      SELECT {r} AS rnd, c1, c2, w AS pair_weight,
+             CAST(round(CAST(w AS DOUBLE) * {WP_SCORE_SCALE}
+                        / (CAST(s1.f AS DOUBLE) * CAST(s2.f AS DOUBLE)))
+                  AS BIGINT) AS score_u
+      FROM pairs{r}
+      JOIN syms{r} s1 ON s1.sym = c1
+      JOIN syms{r} s2 ON s2.sym = c2
+      ORDER BY score_u DESC, c1, c2 LIMIT 1
+    )"""
+        )
+        if r <= upto_seg:
+            parts.append(
+                f""",
+    seg{r} AS MATERIALIZED (
+      SELECT s.word, s.freq,
+             list_reduce(
+               list_transform(string_split(substr(s.seg, 2), chr(31)),
+                              t -> chr(31) || t),
+               (acc, x) -> CASE
+                             WHEN ends_with(acc, chr(31) || m.c1)
+                              AND x = chr(31) || m.c2
+                             THEN acc || substr(m.c2, 3)
+                             ELSE acc || x
+                           END) AS seg
+      FROM seg{r - 1} s, m{r} m
+    )"""
+            )
+    return "".join(parts)
+
+
+def _wpm_train_oracle(k: int) -> str:
+    union = " UNION ALL ".join(f"SELECT * FROM m{r}" for r in range(1, k + 1))
+    return (
+        _wpm_chain_sql(k, upto_seg=k - 1)
+        + f"""
+    SELECT CAST(rnd AS INT) AS rnd, c1, c2, pair_weight, score_u
+    FROM ({union}) ORDER BY rnd
+    """
+    )
+
+
+def _wpm_apply_oracle(k: int) -> str:
+    """Serving oracle for the MARKED vocabulary: greedy longest match
+    where position classes are enforced in the `ml` join — an unmarked
+    piece may match only at pos 0, a ##-piece only at pos > 0 (its raw
+    surface is substr(piece, 3), its consumed length len(piece) − 2).
+    The '#'-word exclusion guarantees `LIKE '##%'` is an unambiguous
+    continuation test. Walk unrolled to WP_WALK_STEPS static steps as
+    in `_wp_apply_oracle` (chain-derived CTEs evaluate empty inside
+    DuckDB recursive terms — measured, documented there)."""
+    steps = []
+    for i in range(1, WP_WALK_STEPS + 1):
+        steps.append(
+            f""",
+    s{i} AS MATERIALIZED (
+      SELECT s.word, s.pos + ml.l AS pos, s.n + 1 AS n
+      FROM s{i - 1} s JOIN ml ON ml.word = s.word AND ml.pos = s.pos
+      WHERE s.pos < len(s.word)
+    )"""
+        )
+    allsteps = " UNION ALL ".join(
+        f"SELECT word, pos, n FROM s{i}" for i in range(0, WP_WALK_STEPS + 1)
+    )
+    merged = " UNION ALL ".join(
+        f"SELECT c1, c2 FROM m{r}" for r in range(1, k + 1)
+    )
+    return (
+        _wpm_chain_sql(k, upto_seg=k - 1)
+        + f""",
+    vocab AS MATERIALIZED (
+      SELECT DISTINCT sym AS piece FROM syms1
+      UNION
+      SELECT c1 || substr(c2, 3) FROM ({merged})
+    ),
+    ml AS MATERIALIZED (
+      SELECT wf.word, p.pos,
+             max(CASE WHEN v.piece LIKE '##%'
+                      THEN len(v.piece) - 2 ELSE len(v.piece) END) AS l
+      FROM wf,
+           LATERAL (SELECT unnest(generate_series(0, len(word) - 1)) AS pos) p,
+           vocab v
+      WHERE (p.pos = 0 AND v.piece NOT LIKE '##%'
+             AND v.piece = substr(wf.word, 1, len(v.piece)))
+         OR (p.pos > 0 AND v.piece LIKE '##%'
+             AND substr(v.piece, 3)
+                 = substr(wf.word, p.pos + 1, len(v.piece) - 2))
+      GROUP BY 1, 2
+    ),
+    s0 AS (SELECT word, 0 AS pos, 0 AS n FROM wf){"".join(steps)},
+    vt AS MATERIALIZED (
+      SELECT word, n AS n_tok FROM ({allsteps}) WHERE pos = len(word)
+    ),
+    sw AS MATERIALIZED (
+      SELECT source, word, count(*) AS cnt
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE word <> '' AND NOT contains(word, chr(31))
+        AND NOT contains(word, '#')
+      GROUP BY 1, 2
+    )
+    SELECT sw.source AS source,
+           CAST(sum(sw.cnt) AS BIGINT)                   AS n_words,
+           CAST(sum(sw.cnt * length(sw.word)) AS BIGINT) AS n_chars,
+           CAST(sum(sw.cnt * vt.n_tok) AS BIGINT)        AS n_tokens_wp,
+           round(sum(sw.cnt * length(sw.word)) * 1.0
+                 / sum(sw.cnt * vt.n_tok), 6)            AS chars_per_token,
+           round(sum(sw.cnt * vt.n_tok) * 1.0
+                 / sum(sw.cnt), 6)                       AS tokens_per_word
+    FROM sw JOIN vt USING (word)
+    GROUP BY 1
+    """
+    )
+
+
+def _wpm_words(docs: DataFrame, with_source: bool = False) -> DataFrame:
+    """Corpus words admissible for marked-WordPiece training: non-empty,
+    no BPE_SEP, no literal '#' (the marking character)."""
+    cols = (["source"] if with_source else []) + [
+        F.explode(F.split("text", " ")).alias("word")
+    ]
+    return docs.select(*cols).where(
+        (F.col("word") != "")
+        & ~F.contains("word", F.lit(BPE_SEP))
+        & ~F.contains("word", F.lit("#"))
+    )
+
+
+def _wpm_train(spark: SparkSession, sf_dir: str, k: int):
+    """k marked-WordPiece merge rounds; returns (merge_rows, vocab).
+    Identical shape to `_wp_train` (corpus read ONCE; vocabulary-scale
+    rounds; one merge pair of driver traffic per round) with the
+    position discipline: seg0 prefixes every non-initial character with
+    '##' and each merge emits c1 + c2[2:] so markings propagate the way
+    the published algorithm defines. vocab = the marked alphabet plus
+    the k merged tokens — each entry either word-initial (unmarked) or
+    a '##' continuation piece."""
+    docs = _docs(spark, sf_dir)
+    wf = _wpm_words(docs).groupBy("word").agg(F.count("*").alias("freq"))
+    chars = F.filter(F.split("word", ""), lambda c: c != "")
+    seg = wf.select(
+        "word",
+        "freq",
+        F.concat(
+            F.lit(BPE_SEP),
+            F.aggregate(
+                F.slice(chars, 2, F.greatest(F.size(chars) - 1, F.lit(0))),
+                F.element_at(chars, 1),
+                lambda acc, c: F.concat(acc, F.lit(BPE_SEP + WP_MARK), c),
+            ),
+        ).alias("seg"),
+    ).localCheckpoint(eager=False)
+
+    init_syms = [
+        r.sym
+        for r in seg.select(F.explode(_bpe_symbols()).alias("sym")).distinct().collect()
+    ]  # bounded: ≤ 2× the character alphabet (initial + marked forms)
+    rows = []
+    merged_tokens = []
+    for r in range(1, k + 1):
+        cs = _bpe_symbols()
+        syms = (
+            seg.select("freq", F.explode(cs).alias("sym"))
+            .groupBy("sym")
+            .agg(F.sum("freq").cast("bigint").alias("f"))
+        )
+        pairs = (
+            seg.where(F.size(cs) >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(cs) - 2),
+                        lambda i: F.struct(
+                            F.get(cs, i).alias("c1"),
+                            F.get(cs, i + 1).alias("c2"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.c1", "p.c2")
+            .agg(F.sum("freq").cast("bigint").alias("w"))
+        )
+        scored = (
+            pairs.join(F.broadcast(syms.withColumnRenamed("sym", "c1")), "c1")
+            .withColumnRenamed("f", "f1")
+            .join(F.broadcast(syms.withColumnRenamed("sym", "c2")), "c2")
+            .withColumnRenamed("f", "f2")
+            .select(
+                "c1", "c2", "w",
+                F.round(
+                    F.col("w").cast("double") * WP_SCORE_SCALE
+                    / (F.col("f1").cast("double") * F.col("f2").cast("double"))
+                )
+                .cast("bigint")
+                .alias("score_u"),
+            )
+        )
+        top = (
+            scored.orderBy(F.desc("score_u"), F.asc("c1"), F.asc("c2"))
+            .limit(1)
+            .collect()  # bounded: 1 row per round
+        )
+        if not top:
+            break
+        c1, c2 = top[0]["c1"], top[0]["c2"]
+        rows.append((r, c1, c2, int(top[0]["w"]), int(top[0]["score_u"])))
+        tail = c2[len(WP_MARK):]  # c2 is mid-word by construction
+        merged_tokens.append(c1 + tail)
+        seg = seg.select(
+            "word",
+            "freq",
+            F.aggregate(
+                F.transform(cs, lambda s: F.concat(F.lit(BPE_SEP), s)),
+                F.lit(""),
+                lambda acc, x: F.when(
+                    F.endswith(acc, F.lit(BPE_SEP + c1))
+                    & (x == F.lit(BPE_SEP + c2)),
+                    F.concat(acc, F.lit(tail)),
+                ).otherwise(F.concat(acc, x)),
+            ).alias("seg"),
+        ).localCheckpoint(eager=False)
+    vocab = sorted(set(init_syms) | set(merged_tokens))
+    return rows, vocab
+
+
+@register("wordpiece_train_marked", oracle=_wpm_train_oracle(WP_MERGE_ROUNDS))
+def wordpiece_train_marked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece training with POSITION-MARKED continuation symbols —
+    the published algorithm's full fidelity (Schuster & Nakajima 2012;
+    the BERT tokenizer's trainer), closing the one documented gap in
+    the unmarked `wordpiece_train_merges`: there, word-initial and
+    mid-word occurrences of a character share one symbol; here "a" and
+    "##a" are DISTINCT vocabulary units with independent corpus
+    frequencies, so the likelihood argmax w/(f1·f2) prices them
+    separately — a pair frequent only mid-word no longer borrows
+    word-initial mass (and vice versa). Merges keep the left symbol's
+    marking and strip the right's ('##' by construction): ("##i",
+    "##ng") → "##ing", ("k", "##i") → "ki".
+
+    Exactness: identical discipline to the unmarked twin — BIGINT pair
+    weights and symbol frequencies, ONE double expression
+    round(w·10¹²/(f1·f2)) per candidate, (score_u DESC, c1, c2) total
+    order — so the k-round trajectory hash-matches DuckDB replaying the
+    same chain (`_wpm_chain_sql`). Words containing '#' are excluded on
+    both engines: '#' is the marking character, and an unmarked piece
+    starting with '#' would be indistinguishable from a marked one.
+
+    Scale posture: unchanged from the twin — corpus read ONCE by the
+    word-frequency agg; every round vocabulary-scale with the bounded
+    symbol table broadcast onto the pair frame; one merge pair of
+    driver traffic per round; per-round lineage checkpoints. The marked
+    alphabet is ≤2× the raw one — a constant factor on bounded frames.
+    No reference analog (closest surface: wc's tokenize loop,
+    mrapps/wc.go:21-44)."""
+    rows, _ = _wpm_train(spark, sf_dir, WP_MERGE_ROUNDS)
+    return spark.createDataFrame(
+        rows, "rnd int, c1 string, c2 string, pair_weight bigint, score_u bigint"
+    )
+
+
+@register("wordpiece_apply_marked_stats", oracle=_wpm_apply_oracle(WP_MERGE_ROUNDS))
+def wordpiece_apply_marked_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving path of the MARKED WordPiece vocabulary — position-aware
+    greedy longest match, exactly BERT's inference tokenizer: at word
+    position 0 only unmarked pieces are candidates; at every later
+    position only '##' continuation pieces are, consuming their
+    unmarked surface. The same surface string therefore tokenizes
+    differently word-initial vs mid-word (vocab "##ing" does not let
+    the word "ing" tokenize as one piece — the position pytest plants
+    exactly that), which the unmarked twin `wordpiece_apply_token_stats`
+    cannot express. Reports the same per-source token accounting as the
+    other tokenizer-family apply queries, so marked WordPiece is
+    directly comparable on chars-per-token over the same corpus.
+
+    Serving trick shared with the family: tokenization runs on the
+    VOCABULARY (distinct words) via mapInPandas against two broadcast
+    frozensets (word-initial pieces raw; continuation pieces by their
+    unmarked surface), and the corpus contributes only a per-(source,
+    word) count broadcast-joined against the segmented vocab. The walk
+    never strands: serving re-tokenizes the training corpus's own
+    vocabulary, so every character occurs in its position class in the
+    marked alphabet. The oracle replays the walk as WP_WALK_STEPS
+    static unrolled join steps with the position classes enforced in
+    the match join (`_wpm_apply_oracle`).
+
+    Scale posture: one corpus scan, one vocabulary mapInPandas pass
+    with a ≤(2·alphabet+k)-entry broadcast, one broadcast join; ratios
+    are 6-dp rounds of exact-BIGINT quotients."""
+    import pandas as pd  # noqa: F401  (imported for the closure)
+
+    from minimapreduce_spark._pickle import register_self_by_value
+
+    register_self_by_value()
+    _, vocab = _wpm_train(spark, sf_dir, WP_MERGE_ROUNDS)
+    if not vocab:
+        # Degenerate-input policy: empty corpus → empty accounting
+        return spark.createDataFrame(
+            [],
+            "source string, n_words bigint, n_chars bigint, n_tokens_wp bigint, "
+            "chars_per_token double, tokens_per_word double",
+        )
+    init_pieces = frozenset(p for p in vocab if not p.startswith(WP_MARK))
+    cont_pieces = frozenset(
+        p[len(WP_MARK):] for p in vocab if p.startswith(WP_MARK)
+    )
+    max_init = max((len(p) for p in init_pieces), default=0)
+    max_cont = max((len(p) for p in cont_pieces), default=0)
+    vocab_bc = spark.sparkContext.broadcast(
+        (init_pieces, cont_pieces, max_init, max_cont)
+    )
+
+    def tokenize(batches):
+        import pandas as pd
+
+        init_v, cont_v, mi, mc = vocab_bc.value
+        for pdf in batches:
+            n_toks = []
+            for word in pdf["word"]:
+                pos, n = 0, 0
+                while pos < len(word):
+                    vs, cap = (init_v, mi) if pos == 0 else (cont_v, mc)
+                    for L in range(min(cap, len(word) - pos), 0, -1):
+                        if word[pos : pos + L] in vs:
+                            pos += L
+                            n += 1
+                            break
+                    else:  # unreachable on the training corpus's vocab
+                        pos += 1
+                        n += 1
+                n_toks.append(n)
+            yield pd.DataFrame({"word": pdf["word"], "n_tok": n_toks})
+
+    docs = _docs(spark, sf_dir)
+    wf = _wpm_words(docs).distinct()
+    vt = wf.mapInPandas(tokenize, "word string, n_tok long")
+    sw = (
+        _wpm_words(docs, with_source=True)
         .groupBy("source", "word")
         .agg(F.count("*").alias("cnt"))
     )

@@ -53,85 +53,88 @@ def register(name: str, oracle: str | None = None, bench: bool = False) -> Calla
 # rest follows in module registration order. tests/test_driver_contract.py
 # pins the rotation discipline.
 #
-# ROUND-8 ROTATION — FRESHNESS UNDER CLOSURE (round-7 verdict item 3):
-# cumulative driver-hash coverage closed at the full registry in round
-# 7, so the window's job changes from closure to FRESHNESS. Two rules,
-# both encoded in tests/test_driver_contract.py:
-#   (a) every round-8 registration leads the window (a new capability
+# ROUND-9 ROTATION — FRESHNESS UNDER CLOSURE (continuing the round-8
+# discipline; both rules encoded in tests/test_driver_contract.py):
+#   (a) every round-9 registration leads the window (a new capability
 #       driver-verified beats any re-verification);
 #   (b) the remaining slots re-verify the queries whose last
 #       driver-hash verification is OLDEST — the staleness rule: no
 #       canary may be fresher than any non-window verified query
-#       (ties allowed; the 45 r01-verified queries are six rounds
-#       stale against a moving Spark/DuckDB pair, and 38 fit after
-#       late round-8 registrations took slots).
+#       (ties allowed). After round 8 the oldest cohorts are the 7
+#       r01-verified queries (eight rounds stale) and the 43
+#       r02-verified queries — together exactly 50. Round-9
+#       registrations swap in at the head, displacing r02 canaries
+#       from the tail (the r02 tie keeps the staleness rule green:
+#       freshest remaining canary == stalest query outside).
 DRIVER_PRIORITY: list[str] = [
-    # -- round-8 registrations: every query new this round goes under
-    #    the hard signal first (rotation rule (a)) --
-    "bitext_margin_mining_ivf",
-    "ann_ivfpq_served_topk",
-    "stream_full_outer_view_purchase",
-    "multimodal_audio_spectral",
-    "wordpiece_train_merges",
-    "wordpiece_apply_token_stats",
-    "stream_sessions_timer_finalized",
-    "ann_ivfpq_append_serve",
-    "retrieval_eval_ivf",
-    "stream_ann_serve_ivfpq",
-    "retrieval_eval_ivfpq",
-    "bitext_margin_mining_ivf_nprobe",
-    # -- staleness canaries: the 44 queries whose last driver-hash
-    #    verification is OLDEST (all r01 — six rounds stale against a
-    #    moving Spark/DuckDB pair); rotation rule (b), encoded in
-    #    tests/test_driver_contract.py. The seven remaining r01 queries
-    #    (agg_conditional_pivot, agg_corr_covar, agg_cube_orders,
-    #    agg_distinct_priority, agg_mode_deterministic, filter_project,
-    #    window_trailing_30d_spend) lead the round-9 queue. --
-    "agg_rollup_lineitem",
-    "array_hof_embedding_stats",
-    "correlated_above_avg_spend",
-    "crash_agg",
-    "distinct_words_per_doc",
-    "inverted_index",
-    "join_anti_no_urgent",
-    "join_broadcast_dims",
-    "join_left_order_counts",
-    "join_semi_big_spenders",
-    "mr_inverted_index",
-    "mr_reduce_side_join",
-    "pivot_status_revenue",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_by_linestatus",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "scalar_functions_showcase",
-    "set_ops_customers",
-    "stats_summary",
-    "topk_global_lineitems",
-    "unpivot_returnflag_metrics",
-    "window_order_gaps",
-    "window_rank_family",
-    "window_running_spend",
-    "window_topk_per_customer",
+    # -- round-9 registrations: every query new this round is SWAPPED
+    #    in at the head as it registers (rotation rule (a)), displacing
+    #    the LAST r02 canary below (the displaced canary ties at round 2
+    #    with the stalest query outside, so rule (b) stays green) --
+    "wordpiece_train_marked",
+    "wordpiece_apply_marked_stats",
+    # -- r01 staleness canaries: the 7 queries last driver-verified in
+    #    round 1, eight rounds stale — rotation rule (b) --
+    "agg_conditional_pivot",
+    "agg_corr_covar",
+    "agg_cube_orders",
+    "agg_distinct_priority",
+    "agg_mode_deterministic",
+    "filter_project",
+    "window_trailing_30d_spend",
+    # -- r02 staleness canaries: next-oldest cohort (43 total, exactly
+    #    filling the remaining slots at window-pin time; each round-9
+    #    registration displaces one from the tail — displaced queries
+    #    tie with the kept ones at round 2, so the staleness rule holds
+    #    either side of the cut) --
+    "abc_part_classification",
+    "agg_salted_skew",
+    "ann_cosine_topk",
+    "ann_ivf_int8_topk",
+    "ann_ivf_topk",
+    "basket_part_pairs",
+    "contamination_test_train",
+    "customer_rfm_segments",
+    "decimal_exact_revenue",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_pair_cosine_tfidf",
+    "events_asof_join",
+    "events_markov_transitions",
+    "events_sessionization",
+    "fuzzy_join_blocked",
+    "gini_revenue_inequality",
+    "graph_triangle_count",
+    "histogram_equidepth_prices",
+    "merge_upsert_customers",
+    "multimodal_features",
+    "multimodal_ppm_decode",
+    "multimodal_wav_decode",
+    "null_semantics_agg",
+    "pack_token_batches",
+    "pareto_revenue_concentration",
+    "pysource_partitioned_scan",
+    "q9_product_type_profit",
+    "sessions_peak_concurrency",
+    "stream_dedup_watermark",
+    "stream_session_window",
+    "text_bm25_topk",
+    "text_quality_score",
+    "text_tfidf_top_terms",
+    "text_unigram_logprob",
+    "ts_similarity_topk",
+    "udaf_weighted_discount",
 ]
 
 
-# Queries registered AFTER the current (round-7) window was pinned. Any
+# Queries registered AFTER the current (round-9) window was pinned. Any
 # new registration must be appended here in the same commit, so the
 # rotation test can distinguish "late, ledgered, pytest-oracle-verified"
-# from "missed". New round-7 flagships should instead be SWAPPED into
+# from "missed". New round-9 flagships should instead be SWAPPED into
 # the window, displacing a canary (a flagship driver-verified beats a
 # canary re-verified) — use this ledger only when the driver may
 # already have run.

@@ -433,6 +433,138 @@ def test_wordpiece_diverges_from_bpe_on_likelihood_corpus(spark, tmp_path):
     assert wp[0].score_u == round(6 * 1e12 / 36)
 
 
+def test_wordpiece_marked_position_divergence(spark, tmp_path):
+    """The defining property of POSITION-MARKED WordPiece, planted: the
+    same surface string tokenizes differently word-initial vs mid-word.
+
+    Corpus: ing×200 | ng×1 | ix×200 | ug×100 | 7 two-char fillers ×20.
+    Rounds 1-7 consume the fillers (score 1/20 each); round 8 is a
+    three-way quantized tie at 1/301 between (##n,##g), (n,##g) and
+    (u,##g) — broken by c1 ASC toward '##n' — so the trained vocab gains
+    '##ng' (the CONTINUATION piece, pair weight 200: the word-initial
+    "ng" occurrence is correctly excluded) and has NO word-initial 'ng'.
+    Serving: surface "ng" inside "ing" is ONE piece (i + ##ng), but the
+    standalone word "ng" is TWO (n + ##g). The unmarked twin on the
+    SAME corpus pools both positions: its round-8 merge is (n,g) with
+    weight 201 and the word "ng" tokenizes as ONE piece — exactly the
+    conflation the marked variant exists to fix. Per-word token counts
+    are observed through per-source accounting (each word class is its
+    own source)."""
+    import os
+
+    rows = []
+    corpus = [
+        ("ing", 200, "s_ing"), ("ng", 1, "s_ng"), ("ix", 200, "s_ix"),
+        ("ug", 100, "s_ug"),
+        ("ab", 20, "s_fill"), ("cd", 20, "s_fill"), ("ef", 20, "s_fill"),
+        ("jk", 20, "s_fill"), ("lm", 20, "s_fill"), ("op", 20, "s_fill"),
+        ("rs", 20, "s_fill"),
+    ]
+    for i, (w, n, src) in enumerate(corpus):
+        rows.append((i, " ".join([w] * n), "en", src, len(w) * n))
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id: bigint, text: string, lang: string, source: string, n_chars: bigint",
+    )
+    d = str(tmp_path / "wpm_position")
+    os.makedirs(d)
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+
+    marked = (
+        q.REGISTRY["wordpiece_train_marked"].fn(spark, d).orderBy("rnd").collect()
+    )
+    assert (marked[7].c1, marked[7].c2, marked[7].pair_weight) == ("##n", "##g", 200)
+    unmarked = (
+        q.REGISTRY["wordpiece_train_merges"].fn(spark, d).orderBy("rnd").collect()
+    )
+    assert (unmarked[7].c1, unmarked[7].c2, unmarked[7].pair_weight) == ("n", "g", 201)
+
+    m_stats = {
+        r.source: r
+        for r in q.REGISTRY["wordpiece_apply_marked_stats"].fn(spark, d).collect()
+    }
+    u_stats = {
+        r.source: r
+        for r in q.REGISTRY["wordpiece_apply_token_stats"].fn(spark, d).collect()
+    }
+    # marked: word "ng" (word-initial) = n + ##g = 2 tokens — no
+    # unmarked 'ng' piece exists; surface "ng" mid-word is 1 piece
+    # (word "ing" = i + ##ng = 2 tokens over 3 chars)
+    assert m_stats["s_ng"].n_tokens_wp == 2
+    assert m_stats["s_ing"].n_tokens_wp == 200 * 2
+    # unmarked twin: its position-blind 'ng' piece applies word-initially
+    # too — the standalone word collapses to ONE token
+    assert u_stats["s_ng"].n_tokens_wp == 1
+    assert u_stats["s_ing"].n_tokens_wp == 200 * 2
+
+
+def test_wordpiece_marked_full_trajectory_replays_in_python(spark):
+    """Pure-Python replay of the entire MARKED WordPiece training loop
+    on the real fixture (the unmarked twin's discipline, with position
+    semantics in the replay): '##'-mark every non-initial character,
+    recompute symbol/pair frequencies per round, quantized likelihood
+    argmax with the (score DESC, c1, c2) total order, merge = c1 +
+    c2[2:] applied left-to-right — the trained merge table must match
+    EXACTLY (merges, pair weights, quantized scores), and no candidate
+    score may sit within 1e-9 of a .5 grid midpoint."""
+    import math
+
+    import duckdb
+
+    from minimapreduce_spark.operators.text_analysis import (
+        WP_MERGE_ROUNDS,
+        WP_SCORE_SCALE,
+    )
+    from tests.conftest import SF_DIR
+
+    con = duckdb.connect()
+    wf = dict(
+        con.execute(
+            f"""SELECT word, count(*) FROM (
+                  SELECT unnest(string_split(text, ' ')) AS word
+                  FROM '{SF_DIR}/documents.parquet')
+                WHERE word <> '' AND NOT contains(word, '#')
+                GROUP BY 1"""
+        ).fetchall()
+    )
+    con.close()
+    seg = {w: [w[0]] + ["##" + c for c in w[1:]] for w in wf}
+    expect = []
+    for rnd in range(1, WP_MERGE_ROUNDS + 1):
+        syms: dict = {}
+        pairs: dict = {}
+        for w, f in wf.items():
+            for s in seg[w]:
+                syms[s] = syms.get(s, 0) + f
+            for a, b in zip(seg[w], seg[w][1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + f
+        scored = {}
+        for (a, b), wgt in pairs.items():
+            raw = float(wgt) * WP_SCORE_SCALE / (float(syms[a]) * float(syms[b]))
+            assert abs(raw % 1.0 - 0.5) > 1e-9, "score on a grid midpoint"
+            scored[(a, b)] = int(math.floor(raw + 0.5))
+        best = min(scored, key=lambda p: (-scored[p], p[0], p[1]))
+        expect.append((rnd, best[0], best[1], pairs[best], scored[best]))
+        a, b = best
+        tail = b[2:]
+        for w in seg:
+            out, i = [], 0
+            t = seg[w]
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                    out.append(a + tail)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            seg[w] = out
+    rows = (
+        q.REGISTRY["wordpiece_train_marked"].fn(spark, SF_DIR).orderBy("rnd").collect()
+    )
+    got = [(r.rnd, r.c1, r.c2, r.pair_weight, r.score_u) for r in rows]
+    assert got == expect, (got, expect)
+
+
 def test_wordpiece_full_trajectory_replays_in_python(spark):
     """Pure-Python replay of the entire WordPiece training loop on the
     real fixture vocabulary (the BPE-textbook discipline, extended to

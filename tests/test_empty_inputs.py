@@ -81,6 +81,10 @@ REPRESENTATIVE = [
     "wordpiece_apply_token_stats",
     "retrieval_eval_ivf",
     "retrieval_eval_ivfpq",
+    # round-9 registrations: marked WordPiece (empty corpus → empty
+    # merge table / empty accounting, via the degenerate-vocab guard)
+    "wordpiece_train_marked",
+    "wordpiece_apply_marked_stats",
 ]
 
 

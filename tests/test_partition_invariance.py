@@ -191,6 +191,11 @@ CANDIDATES = [
     # multi-probe bitext: replicated cell membership + per-cell cuts +
     # distinct — the dial must not depend on task layout
     "bitext_margin_mining_ivf_nprobe",
+    # round-9: marked WordPiece — position-split alphabet doubles the
+    # symbol table; the likelihood argmax and position-aware serving
+    # walk must be layout-free like the unmarked twins
+    "wordpiece_train_marked",
+    "wordpiece_apply_marked_stats",
 ]
 
 
