@@ -657,6 +657,168 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_index_root(sf_dir: str) -> str:
+    """Deterministic on-disk location of the persisted MinHash band
+    index for a fixture dir — the `ivfpq_index_root` discipline applied
+    to the dedup family: keyed by the ABSOLUTE fixture path plus the
+    documents table's CONTENT FINGERPRINT (st_mtime_ns, st_size), so a
+    regenerated fixture gets a fresh root instead of silently probing a
+    stale index; NOT session-keyed (write-once/probe-many across
+    sessions is the point). Concurrency is handled by the atomic-rename
+    publish in `minhash_index_build`."""
+    import hashlib
+    import tempfile
+
+    from minimapreduce_spark.catalog import table_path
+
+    st = os.stat(table_path(sf_dir, "documents"))
+    key = f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}"
+    tag = hashlib.sha256(key.encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"minimapreduce_minhash_{tag}")
+
+
+def minhash_index_build(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str | None = None,
+    batch_mod: int = INCR_BATCH_MOD,
+) -> str:
+    """BUILD-ONCE: persist the CORPUS side of the incremental-dedup
+    probe as a two-table parquet artifact and return its root —
+
+      - ``buckets`` (doc_id, bh, band): the LSH band index, written
+        PARTITIONED BY band (the classic per-band table layout: each
+        of the 8 band joins scans only its own partition on disk);
+      - ``shingles`` (doc_id, h): the distinct shingle-hash sets the
+        exact-Jaccard verification needs for the corpus side of a
+        candidate pair.
+
+    This is the `ivfpq_index_build` artifact discipline applied to
+    dedup (round-8 verdict item 3): a daily 100 TB dedup job does NOT
+    re-shingle and re-band yesterday's corpus per run — the index is
+    written once when the corpus is deduped and every day's arrival
+    batch probes it. The corpus side here is the fixture's non-batch
+    rows (doc_id % batch_mod != 0), matching the registered probe's
+    batch predicate by construction.
+
+    Publish is ATOMIC: build in a unique temp dir, os.rename into
+    place; a racing builder loses the rename and discards its copy, so
+    concurrent sessions share one artifact and never observe a
+    half-written index. Rebuild happens only when the root is absent;
+    the artifact is a deterministic pure function of the fixture
+    (xxhash shingles/signatures, no RNG), which is what makes
+    probe-from-artifact ≡ inline-recompute — pinned in pytest both
+    frame-by-frame (DuckDB reading the artifact parquet) and
+    end-to-end (probe output == `dedup_minhash_incremental`)."""
+    import shutil
+    import tempfile
+
+    root = root or minhash_index_root(sf_dir)
+    if os.path.isdir(os.path.join(root, "buckets")):
+        return root
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") % batch_mod != 0)
+    )
+    base = shingle_hashes(
+        spark, sf_dir, distinct=False, docs=fan_out(spark, corpus)
+    ).localCheckpoint(eager=False)
+    sigs = minhash_signatures(spark, sf_dir, shingles=base)
+    buckets = minhash_band_buckets(sigs)
+    stage = tempfile.mkdtemp(prefix="minhash_build_")
+    (
+        buckets.repartition("band")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(os.path.join(stage, "buckets"))
+    )
+    base.distinct().write.mode("overwrite").parquet(os.path.join(stage, "shingles"))
+    try:
+        os.rename(stage, root)
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)  # lost the race: reuse winner's
+    return root
+
+
+@register(
+    "dedup_minhash_index_probe",
+    oracle=(
+        "SELECT * FROM ("
+        + _JACCARD_ORACLE.format(kminus1=SHINGLE_K - 1, threshold=MINHASH_THRESHOLD)
+        + f") WHERE doc_a % {INCR_BATCH_MOD} = 0 OR doc_b % {INCR_BATCH_MOD} = 0"
+    ),
+    bench=True,
+)
+def dedup_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup SERVED FROM THE PERSISTED BAND INDEX —
+    the operational 100 TB shape `dedup_minhash_incremental` documents
+    but (as the correctness/composition baseline) recomputes inline:
+    `minhash_index_build` persists the corpus-side band index and
+    shingle sets ONCE (atomic-rename parquet, buckets partitioned by
+    band), and this query's probe run shingles/signs/bands ONLY the
+    arrival batch (doc_id % INCR_BATCH_MOD == 0), joins the batch
+    buckets against artifact buckets ∪ batch buckets on (band, bh) —
+    batch-internal pairs fall out of the same join — and verifies exact
+    Jaccard with corpus shingle sets read from the artifact. Zero
+    corpus-side shingling, signing or banding jobs in the probe run
+    (plan-pinned in pytest: the only documents scans are
+    batch-filtered; the corpus side is parquet artifact scans).
+
+    Output is IDENTICAL to `dedup_minhash_incremental` (the artifact is
+    a deterministic pure function of the fixture), so the oracle is the
+    same exact-Jaccard SQL restricted to batch-touching pairs, and the
+    equality is additionally pinned end-to-end in pytest.
+
+    Scale posture: probe cost ∝ batch at ANY corpus size — candidate
+    volume is Σ_batch-bucket |bucket| (the corpus never self-joins) and
+    the per-band partition layout prunes each band join to its own
+    files on disk; the index build is amortized across every probe that
+    reads it (`tools/incremental_scale_probe.py` measures candidates
+    exactly constant under 16× corpus growth for this join shape).
+    Batch-side content-group collapse stacks orthogonally when a
+    recrawl-heavy batch needs it (see `minhash_incremental_pairs`)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if docs.head(1) == []:
+        # Degenerate-input policy: empty corpus → no index, no batch
+        return spark.createDataFrame(
+            [], "doc_a bigint, doc_b bigint, n_common bigint, jaccard double"
+        )
+    root = minhash_index_build(spark, sf_dir)
+    idx_buckets = spark.read.parquet(os.path.join(root, "buckets")).select(
+        "doc_id", F.col("band").cast("int").alias("band"), "bh"
+    )
+    idx_shingles = spark.read.parquet(os.path.join(root, "shingles"))
+
+    batch = docs.where(F.col("doc_id") % INCR_BATCH_MOD == 0)
+    base_b = shingle_hashes(
+        spark, sf_dir, distinct=False, docs=fan_out(spark, batch)
+    ).localCheckpoint(eager=False)
+    sigs_b = minhash_signatures(spark, sf_dir, shingles=base_b)
+    buckets_b = minhash_band_buckets(sigs_b).localCheckpoint(eager=False)
+
+    all_buckets = idx_buckets.select("doc_id", "band", "bh").unionByName(
+        buckets_b.select("doc_id", "band", "bh")
+    )
+    candidates = (
+        buckets_b.select(F.col("doc_id").alias("ba"), "band", "bh")
+        .join(
+            all_buckets.select(F.col("doc_id").alias("other"), "band", "bh"),
+            ["band", "bh"],
+        )
+        .where(F.col("ba") != F.col("other"))
+        .select(
+            F.least("ba", "other").alias("doc_a"),
+            F.greatest("ba", "other").alias("doc_b"),
+        )
+        .distinct()
+    )
+    shingles = idx_shingles.unionByName(base_b.distinct())
+    return jaccard_pairs(
+        spark, sf_dir, MINHASH_THRESHOLD, candidates=candidates, shingles=shingles
+    )
+
+
 EMB_DUP_THRESHOLD = 0.45  # fixture embeddings are random-ish; max pair cosine ≈ 0.51
 EMB_PAIR_BLOCKS = 8
 

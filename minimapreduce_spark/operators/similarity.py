@@ -2445,16 +2445,23 @@ def ann_ivfpq_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ivfpq_index_root(sf_dir: str) -> str:
     """Deterministic on-disk location of the persisted IVF-PQ index for
-    a fixture dir: keyed by the ABSOLUTE fixture path (distinct
-    fixtures never collide) but NOT by session — the whole point is
-    write-once/serve-many across sessions. Concurrency is handled by
-    the atomic-rename publish in `ivfpq_index_build`, not by
-    per-session paths (contrast `bucketed_join`'s staging, which is
+    a fixture dir: keyed by the ABSOLUTE fixture path plus the
+    embeddings table's CONTENT FINGERPRINT (st_mtime_ns, st_size — the
+    `table_stream_sharded` staging-key discipline), so a regenerated
+    fixture at the same path gets a fresh root instead of silently
+    serving the stale index (round-8 ADVICE). NOT session-keyed — the
+    whole point is write-once/serve-many across sessions. Concurrency
+    is handled by the atomic-rename publish in `ivfpq_index_build`, not
+    by per-session paths (contrast `bucketed_join`'s staging, which is
     rewritten per run and therefore session-keyed)."""
     import hashlib
     import tempfile
 
-    tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    from minimapreduce_spark.catalog import table_path
+
+    st = os.stat(table_path(sf_dir, "embeddings"))
+    key = f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}"
+    tag = hashlib.sha256(key.encode()).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), f"minimapreduce_ivfpq_{tag}")
 
 

@@ -73,6 +73,7 @@ DRIVER_PRIORITY: list[str] = [
     #    with the stalest query outside, so rule (b) stays green) --
     "wordpiece_train_marked",
     "wordpiece_apply_marked_stats",
+    "dedup_minhash_index_probe",
     # -- r01 staleness canaries: the 7 queries last driver-verified in
     #    round 1, eight rounds stale — rotation rule (b) --
     "agg_conditional_pivot",
@@ -127,7 +128,6 @@ DRIVER_PRIORITY: list[str] = [
     "text_tfidf_top_terms",
     "text_unigram_logprob",
     "ts_similarity_topk",
-    "udaf_weighted_discount",
 ]
 
 

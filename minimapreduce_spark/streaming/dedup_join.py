@@ -223,18 +223,21 @@ def stream_exactly_once_watermarked(spark: SparkSession, sf_dir: str) -> DataFra
     discipline: state shards scale with streaming throughput, not with
     the cluster's batch-shuffle width; SCALING.md carries the per-batch
     timing table."""
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
+    # Scope the state-partition override to a CLONED session (shares
+    # the SparkContext; isolated SQLConf), so nothing else running on
+    # the caller's session concurrently can inherit the 8-partition
+    # setting mid-drain (round-8 ADVICE) — the previous form mutated
+    # the session-global conf for the drain window.
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "UTC")
+    s2.conf.set(
         "spark.sql.shuffle.partitions", str(EXACTLY_ONCE_STATE_PARTITIONS)
     )
-    try:
-        drained = run_to_memory(
-            exactly_once_watermarked_plan(spark, sf_dir),
-            "stream_exactly_once_watermarked",
-            "append",
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    drained = run_to_memory(
+        exactly_once_watermarked_plan(s2, sf_dir),
+        "stream_exactly_once_watermarked",
+        "append",
+    )
     return drained.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("value_c_sum"),
@@ -254,9 +257,17 @@ def stream_exactly_once_watermarked(spark: SparkSession, sf_dir: str) -> DataFra
     ),
     m AS (
       -- the GLOBAL watermark: Spark's multi-watermark policy is the
-      -- MIN across inputs, each computed on its own filtered stream
-      SELECT least((SELECT max(view_ts) FROM v),
-                   (SELECT max(purchase_ts) FROM p)) - INTERVAL 2 HOUR AS wm
+      -- MIN across inputs, each computed on its own filtered stream —
+      -- with each side's max FLOORED TO MILLISECONDS first (Spark
+      -- tracks watermarks in ms; on a µs-grained fixture an unfloored
+      -- max would finalize rows Spark still withholds — the
+      -- stream_sessions_timer_finalized oracle's discipline)
+      SELECT least(
+               make_timestamp((epoch_us((SELECT max(view_ts) FROM v))
+                               // 1000) * 1000),
+               make_timestamp((epoch_us((SELECT max(purchase_ts) FROM p))
+                               // 1000) * 1000)
+             ) - INTERVAL 2 HOUR AS wm
     )
     SELECT v.user_id, v.view_id, p.purchase_id, v.view_ts, p.purchase_ts
     FROM v JOIN p
@@ -356,9 +367,17 @@ def stream_left_outer_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m AS (
       -- the GLOBAL watermark: Spark's multi-watermark policy is the
-      -- MIN across inputs, each computed on its own filtered stream
-      SELECT least((SELECT max(view_ts) FROM v),
-                   (SELECT max(purchase_ts) FROM p)) - INTERVAL 2 HOUR AS wm
+      -- MIN across inputs, each computed on its own filtered stream —
+      -- with each side's max FLOORED TO MILLISECONDS first (Spark
+      -- tracks watermarks in ms; on a µs-grained fixture an unfloored
+      -- max would finalize rows Spark still withholds — the
+      -- stream_sessions_timer_finalized oracle's discipline)
+      SELECT least(
+               make_timestamp((epoch_us((SELECT max(view_ts) FROM v))
+                               // 1000) * 1000),
+               make_timestamp((epoch_us((SELECT max(purchase_ts) FROM p))
+                               // 1000) * 1000)
+             ) - INTERVAL 2 HOUR AS wm
     )
     SELECT v.user_id, v.view_id, p.purchase_id, v.view_ts, p.purchase_ts
     FROM v JOIN p

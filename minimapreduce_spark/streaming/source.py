@@ -89,9 +89,18 @@ def events_stream_sharded(
         tempfile.gettempdir(), "minimapreduce_stream_sharded", f"{key}_{n_shards}"
     )
     if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        # Atomic publish: stage + rename (see table_stream_sharded)
+        import shutil
+
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        stage = tempfile.mkdtemp(prefix="stream_shard_stage_", dir=os.path.dirname(d))
         spark.read.parquet(path).repartition(n_shards).write.mode(
             "overwrite"
-        ).parquet(d)
+        ).parquet(stage)
+        try:
+            os.rename(stage, d)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)  # lost the race
     schema = spark.read.parquet(d).schema
     sdf = (
         spark.readStream.schema(schema)
@@ -343,9 +352,22 @@ def table_stream_sharded(
         tempfile.gettempdir(), "minimapreduce_stream_tbl", f"{key}_{n_shards}"
     )
     if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        # Atomic publish (the ivfpq_index_build discipline): write to a
+        # private stage and os.rename into place — two racing sessions
+        # that both miss the _SUCCESS check cannot interleave writes
+        # into the final path, and a reader never observes a
+        # half-written shard set; the rename loser discards its stage.
+        import shutil
+
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        stage = tempfile.mkdtemp(prefix="stream_tbl_stage_", dir=os.path.dirname(d))
         spark.read.parquet(path).repartition(n_shards).write.mode(
             "overwrite"
-        ).parquet(d)
+        ).parquet(stage)
+        try:
+            os.rename(stage, d)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)  # lost the race
     schema = spark.read.parquet(d).schema
     return (
         spark.readStream.schema(schema)

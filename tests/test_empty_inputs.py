@@ -82,9 +82,11 @@ REPRESENTATIVE = [
     "retrieval_eval_ivf",
     "retrieval_eval_ivfpq",
     # round-9 registrations: marked WordPiece (empty corpus → empty
-    # merge table / empty accounting, via the degenerate-vocab guard)
+    # merge table / empty accounting, via the degenerate-vocab guard);
+    # band-index probe (empty corpus → no index, early empty frame)
     "wordpiece_train_marked",
     "wordpiece_apply_marked_stats",
+    "dedup_minhash_index_probe",
 ]
 
 

@@ -81,6 +81,94 @@ def test_incremental_minhash_equals_full_restricted(spark):
     assert got == want
 
 
+def test_minhash_index_probe_artifact_equals_recompute_and_plan_has_no_build(
+    spark, tmp_path
+):
+    """The build-once/probe-many contract of `dedup_minhash_index_probe`
+    (the `ivfpq_index_build` discipline applied to dedup):
+
+      - the persisted artifact's two tables are ROW-IDENTICAL to a
+        fresh corpus-side recompute (the artifact is a pure function of
+        the fixture), cross-checked through DuckDB reading the artifact
+        parquet directly;
+      - the probe output equals `dedup_minhash_incremental` EXACTLY
+        (same shingles, signatures, banding, verification — only the
+        corpus side's source differs);
+      - the PROBE plan contains zero corpus-side index-build jobs: every
+        documents scan is behind the checkpointed BATCH pipeline (Scan
+        ExistingRDD), and the corpus side appears only as artifact
+        parquet scans (buckets + shingles);
+      - a rebuild call with the artifact present is a no-op."""
+    import os as _os
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from minimapreduce_spark import plans
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.catalog import fan_out, load_table
+    from minimapreduce_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        minhash_band_buckets,
+        minhash_index_build,
+        minhash_signatures,
+        shingle_hashes,
+    )
+
+    root = minhash_index_build(spark, SF_DIR, root=str(tmp_path / "mh_idx"))
+
+    # artifact ≡ recompute, frame by frame, via DuckDB on the parquet
+    corpus = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") % INCR_BATCH_MOD != 0)
+    )
+    base = shingle_hashes(spark, SF_DIR, distinct=False, docs=fan_out(spark, corpus))
+    fresh_buckets = minhash_band_buckets(
+        minhash_signatures(spark, SF_DIR, shingles=base)
+    )
+    con = duckdb.connect()
+    art_b = con.execute(
+        f"SELECT doc_id, CAST(band AS INT) AS band, bh"
+        f" FROM '{root}/buckets/**/*.parquet' ORDER BY doc_id, band"
+    ).fetchall()
+    want_b = sorted(
+        (r.doc_id, r.band, r.bh) for r in fresh_buckets.collect()
+    )
+    assert art_b == want_b, "artifact buckets diverge from recompute"
+    art_s = con.execute(
+        f"SELECT doc_id, h FROM '{root}/shingles/*.parquet' ORDER BY doc_id, h"
+    ).fetchall()
+    want_s = sorted((r.doc_id, r.h) for r in base.distinct().collect())
+    assert art_s == want_s, "artifact shingles diverge from recompute"
+    con.close()
+
+    # probe ≡ inline incremental, end to end
+    probe = {
+        tuple(r)
+        for r in q.queries()["dedup_minhash_index_probe"](spark, SF_DIR).collect()
+    }
+    inline = {
+        tuple(r)
+        for r in q.queries()["dedup_minhash_incremental"](spark, SF_DIR).collect()
+    }
+    assert probe == inline
+
+    # zero corpus-side build jobs in the probe plan: the batch pipeline
+    # is checkpointed (Scan ExistingRDD), so NO documents.parquet scan
+    # remains; the corpus side is artifact parquet scans only
+    plan = plans.physical_plan(
+        q.queries()["dedup_minhash_index_probe"](spark, SF_DIR)
+    )
+    assert plan.count("documents.parquet") == 0
+    assert plan.count("minimapreduce_minhash_") + plan.count("mh_idx") >= 2
+
+    # rebuild is a no-op when present
+    before = _os.stat(root).st_mtime_ns
+    assert minhash_index_build(spark, SF_DIR, root=root) == root
+    assert _os.stat(root).st_mtime_ns == before
+
+
 def _soup_docs(rows_spec):
     """(doc_id, text) rows with per-doc-unique purely-alphabetic vocab
     (the shingler splits on [^A-Za-z]+), so two soup docs share zero

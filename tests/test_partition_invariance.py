@@ -196,6 +196,10 @@ CANDIDATES = [
     # walk must be layout-free like the unmarked twins
     "wordpiece_train_marked",
     "wordpiece_apply_marked_stats",
+    # band-index probe: artifact scan + batch pipeline + candidate
+    # join must not depend on shuffle width (the artifact itself is
+    # written once under whatever width built it)
+    "dedup_minhash_index_probe",
 ]
 
 

@@ -552,8 +552,11 @@ def test_stream_left_outer_contract(spark):
                    FROM events WHERE event_type = 'view'),
         p AS (SELECT user_id, ts AS purchase_ts
               FROM events WHERE event_type = 'purchase'),
-        m AS (SELECT least((SELECT max(view_ts) FROM v),
-                           (SELECT max(purchase_ts) FROM p))
+        m AS (SELECT least(
+                make_timestamp((epoch_us((SELECT max(view_ts) FROM v))
+                                // 1000) * 1000),
+                make_timestamp((epoch_us((SELECT max(purchase_ts) FROM p))
+                                // 1000) * 1000))
                 - INTERVAL 2 HOUR AS wm)
         SELECT v.view_id,
                v.view_ts + INTERVAL 1 HOUR < m.wm AS finalized

@@ -24,6 +24,17 @@ Expected: candidates and verified pairs EXACTLY constant across m
 base corpus's fixed natural near-dups — the added variants are
 shingle-disjoint by construction); probe wall ~flat; index wall ~linear
 in m. Prints one JSON line per multiplier.
+
+Round 9 added the SERVED phase (the `dedup_minhash_index_probe`
+deployment shape): the corpus-side buckets/shingles are PERSISTED as
+the `minhash_index_build` artifact layout (buckets partitioned by
+band + distinct shingles, parquet), and a second probe is timed
+reading the corpus side from the artifact alone — batch shingled/
+signed/banded fresh, candidates from batch ⋈ (artifact ∪ batch),
+verify against artifact shingles ∪ batch shingles. Expected: served
+candidates/pairs identical to the inline probe's, served wall ~flat
+across m (the artifact scan is band-partition-pruned and the join is
+batch-driven).
 """
 
 from __future__ import annotations
@@ -126,6 +137,64 @@ def main() -> None:
         n_pairs = pairs.count()
         t_verify = time.perf_counter() - t2
 
+        # SERVED phase: persist the corpus side in the
+        # minhash_index_build artifact layout, then probe from disk
+        import shutil
+        import tempfile
+
+        art = tempfile.mkdtemp(prefix=f"mh_idx_probe_m{m}_")
+        corpus_docs_only = docs.where(~is_batch).select("doc_id")
+        t3 = time.perf_counter()
+        (
+            buckets.join(corpus_docs_only, "doc_id", "left_semi")
+            .repartition("band")
+            .write.mode("overwrite")
+            .partitionBy("band")
+            .parquet(os.path.join(art, "buckets"))
+        )
+        (
+            sh.distinct()
+            .join(corpus_docs_only, "doc_id", "left_semi")
+            .write.mode("overwrite")
+            .parquet(os.path.join(art, "shingles"))
+        )
+        t_persist = time.perf_counter() - t3
+
+        t4 = time.perf_counter()
+        idx_buckets = spark.read.parquet(os.path.join(art, "buckets")).select(
+            "doc_id", F.col("band").cast("int").alias("band"), "bh"
+        )
+        idx_sh = spark.read.parquet(os.path.join(art, "shingles"))
+        batch_docs = docs.where(is_batch)
+        base_b = shingle_hashes(
+            spark, BASE, distinct=False, docs=fan_out(spark, batch_docs)
+        ).localCheckpoint()
+        buckets_b = minhash_band_buckets(
+            minhash_signatures(spark, BASE, shingles=base_b)
+        ).localCheckpoint()
+        all_b = idx_buckets.unionByName(buckets_b.select("doc_id", "band", "bh"))
+        cand_srv = (
+            buckets_b.select(F.col("doc_id").alias("ba"), "band", "bh")
+            .join(all_b.select(F.col("doc_id").alias("other"), "band", "bh"),
+                  ["band", "bh"])
+            .where(F.col("ba") != F.col("other"))
+            .select(
+                F.least("ba", "other").alias("doc_a"),
+                F.greatest("ba", "other").alias("doc_b"),
+            )
+            .distinct()
+        )
+        pairs_srv = jaccard_pairs(
+            spark,
+            BASE,
+            MINHASH_THRESHOLD,
+            candidates=cand_srv,
+            shingles=idx_sh.unionByName(base_b.distinct()),
+        )
+        n_pairs_srv = pairs_srv.count()
+        t_served = time.perf_counter() - t4
+        shutil.rmtree(art, ignore_errors=True)
+
         print(
             json.dumps(
                 {
@@ -136,6 +205,9 @@ def main() -> None:
                     "probe_verify_sec": round(t_verify, 2),
                     "candidates": n_cand,
                     "verified_pairs": n_pairs,
+                    "artifact_persist_sec": round(t_persist, 2),
+                    "served_probe_sec": round(t_served, 2),
+                    "served_pairs": n_pairs_srv,
                 }
             ),
             flush=True,
