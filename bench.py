@@ -81,6 +81,18 @@ def main() -> None:
     # timed query doesn't pay one-time session costs.
     q.queries()["wordcount"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # WARM-UP SWEEP (round-8 verdict item 5): BENCH_r08 carried −43.3%
+    # A→B drift because pass A ran cold/contended — codegen compilation,
+    # parquet footer caches, streaming staging dirs and index artifacts
+    # are all built during the first sweep. One UNTIMED full sweep
+    # before pass A moves those one-time costs out of the recorded
+    # passes, so the headline (and the A→B noise floor) measure the
+    # steady-state plan cost. SPARK_GRAFT_BENCH_WARMUP=0 skips it for
+    # quick iteration.
+    warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
+    if warmup:
+        sweep(spark, sf_dir, 1, "warmup")
+
     # Best-of-N: single runs on a shared machine carry ±25% scheduler
     # noise; the min is the steady-state cost of the plan itself.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
@@ -89,6 +101,7 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "unit": "sec",
         "sf": sf,
+        "warm": warmup,  # explicit cold/warm protocol marker
     }
     detail: dict[str, object] = {}
     if paired:

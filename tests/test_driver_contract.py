@@ -168,6 +168,7 @@ def test_bench_final_line_fits_driver_tail_buffer():
             "metric": "headline_queries_total_wall",
             "unit": "sec",
             "sf": 0.1,
+            "warm": True,
             "ab_drift_pct": -99.9,
             "queries": worst,
             "queries_elided": max(0, len(names) - len(kept)),
