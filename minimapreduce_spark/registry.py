@@ -74,6 +74,7 @@ DRIVER_PRIORITY: list[str] = [
     "wordpiece_train_marked",
     "wordpiece_apply_marked_stats",
     "dedup_minhash_index_probe",
+    "stream_minhash_index_probe",
     # -- r01 staleness canaries: the 7 queries last driver-verified in
     #    round 1, eight rounds stale — rotation rule (b) --
     "agg_conditional_pivot",
@@ -127,7 +128,6 @@ DRIVER_PRIORITY: list[str] = [
     "text_quality_score",
     "text_tfidf_top_terms",
     "text_unigram_logprob",
-    "ts_similarity_topk",
 ]
 
 

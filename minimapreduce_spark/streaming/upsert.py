@@ -246,3 +246,170 @@ def _set_serve_oracle() -> None:
 
 
 _set_serve_oracle()
+
+
+@register(
+    "stream_minhash_index_probe",
+    oracle=None,  # set below by _set_dedup_probe_oracle: the oracle IS
+    # the batch index-probe twin's (restricted exact-Jaccard SQL)
+)
+def stream_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE INCREMENTAL DEDUP — the arrival-stream rung of the dedup
+    index lifecycle (build → probe → PROBE ONLINE), mirroring what
+    `stream_ann_serve_ivfpq` is to the ANN lifecycle: the day's
+    arrival batch (doc_id % INCR_BATCH_MOD == 0) lands as a real
+    multi-micro-batch document STREAM, and each micro-batch is
+    shingled/signed/banded and probed inside ``foreachBatch`` against
+    the PERSISTED corpus band index (`minhash_index_build`) PLUS the
+    arrivals that preceded it — the honest online-ingestion contract:
+    every arriving document is checked against the index AND every
+    earlier arrival, so cross-micro-batch batch-internal near-dup
+    pairs are found exactly once, when their LATER side arrives (the
+    earlier side is already in the arrived store; within-slice pairs
+    fall out of the slice's own band join).
+
+    The drained append feed therefore equals the batch twin
+    `dedup_minhash_index_probe` row-for-row — the oracle is the same
+    exact-Jaccard SQL restricted to batch-touching pairs, and the
+    pytest additionally pins frame-equality with the batch twin and
+    that >1 non-empty micro-batch really replayed.
+
+    Scale posture: per trigger, work ∝ |slice| — slice shingling is a
+    linear pass, candidates come from slice-buckets ⋈ (index ∪
+    arrived ∪ slice) on (band, bh) so the corpus/arrived sides never
+    self-join, and verification is candidate-driven. The arrived
+    store grows only with the day's batch (bounded by contract), not
+    the corpus; the corpus side stays the write-once artifact. No
+    streaming state store at all — the arrived store IS the state,
+    append-only parquet, which is how a restartable ingest tier keeps
+    it (re-deriving from the checkpoint offsets on recovery)."""
+    from minimapreduce_spark.catalog import fan_out, load_table
+    from minimapreduce_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        MINHASH_THRESHOLD,
+        jaccard_pairs,
+        minhash_band_buckets,
+        minhash_index_build,
+        minhash_signatures,
+        shingle_hashes,
+    )
+    from minimapreduce_spark.streaming.source import table_stream_sharded
+
+    docs = load_table(spark, sf_dir, "documents")
+    if docs.head(1) == []:
+        # Degenerate-input policy: empty corpus → no index, no arrivals
+        return spark.createDataFrame(
+            [], "doc_a bigint, doc_b bigint, n_common bigint, jaccard double"
+        )
+    root = minhash_index_build(spark, sf_dir)
+    idx_buckets = spark.read.parquet(os.path.join(root, "buckets")).select(
+        "doc_id", F.col("band").cast("int").alias("band"), "bh"
+    )
+    idx_shingles = spark.read.parquet(os.path.join(root, "shingles"))
+
+    work = os.path.join(
+        tempfile.gettempdir(), "minimapreduce_dedup_probe", uuid.uuid4().hex
+    )
+    out_dir = os.path.join(work, "results")
+    arrived_b = os.path.join(work, "arrived_buckets")
+    arrived_s = os.path.join(work, "arrived_shingles")
+    ckpt = os.path.join(work, "ckpt")
+    for d in (out_dir, arrived_b, arrived_s):
+        os.makedirs(d, exist_ok=True)
+    n_batches = {"nonempty": 0}
+    bucket_schema = "doc_id bigint, band int, bh bigint"
+    shingle_schema = "doc_id bigint, h bigint"
+    pair_schema = "doc_a bigint, doc_b bigint, n_common bigint, jaccard double"
+
+    arrivals = table_stream_sharded(spark, sf_dir, "documents", n_shards=4).where(
+        F.col("doc_id") % INCR_BATCH_MOD == 0
+    ).select("doc_id", "text")
+
+    def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        n_batches["nonempty"] += 1
+        s = batch_df.sparkSession
+        base_s = shingle_hashes(
+            s, sf_dir, distinct=False, docs=fan_out(s, batch_df)
+        ).localCheckpoint(eager=False)
+        buckets_s = minhash_band_buckets(
+            minhash_signatures(s, sf_dir, shingles=base_s)
+        ).localCheckpoint(eager=True)
+        sh_s = base_s.distinct().localCheckpoint(eager=True)
+        prior_b = s.read.schema(bucket_schema).parquet(arrived_b)
+        prior_s = s.read.schema(shingle_schema).parquet(arrived_s)
+        all_b = (
+            idx_buckets.unionByName(prior_b)
+            .unionByName(buckets_s.select("doc_id", "band", "bh"))
+        )
+        cands = (
+            buckets_s.select(F.col("doc_id").alias("ba"), "band", "bh")
+            .join(
+                all_b.select(F.col("doc_id").alias("other"), "band", "bh"),
+                ["band", "bh"],
+            )
+            .where(F.col("ba") != F.col("other"))
+            .select(
+                F.least("ba", "other").alias("doc_a"),
+                F.greatest("ba", "other").alias("doc_b"),
+            )
+            .distinct()
+        )
+        pairs = jaccard_pairs(
+            s,
+            sf_dir,
+            MINHASH_THRESHOLD,
+            candidates=cands,
+            shingles=idx_shingles.unionByName(prior_s).unionByName(sh_s),
+        )
+        pairs.write.mode("append").parquet(out_dir)
+        # admit this slice to the arrived store AFTER probing, so the
+        # next slice sees it and every cross-slice pair emits once
+        buckets_s.select("doc_id", "band", "bh").write.mode("append").parquet(
+            arrived_b
+        )
+        sh_s.write.mode("append").parquet(arrived_s)
+
+    q = (
+        arrivals.writeStream.foreachBatch(probe_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_minhash_index_probe.last_nonempty_batches = n_batches["nonempty"]
+    out = (
+        spark.read.schema(pair_schema).parquet(out_dir).localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def _set_dedup_probe_oracle() -> None:
+    """The online probe's oracle IS the batch index-probe twin's
+    (drained union over slice probes ≡ one batch probe); registered
+    after the fact to avoid importing operators.dedup at module top."""
+    from dataclasses import replace
+
+    from minimapreduce_spark.operators.dedup import (
+        _JACCARD_ORACLE,
+        INCR_BATCH_MOD,
+        MINHASH_THRESHOLD,
+        SHINGLE_K,
+    )
+    from minimapreduce_spark.registry import REGISTRY
+
+    sql = (
+        "SELECT * FROM ("
+        + _JACCARD_ORACLE.format(
+            kminus1=SHINGLE_K - 1, threshold=MINHASH_THRESHOLD
+        )
+        + f") WHERE doc_a % {INCR_BATCH_MOD} = 0 OR doc_b % {INCR_BATCH_MOD} = 0"
+    )
+    REGISTRY["stream_minhash_index_probe"] = replace(
+        REGISTRY["stream_minhash_index_probe"], oracle=sql
+    )
+
+
+_set_dedup_probe_oracle()

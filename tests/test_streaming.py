@@ -845,3 +845,29 @@ def test_stream_ann_serve_equals_batch_twin_across_real_batches(spark):
         for r in q.queries()["ann_ivfpq_served_topk"](spark, SF_DIR).collect()
     }
     assert online == batch
+
+
+def test_stream_minhash_probe_equals_batch_twin_across_real_batches(spark):
+    """The online dedup-ingest tier's contract (the dedup analog of the
+    online ANN serve): (a) the arrival batch really replays through
+    MULTIPLE non-empty micro-batches, each probed inside foreachBatch
+    against the persisted band index PLUS the arrivals before it;
+    (b) the drained append feed equals the BATCH index-probe twin
+    (`dedup_minhash_index_probe`) row-for-row — cross-slice
+    batch-internal pairs emit exactly once, when their later side
+    arrives; (c) the feed carries no duplicate pair rows (the
+    exactly-once emission discipline, checked on the raw list, not the
+    set)."""
+    import minimapreduce_spark.streaming.upsert as up
+    from minimapreduce_spark import queries as q
+    from tests.conftest import SF_DIR
+
+    rows = q.queries()["stream_minhash_index_probe"](spark, SF_DIR).collect()
+    online = [tuple(r) for r in rows]
+    assert up.stream_minhash_index_probe.last_nonempty_batches > 1
+    assert len(online) == len(set(online)), "duplicate pair emission"
+    batch = {
+        tuple(r)
+        for r in q.queries()["dedup_minhash_index_probe"](spark, SF_DIR).collect()
+    }
+    assert set(online) == batch
