@@ -1036,3 +1036,113 @@ def sessionized_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame
     return ex.select(
         "user_id", "session_id", "e.example_id", "e.context", "e.target"
     )
+
+
+# ---------------------------------------------------------------------------
+# Row-pattern matching — the SQL:2016 MATCH_RECOGNIZE capability
+# ---------------------------------------------------------------------------
+
+# one char per event type: the pattern alphabet
+PATTERN_CODES = {
+    "signup": "S",
+    "view": "V",
+    "click": "C",
+    "purchase": "P",
+    "error": "E",
+}
+# clean activation: a signup leading to a purchase with no error (and
+# no earlier purchase) between — negation + closure, the pattern class
+# a plain funnel cascade cannot express
+PATTERN_ACTIVATION = "S[^PE]*P"
+# uninterrupted conversion path: view → click → purchase with no error
+# anywhere inside and no earlier purchase short-circuiting a stage
+PATTERN_FUNNEL_PATH = "V[^CPE]*C[^PE]*P"
+
+
+@register(
+    "events_pattern_match",
+    oracle=f"""
+    WITH coded AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type
+               WHEN 'signup' THEN 'S' WHEN 'view' THEN 'V'
+               WHEN 'click' THEN 'C' WHEN 'purchase' THEN 'P'
+               WHEN 'error' THEN 'E' ELSE 'X' END AS code
+      FROM events
+    ),
+    seqs AS (
+      SELECT user_id,
+             string_agg(code, '' ORDER BY ts, event_id) AS seq,
+             count(*) AS n_events
+      FROM coded GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(seq, '{PATTERN_ACTIVATION}'))
+                AS BIGINT) AS n_activation,
+           CAST(len(regexp_extract_all(seq, '{PATTERN_FUNNEL_PATH}'))
+                AS BIGINT) AS n_funnel_path
+    FROM seqs
+    WHERE len(regexp_extract_all(seq, '{PATTERN_ACTIVATION}')) > 0
+       OR len(regexp_extract_all(seq, '{PATTERN_FUNNEL_PATH}')) > 0
+    """,
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-PATTERN MATCHING — the SQL:2016 MATCH_RECOGNIZE capability
+    (Flink CEP / Oracle MATCH_RECOGNIZE; Spark has no native operator):
+    per user, the time-ordered event history is encoded as a one-char-
+    per-event string and sequential patterns run as REGULAR EXPRESSIONS
+    over it — negation ([^PE]: "no error between"), closure, and
+    multi-stage paths, the pattern class `events_funnel_conversion`'s
+    window cascade cannot express (a funnel asks "did B happen after
+    A"; a pattern asks "did B happen after A with NOTHING disqualifying
+    between"). Counted here: clean activations (signup → purchase, no
+    error/earlier purchase between) and uninterrupted view → click →
+    purchase paths; non-overlapping leftmost-match counts, the shared
+    regex semantic of Java regex and RE2 for this backreference-free
+    pattern class.
+
+    Exactness: the sequence string is deterministic — events sort by
+    the (ts, event_id) total order inside array_sort over packed
+    structs (the family's collect_list discipline, SURVEY §1); match
+    counts are integers.
+
+    Scale posture: one shuffle on user_id (the groupBy), then per-user
+    linear-time regex scans — embarrassingly parallel over users. The
+    string is bounded by per-user activity (the events_sessionization
+    caveat); a 100 TB deployment windows the history per session/day
+    first (the same groupBy with a window key added), which this plan
+    inherits unchanged. No reference analog (nearest: the sorted
+    per-key value list handed to reducef, mr/worker.go:137)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    code = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in PATTERN_CODES.items() for x in kv]
+        ),
+        F.col("event_type"),
+    )
+    coded = ev.select(
+        "user_id",
+        F.struct(
+            F.col("ts").alias("ts"),  # NTZ timestamp sorts natively
+            F.col("event_id").alias("eid"),
+            F.coalesce(code, F.lit("X")).alias("code"),
+        ).alias("s"),
+    )
+    seqs = coded.groupBy("user_id").agg(
+        F.concat_ws(
+            "", F.transform(F.array_sort(F.collect_list("s")), lambda s: s["code"])
+        ).alias("seq"),
+        F.count("*").alias("n_events"),
+    )
+    out = seqs.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.regexp_count("seq", F.lit(PATTERN_ACTIVATION))
+        .cast("bigint")
+        .alias("n_activation"),
+        F.regexp_count("seq", F.lit(PATTERN_FUNNEL_PATH))
+        .cast("bigint")
+        .alias("n_funnel_path"),
+    )
+    return out.where((F.col("n_activation") > 0) | (F.col("n_funnel_path") > 0))

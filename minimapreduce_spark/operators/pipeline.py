@@ -2295,6 +2295,108 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DP_EPSILON_LN2 = 0.693147  # ε = ln 2 of the α=1/2 geometric mechanism, 6 dp
+
+# Portable 60-bit salted hashes of the GROUP KEY: the seeded-randomness
+# discipline shared with the LSH planes / mixture sampler — identical
+# text in both engines, so the drawn noise is cross-engine exact.
+_DPG_HASH = (
+    "CAST(('0x' || substr(md5('dpg{i}:' || event_type), 1, 15)) AS BIGINT)"
+)
+# leading-zero count of a 60-bit hash = Geometric(1/2) draws (P(k) =
+# 2^-(k+1)): the HLL rho machinery reused as an exact sampler
+_DPG_GEO = "CASE WHEN h{i} = 0 THEN 60 ELSE 60 - length(bin(h{i})) END"
+
+
+@register(
+    "privacy_dp_geometric_release",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type, count(*) AS n_true FROM events GROUP BY 1
+    ),
+    h AS (
+      SELECT event_type, n_true,
+             {_DPG_HASH.format(i=1)} AS h1,
+             {_DPG_HASH.format(i=2)} AS h2
+      FROM g
+    ),
+    z AS (
+      SELECT event_type, n_true,
+             CAST(({_DPG_GEO.format(i=1)}) - ({_DPG_GEO.format(i=2)})
+                  AS BIGINT) AS noise
+      FROM h
+    )
+    SELECT event_type,
+           CAST(n_true AS BIGINT)          AS n_true,
+           noise,
+           CAST(n_true + noise AS BIGINT)  AS n_noisy,
+           {DP_EPSILON_LN2}                AS epsilon
+    FROM z
+    """,
+)
+def privacy_dp_geometric_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENTIAL-PRIVACY RELEASE — the geometric mechanism (Ghosh,
+    Roughgarden & Sundararajan 2009: the universally-optimal discrete
+    mechanism for count queries) over per-type event counts: noisy =
+    true + Z where Z = G₁ − G₂ with G₁, G₂ independent Geometric(1/2)
+    draws, i.e. the two-sided geometric (discrete Laplace) with
+    α = 1/2, giving ε = ln 2 per unit sensitivity (a count's
+    sensitivity is 1). Completes the privacy family's release side:
+    `privacy_k_anonymity` PROVES a release shape safe, this PERTURBS
+    the release itself with a calibrated mechanism.
+
+    The sampler is exact and engine-portable: a Geometric(1/2) draw is
+    the leading-zero count of a uniform bit string, so each group draws
+    two salted portable 60-bit md5 hashes and counts leading zeros via
+    the HLL family's length(bin(h)) rank machinery — pure integer
+    arithmetic, hash-matching DuckDB bit for bit (the tail caps at 60,
+    a 2⁻⁶⁰ event). The ε constant is Python-computed and inlined as the
+    same 6-dp literal in both engines (no cross-engine libm ln).
+
+    Honest caveat (docstring-pinned, as with every seeded-randomness
+    operator here): the noise is a deterministic function of the group
+    key BY DESIGN so the release is cross-engine verifiable and
+    idempotent under recomputation; a production release draws the two
+    bit strings from fresh entropy per release (same mechanism, same
+    distribution — swap the salt for a release nonce). n_true is
+    emitted for the verification harness; the actual release ships
+    only (event_type, n_noisy, epsilon).
+
+    Scale posture: ONE partial+final count aggregation over the fact
+    table; the mechanism runs on the GROUP frame (bounded by the type
+    domain), so noise work is O(|groups|) at any corpus size. No
+    reference analog."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def h(i: int):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"dpg{i}:"), F.col("event_type"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    def geo(col):
+        return F.when(col == 0, F.lit(60)).otherwise(
+            F.lit(60) - F.length(F.bin(col))
+        )
+
+    g = ev.groupBy("event_type").agg(F.count("*").alias("n_true"))
+    z = g.select(
+        "event_type",
+        "n_true",
+        (geo(h(1)) - geo(h(2))).cast("bigint").alias("noise"),
+    )
+    return z.select(
+        "event_type",
+        F.col("n_true").cast("bigint").alias("n_true"),
+        "noise",
+        (F.col("n_true") + F.col("noise")).cast("bigint").alias("n_noisy"),
+        F.lit(DP_EPSILON_LN2).alias("epsilon"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Model evaluation: ROC-AUC of the in-engine probe, exact tied ranks
 # ---------------------------------------------------------------------------

@@ -75,6 +75,8 @@ DRIVER_PRIORITY: list[str] = [
     "wordpiece_apply_marked_stats",
     "dedup_minhash_index_probe",
     "stream_minhash_index_probe",
+    "privacy_dp_geometric_release",
+    "events_pattern_match",
     # -- r01 staleness canaries: the 7 queries last driver-verified in
     #    round 1, eight rounds stale — rotation rule (b) --
     "agg_conditional_pivot",
@@ -126,8 +128,6 @@ DRIVER_PRIORITY: list[str] = [
     "stream_session_window",
     "text_bm25_topk",
     "text_quality_score",
-    "text_tfidf_top_terms",
-    "text_unigram_logprob",
 ]
 
 

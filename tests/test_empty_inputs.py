@@ -87,6 +87,9 @@ REPRESENTATIVE = [
     "wordpiece_train_marked",
     "wordpiece_apply_marked_stats",
     "dedup_minhash_index_probe",
+    "stream_minhash_index_probe",
+    "privacy_dp_geometric_release",
+    "events_pattern_match",
 ]
 
 

@@ -97,3 +97,55 @@ def test_triangle_orientations_agree(spark):
     n_tri = q.queries()["graph_triangle_count"](spark, SF_DIR).count()
     assert int(per_node["n_triangles"].sum()) == 3 * n_tri
     assert n_tri > 0, "fixture has no triangles — test is vacuous"
+
+
+def test_pattern_match_negation_and_overlap_semantics(spark, tmp_path):
+    """The row-pattern operator's defining semantics, planted:
+
+    - NEGATION: S,E,P has a signup followed by a purchase but an error
+      between → 0 activations (a plain funnel cascade would count it);
+      S,V,P → 1.
+    - NON-OVERLAPPING repeat: S,V,P,S,P → 2 activations.
+    - EARLIER-PURCHASE exclusion: S,P,P → 1 (the second P can't pair
+      with the consumed S).
+    - FUNNEL PATH: V,C,P → 1; V,E,C,P → 0 (error inside the path).
+    - users matching nothing are absent from the output."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from minimapreduce_spark import queries as q
+
+    def rows(user, seq):
+        t0 = dt.datetime(2024, 1, 1)
+        names = {"S": "signup", "V": "view", "C": "click",
+                 "P": "purchase", "E": "error"}
+        return [
+            (user * 1000 + i, t0 + dt.timedelta(minutes=i), user,
+             names[c], 1.0, "{}")
+            for i, c in enumerate(seq)
+        ]
+    data = (
+        rows(1, "SEP") + rows(2, "SVP") + rows(3, "SVPSP") + rows(4, "SPP")
+        + rows(5, "VCP") + rows(6, "VECP") + rows(7, "VVVE")
+    )
+    ev = spark.createDataFrame(
+        data,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "pm_plant")
+    os.makedirs(d)
+    ev.write.parquet(os.path.join(d, "events.parquet"))
+    out = {
+        r.user_id: (r.n_activation, r.n_funnel_path)
+        for r in q.queries()["events_pattern_match"](spark, d).collect()
+    }
+    assert 1 not in out, out.get(1)  # S,E,P: negation kills it
+    assert out[2] == (1, 0)
+    assert out[3] == (2, 0)
+    assert out[4] == (1, 0)
+    assert out[5] == (0, 1)
+    assert 6 not in out, out.get(6)  # V,E,C,P: error inside the path
+    assert 7 not in out

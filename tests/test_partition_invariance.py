@@ -200,6 +200,13 @@ CANDIDATES = [
     # join must not depend on shuffle width (the artifact itself is
     # written once under whatever width built it)
     "dedup_minhash_index_probe",
+    # online probe twin: slice probes + arrived store must be
+    # layout-free like the batch twin
+    "stream_minhash_index_probe",
+    # DP release: hash-drawn noise is a pure per-group function;
+    # pattern match: per-user string encode sorts inside array_sort
+    "privacy_dp_geometric_release",
+    "events_pattern_match",
 ]
 
 

@@ -826,3 +826,53 @@ def test_feature_woe_iv_margins_and_identities(spark):
         xs.append((ps - ns) * woe * 1e6)
     margin = np.abs(np.mod(np.array(xs), 1.0) - 0.5).min()
     assert margin > 1e-9, f"WOE/IV quantization near a midpoint: {margin}"
+
+
+def test_dp_geometric_release_replay_and_distribution(spark):
+    """The DP release's two pins:
+
+    (a) exact replay — every group's noise recomputes in pure Python
+        from hashlib (two salted 60-bit md5 draws, leading-zero counts,
+        difference), and n_noisy = n_true + noise with epsilon the
+        shared ln-2 literal;
+    (b) the sampler really implements the α=1/2 geometric mechanism —
+        over 4000 synthetic keys the drawn Z = G₁ − G₂ matches the
+        two-sided geometric distribution: mean ≈ 0 (|mean| < 0.15),
+        variance ≈ Var(G)·2 = 4 (within 20%), and the one-sided draws
+        halve per level like Geometric(1/2) must (P(G≥k+1)/P(G≥k) ≈ ½
+        for the populated levels)."""
+    import hashlib as _hl
+
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.operators.pipeline import DP_EPSILON_LN2
+    from tests.conftest import SF_DIR
+
+    def h60(salt, key):
+        return int(_hl.md5(f"{salt}:{key}".encode()).hexdigest()[:15], 16)
+
+    def geo(h):
+        return 60 if h == 0 else 60 - h.bit_length()
+
+    out = q.queries()["privacy_dp_geometric_release"](spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    for r in out.itertuples():
+        want = geo(h60("dpg1", r.event_type)) - geo(h60("dpg2", r.event_type))
+        assert r.noise == want, (r.event_type, r.noise, want)
+        assert r.n_noisy == r.n_true + r.noise
+        assert r.epsilon == DP_EPSILON_LN2
+
+    # (b) distribution over synthetic keys — pure Python, same sampler
+    zs = [
+        geo(h60("dpg1", f"k{i}")) - geo(h60("dpg2", f"k{i}"))
+        for i in range(4000)
+    ]
+    n = len(zs)
+    mean = sum(zs) / n
+    var = sum((z - mean) ** 2 for z in zs) / n
+    assert abs(mean) < 0.15, mean
+    assert abs(var - 4.0) < 0.8, var  # Var(Z) = 2·Var(Geom(1/2)) = 4
+    gs = [geo(h60("dpg1", f"k{i}")) for i in range(4000)]
+    for k in range(3):
+        a = sum(1 for g in gs if g >= k)
+        b = sum(1 for g in gs if g >= k + 1)
+        assert abs(b / a - 0.5) < 0.08, (k, b / a)

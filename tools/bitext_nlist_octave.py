@@ -171,10 +171,19 @@ def main() -> None:
             n = build_corpus(m, d)
             nlist = int(round(n**0.5))
             path = os.path.join(d, "embeddings.parquet")
-            emb = spark.read.parquet(path).select(
-                "vec_id",
-                F.col("embedding").cast("array<double>").alias("emb"),
-                F.pmod("vec_id", F.lit(nlist)).alias("label"),
+            # repartition: the pandas-written fixture is ONE parquet
+            # file → one partition, which would serialize the N×nlist
+            # routing cross-join onto a single core (measured: the
+            # fan_out discipline, catalog.fan_out)
+            emb = (
+                spark.read.parquet(path)
+                .repartition(32)
+                .select(
+                    "vec_id",
+                    F.col("embedding").cast("array<double>").alias("emb"),
+                    F.pmod("vec_id", F.lit(nlist)).alias("label"),
+                )
+                .localCheckpoint(eager=False)
             )
             t0 = time.perf_counter()
             cand = _bitext_ivf_pairs(emb).localCheckpoint()
