@@ -413,3 +413,208 @@ def _set_dedup_probe_oracle() -> None:
 
 
 _set_dedup_probe_oracle()
+
+
+# SCD2 band thresholds on the exact ten-thousandths grid (value is a
+# double; round(value·10⁴) is the family's money-grid recovery)
+SCD2_HI_C = 50_0000  # value ≥ 50.0
+SCD2_MID_C = 20_0000  # value ≥ 20.0
+_SCD2_BAND_SQL = (
+    "CASE WHEN CAST(round(value * 10000) AS BIGINT) >= {hi} THEN 'high' "
+    "WHEN CAST(round(value * 10000) AS BIGINT) >= {mid} THEN 'mid' "
+    "ELSE 'low' END"
+)
+
+
+def _scd2_islands(ev: DataFrame) -> DataFrame:
+    """(user_id, band, valid_from, valid_to, is_current): collapse the
+    (ts, event_id)-ordered per-user band sequence into SCD2 validity
+    islands — consecutive equal bands merge; valid_to = the next
+    island's valid_from (NULL on the open row). The shared island
+    kernel of the batch oracle and the per-micro-batch apply."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "chg",
+        F.when(
+            F.lag("band").over(w).isNull()
+            | (F.lag("band").over(w) != F.col("band")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("grp", F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    isl = flagged.groupBy("user_id", "grp").agg(
+        F.first("band").alias("band"), F.min("ts").alias("valid_from")
+    )
+    w2 = W.partitionBy("user_id").orderBy("valid_from")
+    return isl.select(
+        "user_id",
+        "band",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+@register(
+    "stream_scd2_band_history",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             {_SCD2_BAND_SQL.format(hi=SCD2_HI_C, mid=SCD2_MID_C)} AS band
+      FROM events
+    ),
+    ord AS (
+      SELECT user_id, ts, event_id, band,
+             lag(band) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM e
+    ),
+    isl AS (
+      SELECT user_id, ts, event_id, band,
+             sum(CASE WHEN prev IS NULL OR prev <> band THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS grp
+      FROM ord
+    ),
+    hist AS (
+      SELECT user_id, any_value(band) AS band, min(ts) AS valid_from
+      FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id, band, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             IS NULL AS is_current
+    FROM hist
+    """,
+)
+def stream_scd2_band_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SCD TYPE-2 HISTORY MAINTENANCE — the CDC rung between
+    `stream_upsert_latest_state` (type-1: keep latest, history
+    discarded) and the batch SCD2 pair (`scd2_customer_tier_history` /
+    `scd2_asof_lookup`, which rebuild history from scratch): a
+    time-ordered event stream continuously maintains a type-2 history
+    table (user_id, band, valid_from, valid_to, is_current) inside
+    ``foreachBatch`` — when a user's value band changes, the open row
+    CLOSES (valid_to = the new island's start) and a new current row
+    opens; consecutive equal bands extend the open row. This is what
+    MERGE-based SCD2 maintenance does on a lakehouse table, expressed
+    as read-island-merge-publish over two parquet state dirs (closed
+    rows append-only; open rows overwritten per batch — the open set
+    is one row per active user, the bounded working state).
+
+    The per-batch apply re-runs the island kernel (`_scd2_islands`)
+    over (each user's open row as a pseudo-event at its valid_from) ∪
+    (the batch's events): an extension island keeps the open row's
+    valid_from (min ts of the merged island), a band change closes it
+    exactly at the new start — so after draining N time-ordered slices
+    the closed ∪ open union is IDENTICAL to the batch island
+    computation over all events, which is the oracle (and the pytest
+    pins the multi-batch replay really happened).
+
+    Correctness needs per-key time-ordered arrival (real CDC streams
+    are per-key ordered; the time-sliced source is globally ordered)
+    — a late event would need the bitemporal correction pattern, out
+    of scope and documented.
+
+    Scale posture: per trigger, work ∝ |slice| + |touched open rows|
+    (the pseudo-event union joins only users present in state; the
+    island window partitions by user); closed history is append-only
+    parquet (never rewritten); the open set is ≤ |active users| rows.
+    No reference analog (nearest: the reduce-side key grouping of
+    mr/worker.go:136-157)."""
+    from minimapreduce_spark.catalog import load_table
+    from minimapreduce_spark.streaming.source import events_stream_time_sliced
+
+    if load_table(spark, sf_dir, "events").head(1) == []:
+        return spark.createDataFrame(
+            [],
+            "user_id bigint, band string, valid_from timestamp_ntz,"
+            " valid_to timestamp_ntz, is_current boolean",
+        )
+
+    band = (
+        F.when(
+            F.round(F.col("value") * 10000).cast("bigint") >= SCD2_HI_C, "high"
+        )
+        .when(F.round(F.col("value") * 10000).cast("bigint") >= SCD2_MID_C, "mid")
+        .otherwise("low")
+    )
+    sdf = events_stream_time_sliced(spark, sf_dir).select(
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "event_id",
+        band.alias("band"),
+    )
+
+    work = os.path.join(
+        tempfile.gettempdir(), "minimapreduce_scd2", uuid.uuid4().hex
+    )
+    closed_dir = os.path.join(work, "closed")
+    open_dir = os.path.join(work, "open")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(closed_dir, exist_ok=True)
+    closed_schema = (
+        "user_id bigint, band string, valid_from timestamp_ntz,"
+        " valid_to timestamp_ntz"
+    )
+    open_schema = "user_id bigint, band string, valid_from timestamp_ntz"
+    n_batches = {"nonempty": 0}
+    open_ver = {"cur": None}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        n_batches["nonempty"] += 1
+        s = batch_df.sparkSession
+        if open_ver["cur"] is None:
+            open_rows = s.createDataFrame([], open_schema)
+        else:
+            open_rows = s.read.schema(open_schema).parquet(open_ver["cur"])
+        pseudo = open_rows.select(
+            "user_id",
+            F.col("valid_from").alias("ts"),
+            F.lit(-1).cast("bigint").alias("event_id"),
+            "band",
+        )
+        merged = pseudo.unionByName(
+            batch_df.select("user_id", "ts", "event_id", "band")
+        )
+        isl = _scd2_islands(merged).localCheckpoint(eager=True)
+        isl.where(~F.col("is_current")).select(
+            "user_id", "band", "valid_from", "valid_to"
+        ).write.mode("append").parquet(closed_dir)
+        nxt = os.path.join(work, f"open_v{batch_id}")
+        isl.where(F.col("is_current")).select(
+            "user_id", "band", "valid_from"
+        ).write.mode("overwrite").parquet(nxt)
+        open_ver["cur"] = nxt
+
+    q = (
+        sdf.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_scd2_band_history.last_nonempty_batches = n_batches["nonempty"]
+    closed = spark.read.schema(closed_schema).parquet(closed_dir)
+    if open_ver["cur"] is None:
+        open_rows = spark.createDataFrame([], open_schema)
+    else:
+        open_rows = spark.read.schema(open_schema).parquet(open_ver["cur"])
+    out = (
+        closed.withColumn("is_current", F.lit(False))
+        .unionByName(
+            open_rows.select(
+                "user_id",
+                "band",
+                "valid_from",
+                F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+                F.lit(True).alias("is_current"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out

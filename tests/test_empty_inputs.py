@@ -90,6 +90,7 @@ REPRESENTATIVE = [
     "stream_minhash_index_probe",
     "privacy_dp_geometric_release",
     "events_pattern_match",
+    "stream_scd2_band_history",
 ]
 
 

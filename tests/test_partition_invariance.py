@@ -207,6 +207,9 @@ CANDIDATES = [
     # pattern match: per-user string encode sorts inside array_sort
     "privacy_dp_geometric_release",
     "events_pattern_match",
+    # streaming SCD2: the per-batch island kernel windows by user —
+    # the drained chain must be layout-free
+    "stream_scd2_band_history",
 ]
 
 

@@ -871,3 +871,30 @@ def test_stream_minhash_probe_equals_batch_twin_across_real_batches(spark):
         for r in q.queries()["dedup_minhash_index_probe"](spark, SF_DIR).collect()
     }
     assert set(online) == batch
+
+
+def test_stream_scd2_invariants_and_multibatch(spark):
+    """The streaming SCD2 maintainer's contract: (a) the drain really
+    ran >1 non-empty micro-batch; (b) per user the history is a valid
+    type-2 chain — exactly ONE current row, rows CONTIGUOUS (each
+    closed row's valid_to equals the next row's valid_from, no gaps or
+    overlaps), and CONSECUTIVE rows always change band (equal bands
+    must have merged into one island); (c) every user with events has
+    a history."""
+    import minimapreduce_spark.streaming.upsert as up
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    out = q.queries()["stream_scd2_band_history"](spark, SF_DIR).toPandas()
+    assert up.stream_scd2_band_history.last_nonempty_batches > 1
+    n_users = load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert out["user_id"].nunique() == n_users
+    cur = out[out.is_current]
+    assert len(cur) == n_users and cur["valid_to"].isna().all()
+    for uid, g in out.groupby("user_id"):
+        g = g.sort_values("valid_from").reset_index(drop=True)
+        for i in range(len(g) - 1):
+            assert g.valid_to[i] == g.valid_from[i + 1], (uid, i)
+            assert g.band[i] != g.band[i + 1], (uid, i, g.band[i])
+        assert bool(g.is_current.iloc[-1]) and not g.is_current[:-1].any()

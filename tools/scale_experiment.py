@@ -153,7 +153,11 @@ ORACLE_SKIP_PAST_10X = {
     # list_cosine_similarity calls at 40x on this fixture's FIXED
     # 10-label cell structure (real IVF grows nlist with the corpus;
     # the ann_knn_graph_edges exclusion note documents the same
-    # fixture artifact). Hash-matched at 1x and 10x.
+    # fixture artifact). Hash-matched at 1x and 10x; the GROWN-nlist
+    # experiment the caveat calls for is tools/bitext_nlist_octave.py
+    # (round 9): nlist = round(sqrt(N)) at 10x/40x, emitted candidates
+    # measured exactly proportional to N, output replay-matched at
+    # both scales — SCALING.md round-9 table.
     "bitext_margin_mining_ivf",
 }
 
