@@ -47,6 +47,24 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Oracle comparison (DuckDB) is UTC-naive; pin the session TZ.
         .config("spark.sql.session.timeZone", "UTC")
+        # Streaming state store: RocksDB + changelog checkpointing —
+        # measured WIN over the HDFS-backed default on both stateful
+        # headliners at sf0.1 (tools/state_store_probe.py, round 9:
+        # exactly-once 6.3 → 4.7 s, timer sessions 22.4 → 19.4 s), and
+        # the production posture for large state: per-commit upload is
+        # the incremental CHANGELOG, not a full snapshot, so commit
+        # cost scales with per-batch updates rather than total state
+        # (SCALING.md round-8/9 state-sharding analysis).
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
         # Straggler / failure posture ~= the reference's 10 s reschedule +
         # zombie eviction (mr/master.go:220-279), expressed as config.
         .config("spark.speculation", "true")
