@@ -103,6 +103,163 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BQ_CAND = 32  # hamming candidates per query before the exact rescore
+
+_BQ_SIG_SQL = """
+    sig AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN s.i <= 32 AND e[s.i] > 0
+                           THEN (CAST(1 AS BIGINT) << (s.i - 1))
+                           ELSE 0 END) AS BIGINT) AS w0,
+             CAST(sum(CASE WHEN s.i > 32 AND e[s.i] > 0
+                           THEN (CAST(1 AS BIGINT) << (s.i - 33))
+                           ELSE 0 END) AS BIGINT) AS w1
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           LATERAL (SELECT unnest(generate_series(1, len(e))) AS i) s
+      GROUP BY vec_id
+    )"""
+
+
+@register(
+    "ann_bq_hamming_topk",
+    oracle=f"""
+    WITH {_BQ_SIG_SQL.strip()},
+    ham AS (
+      SELECT q.vec_id AS q_vec_id, c.vec_id,
+             CAST(bit_count(xor(q.w0, c.w0))
+                  + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming
+      FROM sig q JOIN sig c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    cand AS (
+      SELECT q_vec_id, vec_id, hamming,
+             row_number() OVER (
+               PARTITION BY q_vec_id ORDER BY hamming, vec_id
+             ) AS crn
+      FROM ham
+    ),
+    rescored AS (
+      SELECT cand.q_vec_id, cand.vec_id, cand.hamming,
+             round(list_cosine_similarity(qe.e, ce.e), 6) AS cosine_sim
+      FROM cand
+      JOIN (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) qe
+        ON qe.vec_id = cand.q_vec_id
+      JOIN (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) ce
+        ON ce.vec_id = cand.vec_id
+      WHERE cand.crn <= {BQ_CAND}
+    )
+    SELECT q_vec_id, vec_id AS neighbor_id, hamming, cosine_sim,
+           rn
+    FROM (
+      SELECT q_vec_id, vec_id, hamming, cosine_sim,
+             row_number() OVER (
+               PARTITION BY q_vec_id ORDER BY cosine_sim DESC, vec_id
+             ) AS rn
+      FROM rescored
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def ann_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY QUANTIZATION + exact rescore — the 64× compression rung
+    below scalar int8 (4×, `ann_ivf_int8_topk`) and product codes
+    (32×, `ann_pq_adc_topk`), and the modern default in production
+    vector stores (sign-bit BQ with oversampled rescoring): each
+    64-dim vector collapses to 64 SIGN BITS packed into two 32-bit
+    BIGINT words (the fixture's embeddings are zero-centered, so v > 0
+    is the canonical threshold; two words because DuckDB's checked
+    shift caps at 1<<61 — the Bloom family's discipline), candidate
+    generation ranks by HAMMING distance (two xor + bit_count per
+    pair — pure integer, hash-exact), and the top-BQ_CAND candidates
+    are RESCORED with the exact float cosine (round-before-rank) to
+    produce the final top-K — the oversample-then-rescore serving
+    pattern that recovers most of the recall BQ's 1-bit codes give up.
+
+    Exactness: the candidate stage is integers end to end ((hamming,
+    vec_id) total order); the rescore rounds to 6 dp before ranking
+    with the family's vec_id tie-break — so the whole chain
+    hash-matches the unrolled SQL.
+
+    Recall note: on this near-isotropic fixture sign bits carry little
+    structure (the PQ family's documented worst case) — the pytest
+    pins recall@10 vs exact cosine against a floor measured honestly,
+    plus a planted-cluster case where BQ keeps precision 1.0, and the
+    rescore-dominance property (rescored top-K cosine ≥ raw-hamming
+    top-K cosine, per query).
+
+    Scale posture: the scan reads 16 BYTES per corpus vector (vs 512
+    for float64, 128 for int8) — at 100 TB that is the difference
+    between a memory-resident candidate index and an I/O-bound one;
+    queries broadcast, the corpus never shuffles for candidates (only
+    q×N narrow hamming rows reach the per-query window — at real
+    query volumes the per-partition TakeOrdered pre-cut applies
+    unchanged), and the rescore touches ≤ BQ_CAND float vectors per
+    query. Signature build is one posexplode aggregation, persistable
+    exactly like the IVFPQ codes artifact."""
+    emb = _emb(spark, sf_dir)
+    x = emb.select("vec_id", F.posexplode("emb").alias("pos", "v"))
+    sig = x.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                (F.col("pos") < 32) & (F.col("v") > 0),
+                F.expr("shiftleft(CAST(1 AS BIGINT), pos)"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("w0"),
+        F.sum(
+            F.when(
+                (F.col("pos") >= 32) & (F.col("v") > 0),
+                F.expr("shiftleft(CAST(1 AS BIGINT), pos - 32)"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("w1"),
+    )
+    qs = sig.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    ham = (
+        sig.join(F.broadcast(qs), F.col("vec_id") != F.col("q_vec_id"))
+        .select(
+            "q_vec_id",
+            "vec_id",
+            (
+                F.bit_count(F.col("qw0").bitwiseXOR(F.col("w0")))
+                + F.bit_count(F.col("qw1").bitwiseXOR(F.col("w1")))
+            ).cast("long").alias("hamming"),
+        )
+    )
+    wc = W.partitionBy("q_vec_id").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    cand = (
+        ham.withColumn("crn", F.row_number().over(wc))
+        .where(F.col("crn") <= BQ_CAND)
+        .drop("crn")
+    )
+    qe = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("emb").alias("q_emb")
+    )
+    rescored = (
+        cand.join(F.broadcast(qe), "q_vec_id")
+        .join(emb.select("vec_id", "emb"), "vec_id")
+        .select(
+            "q_vec_id",
+            "vec_id",
+            "hamming",
+            F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cosine_sim"),
+        )
+    )
+    wr = W.partitionBy("q_vec_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        rescored.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= TOP_K)
+        .select(
+            "q_vec_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "hamming",
+            "cosine_sim",
+            "rn",
+        )
+    )
+
+
 def _brute_sims_numpy(spark: SparkSession, emb: DataFrame, n_queries: int) -> DataFrame:
     """(q_vec_id, vec_id, cosine_sim_raw) for every query (vec_id <
     n_queries) × corpus row, Arrow/numpy path: the query matrix is

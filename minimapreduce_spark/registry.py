@@ -78,6 +78,7 @@ DRIVER_PRIORITY: list[str] = [
     "privacy_dp_geometric_release",
     "events_pattern_match",
     "stream_scd2_band_history",
+    "ann_bq_hamming_topk",
     # -- r01 staleness canaries: the 7 queries last driver-verified in
     #    round 1, eight rounds stale — rotation rule (b) --
     "agg_conditional_pivot",
@@ -127,7 +128,6 @@ DRIVER_PRIORITY: list[str] = [
     "sessions_peak_concurrency",
     "stream_dedup_watermark",
     "stream_session_window",
-    "text_bm25_topk",
 ]
 
 

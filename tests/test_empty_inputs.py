@@ -91,6 +91,7 @@ REPRESENTATIVE = [
     "privacy_dp_geometric_release",
     "events_pattern_match",
     "stream_scd2_band_history",
+    "ann_bq_hamming_topk",
 ]
 
 

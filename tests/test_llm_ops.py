@@ -2468,3 +2468,84 @@ def test_bitext_nprobe_candidate_union_replays_and_matching(spark):
 
     out = bitext_margin_mining_ivf_nprobe(spark, SF_DIR).toPandas()
     assert out["src_vec_id"].is_unique and out["tgt_vec_id"].is_unique
+
+
+def test_bq_hamming_rescore_properties(spark, tmp_path):
+    """The binary-quantization rung's contracts:
+
+    (a) recall@10 vs exact cosine — measured floor on the real fixture
+        (sign bits on a near-isotropic corpus are the documented worst
+        case; chance at k=10 of ~2000 is ~0.005, the floor pins well
+        above it);
+    (b) rescore dominance: per query, the exact-cosine sum of the
+        rescored top-K is ≥ that of the top-K by raw hamming alone
+        (the rescore can only improve the final ranking);
+    (c) planted clusters: on a corpus of 10 well-separated random
+        clusters, BQ + rescore returns same-cluster neighbors with
+        precision 1.0 — where sign bits DO carry structure, the chain
+        recovers it."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.operators.similarity import BQ_CAND, TOP_K
+
+    out = q.queries()["ann_bq_hamming_topk"](spark, SF_DIR).toPandas()
+    exact = q.queries()["ann_cosine_topk"](spark, SF_DIR).toPandas()
+    num = den = 0
+    for qid, g in exact.groupby("q_vec_id"):
+        truth = set(g.neighbor_id)
+        got = set(out[out.q_vec_id == qid].neighbor_id)
+        num += len(truth & got)
+        den += len(truth)
+    recall = num / den
+    assert recall > 0.05, f"BQ recall collapsed: {recall}"  # chance ≈ 0.005
+
+    # (b) rescore dominance, replayed in numpy from the raw fixture
+    import pyarrow.parquet as pq_
+
+    tbl = pq_.read_table(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(tbl["vec_id"], dtype=np.int64)
+    E = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()]
+    )
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    sig = (E > 0).astype(np.int64)
+    idx = {v: i for i, v in enumerate(ids)}
+    for qid, g in out.groupby("q_vec_id"):
+        qi = idx[qid]
+        ham = (sig != sig[qi]).sum(axis=1)
+        ham[qi] = 10**9
+        order = np.lexsort((ids, ham))
+        cand = order[:BQ_CAND]
+        cos = En[cand] @ En[qi]
+        # raw-hamming top-K vs rescored top-K
+        raw_top = cand[:TOP_K]
+        resc = g.sort_values("rn").neighbor_id.to_numpy()
+        raw_sum = (En[raw_top] @ En[qi]).sum()
+        resc_sum = (En[[idx[v] for v in resc]] @ En[qi]).sum()
+        assert resc_sum >= raw_sum - 1e-12, (qid, resc_sum, raw_sum)
+        # engine candidates must be the numpy candidate set's rescore
+        assert set(resc) <= {ids[c] for c in cand}, qid
+
+    # (c) planted clusters
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 1, (10, 64))
+    rows = []
+    for c in range(10):
+        for j in range(30):
+            v = centers[c] + rng.normal(0, 0.05, 64)
+            rows.append((c * 30 + j, list(map(float, v)), int(c)))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    d = str(tmp_path / "bq_plant")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "embeddings.parquet"), index=False)
+    res = q.queries()["ann_bq_hamming_topk"](spark, d).toPandas()
+    assert len(res) > 0
+    assert ((res.q_vec_id // 30) == (res.neighbor_id // 30)).all(), (
+        "BQ returned a cross-cluster neighbor on separated clusters"
+    )

@@ -210,6 +210,9 @@ CANDIDATES = [
     # streaming SCD2: the per-batch island kernel windows by user —
     # the drained chain must be layout-free
     "stream_scd2_band_history",
+    # BQ: signature aggregation + hamming windows + rescore joins —
+    # integer end to end, must be width-invariant
+    "ann_bq_hamming_topk",
 ]
 
 
