@@ -196,21 +196,21 @@ def ann_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query. Signature build is one posexplode aggregation, persistable
     exactly like the IVFPQ codes artifact."""
     emb = _emb(spark, sf_dir)
-    x = emb.select("vec_id", F.posexplode("emb").alias("pos", "v"))
-    sig = x.groupBy("vec_id").agg(
-        F.sum(
-            F.when(
-                (F.col("pos") < 32) & (F.col("v") > 0),
-                F.expr("shiftleft(CAST(1 AS BIGINT), pos)"),
-            ).otherwise(F.lit(0))
-        ).cast("long").alias("w0"),
-        F.sum(
-            F.when(
-                (F.col("pos") >= 32) & (F.col("v") > 0),
-                F.expr("shiftleft(CAST(1 AS BIGINT), pos - 32)"),
-            ).otherwise(F.lit(0))
-        ).cast("long").alias("w1"),
-    )
+
+    def word(lo: int):
+        # bits for dims lo..lo+31 (0-indexed), LSB = dim lo: fold the
+        # dims HIGH→LOW as acc·2 + bit — a pure per-row projection, so
+        # signature building needs ZERO shuffle (the first cut's
+        # posexplode + groupBy shuffled a 64×-exploded frame; plan
+        # audit caught it)
+        return F.aggregate(
+            F.sequence(F.lit(lo + 31), F.lit(lo), F.lit(-1)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc * 2
+            + F.when(F.get(F.col("emb"), i) > 0, 1).otherwise(0),
+        ).cast("long")
+
+    sig = emb.select("vec_id", word(0).alias("w0"), word(32).alias("w1"))
     qs = sig.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_vec_id"),
         F.col("w0").alias("qw0"),

@@ -53,6 +53,12 @@ SHOWCASE = [
     ("retrieval_eval_ivf", "truth + routed system + Q x K metric agg in one plan"),
     ("multimodal_audio_spectral", "two narrow mapInPandas stages; (doc,window)-partitioned rank"),
     ("wordpiece_apply_token_stats", "vocab-only tokenize pass; corpus contributes one (source,word) count"),
+    # round 9
+    ("dedup_minhash_index_probe", "corpus side = artifact parquet scans only; batch pipeline checkpointed"),
+    ("wordpiece_apply_marked_stats", "position-aware longest match; two broadcast piece sets, vocab-only pass"),
+    ("events_pattern_match", "one user_id shuffle; regex pattern scans inside the aggregate projection"),
+    ("privacy_dp_geometric_release", "one partial+final count agg; noise drawn on the bounded group frame"),
+    ("ann_bq_hamming_topk", "16-byte signature scan; integer hamming candidates; bounded exact rescore"),
 ]
 
 
