@@ -1061,6 +1061,7 @@ PATTERN_FUNNEL_PATH = "V[^CPE]*C[^PE]*P"
 
 @register(
     "events_pattern_match",
+    bench=True,
     oracle=f"""
     WITH coded AS (
       SELECT user_id, ts, event_id,

@@ -122,6 +122,7 @@ _BQ_SIG_SQL = """
 
 @register(
     "ann_bq_hamming_topk",
+    bench=True,
     oracle=f"""
     WITH {_BQ_SIG_SQL.strip()},
     ham AS (

@@ -302,6 +302,13 @@ def stream_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "doc_a bigint, doc_b bigint, n_common bigint, jaccard double"
         )
     root = minhash_index_build(spark, sf_dir)
+    # size the per-slice shuffle/commit width to slice volume, scoped
+    # to a cloned session (the exactly-once state-sizing lesson: a
+    # ~hundred-doc slice under the session's 32-wide shuffle pays pure
+    # file/commit fan-out per micro-batch)
+    spark = spark.newSession()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     idx_buckets = spark.read.parquet(os.path.join(root, "buckets")).select(
         "doc_id", F.col("band").cast("int").alias("band"), "bh"
     )
@@ -532,6 +539,11 @@ def stream_scd2_band_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id bigint, band string, valid_from timestamp_ntz,"
             " valid_to timestamp_ntz, is_current boolean",
         )
+    # per-slice island windows under a slice-sized shuffle width,
+    # scoped to a cloned session (the exactly-once state-sizing lesson)
+    spark = spark.newSession()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
 
     band = (
         F.when(
