@@ -2072,3 +2072,145 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"round(CAST(ghost_fp AS DOUBLE) / {BLOOM_GHOSTS}, 6) AS fpr",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Catalog statistics — the ANALYZE TABLE surface
+# ---------------------------------------------------------------------------
+
+# (output column, canonical BIGINT expression SQL) — doubles land on
+# their native cents grid, the timestamp on epoch days; strings carry
+# no numeric canon (min/max NULL) and hash raw
+_CSTAT_NUMERIC = [
+    ("l_orderkey", "CAST(l_orderkey AS BIGINT)"),
+    ("l_partkey", "CAST(l_partkey AS BIGINT)"),
+    ("l_suppkey", "CAST(l_suppkey AS BIGINT)"),
+    ("l_linenumber", "CAST(l_linenumber AS BIGINT)"),
+    ("l_quantity", "CAST(round(l_quantity * 100) AS BIGINT)"),
+    ("l_extendedprice", "CAST(round(l_extendedprice * 100) AS BIGINT)"),
+    ("l_discount", "CAST(round(l_discount * 100) AS BIGINT)"),
+    ("l_tax", "CAST(round(l_tax * 100) AS BIGINT)"),
+    ("l_shipdate", "CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT)"),
+]
+_CSTAT_STRINGS = ["l_returnflag", "l_linestatus"]
+
+
+def _cstat_oracle() -> str:
+    melts = [
+        f"SELECT '{name}' AS col, {canon} AS v, CAST({canon} AS VARCHAR) AS s"
+        f" FROM lineitem"
+        for name, canon in _CSTAT_NUMERIC
+    ] + [
+        f"SELECT '{name}', CAST(NULL AS BIGINT), {name} FROM lineitem"
+        for name in _CSTAT_STRINGS
+    ]
+    melt = "\n      UNION ALL ".join(melts)
+    return f"""
+    WITH m AS ({melt}),
+    base AS (
+      SELECT col, count(*) AS n_rows, count(s) AS nn,
+             min(v) AS min_v, max(v) AS max_v
+      FROM m GROUP BY col
+    ),
+    d AS (
+      SELECT DISTINCT col,
+             CAST(('0x' || substr(md5('kmv:' || s), 1, 15)) AS BIGINT) AS h
+      FROM m WHERE s IS NOT NULL
+    ),
+    r AS (
+      SELECT col, h, row_number() OVER (PARTITION BY col ORDER BY h) AS rn
+      FROM d
+    ),
+    k AS (
+      SELECT col, count(*) AS nd,
+             max(CASE WHEN rn = {KMV_K} THEN h END) AS hk
+      FROM r GROUP BY col
+    )
+    SELECT base.col AS column_name,
+           CAST(n_rows AS BIGINT)          AS n_rows,
+           CAST(n_rows - nn AS BIGINT)     AS n_nulls,
+           CAST(nd AS BIGINT)              AS n_distinct,
+           round(CASE WHEN nd < {KMV_K} THEN CAST(nd AS DOUBLE)
+                      ELSE ({KMV_K} - 1.0) * 1152921504606846976.0 / hk
+                 END, 4)                   AS ndv_kmv_est,
+           min_v, max_v
+    FROM base JOIN k USING (col)
+    """
+
+
+@register("catalog_stats_lineitem", oracle=_cstat_oracle(), bench=True)
+def catalog_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CATALOG STATISTICS — the ANALYZE TABLE surface: per-column row
+    count, null count, exact distinct count, a MERGEABLE KMV NDV
+    estimate, and canonical min/max, for every lineitem column, in ONE
+    fact scan + one shuffle. These are the statistics a cost-based
+    optimizer (and a data-quality monitor) feeds on — Spark's own
+    `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` computes exactly
+    this set; here it is expressed as a query so the numbers are
+    oracle-checkable and the sketch is the engine's own exactly-
+    reproducible KMV (`kmv_sketch` — the estimate itself hash-matches
+    DuckDB, unlike an opaque HLL, and per-shard sketches merge by
+    union + re-bottom-K for incremental stats maintenance).
+
+    Plan shape: the table MELTS to (column, canonical BIGINT value,
+    hash string) rows via one explode of an 11-element struct array —
+    one scan covers every column — then a single groupBy(col) pipeline
+    computes counts/min/max while the KMV bottom-K runs on the same
+    melt (doubles canonicalized to their native cents grid, the
+    timestamp to epoch days, strings hashing raw with NULL numeric
+    bounds). At 100 TB: the melt is a projection (×11 narrow rows, no
+    data written), the shuffle carries only per-(column, bucket)
+    sketch rows, and per-partition/per-day stats roll up by sketch
+    merge instead of rescans — the incremental-stats posture
+    (`incremental_rollup_merge`'s argument, applied to NDV).
+
+    No reference analog (the reference has no schema at all —
+    SURVEY §1); this is §2c 'scalar fn library / profiling' made a
+    first-class engine surface."""
+    li = load_table(spark, sf_dir, "lineitem")
+    structs = [
+        F.struct(
+            F.lit(name).alias("col"),
+            F.expr(canon).alias("v"),
+            F.expr(canon).cast("string").alias("s"),
+        )
+        for name, canon in [
+            (n, c.replace("epoch(l_shipdate)",
+                          "CAST(CAST(l_shipdate AS TIMESTAMP) AS DOUBLE)"))
+            for n, c in _CSTAT_NUMERIC
+        ]
+    ] + [
+        F.struct(
+            F.lit(name).alias("col"),
+            F.lit(None).cast("bigint").alias("v"),
+            F.col(name).alias("s"),
+        )
+        for name in _CSTAT_STRINGS
+    ]
+    melt = li.select(F.explode(F.array(*structs)).alias("x")).select("x.*")
+    base = melt.groupBy("col").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        (F.count("*") - F.count("s")).cast("bigint").alias("n_nulls"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+    hashed = melt.where(F.col("s").isNotNull()).select(
+        "col", kmv_hash60(F.col("s")).alias("h")
+    )
+    sk = kmv_sketch(hashed, ["col"])
+    est = (
+        "round(CASE WHEN n_exact < {k} THEN CAST(n_exact AS DOUBLE) "
+        "ELSE ({k} - 1.0) * 1152921504606846976.0 / element_at(ks, {k}) END, 4)"
+    ).format(k=KMV_K)
+    return (
+        base.join(sk, "col")
+        .selectExpr(
+            "col AS column_name",
+            "n_rows",
+            "n_nulls",
+            "CAST(n_exact AS BIGINT) AS n_distinct",
+            f"{est} AS ndv_kmv_est",
+            "min_v",
+            "max_v",
+        )
+    )

@@ -79,6 +79,7 @@ DRIVER_PRIORITY: list[str] = [
     "events_pattern_match",
     "stream_scd2_band_history",
     "ann_bq_hamming_topk",
+    "catalog_stats_lineitem",
     # -- r01 staleness canaries: the 7 queries last driver-verified in
     #    round 1, eight rounds stale — rotation rule (b) --
     "agg_conditional_pivot",
@@ -127,7 +128,6 @@ DRIVER_PRIORITY: list[str] = [
     "q9_product_type_profit",
     "sessions_peak_concurrency",
     "stream_dedup_watermark",
-    "stream_session_window",
 ]
 
 

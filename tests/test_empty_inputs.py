@@ -92,6 +92,7 @@ REPRESENTATIVE = [
     "events_pattern_match",
     "stream_scd2_band_history",
     "ann_bq_hamming_topk",
+    "catalog_stats_lineitem",
 ]
 
 

@@ -213,6 +213,9 @@ CANDIDATES = [
     # BQ: signature aggregation + hamming windows + rescore joins —
     # integer end to end, must be width-invariant
     "ann_bq_hamming_topk",
+    # catalog stats: the melt + bucketed bottom-K must be layout-free
+    # (KMV bottom-K is a set operation; counts/min/max algebraic)
+    "catalog_stats_lineitem",
 ]
 
 

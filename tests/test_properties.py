@@ -839,3 +839,40 @@ def test_bloom_sketch_properties(spark):
         # and the replay bitset matches the engine's popcount
         row = out[out.event_type == et].iloc[0]
         assert sum(bin(w).count("1") for w in words) == row.bits_set, et
+
+
+def test_catalog_stats_analyze_contracts(spark):
+    """The ANALYZE-surface contracts of `catalog_stats_lineitem`:
+    every column row reports the SAME n_rows (one melt of one scan);
+    min_v ≤ max_v on numeric columns and NULL bounds on string
+    columns; n_distinct ≤ n_rows − n_nulls; the KMV estimate is EXACT
+    (== n_distinct) below K and within the sketch's 4·rsd band above
+    it (rsd ≈ 1/√(K−2) ≈ 18.3% at K=32); and the known fixture
+    cardinalities hold (l_linenumber ≤ 7 distinct, flags/status from
+    their enum domains)."""
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.operators.scale import KMV_K
+    from tests.conftest import SF_DIR
+
+    out = q.queries()["catalog_stats_lineitem"](spark, SF_DIR).toPandas()
+    assert len(out) == 11
+    assert out["n_rows"].nunique() == 1
+    strings = {"l_returnflag", "l_linestatus"}
+    for r in out.itertuples():
+        non_null = r.n_rows - r.n_nulls
+        assert 0 <= r.n_distinct <= non_null, r.column_name
+        if r.column_name in strings:
+            import pandas as pd
+
+            assert pd.isna(r.min_v) and pd.isna(r.max_v), r.column_name
+        else:
+            assert r.min_v <= r.max_v, r.column_name
+        if r.n_distinct < KMV_K:
+            assert r.ndv_kmv_est == float(r.n_distinct), r.column_name
+        else:
+            rel = abs(r.ndv_kmv_est - r.n_distinct) / r.n_distinct
+            assert rel < 4 / (KMV_K - 2) ** 0.5, (r.column_name, rel)
+    stats = {r.column_name: r for r in out.itertuples()}
+    assert stats["l_linenumber"].n_distinct <= 7
+    assert stats["l_returnflag"].n_distinct <= 3
+    assert stats["l_linestatus"].n_distinct <= 2
