@@ -88,6 +88,13 @@ QUERIES = [
     "sample_dsir_importance_topk",
     "unigram_train_pieces",
     "unigram_apply_token_stats",
+    # round-9: the position-marked WordPiece pair (vocab-scale rounds;
+    # the marked alphabet is a ≤2× constant on bounded frames) and the
+    # dedup band-index family's served probe (probe cost ∝ batch —
+    # tools/incremental_scale_probe.py carries the dedicated octave)
+    "wordpiece_train_marked",
+    "wordpiece_apply_marked_stats",
+    "dedup_minhash_index_probe",
     # round-7 evaluation suite: one corpus scan + tiny broadcast state
     # each — the probe family's scale posture, measured on its metrics
     "probe_auc_roc",
@@ -136,6 +143,11 @@ ORACLE_SKIP_PAST_10X = {
     # batch-cost-independence claim has its own probe
     # (tools/incremental_scale_probe.py)
     "dedup_minhash_incremental",
+    # same restricted exact-Jaccard oracle as the inline incremental —
+    # intractable oracle-side exactly where its twin's is; the SERVED
+    # probe's scale claim carries its own octave (served phase of
+    # tools/incremental_scale_probe.py: candidates constant under 16×)
+    "dedup_minhash_index_probe",
     "dedup_ngram_jaccard",
     # same full doc-level shingle self-join oracle shape as
     # dedup_ngram_jaccard's — intractable oracle-side at 40× for the
@@ -286,6 +298,12 @@ RELATIONAL_QUERIES = [
     "sketch_kmv_distinct_users",
     "sketch_cms_heavy_hitters",
     "sketch_quantile_prices",
+    # round-9: ANALYZE-surface stats (11-struct melt over the fact),
+    # row-pattern matching (one user_id shuffle + regex scans), and
+    # the DP geometric release (bounded group frame)
+    "catalog_stats_lineitem",
+    "events_pattern_match",
+    "privacy_dp_geometric_release",
     # round-7: theta set-ops — replicas share user_ids, so the sketch
     # columns must be SCALE-INVARIANT (same 10 rows at any mult) while
     # the scan grows linearly: the bounded-state claim, measured
