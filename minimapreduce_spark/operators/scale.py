@@ -2221,3 +2221,96 @@ def catalog_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_v",
         )
     )
+
+
+SKEW_TOP_N = 5
+
+
+@register(
+    "join_skew_diagnosis",
+    oracle=f"""
+    WITH per_key AS (
+      SELECT l_partkey AS join_key, count(*) AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(cnt) AS BIGINT) AS total_rows,
+             CAST(max(cnt) AS BIGINT) AS max_cnt
+      FROM per_key
+    ),
+    top AS (
+      SELECT join_key, CAST(cnt AS BIGINT) AS cnt,
+             row_number() OVER (ORDER BY cnt DESC, join_key) AS rnk
+      FROM per_key
+    )
+    SELECT t.rnk, t.join_key, t.cnt,
+           CAST((t.cnt * 1000000) // g.total_rows AS BIGINT) AS share_ppm,
+           g.n_keys, g.total_rows, g.max_cnt,
+           CAST((g.max_cnt * g.n_keys * 100) // g.total_rows AS BIGINT)
+             AS skew_ratio_x100,
+           CAST((g.max_cnt * g.n_keys + g.total_rows - 1) // g.total_rows
+                AS BIGINT) AS recommended_salt
+    FROM top t, g WHERE t.rnk <= {SKEW_TOP_N}
+    """,
+)
+def join_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKEW DIAGNOSIS — the detection side of the skew story whose
+    treatment side the engine already ships (`agg_salted_skew` /
+    `agg_salted_hotkey_planted` salting, AQE skew-join config): one
+    aggregation over the fact's join key (l_partkey) produces the
+    report a 100 TB job plans with BEFORE a shuffle goes sideways —
+    the top-N heaviest keys with their exact ppm share, the key-space
+    census (n_keys, total, max), the max/mean skew ratio, and the
+    salt factor that equalizes the hottest key to the mean
+    (ceil(max·n_keys/total) — exactly the replication the salted-agg
+    twins apply).
+
+    Exactness: everything is integer — per-key counts, integer-division
+    ppm shares and ×100 ratios ((a·b) DIV c on both engines), ceil via
+    the (a+b−1) DIV b identity, (cnt DESC, key) total-order top-N.
+
+    Scale posture: ONE partial+final count aggregation over the fact
+    (map-side combine collapses to the key domain), a 3-number global
+    frame broadcast onto the bounded top-N rows; nothing else moves.
+    The same two aggregations a cost-based engine runs for join-size
+    estimation — compare `sketch_ams_f2_join_size`, which answers the
+    F₂ half with bounded state. No reference analog (the reference's
+    skew story is one hot reduce bucket stalling a worker,
+    mr/worker.go:114-130 — this is the query that would have warned)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_partkey").alias("join_key")).agg(
+        F.count("*").alias("cnt")
+    )
+    g = per_key.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("total_rows"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )
+    from minimapreduce_spark.operators.ordered import with_bounded_rank
+
+    # global top-N = sort+limit (TakeOrderedAndProject — no
+    # single-partition window over the key-domain-scale frame), then
+    # rank the provably bounded N rows
+    top = with_bounded_rank(
+        per_key.orderBy(F.desc("cnt"), F.asc("join_key")).limit(SKEW_TOP_N),
+        F.desc("cnt"),
+        F.asc("join_key"),
+        out="rnk",
+    )
+    return (
+        top.crossJoin(F.broadcast(g))
+        .selectExpr(
+            "CAST(rnk AS BIGINT) AS rnk",
+            "join_key",
+            "CAST(cnt AS BIGINT) AS cnt",
+            "CAST((cnt * 1000000) DIV total_rows AS BIGINT) AS share_ppm",
+            "n_keys",
+            "total_rows",
+            "max_cnt",
+            "CAST((max_cnt * n_keys * 100) DIV total_rows AS BIGINT)"
+            " AS skew_ratio_x100",
+            "CAST((max_cnt * n_keys + total_rows - 1) DIV total_rows AS BIGINT)"
+            " AS recommended_salt",
+        )
+    )

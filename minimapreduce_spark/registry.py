@@ -80,6 +80,7 @@ DRIVER_PRIORITY: list[str] = [
     "stream_scd2_band_history",
     "ann_bq_hamming_topk",
     "catalog_stats_lineitem",
+    "join_skew_diagnosis",
     # -- r01 staleness canaries: the 7 queries last driver-verified in
     #    round 1, eight rounds stale — rotation rule (b) --
     "agg_conditional_pivot",
@@ -127,7 +128,6 @@ DRIVER_PRIORITY: list[str] = [
     "pysource_partitioned_scan",
     "q9_product_type_profit",
     "sessions_peak_concurrency",
-    "stream_dedup_watermark",
 ]
 
 

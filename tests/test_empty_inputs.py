@@ -93,6 +93,7 @@ REPRESENTATIVE = [
     "stream_scd2_band_history",
     "ann_bq_hamming_topk",
     "catalog_stats_lineitem",
+    "join_skew_diagnosis",
 ]
 
 

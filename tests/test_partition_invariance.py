@@ -216,6 +216,9 @@ CANDIDATES = [
     # catalog stats: the melt + bucketed bottom-K must be layout-free
     # (KMV bottom-K is a set operation; counts/min/max algebraic)
     "catalog_stats_lineitem",
+    # skew diagnosis: count agg + TakeOrdered + broadcast census —
+    # pure integers, must be width-invariant
+    "join_skew_diagnosis",
 ]
 
 

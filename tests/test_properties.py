@@ -876,3 +876,45 @@ def test_catalog_stats_analyze_contracts(spark):
     assert stats["l_linenumber"].n_distinct <= 7
     assert stats["l_returnflag"].n_distinct <= 3
     assert stats["l_linestatus"].n_distinct <= 2
+
+
+def test_skew_diagnosis_planted_hot_key(spark, tmp_path):
+    """The skew readout, planted: a fact table where key 7 holds 900 of
+    1000 rows and 100 keys hold 1 each must report key 7 at rank 1 with
+    share_ppm 900000, skew ratio max/mean = 900·101/1000 → 9090 (x100),
+    and recommended_salt = ceil(900·101/1000) = 91 — the replication
+    factor that equalizes the hot key to the mean. A uniform table must
+    recommend salt 1 (no replication)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from minimapreduce_spark import queries as q
+
+    rows = [(7, i) for i in range(900)] + [(100 + k, 0) for k in range(100)]
+    li = spark.createDataFrame(rows, "l_partkey bigint, pad bigint").select(
+        "l_partkey",
+        F.lit(1).cast("bigint").alias("l_orderkey"),
+        F.lit(1).cast("bigint").alias("l_suppkey"),
+    )
+    d = str(tmp_path / "skew_plant")
+    os.makedirs(d)
+    li.write.parquet(os.path.join(d, "lineitem.parquet"))
+    out = q.queries()["join_skew_diagnosis"](spark, d).toPandas()
+    assert len(out) == 5
+    top = out[out.rnk == 1].iloc[0]
+    assert top.join_key == 7 and top.cnt == 900
+    assert top.share_ppm == 900_000
+    assert top.n_keys == 101 and top.total_rows == 1000 and top.max_cnt == 900
+    assert top.skew_ratio_x100 == 900 * 101 * 100 // 1000
+    assert top.recommended_salt == -(-900 * 101 // 1000)  # ceil = 91
+    assert (out.recommended_salt == top.recommended_salt).all()
+
+    uni = [(k, 0) for k in range(200)]
+    li2 = spark.createDataFrame(uni, "l_partkey bigint, pad bigint")
+    d2 = str(tmp_path / "skew_uniform")
+    os.makedirs(d2)
+    li2.write.parquet(os.path.join(d2, "lineitem.parquet"))
+    out2 = q.queries()["join_skew_diagnosis"](spark, d2).toPandas()
+    assert (out2.recommended_salt == 1).all()
+    assert (out2.skew_ratio_x100 == 100).all()
