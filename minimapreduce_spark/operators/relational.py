@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+import os
+
 from minimapreduce_spark.catalog import load_table
 from minimapreduce_spark.operators.money import exact_revenue_sum, exact_sum, grid_c
 from minimapreduce_spark.registry import register
@@ -746,4 +748,121 @@ def join_shuffle_hash_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("o_orderpriority").agg(
         F.round(exact_revenue_sum(), 2).alias("revenue"),
         F.count("*").alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance for JOINS — the delta-join identity
+# ---------------------------------------------------------------------------
+
+IVM_FACT_MOD = 10  # o_orderkey % 10 == 0 → "orders that arrived today"
+IVM_DIM_MOD = 13  # c_custkey % 13 == 0 → "customers onboarded today"
+
+_IVM_VIEW_SQL = """
+    SELECT o_orderkey, o_custkey, c_mktsegment,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+    FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def join_view_root(sf_dir: str) -> str:
+    """Deterministic root for the persisted base join view — the
+    artifact-root discipline (path + content fingerprint of BOTH input
+    tables, so a regenerated fixture gets a fresh root)."""
+    import hashlib
+    import tempfile
+
+    from minimapreduce_spark.catalog import table_path
+
+    parts = [os.path.abspath(sf_dir)]
+    for t in ("orders", "customer"):
+        st = os.stat(table_path(sf_dir, t))
+        parts.append(f"{st.st_mtime_ns}|{st.st_size}")
+    tag = hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"minimapreduce_joinview_{tag}")
+
+
+def join_view_build(spark: SparkSession, sf_dir: str, root: str | None = None) -> str:
+    """BUILD-ONCE: materialize the BASE join view (yesterday's orders ⋈
+    yesterday's customers) as a parquet artifact with atomic-rename
+    publish — the `minhash_index_build` discipline applied to a
+    materialized join view."""
+    import shutil
+    import tempfile
+
+    root = root or join_view_root(sf_dir)
+    if os.path.isdir(os.path.join(root, "view")):
+        return root
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % IVM_FACT_MOD != 0
+    )
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % IVM_DIM_MOD != 0
+    )
+    v = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey",
+        "o_custkey",
+        "c_mktsegment",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    stage = tempfile.mkdtemp(prefix="joinview_build_")
+    v.write.mode("overwrite").parquet(os.path.join(stage, "view"))
+    try:
+        os.rename(stage, root)
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)  # lost the race
+    return root
+
+
+@register("incremental_join_view", oracle=_IVM_VIEW_SQL)
+def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE FOR JOINS — the delta-join identity
+    (A ∪ ΔA) ⋈ (B ∪ ΔB) = A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, with A⋈B the
+    PERSISTED base view (`join_view_build` artifact): the day's arrival
+    deltas (new orders: o_orderkey % 10 == 0; newly onboarded
+    customers: c_custkey % 13 == 0, both INSERT-only by contract)
+    maintain the materialized orders⋈customer view without re-joining
+    the base — the join-side completion of the engine's IVM story
+    (`incremental_rollup_merge` covers algebraic aggregates; this
+    covers the join a reporting view sits on). Note the A⋈ΔB term is
+    where base orders referencing a just-onboarded customer FIRST
+    appear — the inner base view correctly excluded them, and the
+    identity picks them up without touching A⋈B.
+
+    The output is the maintained view itself, so the oracle is simply
+    the full join recomputed — maintenance ≡ recompute is the IVM
+    correctness contract, and the pytest additionally pins the four
+    terms pairwise DISJOINT (each row produced exactly once) and the
+    artifact rebuild a no-op.
+
+    Scale posture: ΔA⋈B and ΔA⋈ΔB cost ∝ |ΔA| (the dim side
+    broadcasts); A⋈ΔB is the honest expensive term — a dim insert
+    forces one fact-side probe scan with the ≤|ΔB| keys broadcast
+    (semi-join shape), which a production deployment avoids by
+    bucketing the fact on the join key (`join_bucketed_smb`'s layout)
+    or by folding dim-inserts into the next base rebuild. UPDATE/
+    DELETE deltas need the tombstone/SCD2 discipline
+    (`stream_scd2_band_history`) on top of the same identity —
+    documented, out of the insert-only contract here. At 100 TB the
+    base view never recomputes: today's maintenance appends
+    delta-term rows, exactly what this plan does."""
+    root = join_view_build(spark, sf_dir)
+    base_view = spark.read.parquet(os.path.join(root, "view"))
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    proj = lambda o, c: o.join(c, o.o_custkey == c.c_custkey).select(  # noqa: E731
+        "o_orderkey",
+        "o_custkey",
+        "c_mktsegment",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    d_o = orders.where(F.col("o_orderkey") % IVM_FACT_MOD == 0)
+    b_o = orders.where(F.col("o_orderkey") % IVM_FACT_MOD != 0)
+    d_c = cust.where(F.col("c_custkey") % IVM_DIM_MOD == 0)
+    b_c = cust.where(F.col("c_custkey") % IVM_DIM_MOD != 0)
+    return (
+        base_view.unionByName(proj(d_o, F.broadcast(b_c)))
+        .unionByName(proj(b_o, F.broadcast(d_c)))
+        .unionByName(proj(d_o, F.broadcast(d_c)))
     )

@@ -94,6 +94,7 @@ REPRESENTATIVE = [
     "ann_bq_hamming_topk",
     "catalog_stats_lineitem",
     "join_skew_diagnosis",
+    "incremental_join_view",
 ]
 
 

@@ -219,6 +219,9 @@ CANDIDATES = [
     # skew diagnosis: count agg + TakeOrdered + broadcast census —
     # pure integers, must be width-invariant
     "join_skew_diagnosis",
+    # delta-join IVM: artifact scan + three broadcast joins —
+    # the maintained view must not depend on layout
+    "incremental_join_view",
 ]
 
 

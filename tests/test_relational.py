@@ -83,3 +83,60 @@ def test_approx_sketch_error_bounds(spark, duck):
         assert g.exact_orders == row.n_orders
         assert g.n_rows == row.n_rows
         assert g.hll_within_5pct and g.p50_banded and g.p95_banded, g
+
+
+def test_incremental_join_view_terms_disjoint_and_artifact(spark, tmp_path):
+    """The delta-join IVM contracts: (a) maintenance ≡ full recompute
+    (the oracle covers it; here re-pinned frame-wise); (b) the four
+    identity terms are pairwise DISJOINT — every view row is produced
+    by exactly one term (base/ΔA⋈B/A⋈ΔB/ΔA⋈ΔB partition the key
+    space by construction of the two modular predicates); (c) the
+    base-view artifact rebuild is a no-op when present; (d) the
+    maintenance plan reads the base view from the ARTIFACT (no
+    base×base join recompute: exactly three joins, all with broadcast
+    dim sides)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from minimapreduce_spark import plans
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.catalog import load_table
+    from minimapreduce_spark.operators.relational import (
+        IVM_DIM_MOD,
+        IVM_FACT_MOD,
+        join_view_build,
+    )
+    from tests.conftest import SF_DIR
+
+    out = q.queries()["incremental_join_view"](spark, SF_DIR).toPandas()
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer")
+    full = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "o_orderkey", "o_custkey", "c_mktsegment",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+        )
+        .toPandas()
+    )
+    assert len(out) == len(full)
+    assert set(map(tuple, out.itertuples(index=False))) == set(
+        map(tuple, full.itertuples(index=False))
+    )
+    # (b) disjointness: no duplicate (o_orderkey) — orders are unique
+    # per row, so any double-produced row would collide
+    assert out["o_orderkey"].is_unique
+
+    # (c) rebuild no-op
+    root = join_view_build(spark, SF_DIR)
+    before = _os.stat(root).st_mtime_ns
+    assert join_view_build(spark, SF_DIR) == root
+    assert _os.stat(root).st_mtime_ns == before
+
+    # (d) plan: the artifact parquet is scanned; exactly 3 joins
+    plan = plans.simple_plan(q.queries()["incremental_join_view"](spark, SF_DIR))
+    assert "minimapreduce_joinview_" in plan
+    assert plan.count("BroadcastHashJoin") == 3
+    # and the maintained-view predicates really partition the space
+    assert IVM_FACT_MOD != IVM_DIM_MOD
