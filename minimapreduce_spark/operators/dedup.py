@@ -1592,13 +1592,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups whose content never pairs across contents (but has >= 1
     shingle — the oracle can't pair shingle-less docs) form their own
     component."""
+    return _cluster_components(spark, sf_dir, min_label_components)
+
+
+def _cluster_components(spark: SparkSession, sf_dir: str, components_fn) -> DataFrame:
+    """The dedup_clusters pipeline with a pluggable component kernel —
+    shared verbatim by `dedup_clusters` (min-label propagation) and
+    `graph_components_star` (large-star/small-star), so the two
+    registered queries differ ONLY in the iterative algorithm and
+    must produce identical frames (pytest-pinned)."""
     doc_src, groups = content_group_frontend(spark, sf_dir)
     rep_docs = fan_out(spark, doc_src)
     sh = shingle_hashes(spark, sf_dir, docs=rep_docs).localCheckpoint(eager=False)
     rep_pairs = jaccard_pairs(spark, sf_dir, NGRAM_THRESHOLD, shingles=sh).select(
         "doc_a", "doc_b"
     )
-    rep_cc = min_label_components(rep_pairs, out_id="rep").select(
+    rep_cc = components_fn(rep_pairs, out_id="rep").select(
         "rep", "cluster_id"
     )
     if groups is None:  # duplication gate: vertices are already doc-level
@@ -1624,6 +1633,138 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "cluster_id",
             (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+    )
+
+
+@register("graph_components_star", oracle=_CLUSTER_ORACLE)
+def graph_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by LARGE-STAR/SMALL-STAR alternation
+    (Kiveris et al.) over the same near-dup pair graph as
+    `dedup_clusters` — the published O(log² n)-ROUND algorithm next to
+    the O(diameter)-round min-label kernel: on near-clique Jaccard
+    graphs both take a handful of rounds, but on chainy graphs
+    (the embedding-LSH component graph, web-link graphs) diameter is
+    unbounded while star rounds stay logarithmic — the planted
+    256-vertex path converges in 8 star rounds where min-label's own
+    guard (50) would trip at diameter 255. The pipeline around the
+    kernel (`_cluster_components`: content-group collapse, shingle →
+    verified pairs, isolated-clique handling, member expansion) is
+    shared VERBATIM with `dedup_clusters`, so the two registered
+    queries must produce identical frames — pytest-pinned, and both
+    carry the same recursive-CTE transitive-closure oracle.
+
+    Scale posture: per round, two groupBy-min aggregations and two
+    projections over the current edge set (which only SHRINKS — edges
+    collapse toward stars); eager per-round checkpoints (the min-label
+    lineage lesson); convergence checked structurally (star forest:
+    unique parent + no grandparents), not by fixed-point counting.
+    This is the component kernel a 100 TB graph actually needs; the
+    min-label twin stays as the simpler baseline for low-diameter
+    graphs. No reference analog."""
+    return _cluster_components(spark, sf_dir, star_components)
+
+
+def star_components(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    out_id: str = "doc_id",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the O(log² n)-round algorithm that replaces min-label
+    propagation's O(diameter) rounds on chainy graphs:
+
+      - large-star(u): every strictly-larger neighbor of u links to
+        m = min(Γ(u) ∪ {u}) — long tails collapse toward local minima;
+      - small-star(u): u and every smaller neighbor link to the same
+        m — parent pointers compress toward the root.
+
+    Convergence = the edge set is a forest of stars: every vertex has
+    at most ONE parent and no parent has a parent (both checked; a
+    vertex pointing at two roots is NOT converged — the next round
+    merges them). Same output contract as `min_label_components`
+    ((out_id, cluster_id, is_canonical), cluster_id = component min),
+    equality pytest-pinned on the fixture pair graph, and the planted
+    256-vertex PATH converges in ≤ a dozen rounds where min-label
+    needs diameter≈255 — past its own 50-round guard. Per-round frames
+    are eagerly checkpointed (the min-label lineage lesson)."""
+    und = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .where(F.col(a) != F.col(b))
+        .distinct()
+        .localCheckpoint()
+    )
+    verts = (
+        und.select(F.col("u").alias("x"))
+        .union(und.select(F.col("v").alias("x")))
+        .distinct()
+        .localCheckpoint()
+    )
+    E = und
+    rounds = 0
+    converged = False
+    for _ in range(max_rounds):
+        rounds += 1
+        # LARGE-STAR over the bidirected neighborhood
+        bi = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            bi.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        ls = (
+            bi.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # SMALL-STAR over the (larger → smaller) parent pointers
+        mins2 = (
+            ls.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        part1 = (
+            ls.join(mins2, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        part2 = mins2.where(F.col("u") != F.col("m")).select(
+            "u", F.col("m").alias("v")
+        )
+        E = part1.union(part2).distinct().localCheckpoint()
+        multi_parent = (
+            E.groupBy("u").agg(F.count_distinct("v").alias("d")).where("d > 1").count()
+        )
+        chained = (
+            E.alias("x")
+            .join(E.alias("y"), F.col("x.v") == F.col("y.u"))
+            .count()
+        )
+        if multi_parent == 0 and chained == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"star_components: not a star forest after {max_rounds} rounds"
+        )
+    star_components.last_rounds = rounds
+    children = E.select(F.col("u").alias("vx"), F.col("v").alias("label"))
+    roots = (
+        verts.join(E.select(F.col("u").alias("x")).distinct(), "x", "left_anti")
+        .select(F.col("x").alias("vx"), F.col("x").alias("label"))
+    )
+    return (
+        children.union(roots)
+        .select(
+            F.col("vx").alias(out_id),
+            F.col("label").alias("cluster_id"),
+            (F.col("vx") == F.col("label")).alias("is_canonical"),
         )
     )
 

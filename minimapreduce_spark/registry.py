@@ -82,6 +82,7 @@ DRIVER_PRIORITY: list[str] = [
     "catalog_stats_lineitem",
     "join_skew_diagnosis",
     "incremental_join_view",
+    "graph_components_star",
     # -- r01 staleness canaries: the 7 queries last driver-verified in
     #    round 1, eight rounds stale — rotation rule (b) --
     "agg_conditional_pivot",
@@ -127,7 +128,6 @@ DRIVER_PRIORITY: list[str] = [
     "pack_token_batches",
     "pareto_revenue_concentration",
     "pysource_partitioned_scan",
-    "q9_product_type_profit",
 ]
 
 

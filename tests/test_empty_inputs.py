@@ -95,6 +95,7 @@ REPRESENTATIVE = [
     "catalog_stats_lineitem",
     "join_skew_diagnosis",
     "incremental_join_view",
+    "graph_components_star",
 ]
 
 

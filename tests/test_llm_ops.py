@@ -2549,3 +2549,42 @@ def test_bq_hamming_rescore_properties(spark, tmp_path):
     assert ((res.q_vec_id // 30) == (res.neighbor_id // 30)).all(), (
         "BQ returned a cross-cluster neighbor on separated clusters"
     )
+
+
+def test_star_components_path_and_twin_equality(spark):
+    """The large-star/small-star kernel's contracts: (a) a planted
+    256-vertex PATH (diameter 255 — past min-label's 50-round guard)
+    converges in ≤ 12 star rounds to one component rooted at 0;
+    (b) on a random 150-vertex multigraph the star labels equal
+    min-label propagation's EXACTLY; (c) the registered
+    `graph_components_star` equals `dedup_clusters` frame-for-frame
+    (shared pipeline, different kernel)."""
+    import random
+
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.operators.dedup import (
+        min_label_components,
+        star_components,
+    )
+    from tests.conftest import SF_DIR
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(255)], "doc_a bigint, doc_b bigint"
+    )
+    out = star_components(pairs).collect()
+    assert star_components.last_rounds <= 12
+    assert len(out) == 256 and all(r.cluster_id == 0 for r in out)
+    assert sum(r.is_canonical for r in out) == 1
+
+    random.seed(3)
+    edges = [(random.randrange(150), random.randrange(150)) for _ in range(120)]
+    p2 = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "doc_a bigint, doc_b bigint"
+    )
+    s = {tuple(r) for r in star_components(p2).collect()}
+    m = {tuple(r) for r in min_label_components(p2).collect()}
+    assert s == m
+
+    a = {tuple(r) for r in q.queries()["graph_components_star"](spark, SF_DIR).collect()}
+    b = {tuple(r) for r in q.queries()["dedup_clusters"](spark, SF_DIR).collect()}
+    assert a == b

@@ -222,6 +222,9 @@ CANDIDATES = [
     # delta-join IVM: artifact scan + three broadcast joins —
     # the maintained view must not depend on layout
     "incremental_join_view",
+    # star components: per-round min aggregations + structural
+    # convergence — the star forest must be layout-free
+    "graph_components_star",
 ]
 
 
