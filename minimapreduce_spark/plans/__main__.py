@@ -59,6 +59,8 @@ SHOWCASE = [
     ("events_pattern_match", "one user_id shuffle; regex pattern scans inside the aggregate projection"),
     ("privacy_dp_geometric_release", "one partial+final count agg; noise drawn on the bounded group frame"),
     ("ann_bq_hamming_topk", "16-byte signature scan; integer hamming candidates; bounded exact rescore"),
+    ("incremental_join_view", "base view from artifact; three delta terms, all broadcast dim sides"),
+    ("join_skew_diagnosis", "one count agg; TakeOrdered top-N; 3-number census broadcast"),
 ]
 
 
