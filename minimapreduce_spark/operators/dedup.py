@@ -657,11 +657,21 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_index_root(sf_dir: str) -> str:
+# explicit artifact-read schemas: a zero-row corpus side (every doc in
+# the batch) publishes a buckets dir with no data files, and a
+# schema-less read would crash with 'Unable to infer schema' instead of
+# returning the correct empty frame (round-9 review finding)
+MINHASH_BUCKET_SCHEMA = "doc_id bigint, bh bigint, band int"
+MINHASH_SHINGLE_SCHEMA = "doc_id bigint, h bigint"
+
+
+def minhash_index_root(sf_dir: str, batch_mod: int = None) -> str:
     """Deterministic on-disk location of the persisted MinHash band
     index for a fixture dir — the `ivfpq_index_root` discipline applied
     to the dedup family: keyed by the ABSOLUTE fixture path plus the
-    documents table's CONTENT FINGERPRINT (st_mtime_ns, st_size), so a
+    documents table's CONTENT FINGERPRINT (st_mtime_ns, st_size) plus
+    the corpus-split parameter ``batch_mod`` (two different splits must
+    never share one artifact — round-9 review finding), so a
     regenerated fixture gets a fresh root instead of silently probing a
     stale index; NOT session-keyed (write-once/probe-many across
     sessions is the point). Concurrency is handled by the atomic-rename
@@ -671,8 +681,12 @@ def minhash_index_root(sf_dir: str) -> str:
 
     from minimapreduce_spark.catalog import table_path
 
+    if batch_mod is None:
+        batch_mod = INCR_BATCH_MOD
     st = os.stat(table_path(sf_dir, "documents"))
-    key = f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}"
+    key = (
+        f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}|m{batch_mod}"
+    )
     tag = hashlib.sha256(key.encode()).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), f"minimapreduce_minhash_{tag}")
 
@@ -713,7 +727,7 @@ def minhash_index_build(
     import shutil
     import tempfile
 
-    root = root or minhash_index_root(sf_dir)
+    root = root or minhash_index_root(sf_dir, batch_mod)
     if os.path.isdir(os.path.join(root, "buckets")):
         return root
     corpus = (
@@ -739,6 +753,52 @@ def minhash_index_build(
     except OSError:
         shutil.rmtree(stage, ignore_errors=True)  # lost the race: reuse winner's
     return root
+
+
+def probe_band_index(
+    spark: SparkSession,
+    sf_dir: str,
+    batch_buckets: DataFrame,
+    batch_shingles: DataFrame,
+    index_buckets: DataFrame,
+    index_shingles: DataFrame,
+    prior_buckets: DataFrame | None = None,
+    prior_shingles: DataFrame | None = None,
+    threshold: float = MINHASH_THRESHOLD,
+) -> DataFrame:
+    """The band-index PROBE join + exact-Jaccard verify, shared by the
+    batch probe (`dedup_minhash_index_probe`), the streaming probe's
+    per-slice body (`stream_minhash_index_probe`), and the served phase
+    of tools/incremental_scale_probe.py — one implementation so the
+    candidate-dedup and shingle-union semantics cannot drift between
+    the three call sites (round-9 review finding). Candidates =
+    batch-buckets ⋈ (index ∪ prior ∪ batch) on (band, bh) — the
+    corpus/prior sides never self-join; ``prior_*`` carry earlier
+    arrivals for the streaming caller (None for one-shot probes)."""
+    all_b = index_buckets.select("doc_id", "band", "bh")
+    if prior_buckets is not None:
+        all_b = all_b.unionByName(prior_buckets.select("doc_id", "band", "bh"))
+    all_b = all_b.unionByName(batch_buckets.select("doc_id", "band", "bh"))
+    candidates = (
+        batch_buckets.select(F.col("doc_id").alias("ba"), "band", "bh")
+        .join(
+            all_b.select(F.col("doc_id").alias("other"), "band", "bh"),
+            ["band", "bh"],
+        )
+        .where(F.col("ba") != F.col("other"))
+        .select(
+            F.least("ba", "other").alias("doc_a"),
+            F.greatest("ba", "other").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sh = index_shingles
+    if prior_shingles is not None:
+        sh = sh.unionByName(prior_shingles)
+    sh = sh.unionByName(batch_shingles)
+    return jaccard_pairs(
+        spark, sf_dir, threshold, candidates=candidates, shingles=sh
+    )
 
 
 @register(
@@ -785,10 +845,14 @@ def dedup_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "doc_a bigint, doc_b bigint, n_common bigint, jaccard double"
         )
     root = minhash_index_build(spark, sf_dir)
-    idx_buckets = spark.read.parquet(os.path.join(root, "buckets")).select(
-        "doc_id", F.col("band").cast("int").alias("band"), "bh"
+    idx_buckets = (
+        spark.read.schema(MINHASH_BUCKET_SCHEMA)
+        .parquet(os.path.join(root, "buckets"))
+        .select("doc_id", F.col("band").cast("int").alias("band"), "bh")
     )
-    idx_shingles = spark.read.parquet(os.path.join(root, "shingles"))
+    idx_shingles = spark.read.schema(MINHASH_SHINGLE_SCHEMA).parquet(
+        os.path.join(root, "shingles")
+    )
 
     batch = docs.where(F.col("doc_id") % INCR_BATCH_MOD == 0)
     base_b = shingle_hashes(
@@ -796,26 +860,13 @@ def dedup_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     sigs_b = minhash_signatures(spark, sf_dir, shingles=base_b)
     buckets_b = minhash_band_buckets(sigs_b).localCheckpoint(eager=False)
-
-    all_buckets = idx_buckets.select("doc_id", "band", "bh").unionByName(
-        buckets_b.select("doc_id", "band", "bh")
-    )
-    candidates = (
-        buckets_b.select(F.col("doc_id").alias("ba"), "band", "bh")
-        .join(
-            all_buckets.select(F.col("doc_id").alias("other"), "band", "bh"),
-            ["band", "bh"],
-        )
-        .where(F.col("ba") != F.col("other"))
-        .select(
-            F.least("ba", "other").alias("doc_a"),
-            F.greatest("ba", "other").alias("doc_b"),
-        )
-        .distinct()
-    )
-    shingles = idx_shingles.unionByName(base_b.distinct())
-    return jaccard_pairs(
-        spark, sf_dir, MINHASH_THRESHOLD, candidates=candidates, shingles=shingles
+    return probe_band_index(
+        spark,
+        sf_dir,
+        batch_buckets=buckets_b,
+        batch_shingles=base_b.distinct(),
+        index_buckets=idx_buckets,
+        index_shingles=idx_shingles,
     )
 
 

@@ -861,8 +861,13 @@ def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     b_o = orders.where(F.col("o_orderkey") % IVM_FACT_MOD != 0)
     d_c = cust.where(F.col("c_custkey") % IVM_DIM_MOD == 0)
     b_c = cust.where(F.col("c_custkey") % IVM_DIM_MOD != 0)
+    # broadcast ONLY the Δ-side frames (bounded by the day's arrivals);
+    # the base dim b_c is corpus-sized by contract — forcing it into a
+    # broadcast would OOM at a real dim size where an unhinted plan
+    # falls back to a shuffle join (round-9 review finding; at fixture
+    # scale AQE still picks broadcast for it on its own)
     return (
-        base_view.unionByName(proj(d_o, F.broadcast(b_c)))
+        base_view.unionByName(proj(d_o, b_c))
         .unionByName(proj(b_o, F.broadcast(d_c)))
         .unionByName(proj(d_o, F.broadcast(d_c)))
     )

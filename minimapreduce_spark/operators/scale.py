@@ -2245,12 +2245,13 @@ SKEW_TOP_N = 5
       FROM per_key
     )
     SELECT t.rnk, t.join_key, t.cnt,
-           CAST((t.cnt * 1000000) // g.total_rows AS BIGINT) AS share_ppm,
+           CAST((CAST(t.cnt AS HUGEINT) * 1000000) // g.total_rows AS BIGINT)
+             AS share_ppm,
            g.n_keys, g.total_rows, g.max_cnt,
-           CAST((g.max_cnt * g.n_keys * 100) // g.total_rows AS BIGINT)
-             AS skew_ratio_x100,
-           CAST((g.max_cnt * g.n_keys + g.total_rows - 1) // g.total_rows
-                AS BIGINT) AS recommended_salt
+           CAST((CAST(g.max_cnt AS HUGEINT) * g.n_keys * 100) // g.total_rows
+                AS BIGINT) AS skew_ratio_x100,
+           CAST((CAST(g.max_cnt AS HUGEINT) * g.n_keys + g.total_rows - 1)
+                // g.total_rows AS BIGINT) AS recommended_salt
     FROM top t, g WHERE t.rnk <= {SKEW_TOP_N}
     """,
 )
@@ -2301,16 +2302,22 @@ def join_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         top.crossJoin(F.broadcast(g))
         .selectExpr(
+            # wide intermediates in DECIMAL(38,0)/HUGEINT: max_cnt ×
+            # n_keys × 100 overflows BIGINT exactly in the extreme-skew
+            # regime this query diagnoses (round-9 review finding); the
+            # QUOTIENTS fit BIGINT by construction (ratio ≤ 100·n_keys,
+            # salt ≤ n_keys)
             "CAST(rnk AS BIGINT) AS rnk",
             "join_key",
             "CAST(cnt AS BIGINT) AS cnt",
-            "CAST((cnt * 1000000) DIV total_rows AS BIGINT) AS share_ppm",
+            "CAST((CAST(cnt AS DECIMAL(38,0)) * 1000000) DIV total_rows"
+            " AS BIGINT) AS share_ppm",
             "n_keys",
             "total_rows",
             "max_cnt",
-            "CAST((max_cnt * n_keys * 100) DIV total_rows AS BIGINT)"
-            " AS skew_ratio_x100",
-            "CAST((max_cnt * n_keys + total_rows - 1) DIV total_rows AS BIGINT)"
-            " AS recommended_salt",
+            "CAST((CAST(max_cnt AS DECIMAL(38,0)) * n_keys * 100)"
+            " DIV total_rows AS BIGINT) AS skew_ratio_x100",
+            "CAST((CAST(max_cnt AS DECIMAL(38,0)) * n_keys + total_rows - 1)"
+            " DIV total_rows AS BIGINT) AS recommended_salt",
         )
     )

@@ -93,6 +93,11 @@ def events_stream_sharded(
         import shutil
 
         os.makedirs(os.path.dirname(d), exist_ok=True)
+        # self-repair: a pre-atomic-publish crash may have left d
+        # non-empty WITHOUT _SUCCESS; rename would then fail forever
+        # and every session would replay the partial shard set
+        # (round-9 review finding) — clear the corpse first
+        shutil.rmtree(d, ignore_errors=True)
         stage = tempfile.mkdtemp(prefix="stream_shard_stage_", dir=os.path.dirname(d))
         spark.read.parquet(path).repartition(n_shards).write.mode(
             "overwrite"
@@ -360,6 +365,9 @@ def table_stream_sharded(
         import shutil
 
         os.makedirs(os.path.dirname(d), exist_ok=True)
+        # self-repair a crash-corpse dir lacking _SUCCESS (see the
+        # sharded-events site above)
+        shutil.rmtree(d, ignore_errors=True)
         stage = tempfile.mkdtemp(prefix="stream_tbl_stage_", dir=os.path.dirname(d))
         spark.read.parquet(path).repartition(n_shards).write.mode(
             "overwrite"

@@ -286,11 +286,12 @@ def stream_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from minimapreduce_spark.catalog import fan_out, load_table
     from minimapreduce_spark.operators.dedup import (
         INCR_BATCH_MOD,
-        MINHASH_THRESHOLD,
-        jaccard_pairs,
+        MINHASH_BUCKET_SCHEMA,
+        MINHASH_SHINGLE_SCHEMA,
         minhash_band_buckets,
         minhash_index_build,
         minhash_signatures,
+        probe_band_index,
         shingle_hashes,
     )
     from minimapreduce_spark.streaming.source import table_stream_sharded
@@ -309,10 +310,14 @@ def stream_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = spark.newSession()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    idx_buckets = spark.read.parquet(os.path.join(root, "buckets")).select(
-        "doc_id", F.col("band").cast("int").alias("band"), "bh"
+    idx_buckets = (
+        spark.read.schema(MINHASH_BUCKET_SCHEMA)
+        .parquet(os.path.join(root, "buckets"))
+        .select("doc_id", F.col("band").cast("int").alias("band"), "bh")
     )
-    idx_shingles = spark.read.parquet(os.path.join(root, "shingles"))
+    idx_shingles = spark.read.schema(MINHASH_SHINGLE_SCHEMA).parquet(
+        os.path.join(root, "shingles")
+    )
 
     work = os.path.join(
         tempfile.gettempdir(), "minimapreduce_dedup_probe", uuid.uuid4().hex
@@ -324,8 +329,7 @@ def stream_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in (out_dir, arrived_b, arrived_s):
         os.makedirs(d, exist_ok=True)
     n_batches = {"nonempty": 0}
-    bucket_schema = "doc_id bigint, band int, bh bigint"
-    shingle_schema = "doc_id bigint, h bigint"
+    arrived_bucket_schema = "doc_id bigint, band int, bh bigint"
     pair_schema = "doc_a bigint, doc_b bigint, n_common bigint, jaccard double"
 
     arrivals = table_stream_sharded(spark, sf_dir, "documents", n_shards=4).where(
@@ -344,31 +348,15 @@ def stream_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             minhash_signatures(s, sf_dir, shingles=base_s)
         ).localCheckpoint(eager=True)
         sh_s = base_s.distinct().localCheckpoint(eager=True)
-        prior_b = s.read.schema(bucket_schema).parquet(arrived_b)
-        prior_s = s.read.schema(shingle_schema).parquet(arrived_s)
-        all_b = (
-            idx_buckets.unionByName(prior_b)
-            .unionByName(buckets_s.select("doc_id", "band", "bh"))
-        )
-        cands = (
-            buckets_s.select(F.col("doc_id").alias("ba"), "band", "bh")
-            .join(
-                all_b.select(F.col("doc_id").alias("other"), "band", "bh"),
-                ["band", "bh"],
-            )
-            .where(F.col("ba") != F.col("other"))
-            .select(
-                F.least("ba", "other").alias("doc_a"),
-                F.greatest("ba", "other").alias("doc_b"),
-            )
-            .distinct()
-        )
-        pairs = jaccard_pairs(
+        pairs = probe_band_index(
             s,
             sf_dir,
-            MINHASH_THRESHOLD,
-            candidates=cands,
-            shingles=idx_shingles.unionByName(prior_s).unionByName(sh_s),
+            batch_buckets=buckets_s,
+            batch_shingles=sh_s,
+            index_buckets=idx_buckets,
+            index_shingles=idx_shingles,
+            prior_buckets=s.read.schema(arrived_bucket_schema).parquet(arrived_b),
+            prior_shingles=s.read.schema(MINHASH_SHINGLE_SCHEMA).parquet(arrived_s),
         )
         pairs.write.mode("append").parquet(out_dir)
         # admit this slice to the arrived store AFTER probing, so the

@@ -2588,3 +2588,43 @@ def test_star_components_path_and_twin_equality(spark):
     a = {tuple(r) for r in q.queries()["graph_components_star"](spark, SF_DIR).collect()}
     b = {tuple(r) for r in q.queries()["dedup_clusters"](spark, SF_DIR).collect()}
     assert a == b
+
+
+def test_minhash_index_probe_all_batch_corpus_and_root_keying(spark, tmp_path):
+    """Round-9 review findings, pinned: (a) a corpus whose EVERY doc is
+    in the arrival batch (all doc_id % INCR_BATCH_MOD == 0) publishes a
+    zero-row corpus index — the probe must return the batch-internal
+    near-dup pairs (explicit artifact-read schemas; previously an
+    'Unable to infer schema' crash); (b) the artifact root is keyed by
+    batch_mod, so two different corpus splits can never share (and
+    silently poison) one persisted index."""
+    import os
+
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.operators.dedup import minhash_index_root
+
+    rows = [
+        (
+            i * 10,
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            + ("varianta" if i % 2 else "variantb"),
+            "en",
+            "s",
+            60,
+        )
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    d = str(tmp_path / "allbatch")
+    os.makedirs(d)
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+    out = q.queries()["dedup_minhash_index_probe"](spark, d).toPandas()
+    # two byte-identical groups of 5 → C(5,2)·2 = 20 jaccard-1.0 pairs
+    assert len(out) == 20 and (out.jaccard == 1.0).all()
+
+    assert minhash_index_root(d, batch_mod=10) != minhash_index_root(
+        d, batch_mod=5
+    )

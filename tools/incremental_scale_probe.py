@@ -161,10 +161,20 @@ def main() -> None:
         t_persist = time.perf_counter() - t3
 
         t4 = time.perf_counter()
-        idx_buckets = spark.read.parquet(os.path.join(art, "buckets")).select(
-            "doc_id", F.col("band").cast("int").alias("band"), "bh"
+        from minimapreduce_spark.operators.dedup import (
+            MINHASH_BUCKET_SCHEMA,
+            MINHASH_SHINGLE_SCHEMA,
+            probe_band_index,
         )
-        idx_sh = spark.read.parquet(os.path.join(art, "shingles"))
+
+        idx_buckets = (
+            spark.read.schema(MINHASH_BUCKET_SCHEMA)
+            .parquet(os.path.join(art, "buckets"))
+            .select("doc_id", F.col("band").cast("int").alias("band"), "bh")
+        )
+        idx_sh = spark.read.schema(MINHASH_SHINGLE_SCHEMA).parquet(
+            os.path.join(art, "shingles")
+        )
         batch_docs = docs.where(is_batch)
         base_b = shingle_hashes(
             spark, BASE, distinct=False, docs=fan_out(spark, batch_docs)
@@ -172,24 +182,13 @@ def main() -> None:
         buckets_b = minhash_band_buckets(
             minhash_signatures(spark, BASE, shingles=base_b)
         ).localCheckpoint()
-        all_b = idx_buckets.unionByName(buckets_b.select("doc_id", "band", "bh"))
-        cand_srv = (
-            buckets_b.select(F.col("doc_id").alias("ba"), "band", "bh")
-            .join(all_b.select(F.col("doc_id").alias("other"), "band", "bh"),
-                  ["band", "bh"])
-            .where(F.col("ba") != F.col("other"))
-            .select(
-                F.least("ba", "other").alias("doc_a"),
-                F.greatest("ba", "other").alias("doc_b"),
-            )
-            .distinct()
-        )
-        pairs_srv = jaccard_pairs(
+        pairs_srv = probe_band_index(
             spark,
             BASE,
-            MINHASH_THRESHOLD,
-            candidates=cand_srv,
-            shingles=idx_sh.unionByName(base_b.distinct()),
+            batch_buckets=buckets_b,
+            batch_shingles=base_b.distinct(),
+            index_buckets=idx_buckets,
+            index_shingles=idx_sh,
         )
         n_pairs_srv = pairs_srv.count()
         t_served = time.perf_counter() - t4

@@ -34,7 +34,10 @@ QUERIES = ("stream_exactly_once_watermarked", "stream_sessions_timer_finalized")
 
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "hdfs"
-    extra = {}
+    # get_spark now DEFAULTS to RocksDB (the adoption this probe
+    # motivated), so the hdfs baseline must override it back
+    # explicitly — an empty extra_conf would silently measure RocksDB
+    # under the hdfs label (round-9 review finding)
     if mode == "rocksdb":
         extra = {
             "spark.sql.streaming.stateStore.providerClass": (
@@ -43,6 +46,13 @@ def main() -> None:
             ),
             "spark.sql.streaming.stateStore.rocksdb."
             "changelogCheckpointing.enabled": "true",
+        }
+    else:
+        extra = {
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming.state."
+                "HDFSBackedStateStoreProvider"
+            ),
         }
 
     from minimapreduce_spark import queries as q
