@@ -53,88 +53,99 @@ def register(name: str, oracle: str | None = None, bench: bool = False) -> Calla
 # rest follows in module registration order. tests/test_driver_contract.py
 # pins the rotation discipline.
 #
-# ROUND-9 ROTATION — FRESHNESS UNDER CLOSURE (continuing the round-8
-# discipline; both rules encoded in tests/test_driver_contract.py):
-#   (a) every round-9 registration leads the window (a new capability
-#       driver-verified beats any re-verification);
+# ROUND-10 ROTATION — FRESHNESS UNDER CLOSURE, NOW PIN-ROUNDED (the
+# round-8/9 discipline plus the structural fix the round-9 verdict
+# mandates; all rules encoded in tests/test_driver_contract.py):
+#   (a) every round-10 registration is SWAPPED in at the head as it
+#       registers (a new capability driver-verified beats any
+#       re-verification), displacing the LAST r03 canary below;
 #   (b) the remaining slots re-verify the queries whose last
 #       driver-hash verification is OLDEST — the staleness rule: no
 #       canary may be fresher than any non-window verified query
-#       (ties allowed). After round 8 the oldest cohorts are the 7
-#       r01-verified queries (eight rounds stale) and the 43
-#       r02-verified queries — together exactly 50. Round-9
-#       registrations swap in at the head, displacing r02 canaries
-#       from the tail (the r02 tie keeps the staleness rule green:
-#       freshest remaining canary == stalest query outside).
+#       (ties allowed). After round 9 the oldest cohorts are the 12
+#       r02-verified queries (eight rounds stale) and the 40
+#       r03-verified; 12 + 38 of the r03 cohort fill the canary
+#       slots (the r03 tie keeps the rule green either side of the
+#       cut).
+#   (c) WINDOW_PIN_ROUND below records WHEN this window was pinned:
+#       the staleness rule is evaluated against the artifact set that
+#       existed at pin time (rounds < pin), so the driver dropping
+#       CORRECTNESS_r10.json AFTER the final commit — the exact
+#       mechanism that turned rounds 8 and 9 red post-commit — can no
+#       longer fire the tripwire, while max(artifact round) <= pin
+#       still goes red if a LATER round forgets to rotate.
+
+# The round whose registrations lead the window == 1 + the newest
+# CORRECTNESS artifact at pin time. Bump this in the same commit that
+# rotates DRIVER_PRIORITY for the next round.
+WINDOW_PIN_ROUND: int = 10
+
 DRIVER_PRIORITY: list[str] = [
-    # -- round-9 registrations: every query new this round is SWAPPED
-    #    in at the head as it registers (rotation rule (a)), displacing
-    #    the LAST r02 canary below (the displaced canary ties at round 2
-    #    with the stalest query outside, so rule (b) stays green) --
-    "wordpiece_train_marked",
-    "wordpiece_apply_marked_stats",
-    "dedup_minhash_index_probe",
-    "stream_minhash_index_probe",
-    "privacy_dp_geometric_release",
-    "events_pattern_match",
-    "stream_scd2_band_history",
-    "ann_bq_hamming_topk",
-    "catalog_stats_lineitem",
-    "join_skew_diagnosis",
-    "incremental_join_view",
-    "graph_components_star",
-    # -- r01 staleness canaries: the 7 queries last driver-verified in
-    #    round 1, eight rounds stale — rotation rule (b) --
-    "agg_conditional_pivot",
-    "agg_corr_covar",
-    "agg_cube_orders",
-    "agg_distinct_priority",
-    "agg_mode_deterministic",
-    "filter_project",
-    "window_trailing_30d_spend",
-    # -- r02 staleness canaries: next-oldest cohort (43 total, exactly
-    #    filling the remaining slots at window-pin time; each round-9
-    #    registration displaces one from the tail — displaced queries
-    #    tie with the kept ones at round 2, so the staleness rule holds
-    #    either side of the cut) --
-    "abc_part_classification",
-    "agg_salted_skew",
-    "ann_cosine_topk",
-    "ann_ivf_int8_topk",
-    "ann_ivf_topk",
-    "basket_part_pairs",
-    "contamination_test_train",
-    "customer_rfm_segments",
-    "decimal_exact_revenue",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "doc_pair_cosine_tfidf",
-    "events_asof_join",
-    "events_markov_transitions",
-    "events_sessionization",
-    "fuzzy_join_blocked",
-    "gini_revenue_inequality",
-    "graph_triangle_count",
-    "histogram_equidepth_prices",
-    "merge_upsert_customers",
-    "multimodal_features",
-    "multimodal_ppm_decode",
-    "multimodal_wav_decode",
-    "null_semantics_agg",
-    "pack_token_batches",
-    "pareto_revenue_concentration",
-    "pysource_partitioned_scan",
+    # -- round-10 registrations lead (rotation rule (a)) --
+    "minhash_index_append_probe",
+    "catalog_stats_lineitem_prod",
+    # -- r02 staleness canaries: the 12 queries last driver-verified in
+    #    round 2, eight rounds stale — rotation rule (b) --
+    "q9_product_type_profit",
+    "sessions_peak_concurrency",
+    "stream_dedup_watermark",
+    "stream_session_window",
+    "text_bm25_topk",
+    "text_quality_score",
+    "text_tfidf_top_terms",
+    "text_unigram_logprob",
+    "ts_similarity_topk",
+    "udaf_weighted_discount",
+    "vocab_growth_curve",
+    "zorder_tile_stats",
+    # -- r03 staleness canaries: next-oldest cohort (40 total; the 38
+    #    alphabetically-first fill the remaining slots at pin time;
+    #    each round-10 registration displaces one from the tail —
+    #    displaced queries tie with the kept ones at round 3, so the
+    #    staleness rule holds either side of the cut) --
+    "agg_approx_sketch",
+    "agg_grouping_sets",
+    "agg_heavy_hitters_priority",
+    "ann_ivf_nprobe_topk",
+    "assign_training_shards",
+    "cogroup_customer_activity",
+    "curriculum_quality_buckets",
+    "dedup_canonical_by_quality",
+    "dedup_embedding_lsh",
+    "dedup_span_repeats",
+    "doc_fingerprint",
+    "embedding_kmeans_lloyd",
+    "embedding_quantize_int8",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "events_tumbling_hourly",
+    "gdpr_erase_cascade",
+    "join_bloom_pruned_revenue",
+    "join_shuffle_hash_revenue",
+    "multimodal_audio_windows",
+    "multimodal_png_decode",
+    "multimodal_resize",
+    "q20_excess_share_suppliers",
+    "q22_global_sales_opportunity",
+    "scd2_asof_lookup",
+    "session_top_paths",
+    "sort_nulls_ordering",
+    "source_mixture_weights",
+    "stream_tumbling_hourly",
+    "surrogate_keys_documents",
+    "text_collocations_pmi",
+    "text_langid",
+    "text_ttr_hapax",
+    "token_count_stats",
+    "try_arithmetic_semantics",
+    "udf_vectorized_sigmoid",
 ]
 
 
-# Queries registered AFTER the current (round-9) window was pinned. Any
-# new registration must be appended here in the same commit, so the
+# Queries registered AFTER the current (round-10) window was pinned.
+# Any new registration must be appended here in the same commit, so the
 # rotation test can distinguish "late, ledgered, pytest-oracle-verified"
-# from "missed". New round-9 flagships should instead be SWAPPED into
+# from "missed". New round-10 flagships should instead be SWAPPED into
 # the window, displacing a canary (a flagship driver-verified beats a
 # canary re-verified) — use this ledger only when the driver may
 # already have run.

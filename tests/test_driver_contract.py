@@ -84,67 +84,176 @@ def test_driver_priority_tier_leads_with_oracles():
     assert all(REGISTRY[n].oracle for n in names[:50])
 
 
-def _last_verified() -> dict[str, int]:
-    """name -> most recent round whose committed CORRECTNESS artifact
-    hash-verified it (r05 never landed; absent = never verified)."""
+def _artifact_rounds(repo: str = REPO) -> dict[int, dict]:
+    """round -> parsed CORRECTNESS artifact. Globs r* (not r0*): the
+    round-9 glob silently dropped two-digit rounds, which would have
+    frozen the staleness ledger at round 9 forever."""
     import glob
     import json
+    import re
 
+    arts: dict[int, dict] = {}
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", os.path.basename(path))
+        if m:
+            arts[int(m.group(1))] = json.load(open(path))
+    return arts
+
+
+def _last_verified(artifacts: dict[int, dict]) -> dict[str, int]:
+    """name -> most recent round whose artifact hash-verified it
+    (r05 never landed; absent = never verified)."""
     last: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))):
-        r = int(path.rsplit("_r", 1)[1][:2])
-        for name, row in json.load(open(path)).items():
+    for r, rows in artifacts.items():
+        for name, row in rows.items():
             if row.get("hash_match"):
                 last[name] = max(last.get(name, 0), r)
     return last
 
 
-def test_driver_priority_closes_coverage():
-    """Round-8 rotation — FRESHNESS under closure (round-7 closed
-    cumulative driver-hash coverage at the full registry, so the
-    window's job changes from closure to staleness rotation). Pins:
+def rotation_violations(
+    artifacts: dict[int, dict],
+    window: set[str],
+    registry: set[str],
+    late: set[str],
+    pin_round: int,
+) -> list[str]:
+    """The rotation-discipline rules as a pure function (so the
+    post-commit-artifact-drop scenario is itself testable). Staleness
+    is evaluated against the artifact set that EXISTED WHEN THE WINDOW
+    WAS PINNED (rounds < pin_round): the driver's own CORRECTNESS_rN
+    for the pinned round N lands after the final commit by
+    construction — it IS the window — and must not re-arm the
+    tripwire (the rounds-8/9 failure mode). A LATER round's artifact
+    (> pin_round) still fires: that means a round ended without
+    rotating.
 
-    - closure first: any registered query absent from EVERY committed
-      artifact must be in the window (new registrations lead);
-    - the staleness rule: every other window slot re-verifies a query
-      whose last verification is no FRESHER than that of any verified
-      query left outside the window (ties allowed — the r01 cohort is
-      45 queries for 44 slots);
-    - nothing registered falls outside window ∪ verified ∪
-      LATE_REGISTERED, and late registrations carry oracles."""
+    Returns a list of violation strings; empty = green."""
+    viol: list[str] = []
+    if artifacts and max(artifacts) > pin_round:
+        viol.append(
+            f"window pinned in round {pin_round} but a round-"
+            f"{max(artifacts)} artifact exists: the window was never "
+            f"rotated for the following round"
+        )
+    pinned = {r: a for r, a in artifacts.items() if r < pin_round}
+    last = _last_verified(pinned)
+    closure = registry - set(last) - late
+    if not closure <= window:
+        viol.append(
+            f"never-driver-verified queries missing from the window: "
+            f"{sorted(closure - window)}"
+        )
+    canaries = (window & registry) - closure
+    if not canaries <= set(last):
+        viol.append(
+            f"window slots that are neither closure nor previously "
+            f"verified: {sorted(canaries - set(last))}"
+        )
+        canaries &= set(last)
+    outside = {n: r for n, r in last.items() if n in registry and n not in window}
+    if canaries and outside:
+        stalest_out = min(outside.values())
+        freshest_in = max(last[c] for c in canaries)
+        if freshest_in > stalest_out:
+            viol.append(
+                f"staleness rule violated: a canary last verified in "
+                f"round {freshest_in} occupies a slot while a query "
+                f"last verified in round {stalest_out} waits outside"
+            )
+    if not late <= registry:
+        viol.append(f"LATE_REGISTERED names not registered: {sorted(late - registry)}")
+    if window & late:
+        viol.append(f"window ∩ LATE_REGISTERED non-empty: {sorted(window & late)}")
+    return viol
+
+
+def test_driver_priority_closes_coverage():
+    """Round-10 rotation — FRESHNESS under closure, PIN-ROUNDED (the
+    round-9 verdict's structural fix: rounds 8 and 9 both went red
+    post-commit when the driver dropped the pinned round's own
+    CORRECTNESS artifact, whose content is exactly the window). Pins:
+
+    - closure first: any query never verified by a PRE-PIN artifact
+      must be in the window (new registrations lead);
+    - the staleness rule over pre-pin artifacts: every canary slot
+      re-verifies a query whose last verification is no FRESHER than
+      that of any verified query left outside (ties allowed);
+    - the pin is current: an artifact from a round AFTER the pin means
+      a round ended without rotating — still red, so the rule is not
+      weakened, it just can't misfire on the by-design same-round drop;
+    - late registrations carry oracles."""
     import minimapreduce_spark.queries  # noqa: F401 — populate REGISTRY
     from minimapreduce_spark.registry import (
         DRIVER_PRIORITY,
         LATE_REGISTERED,
         REGISTRY,
+        WINDOW_PIN_ROUND,
     )
 
-    last = _last_verified()
-    window = set(DRIVER_PRIORITY)
-    closure = set(REGISTRY) - set(last) - set(LATE_REGISTERED)
-
-    assert closure <= window, (
-        f"never-driver-verified queries missing from the window: "
-        f"{sorted(closure - window)}"
+    viol = rotation_violations(
+        _artifact_rounds(),
+        set(DRIVER_PRIORITY),
+        set(REGISTRY),
+        set(LATE_REGISTERED),
+        WINDOW_PIN_ROUND,
     )
-    canaries = window - closure
-    assert canaries <= set(last), (
-        f"window slots that are neither closure nor previously verified: "
-        f"{sorted(canaries - set(last))}"
-    )
-    outside = {n: r for n, r in last.items() if n in REGISTRY and n not in window}
-    if canaries and outside:
-        stalest_out = min(outside.values())
-        freshest_in = max(last[c] for c in canaries)
-        assert freshest_in <= stalest_out, (
-            f"staleness rule violated: a canary last verified in round "
-            f"{freshest_in} occupies a slot while a query last verified "
-            f"in round {stalest_out} waits outside"
-        )
-    assert set(LATE_REGISTERED) <= set(REGISTRY)
-    assert window & set(LATE_REGISTERED) == set()
+    assert viol == [], "\n".join(viol)
     # late registrations still carry full pytest-oracle coverage
     assert all(REGISTRY[n].oracle for n in LATE_REGISTERED)
+
+
+def test_rotation_tripwire_survives_post_commit_artifact_drop():
+    """The round-9 verdict's done-criterion, simulated: after the final
+    commit the driver writes CORRECTNESS_r{pin} containing exactly the
+    window, all hash-matched. The tripwire must stay green on that
+    drop (rounds 8 and 9 went red on it), must stay green when the
+    drop is partial (driver errors on some queries), and must STILL go
+    red on the real violations — a later-round artifact with no
+    rotation, and a genuinely stale pin-time window."""
+    import minimapreduce_spark.queries  # noqa: F401 — populate REGISTRY
+    from minimapreduce_spark.registry import (
+        DRIVER_PRIORITY,
+        LATE_REGISTERED,
+        REGISTRY,
+        WINDOW_PIN_ROUND,
+    )
+
+    arts = _artifact_rounds()
+    window = set(DRIVER_PRIORITY)
+    reg, late = set(REGISTRY), set(LATE_REGISTERED)
+
+    # the window was green at pin time
+    assert rotation_violations(arts, window, reg, late, WINDOW_PIN_ROUND) == []
+
+    # 1. the drop: CORRECTNESS_r{pin} == the window, all green
+    drop = {n: {"hash_match": True} for n in DRIVER_PRIORITY}
+    with_drop = {**arts, WINDOW_PIN_ROUND: drop}
+    assert rotation_violations(with_drop, window, reg, late, WINDOW_PIN_ROUND) == []
+
+    # 2. a partial drop (driver hit errors) is equally harmless
+    partial = dict(list(drop.items())[:7])
+    assert (
+        rotation_violations(
+            {**arts, WINDOW_PIN_ROUND: partial}, window, reg, late, WINDOW_PIN_ROUND
+        )
+        == []
+    )
+
+    # 3. NOT weakened: a later-round artifact with the window never
+    #    rotated (pin not bumped) goes red
+    next_round = {**with_drop, WINDOW_PIN_ROUND + 1: drop}
+    viol = rotation_violations(next_round, window, reg, late, WINDOW_PIN_ROUND)
+    assert any("never rotated" in v for v in viol), viol
+
+    # 4. NOT weakened: a genuinely stale window at pin time goes red —
+    #    re-pinning the same window for the next round without rotating
+    #    makes its canaries round-{pin} fresh while pre-pin cohorts
+    #    wait outside
+    viol = rotation_violations(
+        next_round, window, reg, late, WINDOW_PIN_ROUND + 1
+    )
+    assert any("staleness rule violated" in v for v in viol), viol
 
 
 def test_bench_final_line_fits_driver_tail_buffer():

@@ -93,9 +93,11 @@ REPRESENTATIVE = [
     "stream_scd2_band_history",
     "ann_bq_hamming_topk",
     "catalog_stats_lineitem",
+    "catalog_stats_lineitem_prod",
     "join_skew_diagnosis",
     "incremental_join_view",
     "graph_components_star",
+    "minhash_index_append_probe",
 ]
 
 

@@ -214,8 +214,10 @@ CANDIDATES = [
     # integer end to end, must be width-invariant
     "ann_bq_hamming_topk",
     # catalog stats: the melt + bucketed bottom-K must be layout-free
-    # (KMV bottom-K is a set operation; counts/min/max algebraic)
+    # (KMV bottom-K is a set operation; counts/min/max algebraic) —
+    # both hash lanes
     "catalog_stats_lineitem",
+    "catalog_stats_lineitem_prod",
     # skew diagnosis: count agg + TakeOrdered + broadcast census —
     # pure integers, must be width-invariant
     "join_skew_diagnosis",

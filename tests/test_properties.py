@@ -878,6 +878,37 @@ def test_catalog_stats_analyze_contracts(spark):
     assert stats["l_linestatus"].n_distinct <= 2
 
 
+def test_catalog_stats_prod_lane_matches_md5_twin_exactly(spark):
+    """The production-hash ANALYZE lane (`catalog_stats_lineitem_prod`,
+    round-9 verdict item 4) must agree with the portable-md5 twin on
+    EVERY exact column — n_rows, n_nulls, n_distinct, min_v, max_v —
+    because the two lanes share the melt and differ only in the sketch
+    hash; and every ndv_within_tol bit must be TRUE (the self-check
+    the driver oracle pins): the xxhash-KMV estimate at K=256 sits
+    within the 25% ≈ 4σ band on every fixture column, deterministically
+    (fixed hash, no RNG)."""
+    from minimapreduce_spark import queries as q
+    from tests.conftest import SF_DIR
+
+    md5 = (
+        q.queries()["catalog_stats_lineitem"](spark, SF_DIR)
+        .toPandas()
+        .set_index("column_name")
+        .sort_index()
+    )
+    prod = (
+        q.queries()["catalog_stats_lineitem_prod"](spark, SF_DIR)
+        .toPandas()
+        .set_index("column_name")
+        .sort_index()
+    )
+    exact_cols = ["n_rows", "n_nulls", "n_distinct", "min_v", "max_v"]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(md5[exact_cols], prod[exact_cols])
+    assert prod["ndv_within_tol"].all(), prod[~prod["ndv_within_tol"]]
+
+
 def test_skew_diagnosis_planted_hot_key(spark, tmp_path):
     """The skew readout, planted: a fact table where key 7 holds 900 of
     1000 rows and 100 keys hold 1 each must report key 7 at rank 1 with
