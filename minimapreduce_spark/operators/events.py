@@ -1147,3 +1147,94 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_funnel_path"),
     )
     return out.where((F.col("n_activation") > 0) | (F.col("n_funnel_path") > 0))
+
+
+@register(
+    "events_pattern_match_windowed",
+    bench=True,
+    oracle=f"""
+    WITH coded AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, ts, event_id,
+             CASE event_type
+               WHEN 'signup' THEN 'S' WHEN 'view' THEN 'V'
+               WHEN 'click' THEN 'C' WHEN 'purchase' THEN 'P'
+               WHEN 'error' THEN 'E' ELSE 'X' END AS code
+      FROM events
+    ),
+    seqs AS (
+      SELECT user_id, day,
+             string_agg(code, '' ORDER BY ts, event_id) AS seq,
+             count(*) AS n_events
+      FROM coded GROUP BY user_id, day
+    )
+    SELECT user_id, day,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(seq, '{PATTERN_ACTIVATION}'))
+                AS BIGINT) AS n_activation,
+           CAST(len(regexp_extract_all(seq, '{PATTERN_FUNNEL_PATH}'))
+                AS BIGINT) AS n_funnel_path
+    FROM seqs
+    WHERE len(regexp_extract_all(seq, '{PATTERN_ACTIVATION}')) > 0
+       OR len(regexp_extract_all(seq, '{PATTERN_FUNNEL_PATH}')) > 0
+    """,
+)
+def events_pattern_match_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-PATTERN MATCHING, WINDOWED PER (user, day) — the deployment
+    shape `events_pattern_match`'s scale note names, now the verified
+    one (round-9 verdict item 6): the per-user history string there is
+    bounded only by per-user activity, so a 100 TB run windows the
+    history FIRST — the same groupBy with a calendar-day key added —
+    and every state string is bounded by one user-day of events. The
+    patterns, encoding, and (ts, event_id) total order are byte-shared
+    with the unwindowed twin; only the grouping key differs, which is
+    exactly the claim ("this plan inherits unchanged") made verifiable.
+
+    Semantics consequence, pinned in pytest with a planted straddle: a
+    match whose span crosses midnight (signup 23:50, purchase 00:10)
+    counts in the UNWINDOWED twin but NOT here — windowed
+    MATCH_RECOGNIZE is per-window by definition (Flink CEP within-
+    window semantics), the price of bounded state; deployments pick
+    the window (day/session) to cover the pattern's natural horizon.
+
+    Exactness: the day key is the NTZ timestamp's calendar date as a
+    string — both engines derive it from the same wall-clock value
+    with no zone arithmetic (the session pins UTC).
+
+    Scale posture: one shuffle on (user_id, day) — finer than the
+    twin's user_id, so hot users spread across days; per-group state
+    is one bounded day-string; the regex scan stays linear and
+    embarrassingly parallel. No reference analog (SURVEY §2c)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    code = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in PATTERN_CODES.items() for x in kv]
+        ),
+        F.col("event_type"),
+    )
+    coded = ev.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.struct(
+            F.col("ts").alias("ts"),
+            F.col("event_id").alias("eid"),
+            F.coalesce(code, F.lit("X")).alias("code"),
+        ).alias("s"),
+    )
+    seqs = coded.groupBy("user_id", "day").agg(
+        F.concat_ws(
+            "", F.transform(F.array_sort(F.collect_list("s")), lambda s: s["code"])
+        ).alias("seq"),
+        F.count("*").alias("n_events"),
+    )
+    out = seqs.select(
+        "user_id",
+        "day",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.regexp_count("seq", F.lit(PATTERN_ACTIVATION))
+        .cast("bigint")
+        .alias("n_activation"),
+        F.regexp_count("seq", F.lit(PATTERN_FUNNEL_PATH))
+        .cast("bigint")
+        .alias("n_funnel_path"),
+    )
+    return out.where((F.col("n_activation") > 0) | (F.col("n_funnel_path") > 0))

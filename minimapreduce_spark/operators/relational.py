@@ -871,3 +871,117 @@ def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(proj(b_o, F.broadcast(d_c)))
         .unionByName(proj(d_o, F.broadcast(d_c)))
     )
+
+
+IVM_UPD_MOD = 7  # base customers with c_custkey % 7 == 0 → segment updated today
+IVM_DEL_MOD = 11  # base customers with c_custkey % 11 == 0 → deleted today
+IVM_UPD_SEGMENT = "REPRICED"  # the updated rows' new c_mktsegment value
+
+
+@register(
+    "incremental_join_view_upserts",
+    oracle=f"""
+    WITH cust_final AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % {IVM_DIM_MOD} <> 0
+                   AND c_custkey % {IVM_DEL_MOD} <> 0
+                   AND c_custkey % {IVM_UPD_MOD} = 0
+                  THEN '{IVM_UPD_SEGMENT}' ELSE c_mktsegment END AS c_mktsegment
+      FROM customer
+      WHERE NOT (c_custkey % {IVM_DIM_MOD} <> 0
+                 AND c_custkey % {IVM_DEL_MOD} = 0)
+    )
+    SELECT o_orderkey, o_custkey, c_mktsegment,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+    FROM orders JOIN cust_final ON o_custkey = c_custkey
+    """,
+)
+def incremental_join_view_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM WITH UPDATE/DELETE DELTAS — the tombstone discipline
+    `incremental_join_view`'s docstring names, now composed into the
+    same delta-join identity (round-9 verdict item 5): real dimension
+    tables don't only gain rows, they update and delete, and an update
+    delta IS a delete tombstone plus an insert — exactly how
+    `stream_scd2_band_history` closes a version and opens the next.
+
+    The day's dimension changes, all modular stand-ins on the BASE
+    customers (c_custkey % DIM_MOD != 0, the rows the artifact was
+    built on):
+      - DELETE:  c_custkey % {IVM_DEL_MOD} == 0 → tombstone only;
+      - UPDATE:  c_custkey % {IVM_UPD_MOD} == 0 (and not deleted) →
+                 tombstone(old row) + insert(row with c_mktsegment =
+                 '{IVM_UPD_SEGMENT}');
+      - INSERT:  the `incremental_join_view` arrivals
+                 (c_custkey % DIM_MOD == 0), unchanged.
+    Fact-side arrivals (ΔA: o_orderkey % FACT_MOD == 0) compose
+    unchanged.
+
+    Maintenance, term by term (V = A⋈B is the persisted artifact):
+      1. V ⟕̸ tombstone-keys (LEFT ANTI on o_custkey) — subtracts
+         A⋈Δ⁻B without recomputing anything: each fact row joins
+         exactly one dim row, so the tombstoned view rows are exactly
+         the anti-join's complement;
+      2. + A ⋈ Δ⁺B (base facts × broadcast insert-set: updated rows'
+         new versions ∪ today's onboards) — the updated customers'
+         orders REAPPEAR here with the new segment;
+      3. + ΔA ⋈ B_final (arrival facts × the dim's end-of-day state).
+    The three terms partition the output (pytest-pinned): term 1 is
+    base facts with un-touched customers, term 2 base facts with
+    touched-surviving customers, term 3 arrival facts.
+
+    The oracle is the full recompute against the dim's final state —
+    maintenance ≡ recompute, the IVM correctness contract, now under
+    deletes and updates.
+
+    Scale posture: tombstone keys and Δ⁺ rows are bounded by the day's
+    dim churn — both broadcast; the anti-join rewrites nothing (at
+    100 TB it lands as a broadcast-anti over the artifact scan, or a
+    partition-pruned delete-vector write in a table format). ΔA⋈B_final
+    is the same honest fact-arrival term as the insert-only query. The
+    view artifact itself stays immutable — tombstones compose at read
+    time until the next base rebuild folds them in, the classic
+    merge-on-read discipline."""
+    root = join_view_build(spark, sf_dir)
+    base_view = spark.read.parquet(os.path.join(root, "view"))
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    is_ins = ck % IVM_DIM_MOD == 0
+    is_del = (~is_ins) & (ck % IVM_DEL_MOD == 0)
+    is_upd = (~is_ins) & (~is_del) & (ck % IVM_UPD_MOD == 0)
+
+    tomb_keys = cust.where(is_del | is_upd).select("c_custkey")
+    plus_c = (
+        cust.where(is_upd)
+        .withColumn("c_mktsegment", F.lit(IVM_UPD_SEGMENT))
+        .unionByName(cust.where(is_ins))
+    )
+    # the dim's end-of-day state: base minus deletes, updates rewritten,
+    # plus onboards — corpus-sized, so never force-broadcast
+    b_c_final = (
+        cust.where(~is_ins & ~is_del)
+        .withColumn(
+            "c_mktsegment",
+            F.when(is_upd, F.lit(IVM_UPD_SEGMENT)).otherwise(F.col("c_mktsegment")),
+        )
+        .unionByName(cust.where(is_ins))
+    )
+
+    proj = lambda o, c: o.join(c, o.o_custkey == c.c_custkey).select(  # noqa: E731
+        "o_orderkey",
+        "o_custkey",
+        "c_mktsegment",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    b_o = orders.where(F.col("o_orderkey") % IVM_FACT_MOD != 0)
+    d_o = orders.where(F.col("o_orderkey") % IVM_FACT_MOD == 0)
+    return (
+        base_view.join(
+            F.broadcast(tomb_keys),
+            base_view["o_custkey"] == tomb_keys["c_custkey"],
+            "left_anti",
+        )
+        .unionByName(proj(b_o, F.broadcast(plus_c)))
+        .unionByName(proj(d_o, b_c_final))
+    )

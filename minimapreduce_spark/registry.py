@@ -84,6 +84,8 @@ DRIVER_PRIORITY: list[str] = [
     # -- round-10 registrations lead (rotation rule (a)) --
     "minhash_index_append_probe",
     "catalog_stats_lineitem_prod",
+    "incremental_join_view_upserts",
+    "events_pattern_match_windowed",
     # -- r02 staleness canaries: the 12 queries last driver-verified in
     #    round 2, eight rounds stale — rotation rule (b) --
     "q9_product_type_profit",
@@ -137,8 +139,6 @@ DRIVER_PRIORITY: list[str] = [
     "text_langid",
     "text_ttr_hapax",
     "token_count_stats",
-    "try_arithmetic_semantics",
-    "udf_vectorized_sigmoid",
 ]
 
 

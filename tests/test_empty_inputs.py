@@ -90,12 +90,14 @@ REPRESENTATIVE = [
     "stream_minhash_index_probe",
     "privacy_dp_geometric_release",
     "events_pattern_match",
+    "events_pattern_match_windowed",
     "stream_scd2_band_history",
     "ann_bq_hamming_topk",
     "catalog_stats_lineitem",
     "catalog_stats_lineitem_prod",
     "join_skew_diagnosis",
     "incremental_join_view",
+    "incremental_join_view_upserts",
     "graph_components_star",
     "minhash_index_append_probe",
 ]

@@ -149,3 +149,63 @@ def test_pattern_match_negation_and_overlap_semantics(spark, tmp_path):
     assert out[5] == (0, 1)
     assert 6 not in out, out.get(6)  # V,E,C,P: error inside the path
     assert 7 not in out
+
+
+def test_pattern_match_windowed_cross_window_nonmatch(spark, tmp_path):
+    """The windowed variant's defining semantics difference, planted
+    (the round-9 verdict's done-criterion): a signup at 23:50 and a
+    purchase at 00:10 the NEXT day match the UNWINDOWED pattern query
+    but NOT the per-(user, day) windowed one — windowed
+    MATCH_RECOGNIZE never matches across window boundaries. A second
+    user whose whole S→P span sits inside one day matches BOTH, with
+    the day key correct; and a user with matches on TWO days gets two
+    windowed rows where the unwindowed twin collapses them to one."""
+    import datetime as dt
+    import os
+
+    from minimapreduce_spark import queries as q
+
+    names = {"S": "signup", "V": "view", "C": "click",
+             "P": "purchase", "E": "error"}
+
+    def ev_row(eid, t, user, c):
+        return (eid, t, user, names[c], 1.0, "{}")
+
+    data = [
+        # user 1: straddles midnight — S 23:50 Jan 1, P 00:10 Jan 2
+        ev_row(1001, dt.datetime(2024, 1, 1, 23, 50), 1, "S"),
+        ev_row(1002, dt.datetime(2024, 1, 2, 0, 10), 1, "P"),
+        # user 2: S→P inside Jan 3
+        ev_row(2001, dt.datetime(2024, 1, 3, 9, 0), 2, "S"),
+        ev_row(2002, dt.datetime(2024, 1, 3, 9, 30), 2, "P"),
+        # user 3: one clean activation on Jan 1 AND one on Jan 2
+        ev_row(3001, dt.datetime(2024, 1, 1, 8, 0), 3, "S"),
+        ev_row(3002, dt.datetime(2024, 1, 1, 9, 0), 3, "P"),
+        ev_row(3003, dt.datetime(2024, 1, 2, 8, 0), 3, "S"),
+        ev_row(3004, dt.datetime(2024, 1, 2, 9, 0), 3, "P"),
+    ]
+    ev = spark.createDataFrame(
+        data,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "pmw_plant")
+    os.makedirs(d)
+    ev.write.parquet(os.path.join(d, "events.parquet"))
+
+    unwindowed = {
+        r.user_id: r.n_activation
+        for r in q.queries()["events_pattern_match"](spark, d).collect()
+    }
+    windowed = {
+        (r.user_id, r.day): r.n_activation
+        for r in q.queries()["events_pattern_match_windowed"](spark, d).collect()
+    }
+    assert unwindowed[1] == 1  # full history sees the straddle
+    assert not any(u == 1 for u, _ in windowed)  # per-day does not
+    assert unwindowed[2] == 1
+    assert windowed[(2, "2024-01-03")] == 1
+    assert unwindowed[3] == 2  # collapsed into one per-user row
+    assert windowed[(3, "2024-01-01")] == 1
+    assert windowed[(3, "2024-01-02")] == 1
+    assert len([1 for u, _ in windowed if u == 3]) == 2

@@ -207,6 +207,7 @@ CANDIDATES = [
     # pattern match: per-user string encode sorts inside array_sort
     "privacy_dp_geometric_release",
     "events_pattern_match",
+    "events_pattern_match_windowed",
     # streaming SCD2: the per-batch island kernel windows by user —
     # the drained chain must be layout-free
     "stream_scd2_band_history",
@@ -222,8 +223,10 @@ CANDIDATES = [
     # pure integers, must be width-invariant
     "join_skew_diagnosis",
     # delta-join IVM: artifact scan + three broadcast joins —
-    # the maintained view must not depend on layout
+    # the maintained view must not depend on layout (both the
+    # insert-only and the tombstone variant)
     "incremental_join_view",
+    "incremental_join_view_upserts",
     # star components: per-round min aggregations + structural
     # convergence — the star forest must be layout-free
     "graph_components_star",

@@ -140,3 +140,76 @@ def test_incremental_join_view_terms_disjoint_and_artifact(spark, tmp_path):
     assert plan.count("BroadcastHashJoin") == 3
     # and the maintained-view predicates really partition the space
     assert IVM_FACT_MOD != IVM_DIM_MOD
+
+
+def test_incremental_join_view_upserts_tombstones(spark):
+    """The update/delete IVM contracts (`incremental_join_view_upserts`
+    — the round-9 verdict's tombstone extension): (a) maintenance ≡
+    full recompute against the dim's END-OF-DAY state; (b) the three
+    terms partition the output — no view row is produced twice
+    (o_orderkey unique); (c) the tombstone semantics, spot-pinned on
+    real keys: a DELETED customer's orders vanish from the maintained
+    view entirely (base and arrival facts alike), an UPDATED
+    customer's base orders reappear exactly once with the new segment
+    (tombstone + insert = update), and untouched customers' rows pass
+    through from the artifact byte-identically; (d) the maintenance
+    plan reads the base view from the artifact and applies the
+    tombstones as a broadcast ANTI join — never a base-view rewrite."""
+    from pyspark.sql import functions as F
+
+    from minimapreduce_spark import plans
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.catalog import load_table
+    from minimapreduce_spark.operators.relational import (
+        IVM_DEL_MOD,
+        IVM_DIM_MOD,
+        IVM_UPD_MOD,
+        IVM_UPD_SEGMENT,
+    )
+    from tests.conftest import SF_DIR
+
+    out = q.queries()["incremental_join_view_upserts"](spark, SF_DIR).toPandas()
+
+    # (a) ≡ recompute against the final dim state
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer")
+    ck = F.col("c_custkey")
+    is_ins = ck % IVM_DIM_MOD == 0
+    is_del = (~is_ins) & (ck % IVM_DEL_MOD == 0)
+    is_upd = (~is_ins) & (~is_del) & (ck % IVM_UPD_MOD == 0)
+    final_c = c.where(~is_del).withColumn(
+        "c_mktsegment",
+        F.when(is_upd, F.lit(IVM_UPD_SEGMENT)).otherwise(F.col("c_mktsegment")),
+    )
+    full = (
+        o.join(final_c, o.o_custkey == final_c.c_custkey)
+        .select(
+            "o_orderkey", "o_custkey", "c_mktsegment",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+        )
+        .toPandas()
+    )
+    assert set(map(tuple, out.itertuples(index=False))) == set(
+        map(tuple, full.itertuples(index=False))
+    )
+    # (b) exactly-once production
+    assert out["o_orderkey"].is_unique
+
+    # (c) planted semantics on real fixture keys
+    custs = {r.c_custkey for r in c.select("c_custkey").collect()}
+    deleted = [k for k in custs if k % IVM_DIM_MOD and k % IVM_DEL_MOD == 0]
+    updated = [
+        k
+        for k in custs
+        if k % IVM_DIM_MOD and k % IVM_DEL_MOD and k % IVM_UPD_MOD == 0
+    ]
+    assert deleted and updated, "fixture must exercise both delta kinds"
+    assert not set(out[out.o_custkey.isin(deleted)].o_orderkey)
+    upd_rows = out[out.o_custkey.isin(updated)]
+    if len(upd_rows):
+        assert (upd_rows.c_mktsegment == IVM_UPD_SEGMENT).all()
+
+    # (d) artifact + broadcast anti-join, no rewrite
+    plan = plans.simple_plan(q.queries()["incremental_join_view_upserts"](spark, SF_DIR))
+    assert "minimapreduce_joinview_" in plan
+    assert "LeftAnti" in plan and "Broadcast" in plan
