@@ -37,6 +37,29 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def content_fingerprint(path: str) -> str:
+    """Cheap content fingerprint for artifact-root keys (the
+    write-once index/view caches): for a bare parquet file,
+    ``mtime_ns|size``; for a DIRECTORY table (Spark writes tables as
+    directories whose top-level stat's st_size reflects the dirent,
+    not the data — round-9 ADVICE), the file count, total byte size
+    and max mtime_ns over the contained data files, so rewriting any
+    data file in place rotates every derived artifact root."""
+    st = os.stat(path)
+    if not os.path.isdir(path):
+        return f"{st.st_mtime_ns}|{st.st_size}"
+    n, total, mt = 0, 0, 0
+    for dirpath, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith((".", "_")):
+                continue  # _SUCCESS / hidden CRCs carry no content
+            fst = os.stat(os.path.join(dirpath, f))
+            n += 1
+            total += fst.st_size
+            mt = max(mt, fst.st_mtime_ns)
+    return f"d{n}|{total}|{mt}"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Keep this the single entry point for scans so the
     whole engine inherits any source-level change (format, bucketing,

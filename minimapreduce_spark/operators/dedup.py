@@ -225,9 +225,10 @@ def corpus_effectively_dup_free(spark: SparkSession, sf_dir: str) -> bool:
     once. Nulls hash to null, which count(distinct) skips — a null-text
     corpus therefore reads as duplicated and conservatively keeps the
     grouped path (groupBy treats all nulls as one group, matching)."""
+    from minimapreduce_spark.catalog import content_fingerprint
+
     path = os.path.abspath(table_path(sf_dir, "documents"))
-    st = os.stat(path)
-    key = (path, st.st_mtime_ns, st.st_size)
+    key = (path, content_fingerprint(path))
     if key not in _DUP_PROBE_CACHE:
         n, nd = (
             load_table(spark, sf_dir, "documents")
@@ -665,11 +666,13 @@ MINHASH_BUCKET_SCHEMA = "doc_id bigint, bh bigint, band int"
 MINHASH_SHINGLE_SCHEMA = "doc_id bigint, h bigint"
 
 
-def minhash_index_root(sf_dir: str, batch_mod: int = None) -> str:
+def minhash_index_root(sf_dir: str, batch_mod: int | None = None) -> str:
     """Deterministic on-disk location of the persisted MinHash band
     index for a fixture dir — the `ivfpq_index_root` discipline applied
     to the dedup family: keyed by the ABSOLUTE fixture path plus the
-    documents table's CONTENT FINGERPRINT (st_mtime_ns, st_size) plus
+    documents table's CONTENT FINGERPRINT (`content_fingerprint`:
+    mtime+size for a bare file, data-file census for a directory
+    table — round-9 ADVICE) plus
     the corpus-split parameter ``batch_mod`` (two different splits must
     never share one artifact — round-9 review finding), so a
     regenerated fixture gets a fresh root instead of silently probing a
@@ -679,14 +682,12 @@ def minhash_index_root(sf_dir: str, batch_mod: int = None) -> str:
     import hashlib
     import tempfile
 
-    from minimapreduce_spark.catalog import table_path
+    from minimapreduce_spark.catalog import content_fingerprint, table_path
 
     if batch_mod is None:
         batch_mod = INCR_BATCH_MOD
-    st = os.stat(table_path(sf_dir, "documents"))
-    key = (
-        f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}|m{batch_mod}"
-    )
+    fp = content_fingerprint(table_path(sf_dir, "documents"))
+    key = f"{os.path.abspath(sf_dir)}|{fp}|m{batch_mod}"
     tag = hashlib.sha256(key.encode()).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), f"minimapreduce_minhash_{tag}")
 

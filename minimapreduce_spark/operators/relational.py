@@ -772,12 +772,11 @@ def join_view_root(sf_dir: str) -> str:
     import hashlib
     import tempfile
 
-    from minimapreduce_spark.catalog import table_path
+    from minimapreduce_spark.catalog import content_fingerprint, table_path
 
     parts = [os.path.abspath(sf_dir)]
     for t in ("orders", "customer"):
-        st = os.stat(table_path(sf_dir, t))
-        parts.append(f"{st.st_mtime_ns}|{st.st_size}")
+        parts.append(content_fingerprint(table_path(sf_dir, t)))
     tag = hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), f"minimapreduce_joinview_{tag}")
 

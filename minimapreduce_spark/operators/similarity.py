@@ -2604,7 +2604,7 @@ def ann_ivfpq_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivfpq_index_root(sf_dir: str) -> str:
     """Deterministic on-disk location of the persisted IVF-PQ index for
     a fixture dir: keyed by the ABSOLUTE fixture path plus the
-    embeddings table's CONTENT FINGERPRINT (st_mtime_ns, st_size — the
+    embeddings table's CONTENT FINGERPRINT (`content_fingerprint` — the
     `table_stream_sharded` staging-key discipline), so a regenerated
     fixture at the same path gets a fresh root instead of silently
     serving the stale index (round-8 ADVICE). NOT session-keyed — the
@@ -2615,10 +2615,10 @@ def ivfpq_index_root(sf_dir: str) -> str:
     import hashlib
     import tempfile
 
-    from minimapreduce_spark.catalog import table_path
+    from minimapreduce_spark.catalog import content_fingerprint, table_path
 
-    st = os.stat(table_path(sf_dir, "embeddings"))
-    key = f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}"
+    fp = content_fingerprint(table_path(sf_dir, "embeddings"))
+    key = f"{os.path.abspath(sf_dir)}|{fp}"
     tag = hashlib.sha256(key.encode()).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), f"minimapreduce_ivfpq_{tag}")
 

@@ -77,3 +77,33 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+_NARROW_CLONES: dict[tuple[str, int], SparkSession] = {}
+
+
+def narrow_clone(spark: SparkSession, shuffle_partitions: int) -> SparkSession:
+    """ONE cached narrowed-shuffle-width session clone per
+    (SparkContext, width) — the streaming queries that size their
+    state/commit fan-out to per-batch volume (exactly-once ingest,
+    SCD2 history, streaming index probe) share a clone instead of
+    each invocation leaking a fresh ``newSession()`` into a
+    long-lived driver (round-9 ADVICE). The clone shares the
+    SparkContext but has an isolated SQLConf, so the narrow width
+    can never bleed into the caller's session mid-drain (the
+    round-8 scoping fix, preserved).
+
+    Cross-session frame-mixing note for callers: DataFrames built on
+    the clone (e.g. artifact index frames) may be combined inside a
+    ``foreachBatch`` body with the micro-batch frame, which technically
+    belongs to the streaming runtime's own session — legal because
+    both resolve against the same SparkContext/catalog, an assumption
+    current Spark upholds for same-context sessions."""
+    key = (spark.sparkContext.applicationId, shuffle_partitions)
+    s = _NARROW_CLONES.get(key)
+    if s is None:
+        s = spark.newSession()
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        s.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        _NARROW_CLONES[key] = s
+    return s

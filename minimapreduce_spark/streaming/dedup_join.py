@@ -223,16 +223,15 @@ def stream_exactly_once_watermarked(spark: SparkSession, sf_dir: str) -> DataFra
     discipline: state shards scale with streaming throughput, not with
     the cluster's batch-shuffle width; SCALING.md carries the per-batch
     timing table."""
-    # Scope the state-partition override to a CLONED session (shares
-    # the SparkContext; isolated SQLConf), so nothing else running on
-    # the caller's session concurrently can inherit the 8-partition
-    # setting mid-drain (round-8 ADVICE) — the previous form mutated
-    # the session-global conf for the drain window.
-    s2 = spark.newSession()
-    s2.conf.set("spark.sql.session.timeZone", "UTC")
-    s2.conf.set(
-        "spark.sql.shuffle.partitions", str(EXACTLY_ONCE_STATE_PARTITIONS)
-    )
+    # Scope the state-partition override to the CACHED per-(context,
+    # width) session clone (shares the SparkContext; isolated SQLConf),
+    # so nothing else running on the caller's session concurrently can
+    # inherit the 8-partition setting mid-drain (round-8 ADVICE), and
+    # repeated invocations reuse one clone instead of leaking sessions
+    # (round-9 ADVICE; session.narrow_clone).
+    from minimapreduce_spark.session import narrow_clone
+
+    s2 = narrow_clone(spark, EXACTLY_ONCE_STATE_PARTITIONS)
     drained = run_to_memory(
         exactly_once_watermarked_plan(s2, sf_dir),
         "stream_exactly_once_watermarked",

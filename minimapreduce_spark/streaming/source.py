@@ -17,9 +17,45 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from minimapreduce_spark.catalog import table_path
+from minimapreduce_spark.catalog import content_fingerprint, table_path
 
 _SINK_IDS = itertools.count()
+
+
+def _publish_shards(spark: SparkSession, src_path: str, d: str, n_shards: int) -> None:
+    """Shared atomic shard publish for the two staged stream sources:
+    write ``n_shards`` parquet files to a private stage and os.rename
+    into ``d``; the rename loser discards its stage, so racing sessions
+    share one shard set and a reader never observes a half-written one.
+
+    Self-repair (a pre-atomic-publish crash leaves ``d`` without
+    _SUCCESS, making the rename fail forever): the corpse is renamed
+    ASIDE to a unique junk path, never rmtree'd in place — between the
+    caller's _SUCCESS check and here a concurrent session may have
+    atomically published ``d``, and deleting would tear down a valid
+    just-published shard set under a draining reader (round-9 ADVICE
+    TOCTOU). _SUCCESS is re-checked immediately before the move: if it
+    appeared, the publish is done and this is a no-op; if the tiny
+    remaining window still moves a winner aside, its content survives
+    at the junk path and the re-publish below restores byte-identical
+    shards (the staging key pins the source content)."""
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    if os.path.exists(os.path.join(d, "_SUCCESS")):
+        return  # a racer finished the publish between check and repair
+    if os.path.exists(d):
+        junk = tempfile.mkdtemp(prefix="corpse_", dir=os.path.dirname(d))
+        try:
+            os.rename(d, os.path.join(junk, "moved"))
+        except OSError:
+            pass  # the racer's rename beat ours; fall through to publish
+    stage = tempfile.mkdtemp(prefix="stream_shard_stage_", dir=os.path.dirname(d))
+    spark.read.parquet(src_path).repartition(n_shards).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    try:
+        os.rename(stage, d)
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)  # lost the race
 
 
 def _stage_dir(parquet_file: str) -> str:
@@ -77,35 +113,19 @@ def events_stream_sharded(
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = table_path(sf_dir, "events")
-    # The staging key includes the source's (mtime_ns, size) so a
+    # The staging key includes the source's content fingerprint so a
     # regenerated fixture at the same path can never silently replay
     # stale shards from a previous run.
-    st = os.stat(path)
     key = (
         f"{os.path.abspath(path).strip(os.sep).replace(os.sep, '_')}"
-        f"_{st.st_mtime_ns}_{st.st_size}"
+        f"_{content_fingerprint(path)}"
     )
     d = os.path.join(
         tempfile.gettempdir(), "minimapreduce_stream_sharded", f"{key}_{n_shards}"
     )
     if not os.path.exists(os.path.join(d, "_SUCCESS")):
-        # Atomic publish: stage + rename (see table_stream_sharded)
-        import shutil
-
-        os.makedirs(os.path.dirname(d), exist_ok=True)
-        # self-repair: a pre-atomic-publish crash may have left d
-        # non-empty WITHOUT _SUCCESS; rename would then fail forever
-        # and every session would replay the partial shard set
-        # (round-9 review finding) — clear the corpse first
-        shutil.rmtree(d, ignore_errors=True)
-        stage = tempfile.mkdtemp(prefix="stream_shard_stage_", dir=os.path.dirname(d))
-        spark.read.parquet(path).repartition(n_shards).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        try:
-            os.rename(stage, d)
-        except OSError:
-            shutil.rmtree(stage, ignore_errors=True)  # lost the race
+        # Atomic publish + crash-corpse self-repair, TOCTOU-safe
+        _publish_shards(spark, path, d, n_shards)
     schema = spark.read.parquet(d).schema
     sdf = (
         spark.readStream.schema(schema)
@@ -134,10 +154,9 @@ def events_stream_redelivered(
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = table_path(sf_dir, "events")
-    st = os.stat(path)
     key = (
         f"{os.path.abspath(path).strip(os.sep).replace(os.sep, '_')}"
-        f"_{st.st_mtime_ns}_{st.st_size}"
+        f"_{content_fingerprint(path)}"
     )
     d = os.path.join(
         tempfile.gettempdir(),
@@ -205,10 +224,9 @@ def events_stream_time_sliced_redelivered(
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = table_path(sf_dir, "events")
-    st = os.stat(path)
     key = (
         f"{os.path.abspath(path).strip(os.sep).replace(os.sep, '_')}"
-        f"_{st.st_mtime_ns}_{st.st_size}"
+        f"_{content_fingerprint(path)}"
     )
     d = os.path.join(
         tempfile.gettempdir(),
@@ -348,34 +366,17 @@ def table_stream_sharded(
     timestamp handling. Used by the online ANN serving path to replay
     the query vectors as a real query STREAM."""
     path = table_path(sf_dir, table)
-    st = os.stat(path)
     key = (
         f"{os.path.abspath(path).strip(os.sep).replace(os.sep, '_')}"
-        f"_{st.st_mtime_ns}_{st.st_size}"
+        f"_{content_fingerprint(path)}"
     )
     d = os.path.join(
         tempfile.gettempdir(), "minimapreduce_stream_tbl", f"{key}_{n_shards}"
     )
     if not os.path.exists(os.path.join(d, "_SUCCESS")):
-        # Atomic publish (the ivfpq_index_build discipline): write to a
-        # private stage and os.rename into place — two racing sessions
-        # that both miss the _SUCCESS check cannot interleave writes
-        # into the final path, and a reader never observes a
-        # half-written shard set; the rename loser discards its stage.
-        import shutil
-
-        os.makedirs(os.path.dirname(d), exist_ok=True)
-        # self-repair a crash-corpse dir lacking _SUCCESS (see the
-        # sharded-events site above)
-        shutil.rmtree(d, ignore_errors=True)
-        stage = tempfile.mkdtemp(prefix="stream_tbl_stage_", dir=os.path.dirname(d))
-        spark.read.parquet(path).repartition(n_shards).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        try:
-            os.rename(stage, d)
-        except OSError:
-            shutil.rmtree(stage, ignore_errors=True)  # lost the race
+        # Atomic publish (the ivfpq_index_build discipline) + TOCTOU-
+        # safe crash-corpse self-repair — see _publish_shards
+        _publish_shards(spark, path, d, n_shards)
     schema = spark.read.parquet(d).schema
     return (
         spark.readStream.schema(schema)

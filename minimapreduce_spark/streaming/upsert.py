@@ -304,12 +304,15 @@ def stream_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     root = minhash_index_build(spark, sf_dir)
     # size the per-slice shuffle/commit width to slice volume, scoped
-    # to a cloned session (the exactly-once state-sizing lesson: a
-    # ~hundred-doc slice under the session's 32-wide shuffle pays pure
-    # file/commit fan-out per micro-batch)
-    spark = spark.newSession()
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # to the CACHED per-(context, width) clone (the exactly-once
+    # state-sizing lesson: a ~hundred-doc slice under the session's
+    # 32-wide shuffle pays pure file/commit fan-out per micro-batch;
+    # the cache stops repeated invocations leaking sessions —
+    # round-9 ADVICE, cross-session frame-mixing contract documented
+    # at session.narrow_clone)
+    from minimapreduce_spark.session import narrow_clone
+
+    spark = narrow_clone(spark, 8)
     idx_buckets = (
         spark.read.schema(MINHASH_BUCKET_SCHEMA)
         .parquet(os.path.join(root, "buckets"))
@@ -528,10 +531,11 @@ def stream_scd2_band_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             " valid_to timestamp_ntz, is_current boolean",
         )
     # per-slice island windows under a slice-sized shuffle width,
-    # scoped to a cloned session (the exactly-once state-sizing lesson)
-    spark = spark.newSession()
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # scoped to the cached per-(context, width) clone (the
+    # exactly-once state-sizing lesson; session.narrow_clone)
+    from minimapreduce_spark.session import narrow_clone
+
+    spark = narrow_clone(spark, 8)
 
     band = (
         F.when(
