@@ -86,6 +86,7 @@ DRIVER_PRIORITY: list[str] = [
     "catalog_stats_lineitem_prod",
     "incremental_join_view_upserts",
     "events_pattern_match_windowed",
+    "dedup_clusters_adaptive",
     # -- r02 staleness canaries: the 12 queries last driver-verified in
     #    round 2, eight rounds stale — rotation rule (b) --
     "q9_product_type_profit",
@@ -138,7 +139,6 @@ DRIVER_PRIORITY: list[str] = [
     "text_collocations_pmi",
     "text_langid",
     "text_ttr_hapax",
-    "token_count_stats",
 ]
 
 

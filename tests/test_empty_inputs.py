@@ -99,6 +99,7 @@ REPRESENTATIVE = [
     "incremental_join_view",
     "incremental_join_view_upserts",
     "graph_components_star",
+    "dedup_clusters_adaptive",
     "minhash_index_append_probe",
 ]
 

@@ -230,6 +230,9 @@ CANDIDATES = [
     # star components: per-round min aggregations + structural
     # convergence — the star forest must be layout-free
     "graph_components_star",
+    # adaptive kernel: the probe's changed-count and the dispatch
+    # decision must not depend on layout
+    "dedup_clusters_adaptive",
 ]
 
 
