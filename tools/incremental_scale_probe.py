@@ -192,7 +192,32 @@ def main() -> None:
         )
         n_pairs_srv = pairs_srv.count()
         t_served = time.perf_counter() - t4
+
+        # APPEND phase (round 10): merge the fixed batch INTO the
+        # persisted artifact (minhash_index_append: batch-only compute
+        # + hardlink fold-in + atomic re-publish). Expected: append
+        # wall ~flat across m — the batch pipeline is fixed and the
+        # base fold-in is O(#files) metadata ops, never data bytes.
+        from minimapreduce_spark.operators.dedup import minhash_index_append
+
+        t5 = time.perf_counter()
+        app_root = minhash_index_append(
+            spark,
+            BASE,
+            batch_docs.select("doc_id", "text"),
+            art,
+            root=art + "_appended",
+        )
+        t_append = time.perf_counter() - t5
+        n_linked = sum(
+            1
+            for sub in ("buckets", "shingles")
+            for _, _, files in os.walk(os.path.join(app_root, sub))
+            for f in files
+            if f.startswith("base-")
+        )
         shutil.rmtree(art, ignore_errors=True)
+        shutil.rmtree(app_root, ignore_errors=True)
 
         print(
             json.dumps(
@@ -207,6 +232,8 @@ def main() -> None:
                     "artifact_persist_sec": round(t_persist, 2),
                     "served_probe_sec": round(t_served, 2),
                     "served_pairs": n_pairs_srv,
+                    "append_sec": round(t_append, 2),
+                    "append_linked_files": n_linked,
                 }
             ),
             flush=True,
