@@ -956,6 +956,110 @@ def minhash_index_append(
     return root
 
 
+def minhash_index_compact(
+    spark: SparkSession, root: str, out_root: str | None = None
+) -> str:
+    """COMPACTION — the last rung of the band-index LSM lifecycle
+    (build → probe → APPEND → probe online → COMPACT): repeated
+    appends accumulate one small file set per day inside each band
+    partition (hardlink fold-ins never rewrite), so the scheduled
+    offline job rewrites every band partition's files into ONE file
+    (and the shingle table into a bounded handful), content-identical
+    by construction — the same rows, read back through the explicit
+    artifact schemas and re-written with `repartition("band")` +
+    `partitionBy("band")` so each band's rows land in exactly one
+    task → one file per band dir on disk. Atomic-rename publish, same
+    racing-loser discipline as build/append.
+
+    This is the half of the LSM contract append deliberately defers:
+    append is O(batch compute + #files metadata) and leaves small
+    files; compaction pays the corpus REWRITE (one scan + one shuffle
+    by band, I/O ∝ artifact size — which is why it is a scheduled
+    job, not part of the probe path). Zero documents-table scans —
+    pytest-pinned, along with compact(append(append)) ≡ rebuild
+    row-set equality and the one-file-per-band layout."""
+    import shutil
+    import tempfile
+
+    out_root = out_root or f"{root}_compact"
+    if os.path.isdir(os.path.join(out_root, "buckets")):
+        return out_root
+    buckets = spark.read.schema(MINHASH_BUCKET_SCHEMA).parquet(
+        os.path.join(root, "buckets")
+    )
+    shingles = spark.read.schema(MINHASH_SHINGLE_SCHEMA).parquet(
+        os.path.join(root, "shingles")
+    )
+    stage = tempfile.mkdtemp(prefix="minhash_compact_")
+    (
+        buckets.repartition("band")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(os.path.join(stage, "buckets"))
+    )
+    shingles.repartition(4).write.mode("overwrite").parquet(
+        os.path.join(stage, "shingles")
+    )
+    try:
+        os.rename(stage, out_root)
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)  # lost the race
+    return out_root
+
+
+@register(
+    "minhash_index_compact_probe",
+    oracle=(
+        "SELECT * FROM ("
+        + _JACCARD_ORACLE.format(kminus1=SHINGLE_K - 1, threshold=MINHASH_THRESHOLD)
+        + f") WHERE doc_a % {APPEND_DAY_MOD} = {INCR_BATCH_MOD}"
+        f" OR doc_b % {APPEND_DAY_MOD} = {INCR_BATCH_MOD}"
+    ),
+)
+def minhash_index_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The append-probe lifecycle SERVED FROM THE COMPACTED ARTIFACT:
+    build → append day 1 → COMPACT → probe day 2. Output is identical
+    to `minhash_index_append_probe` (compaction is content-preserving
+    — same oracle, equality additionally pytest-pinned), which is
+    precisely the claim this query verifies under the driver's hash:
+    a probe cannot tell the compacted index from the fragmented one.
+
+    Scale posture: the probe inherits the append probe's batch-∝ cost
+    with BETTER constants — each band join now opens one file instead
+    of one-per-append-day; the compaction itself paid one corpus-sized
+    rewrite offline (`minhash_index_compact`)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if docs.head(1) == []:
+        # Degenerate-input policy: empty corpus → no index, no batches
+        return spark.createDataFrame(
+            [], "doc_a bigint, doc_b bigint, n_common bigint, jaccard double"
+        )
+    base_root = minhash_index_build(spark, sf_dir)
+    day1 = docs.where(F.col("doc_id") % APPEND_DAY_MOD == 0)
+    appended = minhash_index_append(
+        spark, sf_dir, day1, base_root, tag=f"day1m{APPEND_DAY_MOD}"
+    )
+    root = minhash_index_compact(spark, appended)
+    idx_buckets = (
+        spark.read.schema(MINHASH_BUCKET_SCHEMA)
+        .parquet(os.path.join(root, "buckets"))
+        .select("doc_id", F.col("band").cast("int").alias("band"), "bh")
+    )
+    idx_shingles = spark.read.schema(MINHASH_SHINGLE_SCHEMA).parquet(
+        os.path.join(root, "shingles")
+    )
+    day2 = docs.where(F.col("doc_id") % APPEND_DAY_MOD == INCR_BATCH_MOD)
+    buckets_b, shingles_b = _batch_band_frames(spark, sf_dir, day2)
+    return probe_band_index(
+        spark,
+        sf_dir,
+        batch_buckets=buckets_b,
+        batch_shingles=shingles_b,
+        index_buckets=idx_buckets,
+        index_shingles=idx_shingles,
+    )
+
+
 @register(
     "minhash_index_append_probe",
     oracle=(

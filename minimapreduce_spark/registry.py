@@ -87,6 +87,8 @@ DRIVER_PRIORITY: list[str] = [
     "incremental_join_view_upserts",
     "events_pattern_match_windowed",
     "dedup_clusters_adaptive",
+    "minhash_index_compact_probe",
+    "incremental_join_view_rebuild",
     # -- r02 staleness canaries: the 12 queries last driver-verified in
     #    round 2, eight rounds stale — rotation rule (b) --
     "q9_product_type_profit",
@@ -137,8 +139,6 @@ DRIVER_PRIORITY: list[str] = [
     "stream_tumbling_hourly",
     "surrogate_keys_documents",
     "text_collocations_pmi",
-    "text_langid",
-    "text_ttr_hapax",
 ]
 
 

@@ -271,6 +271,99 @@ def test_minhash_index_append_equals_rebuild_and_links_not_copies(spark, tmp_pat
     assert _os.stat(root).st_mtime_ns == before
 
 
+def test_minhash_index_compact_content_identical_one_file_per_band(spark, tmp_path):
+    """The COMPACTION rung: after TWO successive appends (day 1, then
+    day 2 — the fragmentation case compaction exists for), the
+    compacted artifact is ROW-IDENTICAL to the fragmented one (and
+    therefore to a full rebuild — append ≡ rebuild is already pinned),
+    every band partition holds exactly ONE data file (vs one set per
+    append in the fragmented artifact), the compaction plan never
+    scans the documents table, the registered compact probe equals
+    the append probe frame-for-frame, and re-compaction is a no-op."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from minimapreduce_spark import plans
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.catalog import load_table
+    from minimapreduce_spark.operators.dedup import (
+        APPEND_DAY_MOD,
+        INCR_BATCH_MOD,
+        MINHASH_BUCKET_SCHEMA,
+        MINHASH_SHINGLE_SCHEMA,
+        minhash_index_append,
+        minhash_index_build,
+        minhash_index_compact,
+    )
+
+    base_root = minhash_index_build(spark, SF_DIR, root=str(tmp_path / "base"))
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    day1 = docs.where(F.col("doc_id") % APPEND_DAY_MOD == 0)
+    day2 = docs.where(F.col("doc_id") % APPEND_DAY_MOD == INCR_BATCH_MOD)
+    a1 = minhash_index_append(spark, SF_DIR, day1, base_root, root=str(tmp_path / "a1"))
+    a2 = minhash_index_append(spark, SF_DIR, day2, a1, root=str(tmp_path / "a2"))
+    c = minhash_index_compact(spark, a2, out_root=str(tmp_path / "compacted"))
+
+    # content-identical, both tables
+    for sub, schema in (
+        ("buckets", MINHASH_BUCKET_SCHEMA),
+        ("shingles", MINHASH_SHINGLE_SCHEMA),
+    ):
+        frag = sorted(
+            map(tuple, spark.read.schema(schema).parquet(f"{a2}/{sub}").collect())
+        )
+        comp = sorted(
+            map(tuple, spark.read.schema(schema).parquet(f"{c}/{sub}").collect())
+        )
+        assert frag == comp, f"compaction changed {sub} content"
+
+    # exactly one data file per band partition (fragmented has >1)
+    def files_per_band(root):
+        out = {}
+        bdir = _os.path.join(root, "buckets")
+        for d in _os.listdir(bdir):
+            if d.startswith("band="):
+                out[d] = sum(
+                    1
+                    for f in _os.listdir(_os.path.join(bdir, d))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    frag_counts = files_per_band(a2)
+    comp_counts = files_per_band(c)
+    assert set(frag_counts) == set(comp_counts)
+    assert all(n == 1 for n in comp_counts.values()), comp_counts
+    assert any(n > 1 for n in frag_counts.values()), (
+        "two appends should fragment at least one band"
+    )
+
+    # probe-from-compacted ≡ probe-from-fragmented (registered twins)
+    got = {
+        tuple(r)
+        for r in q.queries()["minhash_index_compact_probe"](spark, SF_DIR).collect()
+    }
+    want = {
+        tuple(r)
+        for r in q.queries()["minhash_index_append_probe"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+    # the registered probe's plan: no documents scans outside the
+    # checkpointed batch pipeline; compacted artifact scanned
+    plan = plans.physical_plan(
+        q.queries()["minhash_index_compact_probe"](spark, SF_DIR)
+    )
+    assert plan.count("documents.parquet") == 0
+    assert "_compact" in plan
+
+    # re-compaction no-op
+    before = _os.stat(c).st_mtime_ns
+    assert minhash_index_compact(spark, a2, out_root=c) == c
+    assert _os.stat(c).st_mtime_ns == before
+
+
 def _soup_docs(rows_spec):
     """(doc_id, text) rows with per-doc-unique purely-alphabetic vocab
     (the shingler splits on [^A-Za-z]+), so two soup docs share zero

@@ -213,3 +213,42 @@ def test_incremental_join_view_upserts_tombstones(spark):
     plan = plans.simple_plan(q.queries()["incremental_join_view_upserts"](spark, SF_DIR))
     assert "minimapreduce_joinview_" in plan
     assert "LeftAnti" in plan and "Broadcast" in plan
+
+
+def test_incremental_join_view_rebuild_one_scan_zero_joins(spark, tmp_path):
+    """The copy-on-write rebuild rung (`incremental_join_view_rebuild`):
+    (a) serving from the rebuilt artifact is frame-identical to the
+    merge-on-read maintained view (rebuild is content-preserving, so
+    rebuild-then-read ≡ maintain-at-read ≡ recompute — the lifecycle
+    chain); (b) the registered read plan is ONE parquet scan of the
+    rebuilt artifact — zero joins, zero anti-joins, no base tables
+    (that is the entire point of paying the offline fold-in); (c) the
+    rebuild itself is idempotent — a second call is a metadata no-op."""
+    import os as _os
+
+    from minimapreduce_spark import plans
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.operators.relational import join_view_rebuild
+    from tests.conftest import SF_DIR
+
+    # (a) rebuilt-read ≡ maintained-read, via an isolated root
+    root = join_view_rebuild(spark, SF_DIR, root=str(tmp_path / "rebuilt"))
+    from minimapreduce_spark.operators.relational import IVM_VIEW_SCHEMA
+
+    served = spark.read.schema(IVM_VIEW_SCHEMA).parquet(_os.path.join(root, "view"))
+    maintained = q.queries()["incremental_join_view_upserts"](spark, SF_DIR)
+    got = set(map(tuple, served.collect()))
+    want = set(map(tuple, maintained.collect()))
+    assert got == want and len(got) == served.count()
+
+    # (b) registered plan: one artifact scan, zero joins of any kind
+    plan = plans.simple_plan(q.queries()["incremental_join_view_rebuild"](spark, SF_DIR))
+    assert "_rebuilt" in plan
+    assert "Join" not in plan and "LeftAnti" not in plan
+    for base in ("orders.parquet", "customer.parquet"):
+        assert base not in plan, f"rebuild read must not rescan {base}"
+
+    # (c) idempotent re-publish
+    before = _os.stat(root).st_mtime_ns
+    assert join_view_rebuild(spark, SF_DIR, root=root) == root
+    assert _os.stat(root).st_mtime_ns == before
