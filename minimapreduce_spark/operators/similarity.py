@@ -2312,8 +2312,44 @@ def _ivfpq_topk_plan(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataF
     return _ivfpq_serve(spark, sf_dir, cg, cb, code_arr, nprobe)
 
 
+def _ivfpq_rsub(
+    spark: SparkSession,
+    sf_dir: str,
+    cg: DataFrame,
+    pred: Column | None = None,
+) -> DataFrame:
+    """Residual-subvector frame ``(vec_id, label, m, sq)`` for the
+    (optionally ``pred``-restricted) embeddings population under FIXED
+    cell centroids ``cg`` — the shared residual front end of the
+    inline build, the base-artifact build, and the physical append
+    path (which residualizes ONLY an arrival batch against the
+    artifact's centroids), factored so the three can never drift."""
+    embq = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * KMEANS_SCALE).cast("bigint"),
+        ).alias("eq"),
+    )
+    if pred is not None:
+        embq = embq.where(pred)
+    res = embq.join(F.broadcast(cg), "label").select(
+        "vec_id", "label",
+        F.zip_with("eq", "cg", lambda x, y: x - y).alias("rq"),
+    )
+    ms = spark.range(PQ_M).select(F.col("id").cast("bigint").alias("m"))
+    return res.crossJoin(F.broadcast(ms)).select(
+        "vec_id", "label", "m",
+        F.expr(f"slice(rq, m * {PQ_SUB} + 1, {PQ_SUB})").alias("sq"),
+    )
+
+
 def _ivfpq_index_frames(
-    spark: SparkSession, sf_dir: str, train_pred: Column | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    train_pred: Column | None = None,
+    encode_pred: Column | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Steps 1-4 of the IVF-PQ chain — the INDEX-BUILD half: returns
     (cell centroids ``cg(label, cg)``, residual codebooks
@@ -2326,7 +2362,12 @@ def _ivfpq_index_frames(
     seed membership, Lloyd assignments) while the encode still covers
     the full corpus — the frozen-index append contract: vectors
     outside the predicate are quantized under codebooks that never saw
-    them, exactly what appending a batch to a persisted index does."""
+    them, exactly what appending a batch to a persisted index does.
+    ``encode_pred`` additionally restricts the ENCODED population —
+    the base-artifact build (`ivfpq_base_index_build`) passes the same
+    predicate for both, so the artifact contains only base-corpus
+    codes and the batch's codes arrive later via the physical append
+    (`ivfpq_index_append`)."""
     embq = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
@@ -2355,15 +2396,7 @@ def _ivfpq_index_frames(
         .localCheckpoint(eager=False)  # feeds residuals, cell tables, routing
     )
     # 2. residuals and their subvectors; codebooks via the shared chain
-    res = embq.join(F.broadcast(cg), "label").select(
-        "vec_id", "label",
-        F.zip_with("eq", "cg", lambda x, y: x - y).alias("rq"),
-    )
-    ms = spark.range(PQ_M).select(F.col("id").cast("bigint").alias("m"))
-    rsub = res.crossJoin(F.broadcast(ms)).select(
-        "vec_id", "label", "m",
-        F.expr(f"slice(rq, m * {PQ_SUB} + 1, {PQ_SUB})").alias("sq"),
-    )
+    rsub = _ivfpq_rsub(spark, sf_dir, cg)
     rsub_t = (
         rsub.where(train_pred) if train_pred is not None else rsub
     )
@@ -2371,7 +2404,8 @@ def _ivfpq_index_frames(
     # simply drop out where the train frame lacks them — cid numbering
     # stays oracle-identical under any predicate
     cb = _pq_train(spark, sf_dir, rsub_t.drop("label"))
-    return cg, cb, _ivfpq_encode(spark, rsub, cg, cb)
+    rsub_e = rsub.where(encode_pred) if encode_pred is not None else rsub
+    return cg, cb, _ivfpq_encode(spark, rsub_e, cg, cb)
 
 
 def _ivfpq_encode(
@@ -2765,6 +2799,155 @@ def ann_ivfpq_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % APPEND_MOD == 0) & (F.col("vec_id") >= N_QUERIES)
     )
     cg, cb, code_arr = _ivfpq_index_frames(spark, sf_dir, train_pred=pred)
+    return _ivfpq_serve(spark, sf_dir, cg, cb, code_arr, nprobe=1)
+
+
+def ivfpq_base_index_build(
+    spark: SparkSession, sf_dir: str, root: str | None = None
+) -> str:
+    """BASE-ONLY artifact for the physical-append lifecycle: train AND
+    encode on the base population (everything except the
+    ``APPEND_MOD`` arrival batch), persisted exactly like
+    `ivfpq_index_build` — same three tables, same cell-partitioned
+    codes layout, same atomic-rename publish. The batch's codes are
+    deliberately ABSENT: they arrive later via `ivfpq_index_append`,
+    which is what makes the appended artifact's content an actual
+    fold-in rather than a rebuild in disguise."""
+    import shutil
+    import tempfile
+
+    root = root or f"{ivfpq_index_root(sf_dir)}_base{APPEND_MOD}"
+    if os.path.isdir(os.path.join(root, "codes")):
+        return root
+    pred = ~(
+        (F.col("vec_id") % APPEND_MOD == 0) & (F.col("vec_id") >= N_QUERIES)
+    )
+    cg, cb, code_arr = _ivfpq_index_frames(
+        spark, sf_dir, train_pred=pred, encode_pred=pred
+    )
+    stage = tempfile.mkdtemp(prefix="ivfpq_base_")
+    cg.write.mode("overwrite").parquet(os.path.join(stage, "centroids"))
+    cb.write.mode("overwrite").parquet(os.path.join(stage, "codebook"))
+    (
+        code_arr.repartition("label")
+        .write.mode("overwrite")
+        .partitionBy("label")
+        .parquet(os.path.join(stage, "codes"))
+    )
+    try:
+        os.rename(stage, root)
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)  # lost the race
+    return root
+
+
+def ivfpq_index_append(
+    spark: SparkSession,
+    sf_dir: str,
+    batch_pred: Column,
+    base_root: str,
+    root: str | None = None,
+    tag: str = "a",
+) -> str:
+    """PHYSICAL index append — the artifact-level rung the inline
+    `ann_ivfpq_append_serve` contract describes but does not persist
+    (it recomputes the frozen-training frames per call): encode ONLY
+    the arrival batch under the ARTIFACT'S centroids + codebooks (read
+    back, never retrained — FAISS ``add`` after ``train``), write the
+    batch's code rows into their cell partitions, and fold the base
+    artifact in BY HARDLINK (one link per data file, zero corpus bytes
+    copied, centroids/codebook linked unchanged — the
+    `minhash_index_append` manifest-append discipline). Atomic-rename
+    publish; a racing appender loses the rename and reuses the
+    winner's copy.
+
+    Append cost = one narrow encode pass over the batch (two bounded
+    broadcasts) + #base-files metadata — independent of base-corpus
+    size. Cell-partition pruning survives: batch code files land
+    inside the same label=N dirs the base files link into."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    if root is None:
+        root = f"{base_root}_{hashlib.sha256(tag.encode()).hexdigest()[:8]}"
+    if os.path.isdir(os.path.join(root, "codes")):
+        return root
+    cg = spark.read.parquet(os.path.join(base_root, "centroids"))
+    cb = spark.read.parquet(os.path.join(base_root, "codebook"))
+    rsub_b = _ivfpq_rsub(spark, sf_dir, cg, pred=batch_pred)
+    codes_b = _ivfpq_encode(spark, rsub_b, cg, cb)
+    stage = tempfile.mkdtemp(prefix="ivfpq_append_")
+    (
+        codes_b.repartition("label")
+        .write.mode("overwrite")
+        .partitionBy("label")
+        .parquet(os.path.join(stage, "codes"))
+    )
+    for sub in ("codes", "centroids", "codebook"):
+        src_dir = os.path.join(base_root, sub)
+        for dirpath, _dirs, files in os.walk(src_dir):
+            rel = os.path.relpath(dirpath, src_dir)
+            dst_dir = (
+                os.path.join(stage, sub, rel)
+                if rel != "."
+                else os.path.join(stage, sub)
+            )
+            os.makedirs(dst_dir, exist_ok=True)
+            for f in files:
+                if f.endswith(".parquet"):
+                    os.link(
+                        os.path.join(dirpath, f),
+                        os.path.join(dst_dir, f"base-{f}"),
+                    )
+    try:
+        os.rename(stage, root)
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)  # lost the race
+    return root
+
+
+@register(
+    "ann_ivfpq_append_served_topk",
+    oracle=_ivfpq_oracle(
+        1, train_pred=f"NOT (vec_id % {APPEND_MOD} = 0 AND vec_id >= {N_QUERIES})"
+    ),
+)
+def ann_ivfpq_append_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k SERVED FROM THE PHYSICALLY-APPENDED ARTIFACT — the rung
+    that joins the two halves of the append story: the inline twin
+    (`ann_ivfpq_append_serve`) verifies the frozen-quantizer MATH, and
+    this query verifies the PERSISTENCE — base artifact built on the
+    base corpus alone (`ivfpq_base_index_build`), the batch's codes
+    folded in by `ivfpq_index_append` (encode-batch + hardlink, no
+    retrain, no base rewrite), serving reads the appended artifact
+    only. Same oracle as the inline twin — served-from-appended ≡
+    inline-frozen-frames ≡ unrolled SQL is the chain, the first link
+    additionally pytest-pinned frame-by-frame along with the
+    hardlink-not-copy layout and re-append idempotence.
+
+    Scale posture: this is the day-N serving shape of a 100 TB ANN
+    deployment — yesterday's index is never re-encoded (hardlinked
+    manifests), today's batch pays one narrow encode ∝ batch, and the
+    routed serve prunes cell partitions on disk exactly as the base
+    served twin does."""
+    if load_table(spark, sf_dir, "embeddings").head(1) == []:
+        # Degenerate-input policy: no corpus → no index → empty result
+        return spark.createDataFrame(
+            [], "q_vec_id bigint, neighbor_id bigint, ivfpq_sim double, rn int"
+        )
+    base_root = ivfpq_base_index_build(spark, sf_dir)
+    batch_pred = (F.col("vec_id") % APPEND_MOD == 0) & (
+        F.col("vec_id") >= N_QUERIES
+    )
+    root = ivfpq_index_append(
+        spark, sf_dir, batch_pred, base_root, tag=f"m{APPEND_MOD}"
+    )
+    cg = spark.read.parquet(os.path.join(root, "centroids"))
+    cb = spark.read.parquet(os.path.join(root, "codebook"))
+    code_arr = spark.read.parquet(os.path.join(root, "codes")).select(
+        "vec_id", F.col("label").cast("int").alias("label"), "code", "n2hat"
+    )
     return _ivfpq_serve(spark, sf_dir, cg, cb, code_arr, nprobe=1)
 
 

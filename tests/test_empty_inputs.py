@@ -101,6 +101,9 @@ REPRESENTATIVE = [
     "graph_components_star",
     "dedup_clusters_adaptive",
     "minhash_index_append_probe",
+    "minhash_index_compact_probe",
+    "incremental_join_view_rebuild",
+    "ann_ivfpq_append_served_topk",
 ]
 
 

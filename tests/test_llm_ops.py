@@ -1556,6 +1556,104 @@ def test_ivfpq_append_codebooks_are_physically_frozen(spark, tmp_path):
     assert codes_p.count() == n_all  # the batch IS encoded
 
 
+def test_ivfpq_physical_append_equals_inline_and_links_not_copies(spark, tmp_path):
+    """The PHYSICAL append rung (`ivfpq_index_append` — the artifact
+    half of the contract the inline twin only computes): (a) the
+    appended artifact's codes are ROW-IDENTICAL to the inline
+    frozen-training frames over the full corpus, and its centroids/
+    codebook are byte-for-byte the base artifact's files (hardlinks —
+    same inode, zero copies, so yesterday's index is provably never
+    rewritten); (b) the registered served query equals the inline
+    append twin frame-for-frame; (c) the base artifact holds ONLY
+    base codes (the batch genuinely arrives via the append, not a
+    rebuild in disguise); (d) re-append with the artifact present is
+    a metadata no-op."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.operators.similarity import (
+        APPEND_MOD,
+        N_QUERIES,
+        _ivfpq_index_frames,
+        ivfpq_base_index_build,
+        ivfpq_index_append,
+    )
+
+    base_root = ivfpq_base_index_build(spark, SF_DIR, root=str(tmp_path / "base"))
+    pred = ~((F.col("vec_id") % APPEND_MOD == 0) & (F.col("vec_id") >= N_QUERIES))
+    root = ivfpq_index_append(
+        spark, SF_DIR, ~pred, base_root, root=str(tmp_path / "appended")
+    )
+
+    # (a) appended codes ≡ inline frozen-training codes, full corpus
+    _cg, _cb, codes_inline = _ivfpq_index_frames(spark, SF_DIR, train_pred=pred)
+
+    def rows(df, keys):
+        return sorted(
+            tuple(tuple(v) if hasattr(v, "__len__") else v for v in r)
+            for r in df.toPandas().sort_values(keys).itertuples(index=False)
+        )
+
+    codes_art = spark.read.parquet(_os.path.join(root, "codes")).select(
+        "vec_id", F.col("label").cast("bigint").alias("label"), "code", "n2hat"
+    )
+    assert rows(codes_art, ["vec_id"]) == rows(
+        codes_inline.select(
+            "vec_id", F.col("label").cast("bigint").alias("label"), "code", "n2hat"
+        ),
+        ["vec_id"],
+    )
+
+    # hardlinks: every base data file appears in the appended artifact
+    # with st_nlink ≥ 2 and the SAME inode
+    linked = 0
+    for sub in ("codes", "centroids", "codebook"):
+        src_dir = _os.path.join(base_root, sub)
+        for dirpath, _dirs, files in _os.walk(src_dir):
+            rel = _os.path.relpath(dirpath, src_dir)
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                dst = _os.path.join(
+                    root, sub, "" if rel == "." else rel, f"base-{f}"
+                )
+                assert _os.path.exists(dst), f"base file not folded in: {dst}"
+                assert (
+                    _os.stat(dst).st_ino == _os.stat(_os.path.join(dirpath, f)).st_ino
+                ), "copied, not hardlinked"
+                linked += 1
+    assert linked >= 3
+
+    # (b) served-from-appended ≡ inline append twin
+    got = {
+        tuple(r)
+        for r in q.queries()["ann_ivfpq_append_served_topk"](spark, SF_DIR).collect()
+    }
+    want = {
+        tuple(r) for r in q.queries()["ann_ivfpq_append_serve"](spark, SF_DIR).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # (c) base artifact excludes the batch
+    base_ids = {
+        r.vec_id
+        for r in spark.read.parquet(_os.path.join(base_root, "codes"))
+        .select("vec_id")
+        .collect()
+    }
+    batch_ids = {i for i in base_ids if i % APPEND_MOD == 0 and i >= N_QUERIES}
+    assert not batch_ids, "base artifact contains batch codes"
+    art_ids = {r.vec_id for r in codes_art.select("vec_id").collect()}
+    assert art_ids > base_ids, "append added nothing"
+
+    # (d) idempotent re-append
+    before = _os.stat(root).st_mtime_ns
+    assert ivfpq_index_append(spark, SF_DIR, ~pred, base_root, root=root) == root
+    assert _os.stat(root).st_mtime_ns == before
+
+
 def test_quality_linear_probe_learns_and_solve_is_faithful(spark):
     """The trained probe must actually LEARN (accuracy vs the weak
     label well above the majority class — a degenerate all-keep model
