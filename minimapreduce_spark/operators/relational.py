@@ -876,10 +876,10 @@ IVM_UPD_MOD = 7  # base customers with c_custkey % 7 == 0 → segment updated to
 IVM_DEL_MOD = 11  # base customers with c_custkey % 11 == 0 → deleted today
 IVM_UPD_SEGMENT = "REPRICED"  # the updated rows' new c_mktsegment value
 
-
-@register(
-    "incremental_join_view_upserts",
-    oracle=f"""
+# Maintenance ≡ recompute against the dim's end-of-day state — shared
+# by the merge-on-read query, the copy-on-write rebuild, and the
+# streaming CDC twin (identical end state by contract).
+IVM_UPSERTS_ORACLE = f"""
     WITH cust_final AS (
       SELECT c_custkey,
              CASE WHEN c_custkey % {IVM_DIM_MOD} <> 0
@@ -893,8 +893,10 @@ IVM_UPD_SEGMENT = "REPRICED"  # the updated rows' new c_mktsegment value
     SELECT o_orderkey, o_custkey, c_mktsegment,
            CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
     FROM orders JOIN cust_final ON o_custkey = c_custkey
-    """,
-)
+    """
+
+
+@register("incremental_join_view_upserts", oracle=IVM_UPSERTS_ORACLE)
 def incremental_join_view_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVM WITH UPDATE/DELETE DELTAS — the tombstone discipline
     `incremental_join_view`'s docstring names, now composed into the
@@ -1021,24 +1023,7 @@ def join_view_rebuild(spark: SparkSession, sf_dir: str, root: str | None = None)
     return root
 
 
-@register(
-    "incremental_join_view_rebuild",
-    oracle=f"""
-    WITH cust_final AS (
-      SELECT c_custkey,
-             CASE WHEN c_custkey % {IVM_DIM_MOD} <> 0
-                   AND c_custkey % {IVM_DEL_MOD} <> 0
-                   AND c_custkey % {IVM_UPD_MOD} = 0
-                  THEN '{IVM_UPD_SEGMENT}' ELSE c_mktsegment END AS c_mktsegment
-      FROM customer
-      WHERE NOT (c_custkey % {IVM_DIM_MOD} <> 0
-                 AND c_custkey % {IVM_DEL_MOD} = 0)
-    )
-    SELECT o_orderkey, o_custkey, c_mktsegment,
-           CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
-    FROM orders JOIN cust_final ON o_custkey = c_custkey
-    """,
-)
+@register("incremental_join_view_rebuild", oracle=IVM_UPSERTS_ORACLE)
 def incremental_join_view_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The maintained view SERVED FROM THE REBUILT ARTIFACT —
     `join_view_rebuild` folds the tombstone/update/insert deltas into

@@ -90,6 +90,7 @@ DRIVER_PRIORITY: list[str] = [
     "minhash_index_compact_probe",
     "incremental_join_view_rebuild",
     "ann_ivfpq_append_served_topk",
+    "stream_incremental_join_view",
     # -- r02 staleness canaries: the 12 queries last driver-verified in
     #    round 2, eight rounds stale — rotation rule (b) --
     "q9_product_type_profit",
@@ -138,7 +139,6 @@ DRIVER_PRIORITY: list[str] = [
     "sort_nulls_ordering",
     "source_mixture_weights",
     "stream_tumbling_hourly",
-    "surrogate_keys_documents",
 ]
 
 

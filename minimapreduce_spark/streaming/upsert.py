@@ -622,3 +622,184 @@ def stream_scd2_band_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "stream_incremental_join_view",
+    oracle=None,  # set below from the shared batch-IVM oracle
+)
+def stream_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING IVM — the CDC rung that joins the engine's two
+    maintenance stories: `incremental_join_view_upserts` proves the
+    tombstone algebra in ONE batch; this query maintains the same
+    materialized orders⋈customer view as the dimension's CDC feed
+    arrives in MICRO-BATCHES (hash-sharded customer deltas,
+    ``maxFilesPerTrigger=1``), the shape a lakehouse reporting view
+    actually lives in: dim churn streams in all day, fact arrivals
+    land on the append-only fact pipeline, readers see
+    base ∖ tombstones ∪ maintained-deltas at any moment.
+
+    Per micro-batch (inside ``foreachBatch``, frames built on the
+    micro-batch session — the round-9 session-mixing discipline):
+      - the batch's DELETE + UPDATE keys append to the tombstone log;
+      - the batch's insert-set (updated rows' new versions ∪ onboards)
+        probes the base facts ONCE with the ≤|batch| dim rows
+        broadcast, and the produced view rows append to the delta log
+        — the A⋈Δ⁺B term paid incrementally, ∝ batch dim churn.
+    Both logs are append-only parquet; nothing ever rewrites. The
+    per-key-once property of a dim CDC feed (each customer key changes
+    at most once per day; hash shards preserve it) is what makes the
+    accumulated logs batch-order-independent: joins distribute over
+    the union of disjoint broadcast sides, so drained-log state ≡ the
+    single-batch twin's terms exactly.
+
+    The final read composes base-view-anti-tombstones ∪ delta log ∪
+    (fact arrivals ⋈ dim end-of-day state) — the same three-term
+    partition as the batch twin, same oracle (full recompute against
+    the dim's final state): streaming-maintain ≡ batch-maintain ≡
+    recompute, each link under the driver hash, the first additionally
+    pytest-pinned frame-by-frame with a real multi-batch replay.
+
+    Scale posture: per trigger, work ∝ |batch dim churn| (tombstone
+    append is a key-list write; the fact probe broadcasts the batch
+    rows and at 100 TB prunes by bucketed join key —
+    `join_bucketed_smb`'s layout); the logs grow ∝ total churn, reset
+    by the nightly `join_view_rebuild` fold-in. State never lives in
+    the stream engine — the logs ARE the state, so a crash-restart
+    replays idempotently from the checkpoint WAL."""
+    from minimapreduce_spark.catalog import load_table
+    from minimapreduce_spark.operators.relational import (
+        IVM_DEL_MOD,
+        IVM_DIM_MOD,
+        IVM_FACT_MOD,
+        IVM_UPD_MOD,
+        IVM_UPD_SEGMENT,
+        IVM_VIEW_SCHEMA,
+        join_view_build,
+    )
+    from minimapreduce_spark.session import narrow_clone
+    from minimapreduce_spark.streaming.source import table_stream_sharded
+
+    empty_schema = IVM_VIEW_SCHEMA
+    if (
+        load_table(spark, sf_dir, "orders").head(1) == []
+        or load_table(spark, sf_dir, "customer").head(1) == []
+    ):
+        # Degenerate-input policy: no facts or no dims → empty view
+        return spark.createDataFrame([], empty_schema)
+
+    spark = narrow_clone(spark, 8)
+    root = join_view_build(spark, sf_dir)
+    base_view = spark.read.schema(IVM_VIEW_SCHEMA).parquet(
+        os.path.join(root, "view")
+    )
+
+    ck = F.col("c_custkey")
+    is_ins = ck % IVM_DIM_MOD == 0
+    is_del = (~is_ins) & (ck % IVM_DEL_MOD == 0)
+    is_upd = (~is_ins) & (~is_del) & (ck % IVM_UPD_MOD == 0)
+
+    work = os.path.join(
+        tempfile.gettempdir(), "minimapreduce_stream_ivm", uuid.uuid4().hex
+    )
+    tombs_dir = os.path.join(work, "tombs")
+    delta_dir = os.path.join(work, "delta")
+    ckpt = os.path.join(work, "ckpt")
+    tombs_schema = "c_custkey bigint"
+    # seed both logs so the explicit-schema reads below never hit a
+    # footerless dir (the MINHASH_BUCKET_SCHEMA lesson)
+    spark.createDataFrame([], tombs_schema).write.mode("overwrite").parquet(tombs_dir)
+    spark.createDataFrame([], IVM_VIEW_SCHEMA).write.mode("overwrite").parquet(
+        delta_dir
+    )
+    n_batches = {"nonempty": 0}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        deltas = batch_df.where(is_ins | is_del | is_upd).localCheckpoint(
+            eager=True
+        )
+        if not deltas.head(1):
+            return
+        n_batches["nonempty"] += 1
+        s = deltas.sparkSession
+        deltas.where(is_del | is_upd).select("c_custkey").write.mode(
+            "append"
+        ).parquet(tombs_dir)
+        plus_c = (
+            deltas.where(is_upd)
+            .withColumn("c_mktsegment", F.lit(IVM_UPD_SEGMENT))
+            .unionByName(deltas.where(is_ins))
+        )
+        b_o = load_table(s, sf_dir, "orders").where(
+            F.col("o_orderkey") % IVM_FACT_MOD != 0
+        )
+        (
+            b_o.join(F.broadcast(plus_c), b_o.o_custkey == plus_c.c_custkey)
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                "c_mktsegment",
+                F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+            )
+            .write.mode("append")
+            .parquet(delta_dir)
+        )
+
+    q = (
+        table_stream_sharded(spark, sf_dir, "customer")
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_incremental_join_view.last_nonempty_batches = n_batches["nonempty"]
+
+    tombs = spark.read.schema(tombs_schema).parquet(tombs_dir)
+    delta_rows = spark.read.schema(IVM_VIEW_SCHEMA).parquet(delta_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    b_c_final = (
+        cust.where(~is_ins & ~is_del)
+        .withColumn(
+            "c_mktsegment",
+            F.when(is_upd, F.lit(IVM_UPD_SEGMENT)).otherwise(F.col("c_mktsegment")),
+        )
+        .unionByName(cust.where(is_ins))
+    )
+    d_o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % IVM_FACT_MOD == 0
+    )
+    out = (
+        base_view.join(
+            F.broadcast(tombs),
+            base_view["o_custkey"] == tombs["c_custkey"],
+            "left_anti",
+        )
+        .unionByName(delta_rows)
+        .unionByName(
+            d_o.join(b_c_final, d_o.o_custkey == b_c_final.c_custkey).select(
+                "o_orderkey",
+                "o_custkey",
+                "c_mktsegment",
+                F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def _set_stream_ivm_oracle() -> None:
+    """Share the batch-IVM recompute oracle verbatim (import deferred:
+    relational imports are heavy and upsert must stay import-light)."""
+    from minimapreduce_spark.operators.relational import IVM_UPSERTS_ORACLE
+    from minimapreduce_spark.registry import REGISTRY, Query
+
+    q = REGISTRY["stream_incremental_join_view"]
+    REGISTRY["stream_incremental_join_view"] = Query(
+        fn=q.fn, oracle=IVM_UPSERTS_ORACLE, bench=q.bench, doc=q.doc
+    )
+
+
+_set_stream_ivm_oracle()

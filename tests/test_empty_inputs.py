@@ -104,6 +104,7 @@ REPRESENTATIVE = [
     "minhash_index_compact_probe",
     "incremental_join_view_rebuild",
     "ann_ivfpq_append_served_topk",
+    "stream_incremental_join_view",
 ]
 
 

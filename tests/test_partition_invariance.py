@@ -233,6 +233,12 @@ CANDIDATES = [
     # adaptive kernel: the probe's changed-count and the dispatch
     # decision must not depend on layout
     "dedup_clusters_adaptive",
+    # round-10 lifecycle rungs: compacted/rebuilt/appended artifacts
+    # and the streaming CDC maintainer must all be layout-free
+    "minhash_index_compact_probe",
+    "incremental_join_view_rebuild",
+    "ann_ivfpq_append_served_topk",
+    "stream_incremental_join_view",
 ]
 
 

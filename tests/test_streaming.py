@@ -898,3 +898,31 @@ def test_stream_scd2_invariants_and_multibatch(spark):
             assert g.valid_to[i] == g.valid_from[i + 1], (uid, i)
             assert g.band[i] != g.band[i + 1], (uid, i, g.band[i])
         assert bool(g.is_current.iloc[-1]) and not g.is_current[:-1].any()
+
+
+def test_stream_ivm_equals_batch_twin_across_real_batches(spark):
+    """The streaming IVM maintainer's contract: (a) the dim CDC feed
+    really drained through MULTIPLE non-empty micro-batches; (b) the
+    drained three-term composition equals the single-batch tombstone
+    twin (`incremental_join_view_upserts`) frame-for-frame — the
+    per-key-once CDC property makes the accumulated tombstone/delta
+    logs batch-order-independent; (c) exactly-once production
+    (o_orderkey unique — no view row emitted twice across the
+    anti-join, the per-batch delta appends, and the fact-arrival
+    term)."""
+    import minimapreduce_spark.streaming.upsert as up
+    from minimapreduce_spark import queries as q
+    from tests.conftest import SF_DIR
+
+    rows = [
+        tuple(r)
+        for r in q.queries()["stream_incremental_join_view"](spark, SF_DIR).collect()
+    ]
+    assert up.stream_incremental_join_view.last_nonempty_batches > 1
+    keys = [r[0] for r in rows]
+    assert len(keys) == len(set(keys)), "view row produced twice"
+    batch = {
+        tuple(r)
+        for r in q.queries()["incremental_join_view_upserts"](spark, SF_DIR).collect()
+    }
+    assert set(rows) == batch and len(rows) > 0
