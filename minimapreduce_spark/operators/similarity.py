@@ -2907,6 +2907,46 @@ def ivfpq_index_append(
     return root
 
 
+def ivfpq_index_compact(
+    spark: SparkSession, root: str, out_root: str | None = None
+) -> str:
+    """COMPACTION for the IVF-PQ artifact — the `minhash_index_compact`
+    discipline applied to the ANN family, completing the identical
+    lifecycle on both index families (build → serve → APPEND → serve →
+    COMPACT): repeated `ivfpq_index_append` calls accumulate one small
+    code-file set per day inside each cell partition (hardlink
+    fold-ins never rewrite), so the scheduled offline job rewrites
+    each label=N partition's files into ONE (centroids/codebook into a
+    bounded handful) — content-identical by construction, published by
+    atomic rename with the racing-loser discipline. Compaction pays
+    the codes-table rewrite (I/O ∝ artifact, the scheduled-job half of
+    the LSM contract); the serve path afterwards opens one file per
+    routed cell instead of one per append day."""
+    import shutil
+    import tempfile
+
+    out_root = out_root or f"{root}_compact"
+    if os.path.isdir(os.path.join(out_root, "codes")):
+        return out_root
+    codes = spark.read.parquet(os.path.join(root, "codes"))
+    stage = tempfile.mkdtemp(prefix="ivfpq_compact_")
+    (
+        codes.repartition("label")
+        .write.mode("overwrite")
+        .partitionBy("label")
+        .parquet(os.path.join(stage, "codes"))
+    )
+    for sub in ("centroids", "codebook"):
+        spark.read.parquet(os.path.join(root, sub)).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(stage, sub))
+    try:
+        os.rename(stage, out_root)
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)  # lost the race
+    return out_root
+
+
 @register(
     "ann_ivfpq_append_served_topk",
     oracle=_ivfpq_oracle(
@@ -2943,6 +2983,47 @@ def ann_ivfpq_append_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = ivfpq_index_append(
         spark, sf_dir, batch_pred, base_root, tag=f"m{APPEND_MOD}"
     )
+    cg = spark.read.parquet(os.path.join(root, "centroids"))
+    cb = spark.read.parquet(os.path.join(root, "codebook"))
+    code_arr = spark.read.parquet(os.path.join(root, "codes")).select(
+        "vec_id", F.col("label").cast("int").alias("label"), "code", "n2hat"
+    )
+    return _ivfpq_serve(spark, sf_dir, cg, cb, code_arr, nprobe=1)
+
+
+@register(
+    "ann_ivfpq_compact_served_topk",
+    oracle=_ivfpq_oracle(
+        1, train_pred=f"NOT (vec_id % {APPEND_MOD} = 0 AND vec_id >= {N_QUERIES})"
+    ),
+)
+def ann_ivfpq_compact_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k SERVED FROM THE COMPACTED ARTIFACT — build base → append
+    the batch → COMPACT → serve, the final link of the ANN index
+    lifecycle chain and the exact mirror of
+    `minhash_index_compact_probe` on the dedup side: compaction is
+    content-preserving (same oracle as the append-served and inline
+    twins; equality additionally pytest-pinned), so a query cannot
+    tell the compacted index from the fragmented one — which is
+    precisely the claim this registration puts under the driver hash.
+
+    Scale posture: serving inherits the append-served plan with
+    better constants — one code file per routed cell partition instead
+    of one per append day; the compaction itself paid one
+    codes-table-sized rewrite offline (`ivfpq_index_compact`)."""
+    if load_table(spark, sf_dir, "embeddings").head(1) == []:
+        # Degenerate-input policy: no corpus → no index → empty result
+        return spark.createDataFrame(
+            [], "q_vec_id bigint, neighbor_id bigint, ivfpq_sim double, rn int"
+        )
+    base_root = ivfpq_base_index_build(spark, sf_dir)
+    batch_pred = (F.col("vec_id") % APPEND_MOD == 0) & (
+        F.col("vec_id") >= N_QUERIES
+    )
+    appended = ivfpq_index_append(
+        spark, sf_dir, batch_pred, base_root, tag=f"m{APPEND_MOD}"
+    )
+    root = ivfpq_index_compact(spark, appended)
     cg = spark.read.parquet(os.path.join(root, "centroids"))
     cb = spark.read.parquet(os.path.join(root, "codebook"))
     code_arr = spark.read.parquet(os.path.join(root, "codes")).select(

@@ -91,6 +91,7 @@ DRIVER_PRIORITY: list[str] = [
     "incremental_join_view_rebuild",
     "ann_ivfpq_append_served_topk",
     "stream_incremental_join_view",
+    "ann_ivfpq_compact_served_topk",
     # -- r02 staleness canaries: the 12 queries last driver-verified in
     #    round 2, eight rounds stale — rotation rule (b) --
     "q9_product_type_profit",
@@ -138,7 +139,6 @@ DRIVER_PRIORITY: list[str] = [
     "session_top_paths",
     "sort_nulls_ordering",
     "source_mixture_weights",
-    "stream_tumbling_hourly",
 ]
 
 

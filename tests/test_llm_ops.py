@@ -1654,6 +1654,89 @@ def test_ivfpq_physical_append_equals_inline_and_links_not_copies(spark, tmp_pat
     assert _os.stat(root).st_mtime_ns == before
 
 
+def test_ivfpq_compact_content_identical_one_file_per_cell(spark, tmp_path):
+    """The ANN compaction rung, mirroring the minhash compaction pins:
+    after TWO successive appends (the batch split into two day-halves
+    — the fragmentation case), the compacted artifact is ROW-IDENTICAL
+    to the fragmented one on all three tables, every cell partition
+    holds exactly ONE code file (the fragmented one has >1 in at least
+    one cell), the registered compact-served query equals the
+    append-served twin frame-for-frame, and re-compaction is a no-op."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.operators.similarity import (
+        APPEND_MOD,
+        N_QUERIES,
+        ivfpq_base_index_build,
+        ivfpq_index_append,
+        ivfpq_index_compact,
+    )
+
+    base_root = ivfpq_base_index_build(spark, SF_DIR, root=str(tmp_path / "base"))
+    vid = F.col("vec_id")
+    in_batch = (vid % APPEND_MOD == 0) & (vid >= N_QUERIES)
+    day1 = in_batch & (vid % (2 * APPEND_MOD) == 0)
+    day2 = in_batch & (vid % (2 * APPEND_MOD) != 0)
+    a1 = ivfpq_index_append(spark, SF_DIR, day1, base_root, root=str(tmp_path / "a1"))
+    a2 = ivfpq_index_append(spark, SF_DIR, day2, a1, root=str(tmp_path / "a2"))
+    c = ivfpq_index_compact(spark, a2, out_root=str(tmp_path / "compacted"))
+
+    # content-identical, all three tables
+    for sub, keys in (("codes", ["vec_id"]), ("centroids", ["label"]), ("codebook", ["m", "cid"])):
+        frag = spark.read.parquet(f"{a2}/{sub}")
+        comp = spark.read.parquet(f"{c}/{sub}")
+        if sub == "codes":
+            cast = lambda d: d.select(  # noqa: E731
+                "vec_id", F.col("label").cast("bigint").alias("label"), "code", "n2hat"
+            )
+            frag, comp = cast(frag), cast(comp)
+        rows = lambda d: sorted(  # noqa: E731
+            tuple(tuple(v) if hasattr(v, "__len__") else v for v in r)
+            for r in d.toPandas().sort_values(keys).itertuples(index=False)
+        )
+        assert rows(frag) == rows(comp), f"compaction changed {sub} content"
+
+    # exactly one code file per cell partition; fragmented has >1 somewhere
+    def files_per_cell(root):
+        out = {}
+        cdir = _os.path.join(root, "codes")
+        for d in _os.listdir(cdir):
+            if d.startswith("label="):
+                out[d] = sum(
+                    1
+                    for f in _os.listdir(_os.path.join(cdir, d))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    frag_counts = files_per_cell(a2)
+    comp_counts = files_per_cell(c)
+    assert set(frag_counts) == set(comp_counts)
+    assert all(n == 1 for n in comp_counts.values()), comp_counts
+    assert any(n > 1 for n in frag_counts.values()), (
+        "two appends should fragment at least one cell"
+    )
+
+    # registered compact-served ≡ append-served twin
+    got = {
+        tuple(r)
+        for r in q.queries()["ann_ivfpq_compact_served_topk"](spark, SF_DIR).collect()
+    }
+    want = {
+        tuple(r)
+        for r in q.queries()["ann_ivfpq_append_served_topk"](spark, SF_DIR).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # re-compaction no-op
+    before = _os.stat(c).st_mtime_ns
+    assert ivfpq_index_compact(spark, a2, out_root=c) == c
+    assert _os.stat(c).st_mtime_ns == before
+
+
 def test_quality_linear_probe_learns_and_solve_is_faithful(spark):
     """The trained probe must actually LEARN (accuracy vs the weak
     label well above the majority class — a degenerate all-keep model
