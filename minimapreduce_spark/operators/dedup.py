@@ -1009,6 +1009,7 @@ def minhash_index_compact(
 
 @register(
     "minhash_index_compact_probe",
+    bench=True,
     oracle=(
         "SELECT * FROM ("
         + _JACCARD_ORACLE.format(kminus1=SHINGLE_K - 1, threshold=MINHASH_THRESHOLD)

@@ -1023,7 +1023,7 @@ def join_view_rebuild(spark: SparkSession, sf_dir: str, root: str | None = None)
     return root
 
 
-@register("incremental_join_view_rebuild", oracle=IVM_UPSERTS_ORACLE)
+@register("incremental_join_view_rebuild", oracle=IVM_UPSERTS_ORACLE, bench=True)
 def incremental_join_view_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The maintained view SERVED FROM THE REBUILT ARTIFACT —
     `join_view_rebuild` folds the tombstone/update/insert deltas into

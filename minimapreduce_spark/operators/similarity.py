@@ -2949,6 +2949,7 @@ def ivfpq_index_compact(
 
 @register(
     "ann_ivfpq_append_served_topk",
+    bench=True,
     oracle=_ivfpq_oracle(
         1, train_pred=f"NOT (vec_id % {APPEND_MOD} = 0 AND vec_id >= {N_QUERIES})"
     ),
