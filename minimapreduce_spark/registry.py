@@ -92,6 +92,7 @@ DRIVER_PRIORITY: list[str] = [
     "ann_ivfpq_append_served_topk",
     "stream_incremental_join_view",
     "ann_ivfpq_compact_served_topk",
+    "stream_incremental_join_view_rebuild",
     # -- r02 staleness canaries: the 12 queries last driver-verified in
     #    round 2, eight rounds stale — rotation rule (b) --
     "q9_product_type_profit",
@@ -138,7 +139,6 @@ DRIVER_PRIORITY: list[str] = [
     "scd2_asof_lookup",
     "session_top_paths",
     "sort_nulls_ordering",
-    "source_mixture_weights",
 ]
 
 

@@ -926,3 +926,46 @@ def test_stream_ivm_equals_batch_twin_across_real_batches(spark):
         for r in q.queries()["incremental_join_view_upserts"](spark, SF_DIR).collect()
     }
     assert set(rows) == batch and len(rows) > 0
+
+
+def test_stream_ivm_rebuild_one_scan_and_idempotent(spark, tmp_path):
+    """The day-night cycle composition
+    (`stream_incremental_join_view_rebuild`): (a) folding the
+    stream-drained logs into a fresh artifact is content-preserving —
+    rebuilt-read ≡ the batch tombstone twin (and therefore, by
+    test_stream_ivm_equals_batch_twin_across_real_batches, ≡ the
+    stream-maintained view and the recompute oracle); (b) the
+    registered read plan is ONE scan of the stream-rebuilt artifact —
+    zero joins of any kind, no base tables, no log reads (the entire
+    point of paying the nightly fold); (c) the rebuild is idempotent —
+    a second call returns the published root untouched, so a re-run
+    scheduler cannot double-fold a day's logs."""
+    import os as _os
+
+    from minimapreduce_spark import plans
+    from minimapreduce_spark import queries as q
+    from minimapreduce_spark.operators.relational import IVM_VIEW_SCHEMA
+    from minimapreduce_spark.streaming.upsert import stream_join_view_rebuild
+    from tests.conftest import SF_DIR
+
+    # (a) fold to an isolated root, compare to the batch twin
+    root = stream_join_view_rebuild(spark, SF_DIR, root=str(tmp_path / "srb"))
+    served = spark.read.schema(IVM_VIEW_SCHEMA).parquet(_os.path.join(root, "view"))
+    batch = q.queries()["incremental_join_view_upserts"](spark, SF_DIR)
+    got = set(map(tuple, served.collect()))
+    want = set(map(tuple, batch.collect()))
+    assert got == want and len(got) == served.count()
+
+    # (b) registered plan: one artifact scan, zero joins, no logs
+    plan = plans.simple_plan(
+        q.queries()["stream_incremental_join_view_rebuild"](spark, SF_DIR)
+    )
+    assert "_stream_rebuilt" in plan
+    assert "Join" not in plan and "LeftAnti" not in plan
+    for src in ("orders.parquet", "customer.parquet", "tombs", "delta"):
+        assert src not in plan, f"rebuild read must not rescan {src}"
+
+    # (c) idempotent re-publish
+    before = _os.stat(root).st_mtime_ns
+    assert stream_join_view_rebuild(spark, SF_DIR, root=root) == root
+    assert _os.stat(root).st_mtime_ns == before
