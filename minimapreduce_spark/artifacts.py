@@ -1,0 +1,162 @@
+"""Artifact retention (VACUUM) for the persisted index/view families.
+
+Every artifact family in the engine shares one storage discipline:
+a deterministic base root (``minimapreduce_minhash_<tag>``,
+``minimapreduce_ivfpq_<tag>``, ``minimapreduce_joinview_<tag>``)
+published by atomic rename, then derived roots whose names STRICTLY
+EXTEND the parent's — ``<root>_<sha8(tag)>`` for appends (chainable),
+``<root>_compact`` for compactions, ``<root>_rebuilt`` /
+``<root>_stream_rebuilt`` for the IVM fold-ins. Appends fold the
+parent's data files in as HARDLINKS, so a derived root is
+self-contained: unlinking the parent's directory entries decrements
+link counts but never destroys an inode a derived root still names.
+
+That gives retention a purely syntactic liveness rule — no manifest,
+no reference counting:
+
+  a published root is SUPERSEDED iff some other PUBLISHED root's name
+  extends it (``name + "_"`` prefix); leaves are live.
+
+``vacuum_superseded_roots`` deletes superseded roots older than a
+grace window (racing publishers and mid-drain readers finish inside
+it; the atomic-rename publish means a root either exists completely
+or not at all — there is no half-published state to misjudge) and
+reports bytes actually FREED (inode link count 1 at unlink time)
+separately from bytes merely unlinked (still reachable through a
+derived root's hardlinks) — the honest number for a storage bill.
+
+At 100 TB this is the table-format VACUUM/`expire_snapshots` job: the
+append chain is the snapshot log, compaction is rewrite, and retention
+bounds storage at O(live artifacts) instead of O(all history). It is
+a scheduled maintenance job, not a query — evidence lives in pytest
+(liveness, hardlink survival, grace window) and
+``tools/retention_probe.py`` (measured reclaim at sf0.1).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+
+def _published(root: str, marker: str) -> bool:
+    return os.path.isdir(os.path.join(root, marker))
+
+
+def _tree_sizes(root: str) -> tuple[int, int]:
+    """(unlinked_bytes, freed_bytes) if this tree were deleted now:
+    every regular file counts as unlinked; only files whose inode has
+    a single remaining name (st_nlink == 1) are actually freed."""
+    unlinked = freed = 0
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            try:
+                st = os.stat(os.path.join(dirpath, f))
+            except OSError:
+                continue
+            unlinked += st.st_size
+            if st.st_nlink == 1:
+                freed += st.st_size
+    return unlinked, freed
+
+
+def vacuum_superseded_roots(
+    parent: str,
+    prefix: str,
+    marker: str,
+    min_age_s: float = 0.0,
+    dry_run: bool = False,
+) -> dict:
+    """Delete superseded artifact roots under ``parent`` whose names
+    start with ``prefix``.
+
+    A root is a candidate only if it is PUBLISHED (contains the
+    family's ``marker`` subdir — e.g. ``buckets`` for the band index,
+    ``codes`` for IVF-PQ, ``view`` for the join view); an unpublished
+    directory is never touched (it is either someone's in-flight stage
+    or not ours at all). A published root is deleted iff BOTH:
+
+      - superseded: another published root extends its name
+        (``other == root + "_" + suffix``) — the extension was derived
+        from it (append / compact / rebuild) and serves in its place;
+      - old enough: ``now - mtime >= min_age_s`` (the grace window for
+        readers still draining the old root and for racing publishers).
+
+    The NEWEST view of every chain — each leaf — is always kept, so a
+    vacuum between an append and its compaction never removes the only
+    serveable artifact. Returns a report dict; with ``dry_run`` nothing
+    is removed but the report shows what would be."""
+    now = time.time()
+    try:
+        names = sorted(os.listdir(parent))
+    except FileNotFoundError:
+        return {
+            "deleted": [],
+            "kept_live": [],
+            "kept_young": [],
+            "kept_unpublished": [],
+            "unlinked_bytes": 0,
+            "freed_bytes": 0,
+            "dry_run": dry_run,
+        }
+    roots = [
+        n
+        for n in names
+        if n.startswith(prefix) and os.path.isdir(os.path.join(parent, n))
+    ]
+    published = {n for n in roots if _published(os.path.join(parent, n), marker)}
+    report: dict = {
+        "deleted": [],
+        "kept_live": [],
+        "kept_young": [],
+        "kept_unpublished": sorted(set(roots) - published),
+        "unlinked_bytes": 0,
+        "freed_bytes": 0,
+        "dry_run": dry_run,
+    }
+    for n in sorted(published):
+        superseded = any(
+            other != n and other.startswith(n + "_") for other in published
+        )
+        if not superseded:
+            report["kept_live"].append(n)
+            continue
+        full = os.path.join(parent, n)
+        try:
+            age = now - os.stat(full).st_mtime
+        except OSError:
+            continue  # vanished under us: someone else vacuumed it
+        if age < min_age_s:
+            report["kept_young"].append(n)
+            continue
+        unlinked, freed = _tree_sizes(full)
+        if not dry_run:
+            shutil.rmtree(full, ignore_errors=True)
+        report["deleted"].append(n)
+        report["unlinked_bytes"] += unlinked
+        report["freed_bytes"] += freed
+    return report
+
+
+# family descriptors: (root-name prefix, published-marker subdir)
+FAMILIES: dict[str, tuple[str, str]] = {
+    "minhash_band_index": ("minimapreduce_minhash_", "buckets"),
+    "ivfpq_index": ("minimapreduce_ivfpq_", "codes"),
+    "join_view": ("minimapreduce_joinview_", "view"),
+}
+
+
+def vacuum_all_families(
+    parent: str | None = None, min_age_s: float = 0.0, dry_run: bool = False
+) -> dict[str, dict]:
+    """Run retention over every artifact family in one sweep (the
+    scheduled nightly job). ``parent`` defaults to the tempdir the
+    deterministic roots publish into."""
+    import tempfile
+
+    parent = parent or tempfile.gettempdir()
+    return {
+        fam: vacuum_superseded_roots(parent, prefix, marker, min_age_s, dry_run)
+        for fam, (prefix, marker) in FAMILIES.items()
+    }
