@@ -160,3 +160,80 @@ def vacuum_all_families(
         fam: vacuum_superseded_roots(parent, prefix, marker, min_age_s, dry_run)
         for fam, (prefix, marker) in FAMILIES.items()
     }
+
+
+def _fragmented(root: str, marker: str) -> bool:
+    """True iff any leaf directory under the family's marker subdir
+    holds more than one parquet file — the footprint appends leave
+    (base hardlinks + one batch file set per day per partition) and
+    compaction removes (one task → one file per partition)."""
+    base = os.path.join(root, marker)
+    for dirpath, dirs, files in os.walk(base):
+        if sum(1 for f in files if f.endswith(".parquet")) > 1:
+            return True
+    return False
+
+
+def nightly_maintenance(
+    spark,
+    parent: str | None = None,
+    min_age_s: float = 0.0,
+    dry_run: bool = False,
+) -> dict:
+    """The single scheduled entry point a deployment cron calls:
+    COMPACT every fragmented leaf of the two index families, then
+    VACUUM every family's superseded roots. Ordering matters — the
+    fresh ``_compact`` root supersedes the fragmented chain it
+    replaces, so the vacuum that follows reclaims the whole chain in
+    the same sweep, and the grace window is the only tunable a
+    deployment sets (readers mid-drain on a superseded root finish
+    inside it).
+
+    The join-view family is vacuum-only here: its "compaction" is the
+    delta fold-in (`join_view_rebuild` / `stream_join_view_rebuild`),
+    a data operation the IVM lanes schedule themselves, not a pure
+    storage rewrite this job could apply blindly.
+
+    Idempotent by construction: a compacted leaf is not fragmented, so
+    the second run compacts nothing; vacuum with nothing superseded
+    deletes nothing."""
+    import tempfile
+
+    from minimapreduce_spark.operators.dedup import minhash_index_compact
+    from minimapreduce_spark.operators.similarity import ivfpq_index_compact
+
+    compactors = {
+        "minhash_band_index": minhash_index_compact,
+        "ivfpq_index": ivfpq_index_compact,
+    }
+    parent = parent or tempfile.gettempdir()
+    compacted: dict[str, list[str]] = {}
+    for fam, compactor in compactors.items():
+        prefix, marker = FAMILIES[fam]
+        try:
+            names = sorted(os.listdir(parent))
+        except FileNotFoundError:
+            names = []
+        published = [
+            n
+            for n in names
+            if n.startswith(prefix)
+            and _published(os.path.join(parent, n), marker)
+        ]
+        leaves = [
+            n
+            for n in published
+            if not any(o != n and o.startswith(n + "_") for o in published)
+        ]
+        compacted[fam] = []
+        for n in leaves:
+            full = os.path.join(parent, n)
+            if _fragmented(full, marker):
+                if not dry_run:
+                    compactor(spark, full)
+                compacted[fam].append(n)
+    return {
+        "compacted": compacted,
+        "vacuum": vacuum_all_families(parent, min_age_s, dry_run),
+        "dry_run": dry_run,
+    }

@@ -138,3 +138,40 @@ def test_vacuum_chain_keeps_only_leaf_and_compact_serves(spark, tmp_path):
     )
     assert rep["kept_live"] == [os.path.basename(comp_root)]
     assert _read_index(spark, comp_root) == before
+
+
+def test_nightly_maintenance_compacts_then_vacuums_idempotently(spark, tmp_path):
+    """The scheduled entry point (`artifacts.nightly_maintenance`):
+    (a) the fragmented append leaf is compacted and the ENTIRE
+    superseded chain (base + append) reclaimed in the same sweep —
+    compact-before-vacuum ordering is what makes one pass suffice;
+    (b) the surviving compacted leaf serves row-identical content;
+    (c) dry_run compacts and deletes nothing; (d) the second run is a
+    no-op — a compacted leaf is not fragmented, and nothing is
+    superseded anymore."""
+    from minimapreduce_spark.artifacts import nightly_maintenance
+
+    parent, base_name, app_root = _build_chain(spark, tmp_path)
+    app_name = os.path.basename(app_root)
+    before = _read_index(spark, app_root)
+
+    rep = nightly_maintenance(spark, parent=parent, min_age_s=0.0, dry_run=True)
+    assert rep["compacted"]["minhash_band_index"] == [app_name]
+    assert rep["vacuum"]["minhash_band_index"]["deleted"] == [base_name]
+    assert os.path.isdir(os.path.join(parent, base_name))
+    assert not os.path.isdir(os.path.join(parent, app_name + "_compact"))
+
+    rep = nightly_maintenance(spark, parent=parent, min_age_s=0.0)
+    assert rep["compacted"]["minhash_band_index"] == [app_name]
+    assert sorted(rep["vacuum"]["minhash_band_index"]["deleted"]) == sorted(
+        [base_name, app_name]
+    )
+    comp = os.path.join(parent, app_name + "_compact")
+    assert rep["vacuum"]["minhash_band_index"]["kept_live"] == [
+        os.path.basename(comp)
+    ]
+    assert _read_index(spark, comp) == before
+
+    rep2 = nightly_maintenance(spark, parent=parent, min_age_s=0.0)
+    assert rep2["compacted"]["minhash_band_index"] == []
+    assert rep2["vacuum"]["minhash_band_index"]["deleted"] == []
