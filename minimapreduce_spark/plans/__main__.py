@@ -61,6 +61,11 @@ SHOWCASE = [
     ("ann_bq_hamming_topk", "16-byte signature scan; integer hamming candidates; bounded exact rescore"),
     ("incremental_join_view", "base view from artifact; three delta terms, all broadcast dim sides"),
     ("join_skew_diagnosis", "one count agg; TakeOrdered top-N; 3-number census broadcast"),
+    # round 10
+    ("incremental_join_view_rebuild", "one rebuilt-artifact scan, zero joins — the nightly fold's entire payoff"),
+    ("stream_incremental_join_view_rebuild", "day-night cycle read: one stream-rebuilt artifact scan, no logs, no base tables"),
+    ("minhash_index_compact_probe", "probe served from the compacted one-file-per-band artifact; corpus side never rescans documents"),
+    ("ann_ivfpq_append_served_topk", "serve from the physically-appended artifact: batch codes encoded under frozen read-back quantizers"),
 ]
 
 

@@ -848,14 +848,19 @@ def stream_incremental_join_view_rebuild(
     (append-only logs + WAL) and the rename either happened or the
     stage directory is garbage — never a half-published base."""
     from minimapreduce_spark.catalog import load_table
-    from minimapreduce_spark.operators.relational import IVM_VIEW_SCHEMA
+    from minimapreduce_spark.operators.relational import IVM_VIEW_SCHEMA, join_view_root
 
-    if (
-        load_table(spark, sf_dir, "orders").head(1) == []
-        or load_table(spark, sf_dir, "customer").head(1) == []
-    ):
-        return spark.createDataFrame([], IVM_VIEW_SCHEMA)
-    root = stream_join_view_rebuild(spark, sf_dir)
+    # serve-path fast exit: a published artifact already encodes its
+    # inputs' state, so the degenerate-input guards (two head(1) driver
+    # round-trips, ~0.2 s) are only paid on the build path
+    root = f"{join_view_root(sf_dir)}_stream_rebuilt"
+    if not os.path.isdir(os.path.join(root, "view")):
+        if (
+            load_table(spark, sf_dir, "orders").head(1) == []
+            or load_table(spark, sf_dir, "customer").head(1) == []
+        ):
+            return spark.createDataFrame([], IVM_VIEW_SCHEMA)
+        root = stream_join_view_rebuild(spark, sf_dir, root=root)
     return spark.read.schema(IVM_VIEW_SCHEMA).parquet(os.path.join(root, "view"))
 
 

@@ -106,6 +106,7 @@ REPRESENTATIVE = [
     "ann_ivfpq_append_served_topk",
     "stream_incremental_join_view",
     "ann_ivfpq_compact_served_topk",
+    "stream_incremental_join_view_rebuild",
 ]
 
 
