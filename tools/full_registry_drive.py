@@ -84,7 +84,7 @@ def _frame_sha(pdf: pd.DataFrame) -> str:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
-    ap.add_argument("--out", default=os.path.join(REPO, "DRIVE_r07.json"))
+    ap.add_argument("--out", required=True, help="e.g. DRIVE_r11.json — no default: a stale default once nearly overwrote a committed round artifact")
     ap.add_argument("--only", nargs="*", help="subset of query names")
     args = ap.parse_args()
 
