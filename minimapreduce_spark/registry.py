@@ -78,67 +78,70 @@ def register(name: str, oracle: str | None = None, bench: bool = False) -> Calla
 # The round whose registrations lead the window == 1 + the newest
 # CORRECTNESS artifact at pin time. Bump this in the same commit that
 # rotates DRIVER_PRIORITY for the next round.
-WINDOW_PIN_ROUND: int = 10
+WINDOW_PIN_ROUND: int = 11
 
+# ROUND-11 ROTATION (an optimization round: zero new registrations, so
+# all 50 slots are staleness canaries). Recomputed from the full
+# r01-r10 artifact union at pin time: the oldest cohort is the 13
+# r03-verified leftovers, then the 50 r04-verified queries fill the
+# remaining 37 slots alphabetically (the 13 r04 queries left outside
+# tie with the kept ones at round 4, so the staleness rule holds
+# either side of the cut).
 DRIVER_PRIORITY: list[str] = [
-    # -- round-10 registrations lead (rotation rule (a)) --
-    "minhash_index_append_probe",
-    "catalog_stats_lineitem_prod",
-    "incremental_join_view_upserts",
-    "events_pattern_match_windowed",
-    "dedup_clusters_adaptive",
-    "minhash_index_compact_probe",
-    "incremental_join_view_rebuild",
-    "ann_ivfpq_append_served_topk",
-    "stream_incremental_join_view",
-    "ann_ivfpq_compact_served_topk",
-    "stream_incremental_join_view_rebuild",
-    # -- r02 staleness canaries: the 12 queries last driver-verified in
-    #    round 2, eight rounds stale — rotation rule (b) --
-    "q9_product_type_profit",
-    "sessions_peak_concurrency",
-    "stream_dedup_watermark",
-    "stream_session_window",
-    "text_bm25_topk",
-    "text_quality_score",
-    "text_tfidf_top_terms",
-    "text_unigram_logprob",
-    "ts_similarity_topk",
-    "udaf_weighted_discount",
-    "vocab_growth_curve",
-    "zorder_tile_stats",
-    # -- r03 staleness canaries: next-oldest cohort (40 total; the 38
-    #    alphabetically-first fill the remaining slots at pin time;
-    #    each round-10 registration displaces one from the tail —
-    #    displaced queries tie with the kept ones at round 3, so the
-    #    staleness rule holds either side of the cut) --
-    "agg_approx_sketch",
-    "agg_grouping_sets",
-    "agg_heavy_hitters_priority",
-    "ann_ivf_nprobe_topk",
-    "assign_training_shards",
-    "cogroup_customer_activity",
-    "curriculum_quality_buckets",
-    "dedup_canonical_by_quality",
-    "dedup_embedding_lsh",
-    "dedup_span_repeats",
-    "doc_fingerprint",
-    "embedding_kmeans_lloyd",
-    "embedding_quantize_int8",
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    "events_tumbling_hourly",
-    "gdpr_erase_cascade",
-    "join_bloom_pruned_revenue",
-    "join_shuffle_hash_revenue",
-    "multimodal_audio_windows",
-    "multimodal_png_decode",
-    "multimodal_resize",
-    "q20_excess_share_suppliers",
-    "q22_global_sales_opportunity",
-    "scd2_asof_lookup",
-    "session_top_paths",
-    "sort_nulls_ordering",
+    # -- r03 staleness canaries: the 13 queries last driver-verified in
+    #    round 3, eight rounds stale — rotation rule (b) --
+    "source_mixture_weights",
+    "stream_tumbling_hourly",
+    "surrogate_keys_documents",
+    "text_collocations_pmi",
+    "text_langid",
+    "text_ttr_hapax",
+    "token_count_stats",
+    "try_arithmetic_semantics",
+    "udf_vectorized_sigmoid",
+    "udtf_split_sentences",
+    "union_schema_evolution",
+    "weighted_median_price",
+    "window_rolling_median",
+    # -- r04 staleness canaries: next-oldest cohort (50 total; the 37
+    #    alphabetically-first fill the remaining slots at pin time) --
+    "ann_cosine_topk_numpy",
+    "ann_knn_graph_edges",
+    "arrow_embedding_norms",
+    "binaryfile_manifest",
+    "bpe_merge_candidates",
+    "chi2_lang_source",
+    "cohort_ltv_matrix",
+    "customer_360_overlap",
+    "dedup_cluster_size_histogram",
+    "dedup_embedding_clusters",
+    "doc_chunks",
+    "dq_constraint_audit",
+    "embedding_label_centroids",
+    "embedding_pca_power_iteration",
+    "events_attribution_last_touch",
+    "events_cusum_changepoint",
+    "events_range_join",
+    "events_resample_linear",
+    "events_user_entropy",
+    "explode_outer_semantics",
+    "incremental_rollup_merge",
+    "join_salted_suppliers",
+    "lateral_top2_orders",
+    "map_agg_event_counts",
+    "mr_wordcount",
+    "multimodal_frame_sample",
+    "ols_slope_value_vs_time",
+    "pagerank_nation_trade",
+    "per_source_quota_sample",
+    "psi_value_drift",
+    "q1_pricing_summary",
+    "q21_suppliers_kept_waiting",
+    "q6_forecast_revenue",
+    "sample_quality_weighted",
+    "scd2_customer_tier_history",
+    "sessionized_training_examples",
+    "set_ops_multiset",
 ]
 
 
