@@ -94,10 +94,10 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("ts", ts.cast("timestamp_ntz"))
 
 
-def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Round-robin repartition a *small* scan up to the session's core
-    count before an expensive per-row derivation (shingling, tokenizing,
-    regex extraction).
+def fan_out(spark: SparkSession, df: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Repartition a *small* scan up to the session's core count before
+    an expensive per-row derivation (shingling, tokenizing, regex
+    extraction, wide melts).
 
     A single small parquet file arrives as ONE input split, so everything
     computed before the first exchange runs on one core — measured at
@@ -107,10 +107,22 @@ def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     a no-op, so no extra exchange ever reaches a 100 TB plan. Only worth
     it when the per-row work dominates the one-pass shuffle of the input
     rows — text pipelines yes, plain column aggs no.
+
+    ``keys``: hash-partition on these columns instead of round-robin.
+    Every keyless ``repartition(n)`` first pays a local sort of its
+    input (spark.sql.execution.sortBeforeRepartition, on by default so
+    task retries reproduce the same row placement — guide §2.5); a
+    hash repartition on a high-cardinality deterministic key skips
+    that sort and is retry-safe by construction. Prefer keys whenever
+    the frame has a natural unique key.
     """
     n = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= n:
         return df
+    if keys:
+        from pyspark.sql import functions as F
+
+        return df.repartition(n, *[F.col(k) for k in keys])
     return df.repartition(n)
 
 

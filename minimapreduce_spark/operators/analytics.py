@@ -260,16 +260,38 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     risk — cap basket size upstream if the domain allows it.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    # one distinct shuffle feeds the self-join sides, the marginals,
-    # and the order count (localCheckpoint stops 4x recomputation)
-    items = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=False)
-    n = items.select(F.countDistinct("l_orderkey").alias("n_orders"))
-    part_cnt = items.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
-    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
-    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    # Per-basket pair generation WITHOUT the items self-join (round-11,
+    # the graph_triangle_degree_oriented restructure): one
+    # groupBy(l_orderkey) collects each basket's distinct part set
+    # (collect_set partial-aggregates map-side), and the p1 < p2 pairs
+    # come from positions i < j of the sorted array — the same pair
+    # multiset as distinct ⋈ distinct on l_orderkey, but the items
+    # frame crosses the wire once instead of three times (distinct +
+    # both self-join sides). Pair volume stays Σ b_i²/2, bounded by the
+    # basket size as before. The checkpointed basket frame also feeds
+    # the marginals and the order count.
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .localCheckpoint(eager=False)
+    )
+    n = baskets.select(F.count(F.lit(1)).alias("n_orders"))
+    part_cnt = baskets.select(F.explode("ps").alias("l_partkey")).groupBy(
+        "l_partkey"
+    ).agg(F.count("*").alias("cnt"))
+    ps = F.col("ps")
+    pair_arr = F.flatten(
+        F.transform(
+            ps,
+            lambda u, i: F.transform(
+                F.slice(ps, i + F.lit(2), F.size(ps)),
+                lambda v: F.struct(u.alias("p1"), v.alias("p2")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "ok")
-        .where(F.col("p1") < F.col("p2"))
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .select("p.p1", "p.p2")
         .groupBy("p1", "p2")
         .agg(F.count("*").alias("support_cnt"))
         .where(F.col("support_cnt") >= 2)

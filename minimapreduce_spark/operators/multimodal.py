@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from minimapreduce_spark.catalog import load_table
+from minimapreduce_spark.catalog import fan_out, load_table
 from minimapreduce_spark.registry import register
 
 FEATURE_SCHEMA = "doc_id bigint, n_bytes bigint, first_byte bigint, byte_checksum bigint"
@@ -998,7 +998,16 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from minimapreduce_spark._pickle import register_self_by_value
 
     register_self_by_value()
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan_out: the pure-Python encode+decode is the whole cost of this
+    # lane, and the one-split local documents scan would serialize all
+    # of it onto a single task (measured 1.46 → 0.9 s at sf0.1); at
+    # real scale the scan already has ≥ parallelism splits and this is
+    # a no-op, keeping the zero-shuffle posture.
+    docs = fan_out(
+        spark,
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        keys=["doc_id"],
+    )
     jpgs = docs.mapInPandas(encode_jpeg, schema="doc_id bigint, payload binary")
     return jpgs.mapInPandas(jpeg_features, schema=JPEG_SCHEMA)
 

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from minimapreduce_spark.catalog import load_table
+from minimapreduce_spark.catalog import fan_out, load_table
 from minimapreduce_spark.operators.money import exact_revenue_sum, exact_sum, grid_c
 from minimapreduce_spark.registry import register
 
@@ -1051,6 +1051,11 @@ def sketch_quantile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     c = li.select(grid_c("l_extendedprice").alias("cents"))
+    # (round-11 note: fanning the 3-split scan out by the agg key made
+    # the vals agg alone faster, 0.84 → 0.48 s, but the whole query
+    # SLOWER, 1.9 → 2.7 s — a user repartition is exempt from AQE
+    # coalescing, so every downstream stage on the checkpointed vals
+    # frame inherited 32 near-empty partitions. Left as-is.)
     # ONE pass over the fact table: everything downstream — bounds,
     # histogram, exact CDF — runs on the distinct-value frame, which is
     # bounded by the price grid, not the row count (the 40x run spent
@@ -2138,6 +2143,22 @@ def _cstat_oracle() -> str:
     """
 
 
+def _cstat_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANALYZE lanes' fact input: project lineitem to exactly the
+    11 profiled columns (l_comment never crosses an exchange — guide
+    §2.3) and fan the scan out to the session's parallelism keyed on
+    the (l_orderkey, l_linenumber) PK. At sf0.1 the table arrives as 3
+    input splits, so without the fan-out the 11× melt + per-value
+    hashing + partial aggregation — the whole CPU cost of ANALYZE —
+    ran on 3 of 32 cores (measured at sf0.1: prod lane 3.9 → 2.2 s,
+    md5 lane ~7 s of melt+hash alone → 2.3 s total, combined with the
+    one-pass restructure); at real scale the scan already has ≥
+    parallelism splits and fan_out is a no-op."""
+    cols = [n for n, _ in _CSTAT_NUMERIC] + list(_CSTAT_STRINGS)
+    li = load_table(spark, sf_dir, "lineitem").select(*cols)
+    return fan_out(spark, li, keys=["l_orderkey", "l_linenumber"])
+
+
 def _cstat_melt(li: DataFrame) -> DataFrame:
     """The 11-column lineitem melt — (col, canonical BIGINT v, hash
     string s) rows via ONE explode of a struct array, shared by the
@@ -2165,14 +2186,83 @@ def _cstat_melt(li: DataFrame) -> DataFrame:
     return li.select(F.explode(F.array(*structs)).alias("x")).select("x.*")
 
 
-def _cstat_base(melt: DataFrame) -> DataFrame:
-    """Per-column row/null counts and canonical min/max from the melt —
-    the exact half both ANALYZE lanes share."""
-    return melt.groupBy("col").agg(
-        F.count("*").cast("bigint").alias("n_rows"),
-        (F.count("*") - F.count("s")).cast("bigint").alias("n_nulls"),
-        F.min("v").alias("min_v"),
-        F.max("v").alias("max_v"),
+def _cstat_melt_prod(li: DataFrame) -> DataFrame:
+    """(col, v, h) melt for the production-hash ANALYZE lane: numeric
+    columns hash their canonical BIGINT directly with the JVM xxhash64
+    (fixed-width input, no stringification — the round-11 swap that
+    removes ~9/11 of the melt's 73M-per-6.6M-row string casts), string
+    columns hash raw. Shares _CSTAT_NUMERIC's canon expressions with
+    the md5 lane so canonicalization can never drift; NULL values get
+    NULL h (xxhash64 would otherwise fold NULL to the seed), the
+    nullness contract _cstat_onepass counts nulls by. Distinct-v ⟺
+    distinct-s for every numeric canon (the string form is injective
+    on the BIGINT grid), so n_distinct is unchanged up to 60-bit hash
+    collisions — verified hash-equal to DuckDB's exact count at every
+    fixture SF, like the md5 lane."""
+    structs = [
+        F.struct(
+            F.lit(name).alias("col"),
+            F.expr(canon).alias("v"),
+            F.lit(None).cast("string").alias("s"),
+        )
+        for name, canon in [
+            (n, c.replace("epoch(l_shipdate)",
+                          "CAST(CAST(l_shipdate AS TIMESTAMP) AS DOUBLE)"))
+            for n, c in _CSTAT_NUMERIC
+        ]
+    ] + [
+        F.struct(
+            F.lit(name).alias("col"),
+            F.lit(None).cast("bigint").alias("v"),
+            F.col(name).alias("s"),
+        )
+        for name in _CSTAT_STRINGS
+    ]
+    m = li.select(F.explode(F.array(*structs)).alias("x")).select("x.*")
+    h_raw = F.when(F.col("v").isNotNull(), F.xxhash64("v")).otherwise(
+        F.when(F.col("s").isNotNull(), F.xxhash64("s"))
+    )
+    return m.select("col", "v", F.shiftrightunsigned(h_raw, 4).alias("h"))
+
+
+def _cstat_onepass(melt_h: DataFrame, k: int) -> DataFrame:
+    """Single-pass ANALYZE core over a (col, v, h) frame: per-column
+    row/null counts, canonical min/max, exact NDV and the bottom-K KMV
+    sketch — all from ONE scan of the melt (round-11 optimization;
+    guide §2.3/§2.4). The previous shape scanned the melt twice (base
+    agg + hash distinct), paying the 11× explode and the per-value
+    hashing twice.
+
+    Structure: ``groupBy(col, h)`` collapses duplicate values first
+    (partial aggregation runs map-side, so the one real exchange
+    carries at most distinct-(col, value) rows) while carrying count /
+    min / max as re-aggregable partials; then the family's two-phase
+    bucketed bottom-K merge (``kmv_sketch``'s discipline) folds the
+    base stats along with the sketch. ``h`` must be NULL exactly when
+    the melted value is NULL — that is what makes
+    n_nulls = n_rows − Σ(non-null-h counts) exact."""
+    g1 = melt_h.groupBy("col", "h").agg(
+        F.count("*").alias("c"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    g2 = g1.groupBy("col", (F.col("h") % KMV_BUCKETS).alias("_b")).agg(
+        F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("ks"),
+        F.count("h").alias("nb"),
+        F.sum("c").alias("rows_b"),
+        F.sum(F.when(F.col("h").isNotNull(), F.col("c")).otherwise(F.lit(0))).alias(
+            "nn_b"
+        ),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+    return g2.groupBy("col").agg(
+        F.sum("rows_b").cast("bigint").alias("n_rows"),
+        (F.sum("rows_b") - F.sum("nn_b")).cast("bigint").alias("n_nulls"),
+        F.min("mn").alias("min_v"),
+        F.max("mx").alias("max_v"),
+        F.slice(F.sort_array(F.flatten(F.collect_list("ks"))), 1, k).alias("ks"),
+        F.sum("nb").cast("bigint").alias("n_exact"),
     )
 
 
@@ -2205,26 +2295,24 @@ def catalog_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     No reference analog (the reference has no schema at all —
     SURVEY §1); this is §2c 'scalar fn library / profiling' made a
     first-class engine surface."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = _cstat_input(spark, sf_dir)
     melt = _cstat_melt(li)
-    base = _cstat_base(melt)
     # Cost note (profiled at sf0.1): the wall is the PORTABLE md5 over
-    # the 11×-melt (~5 s for 6.6M rows) — the cross-engine-exactness
-    # tax this harness pays so the NDV estimate itself hash-matches
-    # DuckDB (hash-then-distinct shuffles 8-byte longs; the
-    # distinct-strings-first variant measured slower). The production
-    # ANALYZE is `catalog_stats_lineitem_prod` below — the identical
-    # plan with the JVM-side xxhash64 and a self-checking oracle.
-    hashed = melt.where(F.col("s").isNotNull()).select(
-        "col", kmv_hash60(F.col("s")).alias("h")
+    # the 11×-melt — the cross-engine-exactness tax this harness pays
+    # so the NDV estimate itself hash-matches DuckDB. The production
+    # ANALYZE is `catalog_stats_lineitem_prod` below — the same
+    # one-pass plan with the JVM-side xxhash64 and a self-checking
+    # oracle. kmv_hash60(NULL) is NULL (concat/md5/conv all propagate),
+    # which is the nullness contract _cstat_onepass needs.
+    stats = _cstat_onepass(
+        melt.select("col", "v", kmv_hash60(F.col("s")).alias("h")), KMV_K
     )
-    sk = kmv_sketch(hashed, ["col"])
     est = (
         "round(CASE WHEN n_exact < {k} THEN CAST(n_exact AS DOUBLE) "
         "ELSE ({k} - 1.0) * 1152921504606846976.0 / element_at(ks, {k}) END, 4)"
     ).format(k=KMV_K)
     return (
-        base.join(sk, "col")
+        stats
         .selectExpr(
             "col AS column_name",
             "n_rows",
@@ -2241,9 +2329,10 @@ def catalog_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 # K=32: K=256 → rsd ≈ 1/sqrt(K-2) ≈ 6.3%, so the 25% band is ~4σ. The
 # xxhash estimates are DETERMINISTIC per fixture (no RNG), so the band
 # is a fixed property, not a flake — measured worst column across the
-# three fixture SFs: 11.2% (vs 68% worst at K=32, which is why the
-# teaching K is too small to band tightly). State is still trivially
-# bounded: 256 longs per column.
+# three fixture SFs with the round-11 BIGINT-canon hash: 17.0%
+# (sf0.001 l_orderkey; 14.3% / 11.7% at sf0.01 / sf0.1 — vs 68% worst
+# at K=32, which is why the teaching K is too small to band tightly).
+# State is still trivially bounded: 256 longs per column.
 CSTAT_KMV_K = 256
 CSTAT_NDV_REL_TOL = 0.25
 
@@ -2302,19 +2391,14 @@ def catalog_stats_lineitem_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows only past the first exchange, per-shard sketches merge by
     union+re-bottom-K) minus the md5 tax — measured ~3× cheaper at
     sf0.1, which is why THIS lane is the benched one."""
-    li = load_table(spark, sf_dir, "lineitem")
-    melt = _cstat_melt(li)
-    base = _cstat_base(melt)
-    hashed = melt.where(F.col("s").isNotNull()).select(
-        "col", F.shiftrightunsigned(F.xxhash64("s"), 4).alias("h")
-    )
-    sk = kmv_sketch(hashed, ["col"], k=CSTAT_KMV_K)
+    li = _cstat_input(spark, sf_dir)
+    stats = _cstat_onepass(_cstat_melt_prod(li), CSTAT_KMV_K)
     est = (
         "CASE WHEN n_exact < {k} THEN CAST(n_exact AS DOUBLE) "
         "ELSE ({k} - 1.0) * 1152921504606846976.0 / element_at(ks, {k}) END"
     ).format(k=CSTAT_KMV_K)
     return (
-        base.join(sk, "col")
+        stats
         .selectExpr(
             "col AS column_name",
             "n_rows",
