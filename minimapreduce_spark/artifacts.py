@@ -11,19 +11,31 @@ parent's data files in as HARDLINKS, so a derived root is
 self-contained: unlinking the parent's directory entries decrements
 link counts but never destroys an inode a derived root still names.
 
-That gives retention a purely syntactic liveness rule — no manifest,
-no reference counting:
+That gives retention a DERIVATION-AWARE liveness rule (round-11, the
+round-10 ADVICE fix — the earlier purely name-based rule had false
+positives: ``ivfpq_base_index_build`` publishes at
+``<full-index-root>_base13``, a SIBLING whose name extends the live
+full index's without deriving from it, so a name-based vacuum would
+delete a live serving artifact whose data the sibling does NOT
+hardlink-protect):
 
-  a published root is SUPERSEDED iff some other PUBLISHED root's name
-  extends it (``name + "_"`` prefix); leaves are live.
+  every derived root (append / compact / rebuild) records its parent's
+  basename in a ``_PARENT`` marker file written into the stage BEFORE
+  the atomic publish; a published root is SUPERSEDED iff some other
+  PUBLISHED root explicitly CLAIMS it as parent. Unclaimed roots —
+  leaves, siblings, independently-built bases — are live. A root
+  published before this discipline carries no claim and therefore
+  never supersedes anything (the safe direction: storage kept, never
+  data destroyed).
 
-``vacuum_superseded_roots`` deletes superseded roots older than a
-grace window (racing publishers and mid-drain readers finish inside
-it; the atomic-rename publish means a root either exists completely
-or not at all — there is no half-published state to misjudge) and
-reports bytes actually FREED (inode link count 1 at unlink time)
-separately from bytes merely unlinked (still reachable through a
-derived root's hardlinks) — the honest number for a storage bill.
+``vacuum_superseded_roots`` deletes superseded roots once the grace
+window has elapsed SINCE SUPERSESSION — age is measured from the
+newest claiming child's mtime, not the candidate's own (a base
+published days ago but appended seconds ago is exactly the root a
+mid-drain reader may still hold open) — and reports bytes actually
+FREED (inode link count 1 at unlink time) separately from bytes merely
+unlinked (still reachable through a derived root's hardlinks) — the
+honest number for a storage bill.
 
 At 100 TB this is the table-format VACUUM/`expire_snapshots` job: the
 append chain is the snapshot log, compaction is rewrite, and retention
@@ -38,6 +50,27 @@ from __future__ import annotations
 import os
 import shutil
 import time
+
+
+PARENT_MARKER = "_PARENT"
+
+
+def claim_parent(stage_or_root: str, parent_root: str) -> None:
+    """Record inside a derived root WHICH root it was derived from —
+    called by every append/compact/rebuild publisher on its staging
+    dir before the atomic rename, so the claim is part of the same
+    all-or-nothing publish. The claim is what makes a parent
+    vacuum-able: retention never infers derivation from names."""
+    with open(os.path.join(stage_or_root, PARENT_MARKER), "w") as f:
+        f.write(os.path.basename(os.path.normpath(parent_root)))
+
+
+def _claimed_parent(root: str) -> str | None:
+    try:
+        with open(os.path.join(root, PARENT_MARKER)) as f:
+            return f.read().strip() or None
+    except OSError:
+        return None
 
 
 def _published(root: str, marker: str) -> bool:
@@ -77,16 +110,22 @@ def vacuum_superseded_roots(
     directory is never touched (it is either someone's in-flight stage
     or not ours at all). A published root is deleted iff BOTH:
 
-      - superseded: another published root extends its name
-        (``other == root + "_" + suffix``) — the extension was derived
-        from it (append / compact / rebuild) and serves in its place;
-      - old enough: ``now - mtime >= min_age_s`` (the grace window for
-        readers still draining the old root and for racing publishers).
+      - superseded: another published root CLAIMS it as parent (its
+        ``_PARENT`` marker names this root) — derivation is recorded
+        at publish time, never inferred from names, so a sibling like
+        the IVF-PQ ``_base13`` build can never mark the live full
+        index dead (round-10 ADVICE);
+      - old enough: ``now - max(claiming child mtime) >= min_age_s`` —
+        the grace window runs from the SUPERSESSION, not from the
+        candidate's own (possibly ancient) publish time, so readers
+        still draining the old root get the full window however old
+        the root is (round-10 ADVICE).
 
-    The NEWEST view of every chain — each leaf — is always kept, so a
-    vacuum between an append and its compaction never removes the only
-    serveable artifact. Returns a report dict; with ``dry_run`` nothing
-    is removed but the report shows what would be."""
+    The NEWEST view of every chain — each leaf — is always kept (a
+    leaf claims, but is never claimed), so a vacuum between an append
+    and its compaction never removes the only serveable artifact.
+    Returns a report dict; with ``dry_run`` nothing is removed but the
+    report shows what would be."""
     now = time.time()
     try:
         names = sorted(os.listdir(parent))
@@ -106,6 +145,17 @@ def vacuum_superseded_roots(
         if n.startswith(prefix) and os.path.isdir(os.path.join(parent, n))
     ]
     published = {n for n in roots if _published(os.path.join(parent, n), marker)}
+    # parent name -> mtimes of the published roots claiming it
+    claims: dict[str, list[float]] = {}
+    for n in published:
+        p = _claimed_parent(os.path.join(parent, n))
+        if p and p != n:
+            try:
+                claims.setdefault(p, []).append(
+                    os.stat(os.path.join(parent, n)).st_mtime
+                )
+            except OSError:
+                continue  # claimant vanished: its claim dies with it
     report: dict = {
         "deleted": [],
         "kept_live": [],
@@ -116,17 +166,12 @@ def vacuum_superseded_roots(
         "dry_run": dry_run,
     }
     for n in sorted(published):
-        superseded = any(
-            other != n and other.startswith(n + "_") for other in published
-        )
-        if not superseded:
+        if n not in claims:
             report["kept_live"].append(n)
             continue
         full = os.path.join(parent, n)
-        try:
-            age = now - os.stat(full).st_mtime
-        except OSError:
-            continue  # vanished under us: someone else vacuumed it
+        # time since supersession: the newest claiming child's publish
+        age = now - max(claims[n])
         if age < min_age_s:
             report["kept_young"].append(n)
             continue
@@ -163,12 +208,29 @@ def vacuum_all_families(
 
 
 def _fragmented(root: str, marker: str) -> bool:
-    """True iff any leaf directory under the family's marker subdir
-    holds more than one parquet file — the footprint appends leave
-    (base hardlinks + one batch file set per day per partition) and
-    compaction removes (one task → one file per partition)."""
+    """True iff the root carries an append's footprint anywhere —
+    which compaction removes:
+
+      - any ``base-*.parquet`` file in ANY data subdir: the hardlink
+        fold-in prefix both appenders stamp on every parent file
+        (round-10 ADVICE: appends fragment the OTHER artifact tables
+        too — minhash ``shingles``, IVF-PQ ``centroids``/``codebook``
+        — so the probe must walk the whole root, not just the
+        published-marker subdir);
+      - more than one parquet file in a leaf dir under the MARKER
+        subdir (the partitioned table compaction rewrites to one task
+        → one file per partition).
+
+    The other tables' compacted layouts are a bounded handful of
+    files by contract (shingles repartition(4), centroids/codebook
+    repartition(1)), so a bare file-count probe there would re-flag a
+    freshly compacted root forever; the ``base-`` stamp is the
+    append-specific signal that keeps the nightly job idempotent."""
+    for dirpath, _dirs, files in os.walk(root):
+        if any(f.startswith("base-") and f.endswith(".parquet") for f in files):
+            return True
     base = os.path.join(root, marker)
-    for dirpath, dirs, files in os.walk(base):
+    for dirpath, _dirs, files in os.walk(base):
         if sum(1 for f in files if f.endswith(".parquet")) > 1:
             return True
     return False
@@ -220,11 +282,12 @@ def nightly_maintenance(
             if n.startswith(prefix)
             and _published(os.path.join(parent, n), marker)
         ]
-        leaves = [
-            n
-            for n in published
-            if not any(o != n and o.startswith(n + "_") for o in published)
-        ]
+        # leaf = published root no other published root claims as
+        # parent (the vacuum rule's derivation-aware liveness)
+        claimed = {
+            _claimed_parent(os.path.join(parent, n)) for n in published
+        } - {None}
+        leaves = [n for n in published if n not in claimed]
         compacted[fam] = []
         for n in leaves:
             full = os.path.join(parent, n)

@@ -978,6 +978,11 @@ def minhash_index_append(
                         os.path.join(dirpath, f),
                         os.path.join(dst_dir, f"base-{f}"),
                     )
+    # derivation claim for retention (artifacts.vacuum_superseded_roots):
+    # written into the stage so it publishes atomically with the data
+    from minimapreduce_spark.artifacts import claim_parent
+
+    claim_parent(stage, base_root)
     try:
         os.rename(stage, root)
     except OSError:
@@ -1029,6 +1034,9 @@ def minhash_index_compact(
     shingles.repartition(4).write.mode("overwrite").parquet(
         os.path.join(stage, "shingles")
     )
+    from minimapreduce_spark.artifacts import claim_parent
+
+    claim_parent(stage, root)  # retention derivation claim
     try:
         os.rename(stage, out_root)
     except OSError:

@@ -1016,6 +1016,9 @@ def join_view_rebuild(spark: SparkSession, sf_dir: str, root: str | None = None)
     maintained = incremental_join_view_upserts(spark, sf_dir)
     stage = tempfile.mkdtemp(prefix="joinview_rebuild_")
     maintained.write.mode("overwrite").parquet(os.path.join(stage, "view"))
+    from minimapreduce_spark.artifacts import claim_parent
+
+    claim_parent(stage, join_view_root(sf_dir))  # retention derivation claim
     try:
         os.rename(stage, root)
     except OSError:

@@ -2900,6 +2900,11 @@ def ivfpq_index_append(
                         os.path.join(dirpath, f),
                         os.path.join(dst_dir, f"base-{f}"),
                     )
+    # derivation claim for retention (artifacts.vacuum_superseded_roots):
+    # written into the stage so it publishes atomically with the data
+    from minimapreduce_spark.artifacts import claim_parent
+
+    claim_parent(stage, base_root)
     try:
         os.rename(stage, root)
     except OSError:
@@ -2940,6 +2945,9 @@ def ivfpq_index_compact(
         spark.read.parquet(os.path.join(root, sub)).repartition(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(stage, sub))
+    from minimapreduce_spark.artifacts import claim_parent
+
+    claim_parent(stage, root)  # retention derivation claim
     try:
         os.rename(stage, out_root)
     except OSError:

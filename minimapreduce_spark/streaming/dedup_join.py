@@ -232,11 +232,26 @@ def stream_exactly_once_watermarked(spark: SparkSession, sf_dir: str) -> DataFra
     from minimapreduce_spark.session import narrow_clone
 
     s2 = narrow_clone(spark, EXACTLY_ONCE_STATE_PARTITIONS)
-    drained = run_to_memory(
-        exactly_once_watermarked_plan(s2, sf_dir),
-        "stream_exactly_once_watermarked",
-        "append",
-    )
+    # Skip the trailing no-data micro-batch for THIS drain (round-11,
+    # measured ~0.3-0.5 s of the wall): dropDuplicatesWithinWatermark
+    # emits each first-seen row in the batch it arrives, so the
+    # no-data batch only advances the watermark for one extra round of
+    # state EVICTION after the last data batch — output-invariant for
+    # an availableNow drain that discards state at termination anyway.
+    # Scoped set/restore on the shared clone: windowed-agg queries in
+    # append mode DO need no-data batches to flush final windows, so
+    # the flag must not leak to other clone users.
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev = s2.conf.get(key, "true")
+    s2.conf.set(key, "false")
+    try:
+        drained = run_to_memory(
+            exactly_once_watermarked_plan(s2, sf_dir),
+            "stream_exactly_once_watermarked",
+            "append",
+        )
+    finally:
+        s2.conf.set(key, prev)
     return drained.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("value_c_sum"),

@@ -13,6 +13,11 @@ import itertools
 import os
 import shutil
 import tempfile
+import time
+
+# A repair lockfile older than this is a crashed repairer's corpse and
+# may be broken by the next repairer (see _publish_shards).
+_REPAIR_LOCK_STALE_S = 300.0
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,25 +34,56 @@ def _publish_shards(spark: SparkSession, src_path: str, d: str, n_shards: int) -
     share one shard set and a reader never observes a half-written one.
 
     Self-repair (a pre-atomic-publish crash leaves ``d`` without
-    _SUCCESS, making the rename fail forever): the corpse is renamed
-    ASIDE to a unique junk path, never rmtree'd in place — between the
-    caller's _SUCCESS check and here a concurrent session may have
-    atomically published ``d``, and deleting would tear down a valid
-    just-published shard set under a draining reader (round-9 ADVICE
-    TOCTOU). _SUCCESS is re-checked immediately before the move: if it
-    appeared, the publish is done and this is a no-op; if the tiny
-    remaining window still moves a winner aside, its content survives
-    at the junk path and the re-publish below restores byte-identical
-    shards (the staging key pins the source content)."""
+    _SUCCESS, making the rename fail forever): repair is SERIALIZED by
+    an O_EXCL lockfile next to ``d`` (round-10 ADVICE — the unlocked
+    version had a residual window where a concurrently published valid
+    shard set could be moved aside under a draining reader, and its
+    re-publish would arrive as new-named part files a file-stream
+    reader treats as duplicate arrivals). Under the lock _SUCCESS is
+    re-checked and only then is the corpse renamed ASIDE to a junk
+    path (never rmtree'd in place); a contender that cannot take the
+    lock skips repair entirely — its stage+rename below simply loses
+    to whoever publishes first. A lockfile older than
+    ``_REPAIR_LOCK_STALE_S`` is treated as a crashed repairer's corpse
+    and removed. Junk directories are cleaned up once ``d`` is
+    published (they were only kept so a mid-window move-aside could
+    never destroy data)."""
     os.makedirs(os.path.dirname(d), exist_ok=True)
     if os.path.exists(os.path.join(d, "_SUCCESS")):
         return  # a racer finished the publish between check and repair
+    junk = None
     if os.path.exists(d):
-        junk = tempfile.mkdtemp(prefix="corpse_", dir=os.path.dirname(d))
+        lock = d + ".repair_lock"
         try:
-            os.rename(d, os.path.join(junk, "moved"))
+            if (
+                os.path.exists(lock)
+                and time.time() - os.stat(lock).st_mtime > _REPAIR_LOCK_STALE_S
+            ):
+                os.unlink(lock)  # crashed repairer's lock
         except OSError:
-            pass  # the racer's rename beat ours; fall through to publish
+            pass
+        fd = None
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except OSError:
+            pass  # another session holds the repair lock: skip repair
+        if fd is not None:
+            try:
+                # re-check under the lock: a racer may have published
+                if not os.path.exists(os.path.join(d, "_SUCCESS")) and os.path.exists(d):
+                    junk = tempfile.mkdtemp(
+                        prefix="corpse_", dir=os.path.dirname(d)
+                    )
+                    try:
+                        os.rename(d, os.path.join(junk, "moved"))
+                    except OSError:
+                        pass  # racer's publish beat ours; fall through
+            finally:
+                os.close(fd)
+                try:
+                    os.unlink(lock)
+                except OSError:
+                    pass
     stage = tempfile.mkdtemp(prefix="stream_shard_stage_", dir=os.path.dirname(d))
     spark.read.parquet(src_path).repartition(n_shards).write.mode(
         "overwrite"
@@ -56,6 +92,8 @@ def _publish_shards(spark: SparkSession, src_path: str, d: str, n_shards: int) -
         os.rename(stage, d)
     except OSError:
         shutil.rmtree(stage, ignore_errors=True)  # lost the race
+    if junk is not None and os.path.exists(os.path.join(d, "_SUCCESS")):
+        shutil.rmtree(junk, ignore_errors=True)  # publish done: corpse obsolete
 
 
 def _stage_dir(parquet_file: str) -> str:

@@ -662,12 +662,17 @@ def stream_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes the base facts ONCE with the ≤|batch| dim rows
         broadcast, and the produced view rows append to the delta log
         — the A⋈Δ⁺B term paid incrementally, ∝ batch dim churn.
-    Both logs are append-only parquet; nothing ever rewrites. The
-    per-key-once property of a dim CDC feed (each customer key changes
-    at most once per day; hash shards preserve it) is what makes the
-    accumulated logs batch-order-independent: joins distribute over
-    the union of disjoint broadcast sides, so drained-log state ≡ the
-    single-batch twin's terms exactly.
+    Both logs are append-only AT THE LOG LEVEL — each micro-batch
+    overwrites only its own batch_id-keyed subdirectory, never another
+    batch's files — which is what makes the at-least-once foreachBatch
+    contract safe: a batch replayed after a failed drain rewrites the
+    same subdirectory instead of double-appending view rows (round-10
+    ADVICE; the run_to_parquet sink discipline). The per-key-once
+    property of a dim CDC feed (each customer key changes at most once
+    per day; hash shards preserve it) is what makes the accumulated
+    logs batch-order-independent: joins distribute over the union of
+    disjoint broadcast sides, so drained-log state ≡ the single-batch
+    twin's terms exactly.
 
     The final read composes base-view-anti-tombstones ∪ delta log ∪
     (fact arrivals ⋈ dim end-of-day state) — the same three-term
@@ -738,9 +743,15 @@ def stream_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             return
         n_batches["nonempty"] += 1
         s = deltas.sparkSession
+        # IDEMPOTENT per-batch log writes (round-10 ADVICE): foreachBatch
+        # side effects are at-least-once — a micro-batch re-run after a
+        # failed drain must not double-append. Each batch OVERWRITES its
+        # own batch_id-keyed subdirectory, so a WAL replay rewrites the
+        # same files instead of appending duplicates (the run_to_parquet
+        # sink discipline); the log readers below glob recursively.
         deltas.where(is_del | is_upd).select("c_custkey").write.mode(
-            "append"
-        ).parquet(tombs_dir)
+            "overwrite"
+        ).parquet(os.path.join(tombs_dir, f"b{batch_id:05d}"))
         plus_c = (
             deltas.where(is_upd)
             .withColumn("c_mktsegment", F.lit(IVM_UPD_SEGMENT))
@@ -757,8 +768,8 @@ def stream_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "c_mktsegment",
                 F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
             )
-            .write.mode("append")
-            .parquet(delta_dir)
+            .write.mode("overwrite")
+            .parquet(os.path.join(delta_dir, f"b{batch_id:05d}"))
         )
 
     q = (
@@ -771,8 +782,16 @@ def stream_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     stream_incremental_join_view.last_nonempty_batches = n_batches["nonempty"]
 
-    tombs = spark.read.schema(tombs_schema).parquet(tombs_dir)
-    delta_rows = spark.read.schema(IVM_VIEW_SCHEMA).parquet(delta_dir)
+    tombs = (
+        spark.read.schema(tombs_schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(tombs_dir)
+    )
+    delta_rows = (
+        spark.read.schema(IVM_VIEW_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(delta_dir)
+    )
     cust = load_table(spark, sf_dir, "customer")
     b_c_final = (
         cust.where(~is_ins & ~is_del)
@@ -826,6 +845,9 @@ def stream_join_view_rebuild(
     maintained = stream_incremental_join_view(spark, sf_dir)
     stage = tempfile.mkdtemp(prefix="joinview_stream_rebuild_")
     maintained.write.mode("overwrite").parquet(os.path.join(stage, "view"))
+    from minimapreduce_spark.artifacts import claim_parent
+
+    claim_parent(stage, join_view_root(sf_dir))  # retention derivation claim
     try:
         os.rename(stage, root)
     except OSError:

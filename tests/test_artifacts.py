@@ -140,6 +140,89 @@ def test_vacuum_chain_keeps_only_leaf_and_compact_serves(spark, tmp_path):
     assert _read_index(spark, comp_root) == before
 
 
+def test_vacuum_sibling_name_extension_is_not_superseded(spark, tmp_path):
+    """The round-10 ADVICE false positive, pinned dead: a PUBLISHED
+    root whose name extends another's but that was built independently
+    (no ``_PARENT`` claim — the ivfpq ``_base13`` shape, whose data the
+    sibling does NOT hardlink-protect) must never mark the shorter
+    root superseded. Supersession is derivation-claimed, not
+    name-inferred."""
+    import shutil
+
+    from minimapreduce_spark.artifacts import PARENT_MARKER, vacuum_superseded_roots
+
+    parent, base_name, app_root = _build_chain(spark, tmp_path)
+    # a sibling: full copy of the base under a name-extending root,
+    # published, but WITHOUT a derivation claim
+    sib = os.path.join(parent, base_name + "_base13")
+    shutil.copytree(os.path.join(parent, base_name), sib)
+    sib_marker = os.path.join(sib, PARENT_MARKER)
+    assert not os.path.exists(sib_marker)
+
+    rep = vacuum_superseded_roots(
+        parent, "minimapreduce_minhash_", "buckets", min_age_s=0.0
+    )
+    # base IS superseded (the append claims it); the sibling is live
+    # even though it name-extends the base, and the base's extension
+    # relation to the sibling is irrelevant
+    assert rep["deleted"] == [base_name]
+    assert os.path.basename(sib) in rep["kept_live"]
+    assert os.path.isdir(sib)
+
+
+def test_vacuum_grace_window_runs_from_supersession_not_publish(spark, tmp_path):
+    """Round-10 ADVICE: an OLD base superseded SECONDS ago must get the
+    full grace window — age runs from the newest claiming child's
+    mtime, not the candidate's own publish time (under the old rule a
+    base published days before its first append was deleted on the
+    very first sweep)."""
+    import time as _time
+
+    from minimapreduce_spark.artifacts import vacuum_superseded_roots
+
+    parent, base_name, app_root = _build_chain(spark, tmp_path)
+    # simulate "base published days ago": its own mtime is ancient
+    old = _time.time() - 7 * 86400
+    os.utime(os.path.join(parent, base_name), (old, old))
+
+    rep = vacuum_superseded_roots(
+        parent, "minimapreduce_minhash_", "buckets", min_age_s=3600.0
+    )
+    assert rep["deleted"] == [] and rep["kept_young"] == [base_name]
+    assert os.path.isdir(os.path.join(parent, base_name))
+    # and once the window is over (relative to the CHILD), it goes
+    rep = vacuum_superseded_roots(
+        parent, "minimapreduce_minhash_", "buckets", min_age_s=0.0
+    )
+    assert rep["deleted"] == [base_name]
+
+
+def test_publish_shards_repair_cleans_junk_and_locks(spark, tmp_path):
+    """_publish_shards' crash-corpse repair (round-10 ADVICE): the
+    corpse moved aside during repair is REMOVED once the re-publish
+    lands (junk dirs no longer accumulate in tempdir), the repair
+    lockfile does not outlive the call, and the published shard set is
+    complete (_SUCCESS present, readable)."""
+    import glob
+
+    from minimapreduce_spark.catalog import table_path
+    from minimapreduce_spark.streaming.source import _publish_shards
+
+    src = table_path(SF_DIR, "events")
+    d = os.path.join(str(tmp_path), "shards", "events_corpse_test")
+    # plant a crash corpse: a directory without _SUCCESS
+    os.makedirs(d)
+    with open(os.path.join(d, "part-junk.parquet"), "w") as f:
+        f.write("not parquet")
+
+    _publish_shards(spark, src, d, n_shards=2)
+
+    assert os.path.exists(os.path.join(d, "_SUCCESS"))
+    assert spark.read.parquet(d).count() > 0
+    assert not os.path.exists(d + ".repair_lock")
+    assert glob.glob(os.path.join(os.path.dirname(d), "corpse_*")) == []
+
+
 def test_nightly_maintenance_compacts_then_vacuums_idempotently(spark, tmp_path):
     """The scheduled entry point (`artifacts.nightly_maintenance`):
     (a) the fragmented append leaf is compacted and the ENTIRE
