@@ -390,6 +390,22 @@ def test_bpe_merge_is_greedy_left_to_right_on_repeats(spark, tmp_path):
     assert (rows[1].c1, rows[1].c2, rows[1].weight) == ("aa", "aa", 7)
 
 
+def test_bpe_local_and_distributed_kernels_agree(spark, monkeypatch):
+    """The round-11 adaptive dispatch (driver-local merge rounds when
+    the vocabulary fits BPE_LOCAL_VOCAB_MAX) must be bit-identical to
+    the distributed per-round loop — same merge table (pairs AND
+    weights, in training order) and same final segmentations — the
+    dedup_clusters_adaptive twin-equality discipline."""
+    import minimapreduce_spark.operators.text_analysis as ta
+
+    rows_local, seg_local = ta._bpe_train(spark, SF_DIR, ta.BPE_MERGE_ROUNDS)
+    local_seg_rows = sorted(map(tuple, seg_local.collect()))
+    monkeypatch.setattr(ta, "BPE_LOCAL_VOCAB_MAX", -1)  # force distributed
+    rows_dist, seg_dist = ta._bpe_train(spark, SF_DIR, ta.BPE_MERGE_ROUNDS)
+    assert rows_local == rows_dist
+    assert local_seg_rows == sorted(map(tuple, seg_dist.collect()))
+
+
 def test_bpe_train_weights_nonincreasing_and_apply_reconciles(spark):
     """Two theorems on the fixture corpus: (1) the greedy max pair
     weight is non-increasing round over round (a newly created pair's
