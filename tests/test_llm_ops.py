@@ -735,6 +735,34 @@ def test_int8_ivf_recall_vs_float_ivf(spark):
     assert recall >= 0.7, f"int8 recall@5 too low: {recall:.2f}"
 
 
+def test_lloyd_local_and_distributed_kernels_agree(spark, monkeypatch):
+    """The round-11 adaptive Lloyd dispatch (driver-local rounds under
+    KM_LOCAL_POINTS_MAX) must be bit-identical to the distributed
+    loops — the bpe_train_merges twin-equality discipline applied to
+    k-means (full output frame) and the PQ codebook (every (m, cid)
+    entry)."""
+    import minimapreduce_spark.operators.similarity as sim
+
+    km_local = sorted(
+        map(tuple, sim.embedding_kmeans_lloyd(spark, SF_DIR).collect())
+    )
+    sub = sim._pq_subvectors(spark, SF_DIR)
+    cb_local = sorted(
+        (int(r["m"]), int(r["cid"]), tuple(r["ce"]))
+        for r in sim._pq_train(spark, SF_DIR, sub).collect()
+    )
+    monkeypatch.setattr(sim, "KM_LOCAL_POINTS_MAX", -1)  # force distributed
+    km_dist = sorted(
+        map(tuple, sim.embedding_kmeans_lloyd(spark, SF_DIR).collect())
+    )
+    cb_dist = sorted(
+        (int(r["m"]), int(r["cid"]), tuple(r["ce"]))
+        for r in sim._pq_train(spark, SF_DIR, sub).collect()
+    )
+    assert km_local == km_dist
+    assert cb_local == cb_dist and len(cb_local) > 0
+
+
 def test_pq_adc_recall_and_codebook_health(spark):
     """PQ-ADC semantics beyond the hash match (a degenerate quantizer
     could still hash-match a faithfully degenerate oracle):
