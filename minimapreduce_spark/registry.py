@@ -78,70 +78,89 @@ def register(name: str, oracle: str | None = None, bench: bool = False) -> Calla
 # The round whose registrations lead the window == 1 + the newest
 # CORRECTNESS artifact at pin time. Bump this in the same commit that
 # rotates DRIVER_PRIORITY for the next round.
-WINDOW_PIN_ROUND: int = 11
+WINDOW_PIN_ROUND: int = 12
 
-# ROUND-11 ROTATION (an optimization round: zero new registrations, so
-# all 50 slots are staleness canaries). Recomputed from the full
-# r01-r10 artifact union at pin time: the oldest cohort is the 13
-# r03-verified leftovers, then the 50 r04-verified queries fill the
-# remaining 37 slots alphabetically (the 13 r04 queries left outside
-# tie with the kept ones at round 4, so the staleness rule holds
-# either side of the cut).
+# Queries whose implementation changed in an optimization round AFTER
+# their most recent driver verification (round-11 verdict item 1: the
+# r11 window missed every query round 11 touched, so the driver has no
+# post-change oracle evidence on exactly the paths that changed). They
+# lead the window like closure — a changed query is effectively
+# unverified — and are exempt from the staleness comparison. Entries
+# touched again in round 12 stay here; the ledger empties once the
+# pinned round's CORRECTNESS artifact verifies them post-change.
+TOUCHED_SINCE_VERIFIED: list[str] = [
+    # -- round-11 optimization touches (commits f9593a3/89d1dbf/3c7a61e/783fb74) --
+    "bpe_train_merges",
+    "embedding_kmeans_lloyd",
+    "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_served_topk",
+    "ann_ivfpq_append_served_topk",
+    "ann_ivfpq_compact_served_topk",
+    "catalog_stats_lineitem",
+    "catalog_stats_lineitem_prod",
+    "dedup_simhash",
+    "dedup_embedding_lsh",
+    "graph_triangle_degree_oriented",
+    "basket_part_pairs",
+    "multimodal_jpeg_decode",
+    "stream_session_window",
+    "stream_upsert_latest_state",
+    "stream_exactly_once_watermarked",
+]
+
+# ROUND-12 ROTATION (optimization round 2). Verdict-mandated: the 17
+# r11-touched queries lead (TOUCHED_SINCE_VERIFIED above — changed
+# after their last driver verification, so re-verification beats any
+# canary); the remaining 33 slots are staleness canaries from the
+# r01-r11 artifact union at pin time — the 12 r04-verified queries not
+# already in the touched tier, then 21 of the 44 non-touched
+# r06-verified (all r06 entries tie, so the round-12 optimization
+# targets unigram_train_pieces / dedup_minhash_incremental /
+# ann_ivf_mmr_rerank + the unigram apply twin are picked first and the
+# alphabetically-first fill the rest; the staleness rule holds either
+# side of the cut).
 DRIVER_PRIORITY: list[str] = [
-    # -- r03 staleness canaries: the 13 queries last driver-verified in
-    #    round 3, eight rounds stale — rotation rule (b) --
-    "source_mixture_weights",
-    "stream_tumbling_hourly",
-    "surrogate_keys_documents",
-    "text_collocations_pmi",
-    "text_langid",
-    "text_ttr_hapax",
-    "token_count_stats",
-    "try_arithmetic_semantics",
-    "udf_vectorized_sigmoid",
-    "udtf_split_sentences",
-    "union_schema_evolution",
-    "weighted_median_price",
-    "window_rolling_median",
-    # -- r04 staleness canaries: next-oldest cohort (50 total; the 37
-    #    alphabetically-first fill the remaining slots at pin time) --
-    "ann_cosine_topk_numpy",
-    "ann_knn_graph_edges",
-    "arrow_embedding_norms",
-    "binaryfile_manifest",
-    "bpe_merge_candidates",
-    "chi2_lang_source",
-    "cohort_ltv_matrix",
-    "customer_360_overlap",
-    "dedup_cluster_size_histogram",
-    "dedup_embedding_clusters",
-    "doc_chunks",
-    "dq_constraint_audit",
-    "embedding_label_centroids",
-    "embedding_pca_power_iteration",
-    "events_attribution_last_touch",
-    "events_cusum_changepoint",
-    "events_range_join",
-    "events_resample_linear",
-    "events_user_entropy",
-    "explode_outer_semantics",
-    "incremental_rollup_merge",
-    "join_salted_suppliers",
-    "lateral_top2_orders",
-    "map_agg_event_counts",
-    "mr_wordcount",
-    "multimodal_frame_sample",
-    "ols_slope_value_vs_time",
-    "pagerank_nation_trade",
-    "per_source_quota_sample",
-    "psi_value_drift",
-    "q1_pricing_summary",
-    "q21_suppliers_kept_waiting",
-    "q6_forecast_revenue",
-    "sample_quality_weighted",
-    "scd2_customer_tier_history",
-    "sessionized_training_examples",
-    "set_ops_multiset",
+    # -- r11-touched tier: re-verify every query round 11 changed --
+    *TOUCHED_SINCE_VERIFIED,
+    # -- r04 staleness canaries: the 12 queries last driver-verified in
+    #    round 4 still outside the touched tier (oldest cohort) --
+    "stream_psi_drift",
+    "stream_sliding_1h_30m",
+    "stream_static_enrich",
+    "stream_tumbling_append_finalized",
+    "stream_user_stats_stateful",
+    "stream_view_purchase_join",
+    "text_bigram_logprob",
+    "token_histogram_zipf",
+    "user_longest_daily_streak",
+    "window_cumulative_distinct_users",
+    "window_max_drawdown",
+    "wordcount",
+    # -- r06 staleness canaries: next-oldest cohort (44 non-touched
+    #    total, all tied at round 6; round-12 optimization targets
+    #    first, then alphabetical) --
+    "unigram_train_pieces",
+    "dedup_minhash_incremental",
+    "ann_ivf_mmr_rerank",
+    "unigram_apply_token_stats",
+    "agg_arg_extremes",
+    "agg_mad_user_value",
+    "ann_graph_greedy_search",
+    "ann_graph_hierarchical_search",
+    "ann_mmr_rerank",
+    "boilerplate_ngram_sources",
+    "bpe_apply_token_stats",
+    "category_share_drift",
+    "customer_reorder_intervals",
+    "dedup_keep_latest",
+    "embedding_kcenter_coreset",
+    "events_attribution_first_touch",
+    "events_autocorrelation_lag1",
+    "events_resample_gapfill",
+    "events_rolling_zscore",
+    "events_sliding_1h_30m",
+    "events_time_weighted_avg",
 ]
 
 

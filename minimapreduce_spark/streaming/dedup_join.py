@@ -163,6 +163,12 @@ EXACTLY_ONCE_WM_DELAY = "4 days"
 # 32→8 partitions: 10.3-15.5 s → 4.7 s at sf0.1, identical output)
 EXACTLY_ONCE_STATE_PARTITIONS = 8
 
+# Source files consumed per micro-batch by the exactly-once drain's
+# reader (the consumer's trigger sizing, NOT the source's slice/
+# redelivery contract — the staged slices and their one-slice
+# redelivery horizon are unchanged).
+EXACTLY_ONCE_FILES_PER_TRIGGER = 1
+
 
 def exactly_once_watermarked_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming plan behind ``stream_exactly_once_watermarked``,
@@ -172,7 +178,9 @@ def exactly_once_watermarked_plan(spark: SparkSession, sf_dir: str) -> DataFrame
         events_stream_time_sliced_redelivered,
     )
 
-    sdf = events_stream_time_sliced_redelivered(spark, sf_dir)
+    sdf = events_stream_time_sliced_redelivered(
+        spark, sf_dir, files_per_trigger=EXACTLY_ONCE_FILES_PER_TRIGGER
+    )
     return (
         sdf.withWatermark("ts", EXACTLY_ONCE_WM_DELAY)
         .dropDuplicatesWithinWatermark(["event_id"])

@@ -239,7 +239,11 @@ def events_stream_redelivered(
 
 
 def events_stream_time_sliced_redelivered(
-    spark: SparkSession, sf_dir: str, n_slices: int = 10, redeliver_mod: int = 13
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = 10,
+    redeliver_mod: int = 13,
+    files_per_trigger: int = 1,
 ) -> DataFrame:
     """AT-LEAST-ONCE replay with a TIME-BOUNDED redelivery horizon
     (round-4 verdict item 7): events sort by event time into
@@ -310,7 +314,7 @@ def events_stream_time_sliced_redelivered(
     schema = spark.read.parquet(os.path.join(d, "slice00.parquet")).schema
     sdf = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", str(files_per_trigger))
         .parquet(d)
     )
     if isinstance(schema["ts"].dataType, LongType):

@@ -117,6 +117,7 @@ def rotation_violations(
     registry: set[str],
     late: set[str],
     pin_round: int,
+    touched: set[str] = frozenset(),
 ) -> list[str]:
     """The rotation-discipline rules as a pure function (so the
     post-commit-artifact-drop scenario is itself testable). Staleness
@@ -127,6 +128,12 @@ def rotation_violations(
     tripwire (the rounds-8/9 failure mode). A LATER round's artifact
     (> pin_round) still fires: that means a round ended without
     rotating.
+
+    ``touched`` (round-11 verdict item 1): queries whose code changed
+    after their last driver verification. They are treated like
+    closure — a changed query is effectively unverified, so it MUST
+    occupy a window slot and is exempt from the staleness comparison
+    (its artifact-recorded freshness predates the change).
 
     Returns a list of violation strings; empty = green."""
     viol: list[str] = []
@@ -144,7 +151,13 @@ def rotation_violations(
             f"never-driver-verified queries missing from the window: "
             f"{sorted(closure - window)}"
         )
-    canaries = (window & registry) - closure
+    touched &= registry
+    if not touched <= window:
+        viol.append(
+            f"touched-since-verified queries missing from the window: "
+            f"{sorted(touched - window)}"
+        )
+    canaries = (window & registry) - closure - touched
     if not canaries <= set(last):
         viol.append(
             f"window slots that are neither closure nor previously "
@@ -188,6 +201,7 @@ def test_driver_priority_closes_coverage():
         DRIVER_PRIORITY,
         LATE_REGISTERED,
         REGISTRY,
+        TOUCHED_SINCE_VERIFIED,
         WINDOW_PIN_ROUND,
     )
 
@@ -197,10 +211,13 @@ def test_driver_priority_closes_coverage():
         set(REGISTRY),
         set(LATE_REGISTERED),
         WINDOW_PIN_ROUND,
+        touched=set(TOUCHED_SINCE_VERIFIED),
     )
     assert viol == [], "\n".join(viol)
     # late registrations still carry full pytest-oracle coverage
     assert all(REGISTRY[n].oracle for n in LATE_REGISTERED)
+    # the touched ledger names real registrations only
+    assert set(TOUCHED_SINCE_VERIFIED) <= set(REGISTRY)
 
 
 def test_rotation_tripwire_survives_post_commit_artifact_drop():
@@ -216,26 +233,38 @@ def test_rotation_tripwire_survives_post_commit_artifact_drop():
         DRIVER_PRIORITY,
         LATE_REGISTERED,
         REGISTRY,
+        TOUCHED_SINCE_VERIFIED,
         WINDOW_PIN_ROUND,
     )
 
     arts = _artifact_rounds()
     window = set(DRIVER_PRIORITY)
     reg, late = set(REGISTRY), set(LATE_REGISTERED)
+    touched = set(TOUCHED_SINCE_VERIFIED)
 
     # the window was green at pin time
-    assert rotation_violations(arts, window, reg, late, WINDOW_PIN_ROUND) == []
+    assert (
+        rotation_violations(arts, window, reg, late, WINDOW_PIN_ROUND, touched) == []
+    )
 
     # 1. the drop: CORRECTNESS_r{pin} == the window, all green
     drop = {n: {"hash_match": True} for n in DRIVER_PRIORITY}
     with_drop = {**arts, WINDOW_PIN_ROUND: drop}
-    assert rotation_violations(with_drop, window, reg, late, WINDOW_PIN_ROUND) == []
+    assert (
+        rotation_violations(with_drop, window, reg, late, WINDOW_PIN_ROUND, touched)
+        == []
+    )
 
     # 2. a partial drop (driver hit errors) is equally harmless
     partial = dict(list(drop.items())[:7])
     assert (
         rotation_violations(
-            {**arts, WINDOW_PIN_ROUND: partial}, window, reg, late, WINDOW_PIN_ROUND
+            {**arts, WINDOW_PIN_ROUND: partial},
+            window,
+            reg,
+            late,
+            WINDOW_PIN_ROUND,
+            touched,
         )
         == []
     )
@@ -243,7 +272,7 @@ def test_rotation_tripwire_survives_post_commit_artifact_drop():
     # 3. NOT weakened: a later-round artifact with the window never
     #    rotated (pin not bumped) goes red
     next_round = {**with_drop, WINDOW_PIN_ROUND + 1: drop}
-    viol = rotation_violations(next_round, window, reg, late, WINDOW_PIN_ROUND)
+    viol = rotation_violations(next_round, window, reg, late, WINDOW_PIN_ROUND, touched)
     assert any("never rotated" in v for v in viol), viol
 
     # 4. NOT weakened: a genuinely stale window at pin time goes red —
@@ -251,9 +280,19 @@ def test_rotation_tripwire_survives_post_commit_artifact_drop():
     #    makes its canaries round-{pin} fresh while pre-pin cohorts
     #    wait outside
     viol = rotation_violations(
-        next_round, window, reg, late, WINDOW_PIN_ROUND + 1
+        next_round, window, reg, late, WINDOW_PIN_ROUND + 1, touched
     )
     assert any("staleness rule violated" in v for v in viol), viol
+
+    # 5. NOT weakened: a touched-since-verified query left OUT of the
+    #    window goes red — the exact round-11 gap (every r11-touched
+    #    query sat outside the r11 window)
+    sacrificial = sorted(touched)[0]
+    smaller = window - {sacrificial}
+    viol = rotation_violations(
+        arts, smaller, reg, late, WINDOW_PIN_ROUND, touched
+    )
+    assert any("touched-since-verified" in v for v in viol), viol
 
 
 def test_bench_final_line_fits_driver_tail_buffer():
