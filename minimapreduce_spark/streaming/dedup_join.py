@@ -149,25 +149,57 @@ def stream_exactly_once_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # watermark delay for the bounded-ledger consumer: must cover the
 # source's redelivery horizon (one slice of the 30-day fixture at 10
-# slices = 3 days) with margin, and nothing more — the delay IS the
-# state bound. dropDuplicatesWithinWatermark keeps a key until the
+# slices = 3 days = 72 h) with margin, and nothing more — the delay IS
+# the state bound. dropDuplicatesWithinWatermark keeps a key until the
 # watermark passes event_time + delay, and the watermark itself lags
-# one micro-batch, so the live ledger window is ~(2*delay + slice) =
-# 11 of 30 days — the eviction the state-peak pytest asserts.
-EXACTLY_ONCE_WM_DELAY = "4 days"
-
-# state partitions for the exactly-once drain: sized to the per-batch
-# volume (~10k rows/slice at sf0.1), NOT the session's batch-shuffle
-# width — per-batch state-store commits are one file per partition per
-# batch, so over-sharding multiplies pure commit overhead (measured
-# 32→8 partitions: 10.3-15.5 s → 4.7 s at sf0.1, identical output)
-EXACTLY_ONCE_STATE_PARTITIONS = 8
+# one micro-batch, so the live ledger window is ~(2·delay + batch
+# span). Round 12 trims 96 h → 84 h (horizon + 12 h margin; the staged
+# replay's horizon is exact, so correctness needs only delay > 72 h —
+# verified output-exact at all three SFs) to keep the window bounded
+# when batch coalescing below widened the span: the two knobs together
+# give ~(2·3.5 + 6) = 13 of 30 days, peaking at 47.2% of keys
+# (sf0.001) / 43.5% (sf0.01, sf0.1) vs the eviction pytest's pinned
+# <50% contract — the completeness/state/latency dial the docstring
+# names, turned under the same contract.
+EXACTLY_ONCE_WM_DELAY = "84 hours"
 
 # Source files consumed per micro-batch by the exactly-once drain's
-# reader (the consumer's trigger sizing, NOT the source's slice/
-# redelivery contract — the staged slices and their one-slice
-# redelivery horizon are unchanged).
-EXACTLY_ONCE_FILES_PER_TRIGGER = 1
+# reader — the CONSUMER's trigger sizing, NOT the source's slice/
+# redelivery contract (the staged slices and their one-slice
+# redelivery horizon are unchanged; dedup correctness needs only
+# delay ≥ horizon, which holds at any batching). Round-12 measurement
+# (tools/stream_ab_probe.py, interleaved same-session at sf0.1):
+# per-micro-batch FIXED cost dominated the drain — 2 files/trigger
+# (5 data batches) took it 4.7 → 2.7 s at every state width probed,
+# while 1→2 is the whole win (state width 8/4/2 all within noise at
+# either setting). Decomposition: a stateless drain of the same source
+# costs ~0.23 s/batch (planning + WAL + sink) and the dedup state adds
+# ~0.27 s/batch — both scale with batch count, neither with width.
+# The price is a higher in-flight ledger peak (see the delay note
+# above); 3 files/trigger peaks at 57% under the 96 h delay and is
+# excluded by the <50% contract. At production throughput batch sizing
+# is the same knob: amortize per-batch fixed costs subject to the
+# state ceiling.
+EXACTLY_ONCE_FILES_PER_TRIGGER = 2
+
+# Slices in the staged replay (events_stream_time_sliced_redelivered's
+# default) — batches = ceil(slices / files_per_trigger).
+EXACTLY_ONCE_N_SLICES = 10
+
+
+def _exactly_once_state_width(spark: SparkSession, sf_dir: str) -> int:
+    """State shards derived from per-batch volume (round-11 verdict
+    item 4 — the constant 8 was a fixture tune): rows per micro-batch
+    = staged events (footer metadata, no job) / batch count, through
+    the shared ``stream_state_width`` sizing."""
+    import math
+
+    from minimapreduce_spark.catalog import parquet_rowcount, table_path
+    from minimapreduce_spark.session import stream_state_width
+
+    n_batches = math.ceil(EXACTLY_ONCE_N_SLICES / EXACTLY_ONCE_FILES_PER_TRIGGER)
+    rows = parquet_rowcount(table_path(sf_dir, "events"))
+    return stream_state_width(spark, rows // max(1, n_batches))
 
 
 def exactly_once_watermarked_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,19 +250,20 @@ def stream_exactly_once_watermarked(spark: SparkSession, sf_dir: str) -> DataFra
     the eviction (max stateOperators rows stays well under the stream's
     distinct-key count).
 
-    State-store SIZING (round-7 verdict item 5, measured): the wall of
-    this drain is per-batch state-store COMMIT fan-out, not dedup work
-    — every micro-batch commits one state file per state partition, so
-    11 batches × 32 partitions = 352 commits for ~10k-row batches
-    (~30 ms of actual work each). Profiled at sf0.1: 32 state
-    partitions → 10.3-15.5 s wall; 8 → 4.7 s — same answer, same
-    eviction (dedup is partition-count invariant, pytest-pinned
-    repo-wide). So the query SIZES its state partitioning to the
-    per-batch volume (EXACTLY_ONCE_STATE_PARTITIONS) instead of
-    inheriting the batch session's width — the real deployment
-    discipline: state shards scale with streaming throughput, not with
-    the cluster's batch-shuffle width; SCALING.md carries the per-batch
-    timing table."""
+    State-store SIZING (round-7 verdict item 5, measured; round-12:
+    DERIVED from batch volume): the wall of this drain is per-batch
+    FIXED cost — trigger planning, WAL, and one state-store commit per
+    partition per batch — not dedup work. Profiled at sf0.1: 32 state
+    partitions → 10.3-15.5 s; 8 → 4.7 s (round 7); and with the width
+    question settled, batching is the remaining fixed-cost knob —
+    2 files/trigger → 2.7 s (round 12, see
+    EXACTLY_ONCE_FILES_PER_TRIGGER). The state width is now DERIVED
+    from per-batch volume via the shared ``stream_state_width`` sizing
+    (``_exactly_once_state_width``) instead of a fixture constant —
+    the real deployment discipline: state shards scale with streaming
+    throughput (clamped by the cluster width), never with the batch
+    session's shuffle width. Dedup is partition-count invariant
+    (pytest-pinned repo-wide); SCALING.md carries the timing tables."""
     # Scope the state-partition override to the CACHED per-(context,
     # width) session clone (shares the SparkContext; isolated SQLConf),
     # so nothing else running on the caller's session concurrently can
@@ -239,7 +272,7 @@ def stream_exactly_once_watermarked(spark: SparkSession, sf_dir: str) -> DataFra
     # (round-9 ADVICE; session.narrow_clone).
     from minimapreduce_spark.session import narrow_clone
 
-    s2 = narrow_clone(spark, EXACTLY_ONCE_STATE_PARTITIONS)
+    s2 = narrow_clone(spark, _exactly_once_state_width(spark, sf_dir))
     # Skip the trailing no-data micro-batch for THIS drain (round-11,
     # measured ~0.3-0.5 s of the wall): dropDuplicatesWithinWatermark
     # emits each first-seen row in the batch it arrives, so the

@@ -35,17 +35,17 @@ def main() -> None:
     if which == "exactly_once":
         import minimapreduce_spark.streaming.dedup_join as dj
 
-        fn = dj.stream_exactly_once_watermarked.__wrapped__ if hasattr(
-            dj.stream_exactly_once_watermarked, "__wrapped__"
-        ) else dj.stream_exactly_once_watermarked
+        fn = dj.stream_exactly_once_watermarked
         cfgs = [(1, 8), (1, 4), (1, 2), (2, 8), (2, 4), (2, 2)]
         # warm: stage dirs, codegen
-        dj.EXACTLY_ONCE_FILES_PER_TRIGGER, dj.EXACTLY_ONCE_STATE_PARTITIONS = cfgs[0]
+        dj.EXACTLY_ONCE_FILES_PER_TRIGGER = cfgs[0][0]
+        dj._exactly_once_state_width = lambda s, d, _w=cfgs[0][1]: _w
         timed(fn, spark)
         results = {c: [] for c in cfgs}
         for r in range(reps):
             for c in cfgs:
-                dj.EXACTLY_ONCE_FILES_PER_TRIGGER, dj.EXACTLY_ONCE_STATE_PARTITIONS = c
+                dj.EXACTLY_ONCE_FILES_PER_TRIGGER = c[0]
+                dj._exactly_once_state_width = lambda s, d, _w=c[1]: _w
                 dt = timed(fn, spark)
                 results[c].append(dt)
                 print(f"rep{r} fpt={c[0]} parts={c[1]}: {dt:.3f}s", flush=True)
@@ -58,12 +58,12 @@ def main() -> None:
 
         fn = up.stream_upsert_latest_state
         widths = [8, 4, 2, 1]
-        up.UPSERT_STATE_PARTITIONS = widths[0]
+        up._upsert_state_width = lambda s, d, _w=widths[0]: _w
         timed(fn, spark)
         results = {w: [] for w in widths}
         for r in range(reps):
             for w in widths:
-                up.UPSERT_STATE_PARTITIONS = w
+                up._upsert_state_width = lambda s, d, _w=w: _w
                 dt = timed(fn, spark)
                 results[w].append(dt)
                 print(f"rep{r} width={w}: {dt:.3f}s", flush=True)
@@ -76,12 +76,12 @@ def main() -> None:
 
         fn = wn.stream_session_window
         widths = [8, 4, 2]
-        wn.SESSION_STATE_PARTITIONS = widths[0]
+        wn._session_state_width = lambda s, d, _w=widths[0]: _w
         timed(fn, spark)
         results = {w: [] for w in widths}
         for r in range(reps):
             for w in widths:
-                wn.SESSION_STATE_PARTITIONS = w
+                wn._session_state_width = lambda s, d, _w=w: _w
                 dt = timed(fn, spark)
                 results[w].append(dt)
                 print(f"rep{r} width={w}: {dt:.3f}s", flush=True)
